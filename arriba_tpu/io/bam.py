@@ -1,0 +1,321 @@
+"""SAM/BAM record decoding (and SAM writing for test fixtures).
+
+This replaces the reference's use of htslib (read_chimeric_alignments.cpp
+opens SAM/BAM/CRAM via sam_read1). BAM is BGZF-framed little-endian binary;
+BGZF blocks are standard gzip members, decoded with zlib. CRAM is not
+supported (gate: raise with a clear message).
+
+The decoder exposes htslib-shaped accessors (flag/tid/pos/cigar/seq/tags) so
+ingest code reads like the reference's record loop while producing our
+structures.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Tuple
+
+import numpy as np
+
+from ..constants import (CIGAR_CONSUMES_QUERY, CIGAR_CONSUMES_REF, CIGAR_OPS,
+                         cigar_op, cigar_oplen)
+from .compressed import decompress_gzip_multi
+
+# BAM flags (sam.h)
+FPAIRED = 0x1
+FPROPER_PAIR = 0x2
+FUNMAP = 0x4
+FMUNMAP = 0x8
+FREVERSE = 0x10
+FMREVERSE = 0x20
+FREAD1 = 0x40
+FREAD2 = 0x80
+FSECONDARY = 0x100
+FQCFAIL = 0x200
+FDUP = 0x400
+FSUPPLEMENTARY = 0x800
+
+SEQ_NT16_STR = "=ACMGRSVTWYHKDBN"
+_NT16_CODE = {c: i for i, c in enumerate(SEQ_NT16_STR)}
+_NT16_CODE.update({"N": 15})
+
+
+@dataclass
+class BamRecord:
+    qname: str = ""
+    flag: int = 0
+    tid: int = -1
+    pos: int = 0  # 0-based leftmost
+    mapq: int = 0
+    cigar: np.ndarray = field(default_factory=lambda: np.empty(0, np.uint32))
+    mtid: int = -1
+    mpos: int = 0
+    tlen: int = 0
+    seq: str = ""
+    qual: str = ""
+    tags: Dict[str, object] = field(default_factory=dict)
+
+    @property
+    def l_qseq(self) -> int:
+        return len(self.seq)
+
+    @property
+    def n_cigar(self) -> int:
+        return len(self.cigar)
+
+    def endpos(self) -> int:
+        """htslib bam_endpos: one past the last reference base consumed; pos+1
+        if the alignment consumes no reference."""
+        length = 0
+        for word in self.cigar:
+            op = cigar_op(int(word))
+            if CIGAR_CONSUMES_REF & (1 << op):
+                length += cigar_oplen(int(word))
+        return self.pos + length if length > 0 else self.pos + 1
+
+    def cigar2qlen(self, n_ops: int | None = None) -> int:
+        """htslib bam_cigar2qlen over the first n_ops operations."""
+        words = self.cigar if n_ops is None else self.cigar[:n_ops]
+        length = 0
+        for word in words:
+            op = cigar_op(int(word))
+            if CIGAR_CONSUMES_QUERY & (1 << op):
+                length += cigar_oplen(int(word))
+        return length
+
+    def cigar2rlen(self, n_ops: int | None = None) -> int:
+        """htslib bam_cigar2rlen over the first n_ops operations."""
+        words = self.cigar if n_ops is None else self.cigar[:n_ops]
+        length = 0
+        for word in words:
+            op = cigar_op(int(word))
+            if CIGAR_CONSUMES_REF & (1 << op):
+                length += cigar_oplen(int(word))
+        return length
+
+    def is_reverse(self) -> bool:
+        return bool(self.flag & FREVERSE)
+
+
+@dataclass
+class SamHeader:
+    target_names: List[str] = field(default_factory=list)
+    target_lengths: List[int] = field(default_factory=list)
+    text: str = ""
+
+    @property
+    def n_targets(self) -> int:
+        return len(self.target_names)
+
+
+def cigar_from_string(cigar_str: str) -> np.ndarray:
+    if cigar_str == "*" or not cigar_str:
+        return np.empty(0, np.uint32)
+    words: List[int] = []
+    num = 0
+    for ch in cigar_str:
+        if ch.isdigit():
+            num = num * 10 + ord(ch) - 48
+        else:
+            words.append((num << 4) | CIGAR_OPS.index(ch))
+            num = 0
+    return np.array(words, np.uint32)
+
+
+def cigar_to_string(cigar: np.ndarray) -> str:
+    if len(cigar) == 0:
+        return "*"
+    return "".join(f"{cigar_oplen(int(w))}{CIGAR_OPS[cigar_op(int(w))]}" for w in cigar)
+
+
+def _parse_sam_tag(tag_field: str) -> Tuple[str, object]:
+    name, typ, value = tag_field.split(":", 2)
+    if typ == "i":
+        return name, int(value)
+    if typ == "f":
+        return name, float(value)
+    return name, value
+
+
+def read_sam_text(path: str) -> Tuple[SamHeader, Iterator[BamRecord]]:
+    """Parse a SAM text file; returns the header and a lazy record iterator."""
+    header = SamHeader()
+    fh = open(path, "rt")
+    body_lines: List[str] = []
+    for line in fh:
+        if line.startswith("@"):
+            header.text += line
+            if line.startswith("@SQ"):
+                name, length = "", 0
+                for part in line.rstrip("\n").split("\t")[1:]:
+                    if part.startswith("SN:"):
+                        name = part[3:]
+                    elif part.startswith("LN:"):
+                        length = int(part[3:])
+                header.target_names.append(name)
+                header.target_lengths.append(length)
+        else:
+            body_lines.append(line)
+            break
+    name_to_tid = {n: i for i, n in enumerate(header.target_names)}
+
+    def records() -> Iterator[BamRecord]:
+        def parse(line: str) -> BamRecord:
+            parts = line.rstrip("\n").split("\t")
+            rec = BamRecord(
+                qname=parts[0], flag=int(parts[1]),
+                tid=name_to_tid.get(parts[2], -1), pos=int(parts[3]) - 1,
+                mapq=int(parts[4]), cigar=cigar_from_string(parts[5]),
+                mtid=(name_to_tid.get(parts[6], -1) if parts[6] != "=" else name_to_tid.get(parts[2], -1)),
+                mpos=int(parts[7]) - 1, tlen=int(parts[8]),
+                seq=parts[9] if parts[9] != "*" else "",
+                qual=parts[10] if parts[10] != "*" else "")
+            for tag_field in parts[11:]:
+                name, value = _parse_sam_tag(tag_field)
+                rec.tags[name] = value
+            return rec
+
+        for line in body_lines:
+            yield parse(line)
+        for line in fh:
+            yield parse(line)
+        fh.close()
+
+    return header, records()
+
+
+_TAG_STRUCT = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I", "f": "f"}
+_TAG_SIZE = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}
+
+
+def _parse_bam_tags(buf: memoryview) -> Dict[str, object]:
+    tags: Dict[str, object] = {}
+    pos = 0
+    n = len(buf)
+    while pos + 3 <= n:
+        name = bytes(buf[pos:pos + 2]).decode("ascii")
+        typ = chr(buf[pos + 2])
+        pos += 3
+        if typ in _TAG_STRUCT:
+            size = _TAG_SIZE[typ]
+            (value,) = struct.unpack_from("<" + _TAG_STRUCT[typ], buf, pos)
+            pos += size
+        elif typ == "A":
+            value = chr(buf[pos])
+            pos += 1
+        elif typ in ("Z", "H"):
+            end = pos
+            while end < n and buf[end] != 0:
+                end += 1
+            value = bytes(buf[pos:end]).decode("ascii")
+            pos = end + 1
+        elif typ == "B":
+            sub = chr(buf[pos])
+            (count,) = struct.unpack_from("<I", buf, pos + 1)
+            size = _TAG_SIZE[sub]
+            value = list(struct.unpack_from(f"<{count}{_TAG_STRUCT[sub]}", buf, pos + 5))
+            pos += 5 + count * size
+        else:
+            break  # unknown tag type: stop parsing
+        tags[name] = value
+    return tags
+
+
+# decode table: packed 4-bit pairs -> two ASCII chars
+_SEQ_PAIR_TABLE = [
+    (SEQ_NT16_STR[hi] + SEQ_NT16_STR[lo]).encode("ascii")
+    for hi in range(16) for lo in range(16)
+]
+
+
+def read_bam(path: str) -> Tuple[SamHeader, Iterator[BamRecord]]:
+    """Decode a BAM file (BGZF-compressed binary). Whole-file decode into
+    memory — matching the reference's single linear pass."""
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    data = decompress_gzip_multi(raw)
+    if data[:4] != b"BAM\x01":
+        raise ValueError(f"not a BAM file: {path}")
+    view = memoryview(data)
+    (l_text,) = struct.unpack_from("<i", view, 4)
+    pos = 8 + l_text
+    header = SamHeader(text=bytes(view[8:8 + l_text]).decode("ascii", "replace"))
+    (n_ref,) = struct.unpack_from("<i", view, pos)
+    pos += 4
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", view, pos)
+        name = bytes(view[pos + 4:pos + 4 + l_name - 1]).decode("ascii")
+        (l_ref,) = struct.unpack_from("<i", view, pos + 4 + l_name)
+        header.target_names.append(name)
+        header.target_lengths.append(l_ref)
+        pos += 8 + l_name
+
+    def records(start: int) -> Iterator[BamRecord]:
+        p = start
+        total = len(data)
+        unpack_core = struct.Struct("<iiiBBHHHiiii").unpack_from
+        while p + 4 <= total:
+            (block_size, refid, rpos, l_read_name, mapq, _bin, n_cigar, flag,
+             l_seq, next_refid, next_pos, tlen) = unpack_core(view, p)
+            rec_end = p + 4 + block_size
+            q = p + 36
+            qname = bytes(view[q:q + l_read_name - 1]).decode("ascii")
+            q += l_read_name
+            cigar = np.frombuffer(data, np.uint32, n_cigar, q).copy()
+            q += 4 * n_cigar
+            n_seq_bytes = (l_seq + 1) // 2
+            if l_seq:
+                packed = np.frombuffer(data, np.uint8, n_seq_bytes, q)
+                pairs = b"".join([_SEQ_PAIR_TABLE[b] for b in packed])
+                seq = pairs[:l_seq].decode("ascii")
+            else:
+                seq = ""
+            q += n_seq_bytes
+            qual = ""  # qualities are unused by the pipeline; skip decode
+            q += l_seq
+            tags = _parse_bam_tags(view[q:rec_end])
+            yield BamRecord(qname=qname, flag=flag, tid=refid, pos=rpos,
+                            mapq=mapq, cigar=cigar, mtid=next_refid,
+                            mpos=next_pos, tlen=tlen, seq=seq, qual=qual,
+                            tags=tags)
+            p = rec_end
+
+    return header, records(pos)
+
+
+def open_alignment_file(path: str) -> Tuple[SamHeader, Iterator[BamRecord]]:
+    """Open SAM or BAM by magic byte sniffing (CRAM is rejected)."""
+    with open(path, "rb") as fh:
+        magic = fh.read(4)
+    if magic[:2] == b"\x1f\x8b":
+        return read_bam(path)
+    if magic == b"CRAM":
+        raise NotImplementedError("CRAM input is not supported; convert to BAM")
+    return read_sam_text(path)
+
+
+# ---- SAM writing (test fixtures + supporting-read extraction) ----------------
+
+def write_sam(path: str, header: SamHeader, records: List[BamRecord]) -> None:
+    with open(path, "wt") as fh:
+        fh.write("@HD\tVN:1.6\tSO:unsorted\n")
+        for name, length in zip(header.target_names, header.target_lengths):
+            fh.write(f"@SQ\tSN:{name}\tLN:{length}\n")
+        for rec in records:
+            fields = [
+                rec.qname, str(rec.flag),
+                header.target_names[rec.tid] if rec.tid >= 0 else "*",
+                str(rec.pos + 1), str(rec.mapq), cigar_to_string(rec.cigar),
+                header.target_names[rec.mtid] if rec.mtid >= 0 else "*",
+                str(rec.mpos + 1), str(rec.tlen),
+                rec.seq or "*", rec.qual or "*",
+            ]
+            for name, value in rec.tags.items():
+                if isinstance(value, int):
+                    fields.append(f"{name}:i:{value}")
+                elif isinstance(value, float):
+                    fields.append(f"{name}:f:{value}")
+                else:
+                    fields.append(f"{name}:Z:{value}")
+            fh.write("\t".join(fields) + "\n")

@@ -1,0 +1,178 @@
+"""Tests for contigs, compression, FASTA/GTF loading, and the interval index."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from arriba_tpu.annotation.index import IntervalIndex, combine_annotations
+from arriba_tpu.annotation.queries import (compute_exonic_lengths,
+                                           get_spliced_distance,
+                                           is_breakpoint_spliced)
+from arriba_tpu.constants import DOWNSTREAM, UPSTREAM
+from arriba_tpu.contigs import ContigRegistry, is_interesting_contig, remove_chr
+from arriba_tpu.io.compressed import TsvStream, iter_lines
+from arriba_tpu.io.fasta import load_assembly
+from arriba_tpu.io.gtf import read_annotation_gtf, strip_ensembl_version_number
+
+
+def test_remove_chr():
+    assert remove_chr("chr1") == "1"
+    assert remove_chr("chrM") == "MT"
+    assert remove_chr("M") == "MT"
+    assert remove_chr("X") == "X"
+
+
+def test_interesting_contig_patterns():
+    patterns = "1 2 3 X Y AC_* NC_*"
+    assert is_interesting_contig("chr1", patterns)
+    assert is_interesting_contig("X", patterns)
+    assert is_interesting_contig("AC_000001.1", patterns)
+    assert is_interesting_contig("NC_007605", patterns)
+    assert not is_interesting_contig("GL000194.1", patterns)
+    assert not is_interesting_contig("12", patterns)  # '1 2' are exact matches
+    assert is_interesting_contig("anything", "*")
+
+
+def test_tsv_stream():
+    tsv = TsvStream("a\t12\tb")
+    assert tsv.next_str() == "a"
+    assert tsv.next_int() == 12
+    assert tsv.next_str() == "b"
+    assert not tsv.fail()
+    tsv.next_str()
+    assert tsv.fail()
+
+
+def test_iter_lines_gz(tmp_path):
+    path = tmp_path / "f.txt.gz"
+    with gzip.open(path, "wt") as fh:
+        fh.write("hello\r\nworld\n")
+    assert list(iter_lines(str(path))) == ["hello", "world"]
+
+
+def test_load_assembly(tmp_path):
+    path = tmp_path / "genome.fa"
+    path.write_text(">chr1 description\nacgt\nACGT\n>chrUn_x\nTTTT\n>2\nGGGG\n")
+    contigs = ContigRegistry()
+    assembly = load_assembly(str(path), contigs, "1 2")
+    assert contigs.get("1") == 0
+    assert contigs.get("Un_x") == 1
+    assert contigs.get("2") == 2
+    assert contigs.original[0] == "chr1"
+    assert assembly[0].tobytes() == b"ACGTACGT"
+    assert 1 not in assembly  # uninteresting contig skipped
+    assert assembly[2].tobytes() == b"GGGG"
+
+
+def test_strip_ensembl_version():
+    assert strip_ensembl_version_number("ENSG00000186716.15") == "ENSG00000186716"
+    assert strip_ensembl_version_number("BCR") == "BCR"
+
+
+GTF = """\
+# comment
+1\thavana\tgene\t1\t1000\t.\t+\t.\tgene_id "G1"; gene_name "GENE1";
+1\thavana\texon\t101\t200\t.\t+\t.\tgene_id "G1"; gene_name "GENE1"; transcript_id "T1";
+1\thavana\texon\t301\t400\t.\t+\t.\tgene_id "G1"; gene_name "GENE1"; transcript_id "T1";
+1\thavana\texon\t601\t700\t.\t+\t.\tgene_id "G1"; gene_name "GENE1"; transcript_id "T1";
+1\thavana\tCDS\t151\t200\t.\t+\t.\tgene_id "G1"; gene_name "GENE1"; transcript_id "T1";
+1\thavana\tCDS\t301\t400\t.\t+\t.\tgene_id "G1"; gene_name "GENE1"; transcript_id "T1";
+1\thavana\texon\t351\t450\t.\t-\t.\tgene_id "G2"; gene_name "GENE2"; transcript_id "T2";
+1\thavana\texon\t801\t900\t.\t-\t.\tgene_id "G2"; gene_name "GENE2"; transcript_id "T2";
+"""
+
+
+@pytest.fixture
+def annotation(tmp_path):
+    path = tmp_path / "genes.gtf"
+    path.write_text(GTF)
+    contigs = ContigRegistry()
+    contigs.add("1")
+    return read_annotation_gtf(
+        str(path),
+        'gene_name=gene_name gene_id=gene_id transcript_id=transcript_id '
+        'feature_exon=exon feature_CDS=CDS',
+        contigs, {}), contigs
+
+
+def test_gtf_tables(annotation):
+    ann, contigs = annotation
+    assert ann.genes.name == ["GENE1", "GENE2"]
+    # gene bounds expand over exons; GTF is 1-based → internal 0-based
+    assert ann.genes.start[0] == 100 and ann.genes.end[0] == 699
+    assert ann.genes.start[1] == 350 and ann.genes.end[1] == 899
+    assert ann.genes.is_protein_coding[0] and not ann.genes.is_protein_coding[1]
+    assert len(ann.exons) == 5
+    # exon linked list of T1 in genomic order
+    t1 = [i for i in range(5) if ann.exons.transcript[i] == 0]
+    assert ann.exons.prev_exon[t1[0]] == -1
+    assert ann.exons.next_exon[t1[0]] == t1[1]
+    assert ann.exons.next_exon[t1[2]] == -1
+    # CDS mapped: first exon coding region = 150..199
+    assert ann.exons.coding_region_start[t1[0]] == 150
+    assert ann.exons.coding_region_end[t1[0]] == 199
+    assert ann.transcripts.coding_length[0] == 50 + 100
+
+
+def test_interval_index_semantics(annotation):
+    ann, contigs = annotation
+    index = IntervalIndex(ann.exons.contig, ann.exons.start, ann.exons.end, len(contigs))
+    # point inside first exon of GENE1 only
+    exon_set = index.point_query(0, 150)
+    assert set(ann.exons.gene[exon_set]) == {0}
+    # point inside overlap of GENE1 exon2 (300-399) and GENE2 exon1 (350-449)
+    exon_set = index.point_query(0, 380)
+    assert set(ann.exons.gene[exon_set]) == {0, 1}
+    # beyond all exons → empty
+    assert len(index.point_query(0, 10_000)) == 0
+    # range query intersects start/end sets
+    exon_set = index.range_query(0, 360, 440)
+    assert set(ann.exons.gene[exon_set]) == {1}
+
+
+def test_is_breakpoint_spliced(annotation):
+    ann, contigs = annotation
+    index = IntervalIndex(ann.exons.contig, ann.exons.start, ann.exons.end, len(contigs))
+    # exon2 of T1 starts at 300 and is not terminal → spliced UPSTREAM at 300±2
+    assert is_breakpoint_spliced(0, UPSTREAM, 300, ann.genes, ann.exons, index)
+    assert is_breakpoint_spliced(0, UPSTREAM, 302, ann.genes, ann.exons, index)
+    assert not is_breakpoint_spliced(0, UPSTREAM, 305, ann.genes, ann.exons, index)
+    # exon2 of T1 ends at 399 and is not terminal → spliced DOWNSTREAM at 399
+    assert is_breakpoint_spliced(0, DOWNSTREAM, 399, ann.genes, ann.exons, index)
+    # exon1 start at 100 is terminal (no previous exon) but coding doesn't
+    # start at the exon start → not spliced
+    assert not is_breakpoint_spliced(0, UPSTREAM, 100, ann.genes, ann.exons, index)
+    # exon1 end at 199 has a next exon → spliced DOWNSTREAM
+    assert is_breakpoint_spliced(0, DOWNSTREAM, 199, ann.genes, ann.exons, index)
+
+
+def test_spliced_distance(annotation):
+    ann, contigs = annotation
+    index = IntervalIndex(ann.exons.contig, ann.exons.start, ann.exons.end, len(contigs))
+    # within one exon: plain distance
+    assert get_spliced_distance(0, 110, 150, 0, ann.exons, index) == 40
+    # across the intron 200..299 of T1 the intron is skipped:
+    # from 150 to 350 = 50 (rest of exon1) + 50 (into exon2)
+    d = get_spliced_distance(0, 150, 350, 0, ann.exons, index)
+    assert d == 100
+
+
+def test_exonic_lengths(annotation):
+    ann, contigs = annotation
+    index = IntervalIndex(ann.exons.contig, ann.exons.start, ann.exons.end, len(contigs))
+    compute_exonic_lengths(ann.genes, ann.exons, index)
+    # GENE1 exons: 100-199, 300-399, 600-699 → ~300 bp
+    assert 290 <= ann.genes.exonic_length[0] <= 310
+    # GENE2 exons: 350-449, 800-899 → ~200 bp
+    assert 190 <= ann.genes.exonic_length[1] <= 210
+
+
+def test_combine_annotations():
+    a = np.array([1, 2, 3], np.int64)
+    b = np.array([2, 3, 4], np.int64)
+    assert list(combine_annotations(a, b)) == [2, 3]
+    c = np.array([9], np.int64)
+    assert list(combine_annotations(a, c)) == [1, 2, 3, 9]  # union when disjoint
+    assert list(combine_annotations(a, c, make_union=False)) == []

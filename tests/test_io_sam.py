@@ -1,0 +1,41 @@
+"""SAM parsing, CIGAR handling, and record accessor tests."""
+
+import numpy as np
+
+from arriba_tpu.io.bam import (BamRecord, SamHeader, cigar_from_string,
+                               cigar_to_string, read_sam_text, write_sam)
+
+
+def test_cigar_roundtrip():
+    cigar = cigar_from_string("10S90M2I3D100N5M")
+    assert cigar_to_string(cigar) == "10S90M2I3D100N5M"
+    rec = BamRecord(pos=1000, cigar=cigar, seq="A" * 107)
+    # reference consumed: 90M + 3D + 100N + 5M = 198
+    assert rec.endpos() == 1198
+    # query consumed: 10S + 90M + 2I + 5M = 107
+    assert rec.cigar2qlen() == 107
+    assert rec.cigar2rlen(2) == 90  # first two ops: 10S + 90M
+
+
+def test_sam_roundtrip(tmp_path):
+    header = SamHeader(target_names=["1", "2"], target_lengths=[1000, 2000])
+    records = [
+        BamRecord(qname="r1", flag=99, tid=0, pos=100, mapq=60,
+                  cigar=cigar_from_string("50M"), mtid=0, mpos=200, tlen=150,
+                  seq="A" * 50, qual="I" * 50, tags={"HI": 1, "SA": "2,1,+,50M,60,0;"}),
+        BamRecord(qname="r2", flag=147, tid=1, pos=500, mapq=60,
+                  cigar=cigar_from_string("25S25M"), mtid=1, mpos=400, tlen=-150,
+                  seq="C" * 50, qual="I" * 50),
+    ]
+    path = str(tmp_path / "test.sam")
+    write_sam(path, header, records)
+    header2, parsed = read_sam_text(path)
+    parsed = list(parsed)
+    assert header2.target_names == ["1", "2"]
+    assert len(parsed) == 2
+    assert parsed[0].qname == "r1"
+    assert parsed[0].pos == 100
+    assert parsed[0].tags["HI"] == 1
+    assert parsed[0].tags["SA"] == "2,1,+,50M,60,0;"
+    assert cigar_to_string(parsed[1].cigar) == "25S25M"
+    assert parsed[1].seq == "C" * 50
