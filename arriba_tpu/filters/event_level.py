@@ -1,0 +1,758 @@
+"""Event-level filters and recoveries (operate on the fusion table).
+
+Reference parity, one function per reference file:
+merge_adjacent_fusions.cpp, filter_relative_support.cpp,
+filter_non_coding_neighbors.cpp, filter_intragenic_both_exonic.cpp,
+filter_min_support.cpp, recover_internal_tandem_duplication.cpp,
+filter_both_intronic.cpp, select_best.cpp, filter_marginal_read_through.cpp,
+recover_many_spliced.cpp, filter_short_anchor.cpp, filter_end_to_end.cpp,
+filter_no_coverage.cpp, recover_isoforms.cpp.
+
+Where the reference iterates its unordered_map, we iterate the fusion table
+in canonical insertion order (deterministic: sorted-read-name ingest order);
+the reference's own order is hash-bucket order, which is likewise arbitrary
+but fixed — all comparisons below are engineered by the reference to be
+order-independent except pure tie-breaks.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from typing import Dict, List, Set, Tuple
+
+import numpy as np
+
+from ..annotation.index import IntervalIndex
+from ..annotation.queries import get_spliced_distance
+from ..annotation.tables import ExonTable, GeneTable
+from ..constants import (DOWNSTREAM, FILTER_BLACKLIST, FILTER_DUPLICATES,
+                         FILTER_END_TO_END, FILTER_HAIRPIN,
+                         FILTER_INCONSISTENTLY_CLIPPED,
+                         FILTER_INTRAGENIC_EXONIC,
+                         FILTER_INTERNAL_TANDEM_DUPLICATION, FILTER_INTRONIC,
+                         FILTER_MARGINAL_READ_THROUGH, FILTER_MERGE_ADJACENT,
+                         FILTER_MIN_SUPPORT, FILTER_MISMATCHES, FILTER_NONE,
+                         FILTER_NON_CODING_NEIGHBORS, FILTER_NO_COVERAGE,
+                         FILTER_RELATIVE_SUPPORT, FILTER_SELECT_BEST,
+                         FILTER_SHORT_ANCHOR, FORWARD,
+                         MAX_SPLICE_SITE_DISTANCE, REVERSE, UPSTREAM)
+from ..fusion import Fusion, Fusions
+from ..ingest.stats import Coverage
+from ..model import ChimericAlignments
+
+# ---------------------------------------------------------------------------
+# merge_adjacent_fusions.cpp
+
+
+def merge_adjacent_fusions(fusions: Fusions, max_distance: int,
+                           max_itd_length: int) -> int:
+    """merge_adjacent_fusions.cpp:19-108 — merge breakpoints within
+    `max_distance` bp that are shifted consistently (fuzzily for ITDs) into
+    the best-supported one."""
+    sorted_fusions = [f for f in fusions.values()
+                      if f.filter == FILTER_NONE
+                      or f.is_internal_tandem_duplication(max_itd_length)]
+    sorted_fusions.sort(key=lambda f: (f.contig1, f.breakpoint1, f.contig2, f.breakpoint2))
+
+    for i, fusion in enumerate(sorted_fusions):
+        is_itd = fusion.is_internal_tandem_duplication(max_itd_length)
+        if (not is_itd and fusion.split_reads1 + fusion.split_reads2 == 0) or \
+           (is_itd and len(fusion.split_read1_list) + len(fusion.split_read2_list) == 0):
+            continue  # only merge fusions with exactly known breakpoints
+
+        shift_sign_up = +1 if fusion.direction1 == fusion.direction2 else -1
+        adjacent: List[Fusion] = []
+
+        # look upstream for mergeable breakpoints
+        j = i - 1
+        while j >= 0 and sorted_fusions[j].contig1 == fusion.contig1 \
+                and sorted_fusions[j].breakpoint1 >= fusion.breakpoint1 - max_distance:
+            prev = sorted_fusions[j]
+            if (prev.gene1 == fusion.gene1 and prev.gene2 == fusion.gene2
+                    and prev.direction1 == fusion.direction1
+                    and prev.direction2 == fusion.direction2
+                    and prev.contig2 == fusion.contig2
+                    and (prev.breakpoint2 == fusion.breakpoint2
+                         + (fusion.breakpoint1 - prev.breakpoint1) * shift_sign_up
+                         or (is_itd and abs(fusion.breakpoint2 - prev.breakpoint2) <= max_distance))):
+                if (prev.split_reads1 + prev.split_reads2 > 0
+                        or (is_itd and len(prev.split_read1_list) + len(prev.split_read2_list) > 0)):
+                    adjacent.append(prev)
+            j -= 1
+
+        # look downstream for mergeable breakpoints
+        j = i + 1
+        while j < len(sorted_fusions) and sorted_fusions[j].contig1 == fusion.contig1 \
+                and sorted_fusions[j].breakpoint1 <= fusion.breakpoint1 + max_distance:
+            foll = sorted_fusions[j]
+            if (foll.gene1 == fusion.gene1 and foll.gene2 == fusion.gene2
+                    and foll.direction1 == fusion.direction1
+                    and foll.direction2 == fusion.direction2
+                    and foll.contig2 == fusion.contig2
+                    and (foll.breakpoint2 == fusion.breakpoint2
+                         + (foll.breakpoint1 - fusion.breakpoint1) * -shift_sign_up
+                         or (is_itd and abs(fusion.breakpoint2 - foll.breakpoint2) <= max_distance))):
+                if (foll.split_reads1 + foll.split_reads2 > 0
+                        or (is_itd and len(foll.split_read1_list) + len(foll.split_read2_list) > 0)):
+                    adjacent.append(foll)
+            j += 1
+
+        # select the one with the most supporting alignments
+        sum_split_reads1 = 0
+        sum_split_reads2 = 0
+        fusion_has_most_support = True
+        for other in adjacent:
+            if (fusion.supporting_reads() < other.supporting_reads()
+                    or (fusion.supporting_reads() == other.supporting_reads()
+                        and len(fusion.split_read1_list) + len(fusion.split_read2_list)
+                        < len(other.split_read1_list) + len(other.split_read2_list))):
+                fusion_has_most_support = False
+                break
+            sum_split_reads1 += other.split_reads1
+            sum_split_reads2 += other.split_reads2
+
+        if fusion_has_most_support:
+            fusion.split_reads1 += sum_split_reads1
+            fusion.split_reads2 += sum_split_reads2
+            for other in adjacent:
+                other.filter = FILTER_MERGE_ADJACENT
+                if is_itd:  # for ITDs, discarded reads are important => copy
+                    fusion.split_read1_list.extend(other.split_read1_list)
+                    fusion.split_read2_list.extend(other.split_read2_list)
+
+    return sum(1 for f in fusions.values() if f.filter == FILTER_NONE)
+
+
+# ---------------------------------------------------------------------------
+# filter_relative_support.cpp
+
+
+def estimate_expected_fusions(fusions: Fusions, mapped_reads: int,
+                              genes: GeneTable, exons: ExonTable,
+                              exon_index: IntervalIndex) -> None:
+    """filter_relative_support.cpp:17-207 — per-fusion e-value from sample-
+    specific priors and empirical power laws. Every in-place multiplication
+    rounds through float32 like the reference's `float evalue` member."""
+    f32 = np.float32
+
+    # find all fusion partners for each gene (deduplicated by breakpoints)
+    fusion_partners: Dict[int, Set[int]] = defaultdict(set)
+    overlap_duplicates: Dict[Tuple[int, int, int], int] = defaultdict(int)
+    for f in fusions.values():
+        if f.filter == FILTER_NONE and f.gene1 != f.gene2:
+            key2 = (f.gene2, f.breakpoint1, f.breakpoint2)
+            if not overlap_duplicates[key2]:
+                fusion_partners[f.gene2].add(f.gene1)
+            overlap_duplicates[key2] += 1
+            key1 = (f.gene1, f.breakpoint1, f.breakpoint2)
+            if not overlap_duplicates[key1]:
+                fusion_partners[f.gene1].add(f.gene2)
+            overlap_duplicates[key1] += 1
+
+    fusion_partner_count: Dict[int, int] = defaultdict(int)
+    for g1, partners in fusion_partners.items():
+        for g2 in partners:
+            if len(partners) >= len(fusion_partners[g2]):
+                fusion_partner_count[g1] += 1
+
+    # breakpoint-location distribution (spliced / exonic / intronic / mixed)
+    spliced_breakpoints = exonic_breakpoints = intronic_breakpoints = exonic_intronic_breakpoints = 0
+    for f in fusions.values():
+        if (f.filter == FILTER_NONE
+                and (f.contig1 != f.contig2 or f.breakpoint2 - f.breakpoint1 > 500000)
+                and f.supporting_reads() >= 2 and f.split_reads1 + f.split_reads2 > 0
+                and not genes.is_dummy[f.gene1] and not genes.is_dummy[f.gene2]):
+            if f.spliced1 or f.spliced2:
+                spliced_breakpoints += 1
+            elif f.exonic1 and f.exonic2:
+                exonic_breakpoints += 1
+            elif not f.exonic1 and not f.exonic2:
+                intronic_breakpoints += 1
+            else:
+                exonic_intronic_breakpoints += 1
+    total = spliced_breakpoints + exonic_breakpoints + intronic_breakpoints + exonic_intronic_breakpoints
+    if (total < 100 or spliced_breakpoints == 0 or exonic_breakpoints == 0
+            or intronic_breakpoints == 0 or exonic_intronic_breakpoints == 0):
+        spliced_breakpoints, exonic_breakpoints = 10, 65
+        intronic_breakpoints, exonic_intronic_breakpoints = 10, 15
+
+    # intragenic duplication/inversion ratio
+    intragenic_duplications = intragenic_inversions = 0
+    for f in fusions.values():
+        if f.filter == FILTER_NONE and f.gene1 == f.gene2 and f.split_reads1 + f.split_reads2 >= 2:
+            if f.direction1 == UPSTREAM and f.direction2 == DOWNSTREAM:
+                intragenic_duplications += 1
+            elif f.direction1 == f.direction2:
+                intragenic_inversions += 1
+    if intragenic_inversions + intragenic_duplications < 100:
+        intragenic_inversions = intragenic_duplications = 1
+
+    # intragenic : intergenic spliced ratio
+    spliced_events_in_same_gene = spliced_events_in_different_genes = 0
+    for f in fusions.values():
+        if f.spliced1 and f.spliced2:
+            if f.gene1 == f.gene2:
+                spliced_events_in_same_gene += 1
+            else:
+                spliced_events_in_different_genes += 1
+    if spliced_events_in_same_gene + spliced_events_in_different_genes < 100:
+        spliced_events_in_same_gene = 0
+        spliced_events_in_different_genes = 100
+
+    # fraction of genes involved in read-through fusions
+    genes_with_fusions: Set[int] = set()
+    genes_with_read_through: Set[int] = set()
+    for f in fusions.values():
+        if (not genes.is_dummy[f.gene1] and not genes.is_dummy[f.gene2]
+                and f.split_reads1 + f.split_reads2 > 0):
+            genes_with_fusions.add(f.gene1)
+            genes_with_fusions.add(f.gene2)
+            if f.is_read_through():
+                genes_with_read_through.add(f.gene1)
+                genes_with_read_through.add(f.gene2)
+    fraction_read_through = (0.0 if not genes_with_fusions
+                             else float(f32(1.0 * len(genes_with_read_through) / len(genes_with_fusions))))
+
+    for f in fusions.values():
+        max_fusion_partners = float(f32(max(
+            10000.0 / genes.exonic_length[f.gene1] * max(fusion_partner_count[f.gene1] - 1, 1),
+            10000.0 / genes.exonic_length[f.gene2] * max(fusion_partner_count[f.gene2] - 1, 1),
+        )))
+
+        sup = f.supporting_reads()
+        # the reference computes pow(0.02, sup-2) with unsigned underflow for
+        # sup<2, which yields pow(0.02, huge)==0 => the max() resolves to 1.0
+        reads_scaling = mapped_reads / 20000000.0 * math.pow(0.02, sup - 2) if sup >= 2 else 0.0
+        evalue = f32(max_fusion_partners * max(1.0, reads_scaling))
+
+        if f.is_intragenic(genes):
+            evalue = f32(float(evalue) * (2.0 / (intragenic_duplications + intragenic_inversions)))
+            if f.direction1 == UPSTREAM and f.direction2 == DOWNSTREAM:
+                evalue = f32(float(evalue) * intragenic_duplications)
+            elif f.direction1 == f.direction2:
+                evalue = f32(float(evalue) * intragenic_inversions)
+
+            if sup >= 1:
+                evalue = f32(float(evalue) * (math.pow(sup - 0.42, -2.11) * math.pow(10, -1.11)))
+                spliced_distance = get_spliced_distance(f.contig1, f.breakpoint1, f.breakpoint2,
+                                                        f.gene1, exons, exon_index)
+                if spliced_distance < 1000:
+                    evalue = f32(float(evalue) * math.pow(max(400, spliced_distance) / 1000.0, -2))
+                    if spliced_distance < 400:
+                        evalue = f32(float(evalue) * math.pow(max(1, spliced_distance) / 400.0, -4.58))
+
+            evalue = f32(float(evalue) * max(1.0, spliced_events_in_same_gene / 0.25
+                                             / spliced_events_in_different_genes))
+        else:  # intergenic event
+            if sup >= 1:
+                evalue = f32(float(evalue) * (math.pow(sup - 0.73, -2.28) * math.pow(10, -1.75)))
+                if f.is_read_through():
+                    evalue = f32(float(evalue)
+                                 * math.pow(max(1, f.breakpoint2 - f.breakpoint1) / 400000.0, -0.63))
+                elif f.contig1 == f.contig2 and f.breakpoint2 - f.breakpoint1 < 400000:
+                    evalue = f32(float(evalue)
+                                 * math.pow(max(1, f.breakpoint2 - f.breakpoint1) / 400000.0, -1.53))
+
+        # location bonus
+        evalue = f32(float(evalue) * (4.0 / (spliced_breakpoints + exonic_breakpoints
+                                             + intronic_breakpoints + exonic_intronic_breakpoints)))
+        if f.spliced1 or f.spliced2:
+            evalue = f32(float(evalue) * spliced_breakpoints)
+        elif f.exonic1 and f.exonic2:
+            evalue = f32(float(evalue) * max(spliced_breakpoints, exonic_breakpoints))
+        elif not f.exonic1 and not f.exonic2:
+            evalue = f32(float(evalue) * max(spliced_breakpoints, intronic_breakpoints))
+        else:
+            evalue = f32(float(evalue) * max(spliced_breakpoints, exonic_intronic_breakpoints))
+
+        if fraction_read_through > 0.25 and f.is_read_through():
+            evalue = f32(float(evalue) * (1 + math.pow((fraction_read_through - 0.25) * 20, 2)))
+
+        f.evalue = float(evalue)
+
+
+def filter_relative_support(fusions: Fusions, genes: GeneTable, evalue_cutoff: float) -> int:
+    """filter_relative_support.cpp:209-224."""
+    remaining = 0
+    for f in fusions.values():
+        if f.filter != FILTER_NONE:
+            continue
+        if (np.float32(f.evalue) < np.float32(evalue_cutoff)
+                and not (f.is_intragenic(genes) and f.split_reads1 + f.split_reads2 == 0)):
+            remaining += 1
+        else:
+            f.filter = FILTER_RELATIVE_SUPPORT
+    return remaining
+
+
+# ---------------------------------------------------------------------------
+# simple event filters
+
+
+def filter_non_coding_neighbors(fusions: Fusions, genes: GeneTable) -> int:
+    """filter_non_coding_neighbors.cpp:6-20."""
+    remaining = 0
+    for f in fusions.values():
+        if f.filter != FILTER_NONE:
+            continue
+        if (not genes.is_protein_coding[f.gene1] and not genes.is_protein_coding[f.gene2]
+                and f.is_read_through()):
+            f.filter = FILTER_NON_CODING_NEIGHBORS
+        else:
+            remaining += 1
+    return remaining
+
+
+def filter_intragenic_both_exonic(fusions: Fusions, genes: GeneTable, exons: ExonTable,
+                                  exon_index: IntervalIndex, exonic_fraction: float) -> int:
+    """filter_intragenic_both_exonic.cpp:7-35."""
+    remaining = 0
+    for f in fusions.values():
+        if f.filter != FILTER_NONE:
+            continue
+        if ((f.breakpoint_overlaps_both_genes(genes) or f.gene1 == f.gene2)
+                and f.exonic1 and f.exonic2 and not (f.spliced1 and f.spliced2)):
+            spliced_distance = get_spliced_distance(f.contig1, f.breakpoint1, f.breakpoint2,
+                                                    f.gene1, exons, exon_index)
+            distance = f.breakpoint2 - f.breakpoint1
+            if spliced_distance == distance or 1.0 * spliced_distance / distance < exonic_fraction:
+                f.filter = FILTER_INTRAGENIC_EXONIC
+                continue
+        remaining += 1
+    return remaining
+
+
+def filter_min_support(fusions: Fusions, genes: GeneTable, min_support: int) -> int:
+    """filter_min_support.cpp:7-21."""
+    remaining = 0
+    for f in fusions.values():
+        if f.filter != FILTER_NONE:
+            continue
+        if (f.split_reads1 + f.split_reads2 + f.discordant_mates < min_support
+                or (f.breakpoint_overlaps_both_genes(genes)
+                    and f.split_reads1 + f.split_reads2 < min_support)):
+            f.filter = FILTER_MIN_SUPPORT
+        else:
+            remaining += 1
+    return remaining
+
+
+def filter_both_intronic(fusions: Fusions, chimeric_alignments: ChimericAlignments,
+                         viral_contigs: List[bool]) -> int:
+    """filter_both_intronic.cpp:8-35 — no supporting read overlaps an exon."""
+    def list_contains_exonic_reads(read_list: List[str]) -> bool:
+        for name in read_list:
+            mates = chimeric_alignments[name]
+            if mates.filter == FILTER_NONE:
+                for mate in mates:
+                    if mate.exonic:
+                        return True
+        return False
+
+    remaining = 0
+    for f in fusions.values():
+        if f.filter != FILTER_NONE:
+            continue
+        if viral_contigs[f.contig1] or viral_contigs[f.contig2]:
+            remaining += 1  # viral contigs are often not annotated
+            continue
+        if (not list_contains_exonic_reads(f.split_read1_list)
+                and not list_contains_exonic_reads(f.split_read2_list)
+                and not list_contains_exonic_reads(f.discordant_mate_list)):
+            f.filter = FILTER_INTRONIC
+        else:
+            remaining += 1
+    return remaining
+
+
+# ---------------------------------------------------------------------------
+# recover_internal_tandem_duplication.cpp
+
+
+def recover_internal_tandem_duplication(fusions: Fusions,
+                                        chimeric_alignments: ChimericAlignments,
+                                        coverage: Coverage, genes: GeneTable,
+                                        exons: ExonTable, exon_index: IntervalIndex,
+                                        max_itd_length: int, min_supporting_reads: int,
+                                        min_fraction_of_coverage: float,
+                                        subsampling_threshold: int) -> int:
+    """recover_internal_tandem_duplication.cpp:8-84."""
+    protrude_into_introns = 7
+
+    duplicates = sum(1 for mates in chimeric_alignments.values()
+                     if mates.filter == FILTER_DUPLICATES)
+    duplication_rate = (1.0 * duplicates / len(chimeric_alignments)
+                        if chimeric_alignments else 0.0)
+
+    recoverable = (FILTER_RELATIVE_SUPPORT, FILTER_INTRAGENIC_EXONIC, FILTER_HAIRPIN,
+                   FILTER_INCONSISTENTLY_CLIPPED, FILTER_MISMATCHES)
+    rescued_read_filters = (FILTER_NONE, FILTER_HAIRPIN, FILTER_INCONSISTENTLY_CLIPPED,
+                            FILTER_MISMATCHES)
+
+    for f in fusions.values():
+        if f.filter not in recoverable:
+            continue
+        if not (f.gene1 == f.gene2 and f.exonic1 and f.exonic2
+                and f.direction1 == UPSTREAM and f.direction2 == DOWNSTREAM
+                and genes.is_protein_coding[f.gene1]
+                and 0 <= f.breakpoint2 - f.breakpoint1 < max_itd_length):
+            continue
+
+        # both breakpoints must be in the same exon and in a coding region
+        exon_set = exon_index.range_query(f.contig1, f.breakpoint1, f.breakpoint2)
+        is_in_coding_region = False
+        for e in exon_set:
+            e = int(e)
+            if (exons.gene[e] == f.gene1
+                    and exons.coding_region_start[e] <= f.breakpoint1 + protrude_into_introns
+                    and exons.coding_region_end[e] + protrude_into_introns >= f.breakpoint1
+                    and exons.coding_region_start[e] <= f.breakpoint2 + protrude_into_introns
+                    and exons.coding_region_end[e] + protrude_into_introns >= f.breakpoint2):
+                is_in_coding_region = True
+        if not is_in_coding_region:
+            continue
+
+        coverage1 = coverage.get_coverage(f.contig1, f.breakpoint1,
+                                          DOWNSTREAM if f.direction1 == UPSTREAM else UPSTREAM)
+        coverage2 = coverage.get_coverage(f.contig2, f.breakpoint2,
+                                          DOWNSTREAM if f.direction2 == UPSTREAM else UPSTREAM)
+        split_reads = 0
+        for name in f.split_read1_list + f.split_read2_list:
+            if chimeric_alignments[name].filter in rescued_read_filters:
+                split_reads += 1
+
+        if split_reads >= min_supporting_reads and (
+                1.0 * split_reads / max(coverage1, coverage2) / (1 - duplication_rate)
+                > min_fraction_of_coverage
+                or split_reads >= subsampling_threshold):
+            f.filter = FILTER_NONE
+            for name in f.split_read1_list:
+                mates = chimeric_alignments[name]
+                if mates.filter in (FILTER_HAIRPIN, FILTER_INCONSISTENTLY_CLIPPED, FILTER_MISMATCHES):
+                    mates.filter = FILTER_NONE
+                    f.split_reads1 += 1
+            for name in f.split_read2_list:
+                mates = chimeric_alignments[name]
+                if mates.filter in (FILTER_HAIRPIN, FILTER_INCONSISTENTLY_CLIPPED, FILTER_MISMATCHES):
+                    mates.filter = FILTER_NONE
+                    f.split_reads2 += 1
+
+    return sum(1 for f in fusions.values() if f.filter == FILTER_NONE)
+
+
+# ---------------------------------------------------------------------------
+# select_best.cpp
+
+
+def _rank_fusion(f: Fusion) -> int:
+    """select_best.cpp:9-19."""
+    if f.split_reads1 != 0 and f.split_reads2 != 0:
+        return 3
+    if (f.split_reads1 != 0 or f.split_reads2 != 0) and f.discordant_mates != 0:
+        return 2
+    if f.split_reads1 != 0 or f.split_reads2 != 0:
+        return 1
+    return 0
+
+
+def select_most_supported_breakpoints(fusions: Fusions) -> int:
+    """select_best.cpp:21-79 — keep one breakpoint pair per
+    (gene1, gene2, direction1, direction2)."""
+    best: Dict[Tuple[int, int, bool, bool], Fusion] = {}
+    for f in fusions.values():
+        if f.filter != FILTER_NONE:
+            continue
+        gene_pair = (f.gene1, f.gene2, f.direction1, f.direction2)
+        current = best.get(gene_pair)
+        if current is None:
+            best[gene_pair] = f
+            continue
+        if _rank_fusion(f) > _rank_fusion(current):
+            best[gene_pair] = f
+        elif _rank_fusion(f) == _rank_fusion(current):
+            if f.supporting_reads() > current.supporting_reads():
+                best[gene_pair] = f
+            elif f.supporting_reads() == current.supporting_reads():
+                if (f.exonic1 and not current.exonic1) or (f.exonic2 and not current.exonic2):
+                    best[gene_pair] = f
+                elif ((not current.exonic1 or f.exonic1 == current.exonic1)
+                      and (not current.exonic2 or f.exonic2 == current.exonic2)):
+                    if (f.direction1 == DOWNSTREAM and f.breakpoint1 > current.breakpoint1) or \
+                       (f.direction1 == UPSTREAM and f.breakpoint1 < current.breakpoint1):
+                        best[gene_pair] = f
+                    elif f.breakpoint1 == current.breakpoint1:
+                        if (f.direction2 == DOWNSTREAM and f.breakpoint2 > current.breakpoint2) or \
+                           (f.direction2 == UPSTREAM and f.breakpoint2 < current.breakpoint2):
+                            best[gene_pair] = f
+
+    remaining = 0
+    for f in fusions.values():
+        if f.filter != FILTER_NONE:
+            continue
+        if best[(f.gene1, f.gene2, f.direction1, f.direction2)] is f:
+            remaining += 1
+        else:
+            f.filter = FILTER_SELECT_BEST
+    return remaining
+
+
+# ---------------------------------------------------------------------------
+# filter_marginal_read_through.cpp
+
+
+def filter_marginal_read_through(fusions: Fusions, genes: GeneTable,
+                                 coverage: Coverage) -> int:
+    """filter_marginal_read_through.cpp:7-45."""
+    margin = 0.01
+    min_vaf = 0.07
+
+    remaining = 0
+    for f in fusions.values():
+        if f.filter == FILTER_NONE and f.is_read_through():
+            position_in_donor = 1.0
+            position_in_acceptor = 1.0
+            g1, g2 = f.gene1, f.gene2
+            g1_dummy, g2_dummy = bool(genes.is_dummy[g1]), bool(genes.is_dummy[g2])
+            g1_strand, g2_strand = bool(genes.strand[g1]), bool(genes.strand[g2])
+            if not g1_dummy and g1_strand == FORWARD and f.direction1 == DOWNSTREAM:
+                position_in_donor = 1.0 * (f.breakpoint1 - genes.start[g1]) / (genes.end[g1] - genes.start[g1])
+            elif not g2_dummy and g2_strand == REVERSE and f.direction2 == UPSTREAM:
+                position_in_donor = 1.0 * (genes.end[g2] - f.breakpoint2) / (genes.end[g2] - genes.start[g2])
+            elif not g1_dummy and g1_strand == REVERSE and f.direction1 == DOWNSTREAM:
+                position_in_acceptor = 1.0 * (f.breakpoint1 - genes.start[g1]) / (genes.end[g1] - genes.start[g1])
+            elif not g2_dummy and g2_strand == FORWARD and f.direction2 == UPSTREAM:
+                position_in_acceptor = 1.0 * (genes.end[g2] - f.breakpoint2) / (genes.end[g2] - genes.start[g2])
+            else:  # both breakpoints intergenic => filter does not apply
+                remaining += 1
+                continue
+
+            coverage1 = coverage.get_coverage(f.contig1, f.breakpoint1,
+                                              DOWNSTREAM if f.direction1 == UPSTREAM else UPSTREAM)
+            coverage2 = coverage.get_coverage(f.contig2, f.breakpoint2,
+                                              DOWNSTREAM if f.direction2 == UPSTREAM else UPSTREAM)
+            if (position_in_donor > 1 - margin and position_in_acceptor > 1 - margin
+                    and f.supporting_reads() < min_vaf * max(coverage1, coverage2)):
+                f.filter = FILTER_MARGINAL_READ_THROUGH
+
+        if f.filter == FILTER_NONE:
+            remaining += 1
+    return remaining
+
+
+# ---------------------------------------------------------------------------
+# recover_many_spliced.cpp
+
+
+def recover_many_spliced(fusions: Fusions, genes: GeneTable,
+                         min_spliced_events: int) -> int:
+    """recover_many_spliced.cpp:8-51."""
+    considered = (FILTER_NONE, FILTER_INCONSISTENTLY_CLIPPED, FILTER_RELATIVE_SUPPORT,
+                  FILTER_MIN_SUPPORT, FILTER_SELECT_BEST)
+    spliced_by_gene_pair: Dict[Tuple[int, int], Set[Tuple[int, int]]] = defaultdict(set)
+    for f in fusions.values():
+        if (not f.is_read_through() and (f.spliced1 or f.spliced2)
+                and f.gene1 != f.gene2 and not f.breakpoint_overlaps_both_genes(genes)
+                and f.filter in considered):
+            spliced_by_gene_pair[(f.gene1, f.gene2)].add(
+                (f.breakpoint1 // 10, f.breakpoint2 // 10))
+
+    remaining = 0
+    for f in fusions.values():
+        if f.filter == FILTER_NONE:
+            remaining += 1
+            continue
+        if (f.is_read_through() or f.gene1 == f.gene2
+                or f.breakpoint_overlaps_both_genes(genes)):
+            continue
+        if f.filter in (FILTER_INCONSISTENTLY_CLIPPED, FILTER_RELATIVE_SUPPORT,
+                        FILTER_MIN_SUPPORT, FILTER_SELECT_BEST):
+            if ((f.spliced1 or f.spliced2)
+                    and len(spliced_by_gene_pair[(f.gene1, f.gene2)]) >= min_spliced_events):
+                f.filter = FILTER_NONE
+                remaining += 1
+    return remaining
+
+
+# ---------------------------------------------------------------------------
+# filter_short_anchor.cpp
+
+
+def filter_short_anchor(fusions: Fusions, min_length: int) -> int:
+    """filter_short_anchor.cpp:7-23."""
+    remaining = 0
+    for f in fusions.values():
+        if f.filter != FILTER_NONE:
+            continue
+        if (not (f.spliced1 and f.spliced2)
+                and (abs(f.anchor_start1 - f.breakpoint1) < min_length
+                     or abs(f.anchor_start2 - f.breakpoint2) < min_length)):
+            f.filter = FILTER_SHORT_ANCHOR
+        else:
+            remaining += 1
+    return remaining
+
+
+# ---------------------------------------------------------------------------
+# filter_end_to_end.cpp
+
+
+def calculate_intronic_fraction(gene: int, genes: GeneTable, exons: ExonTable,
+                                exon_index: IntervalIndex) -> float:
+    """filter_end_to_end.cpp:8-23 — fraction of the gene not covered by its
+    own exons, walking interval-index regions."""
+    intronic_bases = 0
+    gene_start = int(genes.start[gene])
+    gene_end = int(genes.end[gene])
+    contig = int(genes.contig[gene])
+    previous_position = gene_start
+    if contig < exon_index.n_contigs:
+        bounds = exon_index.boundaries[contig]
+        idx = int(np.searchsorted(bounds, gene_start, side="left"))
+        while idx < len(bounds) and bounds[idx] <= gene_end:
+            for e in exon_index.set_at(contig, idx):
+                e = int(e)
+                if exons.gene[e] == gene:
+                    if previous_position < exons.start[e]:
+                        intronic_bases += int(exons.start[e]) - previous_position
+                    if previous_position < exons.end[e]:
+                        previous_position = int(exons.end[e]) + 1
+                    break
+            idx += 1
+    return float(intronic_bases) / (gene_end - gene_start + 1)
+
+
+def filter_end_to_end_fusions(fusions: Fusions, genes: GeneTable, exons: ExonTable,
+                              exon_index: IntervalIndex, viral_contigs: List[bool]) -> int:
+    """filter_end_to_end.cpp:25-77."""
+    many_discordant_mates = 10
+    min_breakpoint_distance = 1000000
+    max_intronic_fraction = 0.66
+
+    remaining = 0
+    for f in fusions.values():
+        if f.filter != FILTER_NONE:
+            continue
+        if viral_contigs[f.contig1] or viral_contigs[f.contig2]:
+            remaining += 1
+            continue
+        if (not f.is_read_through() and f.gene1 != f.gene2 and (f.spliced1 or f.spliced2)):
+            remaining += 1
+            continue
+
+        if (f.discordant_mates + f.split_reads1 == 0
+                or f.discordant_mates + f.split_reads2 == 0
+                or f.split_reads1 + f.split_reads2 == 0
+                or (f.breakpoint_overlaps_both_genes(genes)
+                    and (f.split_reads1 == 0 or f.split_reads2 == 0))):
+            g1_dummy, g2_dummy = bool(genes.is_dummy[f.gene1]), bool(genes.is_dummy[f.gene2])
+            g1_strand, g2_strand = bool(genes.strand[f.gene1]), bool(genes.strand[f.gene2])
+            if ((g1_dummy or (g1_strand == FORWARD and f.direction1 == UPSTREAM)
+                 or (g1_strand == REVERSE and f.direction1 == DOWNSTREAM))
+                    and (g2_dummy or (g2_strand == FORWARD and f.direction2 == UPSTREAM)
+                         or (g2_strand == REVERSE and f.direction2 == DOWNSTREAM))):
+                if (f.discordant_mates < many_discordant_mates
+                        or (f.contig1 == f.contig2
+                            and abs(f.breakpoint1 - f.breakpoint2) < min_breakpoint_distance)
+                        or (f.exonic1 and f.exonic2
+                            and calculate_intronic_fraction(f.gene1, genes, exons, exon_index) > max_intronic_fraction
+                            and calculate_intronic_fraction(f.gene2, genes, exons, exon_index) > max_intronic_fraction)):
+                    f.filter = FILTER_END_TO_END
+                    continue
+        remaining += 1
+    return remaining
+
+
+# ---------------------------------------------------------------------------
+# filter_no_coverage.cpp
+
+
+def filter_no_coverage(fusions: Fusions, coverage: Coverage, genes: GeneTable,
+                       exons: ExonTable, exon_index: IntervalIndex) -> int:
+    """filter_no_coverage.cpp:8-102."""
+    scan_range = 200
+
+    def breakpoint_in_terminal_exon(contig: int, breakpoint: int, gene: int) -> bool:
+        for e in exon_index.point_query(contig, breakpoint):
+            e = int(e)
+            if exons.gene[e] == gene and (exons.prev_exon[e] < 0 or exons.next_exon[e] < 0):
+                return True
+        return False
+
+    remaining = 0
+    for f in fusions.values():
+        if f.filter != FILTER_NONE:
+            continue
+
+        if not f.is_read_through():
+            if (f.split_reads1 + f.split_reads2 != 0
+                    and f.split_reads1 + f.discordant_mates != 0
+                    and f.split_reads2 + f.discordant_mates != 0):
+                remaining += 1
+                continue
+            if f.spliced1 or f.spliced2:
+                remaining += 1
+                continue
+        else:
+            if f.spliced1 and f.spliced2:
+                remaining += 1
+                continue
+
+        filtered = False
+        for which in (1, 2):
+            contig = f.contig1 if which == 1 else f.contig2
+            breakpoint = f.breakpoint1 if which == 1 else f.breakpoint2
+            gene = f.gene1 if which == 1 else f.gene2
+            direction = f.direction1 if which == 1 else f.direction2
+            anchor_start = f.anchor_start1 if which == 1 else f.anchor_start2
+
+            if breakpoint_in_terminal_exon(contig, breakpoint, gene):
+                continue
+            if direction == UPSTREAM:
+                start = breakpoint
+                if f.split_reads1 + f.split_reads2 == 0:
+                    start -= scan_range
+                end = max(breakpoint + scan_range, anchor_start)
+            else:
+                start = min(breakpoint - scan_range, anchor_start)
+                end = breakpoint
+                if f.split_reads1 + f.split_reads2 == 0:
+                    end += scan_range
+            if (direction == UPSTREAM and not coverage.fragment_starts_here(contig, start, end)) or \
+               (direction == DOWNSTREAM and not coverage.fragment_ends_here(contig, start, end)):
+                f.filter = FILTER_NO_COVERAGE
+                filtered = True
+                break
+        if not filtered:
+            remaining += 1
+    return remaining
+
+
+# ---------------------------------------------------------------------------
+# recover_isoforms.cpp
+
+
+def recover_isoforms(fusions: Fusions) -> int:
+    """recover_isoforms.cpp:10-47."""
+    fused_gene_pairs: Dict[Tuple[int, int, bool, bool], Fusion] = {}
+    for f in fusions.values():
+        if f.filter == FILTER_NONE:
+            fused_gene_pairs[(f.gene1, f.gene2, f.direction1, f.direction2)] = f
+
+    remaining = 0
+    for f in fusions.values():
+        if f.filter == FILTER_NONE:
+            remaining += 1
+            continue
+        if (f.filter in (FILTER_MERGE_ADJACENT, FILTER_BLACKLIST, FILTER_END_TO_END,
+                         FILTER_DUPLICATES)
+                or f.gene1 == f.gene2):
+            continue
+        if f.spliced1 and f.spliced2:
+            passing = fused_gene_pairs.get((f.gene1, f.gene2, f.direction1, f.direction2))
+            if passing is not None and (
+                    abs(passing.breakpoint1 - f.breakpoint1) > MAX_SPLICE_SITE_DISTANCE
+                    or abs(passing.breakpoint2 - f.breakpoint2) > MAX_SPLICE_SITE_DISTANCE):
+                f.filter = FILTER_NONE
+                remaining += 1
+    return remaining

@@ -1,0 +1,389 @@
+"""Realignment filter: k-mer seeded seed-and-extend against the partner gene.
+
+Reference parity: source/filter_mismappers.cpp. The 8-mer index over padded
+fusion genes is built vectorized (numpy rolling 2-bit encoding); align() is
+the reference's bounded recursive seed-and-extend with splice-site and
+single-deletion recursion and early exit at 80 % identity. This host
+implementation is the semantic oracle; ops/realign.py provides the batched
+device path for large read sets.
+"""
+
+from __future__ import annotations
+
+import sys
+from bisect import bisect_left
+from typing import Dict, List, Set, Tuple
+
+import numpy as np
+
+from ..annotation.index import IntervalIndex
+from ..annotation.queries import is_breakpoint_spliced
+from ..annotation.tables import ExonTable, GeneTable
+from ..constants import (DOWNSTREAM, FILTER_MISMAPPERS, FILTER_NONE, FORWARD,
+                         MATE1, MATE2, SPLIT_READ, SUPPLEMENTARY, UPSTREAM)
+from ..fusion import Fusions
+from ..io.fasta import Assembly
+from ..model import Alignment, ChimericAlignments
+from ..seq import reverse_complement_str
+
+# 2-bit base encoding of the reference's kmer_to_int: T=0, G=1, C=2, other=3
+KMER_BASE_LUT = np.full(256, 3, dtype=np.int64)
+KMER_BASE_LUT[ord("T")] = 0
+KMER_BASE_LUT[ord("G")] = 1
+KMER_BASE_LUT[ord("C")] = 2
+
+# kmer value -> sorted unique positions, one dict per contig
+KmerIndex = Dict[int, np.ndarray]
+KmerIndices = Dict[int, KmerIndex]
+
+
+def kmer_to_int(sequence: str, position: int, kmer_length: int) -> int:
+    """filter_mismappers.cpp:33-45."""
+    result = 0
+    for base in sequence[position:position + kmer_length]:
+        result = (result << 2) | int(KMER_BASE_LUT[ord(base)])
+    return result
+
+
+def _rolling_kmers(codes: np.ndarray, kmer_length: int) -> np.ndarray:
+    """2-bit rolling k-mer values for every start position (vectorized)."""
+    n = len(codes) - kmer_length + 1
+    if n <= 0:
+        return np.empty(0, np.int64)
+    values = np.zeros(n, np.int64)
+    for j in range(kmer_length):
+        values = (values << 2) | codes[j:j + n]
+    return values
+
+
+def make_kmer_index(fusions: Fusions, assembly: Assembly, genes: GeneTable,
+                    padding: int, kmer_length: int) -> KmerIndices:
+    """filter_mismappers.cpp:47-84 — index k-mer positions over the padded
+    regions of genes involved in unfiltered inter-gene fusions."""
+    genes_to_filter: Set[int] = set()
+    for f in fusions.values():
+        if f.filter != FILTER_NONE or f.gene1 == f.gene2:
+            continue
+        genes_to_filter.add(f.gene1)
+        genes_to_filter.add(f.gene2)
+
+    if padding < 0:
+        padding = 0
+
+    # collect (kmer, position) pairs per contig, then group
+    per_contig: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] = {}
+    for gene in sorted(genes_to_filter):
+        contig = int(genes.contig[gene])
+        contig_sequence = assembly.get(contig)
+        if contig_sequence is None:
+            continue
+        gene_start = max(int(genes.start[gene]) - padding, 0)
+        gene_end = min(int(genes.end[gene]) + padding, len(contig_sequence) - 1)
+        # reference indexes pos in [gene_start, gene_end - kmer_length)
+        window = contig_sequence[gene_start:gene_end]
+        codes = KMER_BASE_LUT[window]
+        values = _rolling_kmers(codes, kmer_length)
+        # exclude the final position (pos + kmer_length < gene_end is strict)
+        n = max(0, (gene_end - kmer_length) - gene_start)
+        values = values[:n]
+        positions = np.arange(gene_start, gene_start + len(values), dtype=np.int64)
+        not_n = window[:len(values)] != ord("N")
+        per_contig.setdefault(contig, []).append((values[not_n], positions[not_n]))
+
+    kmer_indices: KmerIndices = {}
+    for contig, chunks in per_contig.items():
+        values = np.concatenate([v for v, _ in chunks])
+        positions = np.concatenate([p for _, p in chunks])
+        order = np.lexsort((positions, values))
+        values = values[order]
+        positions = positions[order]
+        # unique positions per kmer (overlapping genes index twice)
+        index: KmerIndex = {}
+        boundaries = np.nonzero(np.diff(values))[0] + 1
+        starts = np.concatenate([[0], boundaries])
+        ends = np.concatenate([boundaries, [len(values)]])
+        for s, e in zip(starts, ends):
+            pos = positions[s:e]
+            keep = np.concatenate([[True], pos[1:] != pos[:-1]]) if len(pos) > 1 else \
+                np.ones(len(pos), bool)
+            index[int(values[s])] = pos[keep]
+        kmer_indices[contig] = index
+    return kmer_indices
+
+
+def get_downstream_splice_sites(gene: int, genes: GeneTable, exons: ExonTable,
+                                exon_index: IntervalIndex) -> List[int]:
+    """filter_mismappers.cpp:16-31 — sorted downstream splice sites of a gene."""
+    contig = int(genes.contig[gene])
+    if contig >= exon_index.n_contigs or len(exon_index.boundaries[contig]) == 0:
+        return []
+    bounds = exon_index.boundaries[contig]
+    gene_start = int(genes.start[gene])
+    gene_end = int(genes.end[gene])
+    splice_sites: List[int] = []
+    idx = int(np.searchsorted(bounds, gene_start, side="left"))
+    while idx < len(bounds) and bounds[idx] <= gene_end:
+        position = int(bounds[idx])
+        if is_breakpoint_spliced(gene, DOWNSTREAM, position, genes, exons, exon_index):
+            splice_sites.append(position)
+        idx += 1
+    return splice_sites
+
+
+def align(score: int, read_sequence: str, read_pos: int, contig_sequence: np.ndarray,
+          gene_pos: int, gene_start: int, gene_end: int, kmer_index: KmerIndex,
+          kmer_length: int, splice_sites: List[int], min_score: int,
+          max_deletions: int) -> bool:
+    """filter_mismappers.cpp:86-187 — recursive seed-and-extend."""
+    skipped_bases = 0
+    read_length = len(read_sequence)
+
+    while (read_pos + kmer_length < read_length
+           and read_pos + min_score <= read_length + score + 2 * kmer_length):
+
+        hits = kmer_index.get(kmer_to_int(read_sequence, read_pos, kmer_length))
+        if hits is not None:
+            for hit_idx in range(int(np.searchsorted(hits, gene_pos, side="left")), len(hits)):
+                kmer_hit = int(hits[hit_idx])
+                if kmer_hit >= gene_end:
+                    break
+
+                extended_score = score + kmer_length
+                if read_pos == skipped_bases:
+                    extended_score += skipped_bases  # local alignment: free leading skips
+                if extended_score >= min_score:
+                    return True
+
+                # extend match locally to the left (score carries over into
+                # the right extension, as in the reference)
+                extended_read_pos = read_pos - 1
+                extended_gene_pos = kmer_hit - 1
+                mismatch_count = 0
+                while extended_read_pos >= read_pos - skipped_bases and extended_gene_pos >= gene_start:
+                    if ord(read_sequence[extended_read_pos]) == contig_sequence[extended_gene_pos]:
+                        extended_score += 1 if read_pos == skipped_bases else 2
+                        if extended_score >= min_score:
+                            return True
+                    else:
+                        mismatch_count += 1
+                        if mismatch_count > 1:
+                            break
+                    extended_read_pos -= 1
+                    extended_gene_pos -= 1
+
+                # extend match locally to the right
+                extended_read_pos = read_pos + kmer_length
+                extended_gene_pos = kmer_hit + kmer_length
+                mismatch_count = 0
+                consecutive_mismatches = 0
+                splice_idx = bisect_left(splice_sites, extended_gene_pos - 1)
+                while extended_read_pos < read_length and extended_gene_pos <= gene_end:
+                    if splice_idx < len(splice_sites):
+                        if extended_gene_pos - 1 > splice_sites[splice_idx]:
+                            splice_idx += 1
+                        if splice_idx < len(splice_sites) and \
+                                extended_gene_pos - 1 == splice_sites[splice_idx]:
+                            if align(extended_score, read_sequence, extended_read_pos,
+                                     contig_sequence, extended_gene_pos, gene_start, gene_end,
+                                     kmer_index, kmer_length, splice_sites, min_score,
+                                     max_deletions):
+                                return True
+
+                    if ord(read_sequence[extended_read_pos]) == contig_sequence[extended_gene_pos]:
+                        extended_score += 1
+                        if extended_score >= min_score:
+                            return True
+                        consecutive_mismatches = 0
+                    else:
+                        mismatch_count += 1
+                        if mismatch_count == 1:
+                            if (max_deletions > 0 and read_length >= 30
+                                    and align(extended_score, read_sequence, extended_read_pos,
+                                              contig_sequence, extended_gene_pos, gene_start,
+                                              gene_end, kmer_index, kmer_length, splice_sites,
+                                              min_score, max_deletions - 1)):
+                                return True
+                        extended_score -= 1
+                        consecutive_mismatches += 1
+                        if consecutive_mismatches >= 4:
+                            break
+                    extended_read_pos += 1
+                    extended_gene_pos += 1
+
+        read_pos += 1
+        score -= 1
+        skipped_bases += 1
+
+    return False
+
+
+def align_both_strands(read_sequence: str, read_length: int, max_mate_gap: int,
+                       breakpoints_on_same_contig: bool, alignment_start: int,
+                       alignment_end: int, kmer_indices: KmerIndices,
+                       assembly: Assembly, genes: GeneTable, exons: ExonTable,
+                       exon_index: IntervalIndex,
+                       splice_sites_by_gene: Dict[int, List[int]],
+                       gene_set: np.ndarray, kmer_length: int,
+                       min_align_fraction: float) -> bool:
+    """filter_mismappers.cpp:189-230."""
+    if len(read_sequence) >= 300:
+        return False
+
+    min_score = int(min_align_fraction * len(read_sequence) + 0.5)
+    for gene in gene_set:
+        gene = int(gene)
+        if gene not in splice_sites_by_gene:
+            splice_sites_by_gene[gene] = get_downstream_splice_sites(gene, genes, exons,
+                                                                     exon_index)
+        contig = int(genes.contig[gene])
+        contig_sequence = assembly.get(contig)
+        if contig_sequence is None:
+            continue
+        gene_start = max(int(genes.start[gene]) - max_mate_gap - read_length, 0)
+        gene_end = min(int(genes.end[gene]) + max_mate_gap + read_length,
+                       len(contig_sequence) - 1)
+
+        # for intragenic events, both genes overlap the breakpoint => skip
+        if breakpoints_on_same_contig and (
+                gene_start <= alignment_start <= gene_end
+                or gene_start <= alignment_end <= gene_end):
+            continue
+
+        kmer_index = kmer_indices.get(contig)
+        if kmer_index is None:
+            continue
+
+        splice_sites = splice_sites_by_gene[gene]
+        if align(0, read_sequence, 0, contig_sequence, gene_start, gene_start, gene_end,
+                 kmer_index, kmer_length, splice_sites, min_score, 1):
+            return True
+        if align(0, reverse_complement_str(read_sequence), 0, contig_sequence, gene_start,
+                 gene_start, gene_end, kmer_index, kmer_length, splice_sites, min_score, 1):
+            return True
+    return False
+
+
+def extend_split_read(split_read: Alignment, assembly: Assembly,
+                      min_align_fraction: float) -> bool:
+    """filter_mismappers.cpp:247-270 — check whether STAR clipped prematurely."""
+    contig_sequence = assembly[split_read.contig]
+    if split_read.strand == FORWARD:
+        clipped_count = min(split_read.preclipping(), split_read.start)
+        clipped = split_read.sequence[split_read.preclipping() - clipped_count:
+                                     split_read.preclipping()]
+        reference = contig_sequence[split_read.start - clipped_count:split_read.start]
+    else:
+        clipped_count = min(split_read.postclipping(),
+                            len(contig_sequence) - split_read.end - 2)
+        clipped = split_read.sequence[len(split_read.sequence) - split_read.postclipping():
+                                     len(split_read.sequence) - split_read.postclipping()
+                                     + clipped_count]
+        reference = contig_sequence[split_read.end + 1:split_read.end + 1 + clipped_count]
+
+    matching_bases = 0
+    for i in range(len(clipped)):
+        if ord(clipped[i]) == reference[i]:
+            matching_bases += 1
+    return matching_bases >= int(np.floor(len(clipped) * min_align_fraction))
+
+
+def _count_mismappers(read_list: List[str], chimeric_alignments: ChimericAlignments,
+                      counters: List[int], supporting_reads: int) -> int:
+    """filter_mismappers.cpp:232-244; counters = [mismappers, total_reads]."""
+    for name in read_list:
+        mates = chimeric_alignments[name]
+        if mates.filter == FILTER_NONE:
+            counters[1] += 1
+        elif mates.filter == FILTER_MISMAPPERS:
+            counters[1] += 1
+            counters[0] += 1
+            if supporting_reads > 0:
+                supporting_reads -= 1
+    return supporting_reads
+
+
+def filter_mismappers(fusions: Fusions, chimeric_alignments: ChimericAlignments,
+                      kmer_indices: KmerIndices, kmer_length: int, assembly: Assembly,
+                      genes: GeneTable, exons: ExonTable, exon_index: IntervalIndex,
+                      max_mismapper_fraction: float, max_mate_gap: int) -> int:
+    """filter_mismappers.cpp:272-359."""
+    min_align_fraction = 0.8
+    min_extended_align_fraction = 0.7
+
+    splice_sites_by_gene: Dict[int, List[int]] = {}
+
+    for f in fusions.values():
+        if f.filter != FILTER_NONE:
+            continue
+
+        same_contig = f.contig1 == f.contig2
+
+        # re-align split reads
+        for name in f.split_read1_list + f.split_read2_list:
+            mates = chimeric_alignments[name]
+            if mates.filter != FILTER_NONE:
+                continue
+            split_read = mates[SPLIT_READ]
+            supplementary = mates[SUPPLEMENTARY]
+            mate1 = mates[MATE1]
+
+            if split_read.strand == FORWARD:
+                clipped_seq = split_read.sequence[:split_read.preclipping()]
+                mate1_seq = mate1.sequence[mate1.preclipping():]
+            else:
+                clipped_seq = split_read.sequence[len(split_read.sequence)
+                                                  - split_read.postclipping():]
+                mate1_seq = mate1.sequence[:len(mate1.sequence) - mate1.postclipping()]
+
+            if (extend_split_read(split_read, assembly, min_extended_align_fraction)
+                    or align_both_strands(clipped_seq, len(split_read.sequence), max_mate_gap,
+                                          same_contig, supplementary.start, supplementary.end,
+                                          kmer_indices, assembly, genes, exons, exon_index,
+                                          splice_sites_by_gene, split_read.genes, kmer_length,
+                                          min_align_fraction)
+                    or align_both_strands(mate1_seq, len(mate1.sequence), max_mate_gap,
+                                          same_contig, mate1.start, mate1.end, kmer_indices,
+                                          assembly, genes, exons, exon_index,
+                                          splice_sites_by_gene, supplementary.genes,
+                                          kmer_length, min_align_fraction)):
+                mates.filter = FILTER_MISMAPPERS
+
+        # re-align discordant mates
+        for name in f.discordant_mate_list:
+            mates = chimeric_alignments[name]
+            if mates.filter != FILTER_NONE:
+                continue
+            mate1, mate2 = mates[MATE1], mates[MATE2]
+            clipped_fraction1 = float(mate1.preclipping() + mate1.postclipping()) / len(mate1.sequence)
+            clipped_fraction2 = float(mate2.preclipping() + mate2.postclipping()) / len(mate2.sequence)
+            if (align_both_strands(mate1.sequence, len(mate1.sequence), max_mate_gap,
+                                   same_contig, mate1.start, mate1.end, kmer_indices, assembly,
+                                   genes, exons, exon_index, splice_sites_by_gene, mate2.genes,
+                                   kmer_length,
+                                   min(min_align_fraction, min_align_fraction * (1 - clipped_fraction1)))
+                    or align_both_strands(mate2.sequence, len(mate2.sequence), max_mate_gap,
+                                          same_contig, mate2.start, mate2.end, kmer_indices,
+                                          assembly, genes, exons, exon_index,
+                                          splice_sites_by_gene, mate1.genes, kmer_length,
+                                          min(min_align_fraction,
+                                              min_align_fraction * (1 - clipped_fraction2)))):
+                mates.filter = FILTER_MISMAPPERS
+
+    # discard all fusions with more than max_mismapper_fraction mismappers
+    remaining = 0
+    for f in fusions.values():
+        if f.filter != FILTER_NONE:
+            continue
+        counters = [0, 0]  # [mismappers, total_reads]
+        f.split_reads1 = _count_mismappers(f.split_read1_list, chimeric_alignments,
+                                           counters, f.split_reads1)
+        f.split_reads2 = _count_mismappers(f.split_read2_list, chimeric_alignments,
+                                           counters, f.split_reads2)
+        f.discordant_mates = _count_mismappers(f.discordant_mate_list, chimeric_alignments,
+                                               counters, f.discordant_mates)
+        mismappers, total_reads = counters
+        if mismappers > 0 and mismappers >= int(np.floor(max_mismapper_fraction * total_reads)):
+            f.filter = FILTER_MISMAPPERS
+        else:
+            remaining += 1
+    return remaining
