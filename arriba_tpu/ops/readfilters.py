@@ -1,0 +1,177 @@
+"""Batched device implementations of the per-read filter math.
+
+These are the embarrassingly-parallel-over-reads stages of the cascade
+(SURVEY §2.7): mismatch counting + binomial test (filter_mismatches.cpp),
+recurrent k-mer content (filter_low_entropy.cpp:77-100), and homopolymer
+runs (filter_homopolymer.cpp:38-52), reformulated as fixed-shape masked
+array ops over a ReadBatch. jnp element-wise ops map onto the VPU; the
+scan over read positions is a lax.fori_loop with [N, 64] carries so XLA
+keeps everything resident in VMEM.
+
+The host implementations in filters/read_level.py are the semantic oracle;
+tests/test_device_ops.py checks agreement.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .encode import PAD_CODE
+
+KMER_LENGTH = 3          # filter_low_entropy k (arriba.cpp:408)
+N_KMERS = 4 ** KMER_LENGTH
+
+
+def count_mismatches_batch(bases: jnp.ndarray, ref: jnp.ndarray,
+                           match_mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vectorized core of count_mismatches (filter_mismatches.cpp:12-53):
+    returns (mismatches, alignment_length) per read over the M/=/X positions.
+    Positions where the read base is PAD/N are excluded like the reference's
+    'N' exclusion."""
+    valid = match_mask & (bases != PAD_CODE) & (ref != PAD_CODE)
+    mismatches = jnp.sum(valid & (bases != ref), axis=1, dtype=jnp.int32)
+    alignment_length = jnp.sum(valid, axis=1, dtype=jnp.int32)
+    return mismatches, alignment_length
+
+
+def binomial_pvalue(mismatches: jnp.ndarray, alignment_length: jnp.ndarray,
+                    mismatch_probability: float) -> jnp.ndarray:
+    """Point binomial probability C(n,k) p^k (1-p)^(n-k), the reference's
+    test statistic (filter_mismatches.cpp:66-79), via log-gamma."""
+    n = alignment_length.astype(jnp.float32)
+    k = mismatches.astype(jnp.float32)
+    log_choose = (jax.lax.lgamma(n + 1) - jax.lax.lgamma(k + 1)
+                  - jax.lax.lgamma(n - k + 1))
+    log_p = (log_choose + k * jnp.log(mismatch_probability)
+             + (n - k) * jnp.log1p(-mismatch_probability))
+    return jnp.exp(log_p)
+
+
+def mismatch_filter_batch(bases: jnp.ndarray, ref: jnp.ndarray,
+                          match_mask: jnp.ndarray, extra_mismatches: jnp.ndarray,
+                          mismatch_probability: float,
+                          pvalue_cutoff: float) -> jnp.ndarray:
+    """Per-read discard mask for the mismatches filter's binomial branch."""
+    mismatches, alignment_length = count_mismatches_batch(bases, ref, match_mask)
+    mismatches = mismatches + extra_mismatches
+    pvalue = binomial_pvalue(mismatches, alignment_length, mismatch_probability)
+    return pvalue < pvalue_cutoff
+
+
+def _kmer_values(bases: jnp.ndarray) -> jnp.ndarray:
+    """[N, L] -> [N, L] 2-bit-packed 3-mer values starting at each position
+    (clamping non-ACGT codes to 3 like kmer_to_int's default branch)."""
+    codes = jnp.minimum(bases, 3).astype(jnp.int32)
+    c0 = codes
+    c1 = jnp.roll(codes, -1, axis=1)
+    c2 = jnp.roll(codes, -2, axis=1)
+    return (c0 << 4) | (c1 << 2) | c2
+
+
+def low_entropy_batch(bases: jnp.ndarray, length: jnp.ndarray,
+                      aligned_start1: jnp.ndarray, aligned_end1: jnp.ndarray,
+                      aligned_start2: jnp.ndarray, aligned_end2: jnp.ndarray,
+                      kmer_content: float) -> jnp.ndarray:
+    """filter_low_entropy.cpp:60-100 vectorized: per read, does any 3-mer
+    recur (non-overlapping) often enough to cover >= kmer_content of the
+    read or of either aligned segment?
+
+    Carries [N, 64] per-kmer state through a fori_loop over read positions:
+    prev allowed position and three occurrence counters. The early-exit
+    check of the reference is monotone in the counters, so evaluating it on
+    the final counters (restricted to k-mers counted at least once) is
+    equivalent.
+    """
+    n_reads, L = bases.shape
+    kmer_values = _kmer_values(bases)
+
+    # thresholds: unsigned int truncation of len * content / k + 0.5
+    def threshold(segment_length):
+        return jnp.floor(segment_length.astype(jnp.float32)
+                         * kmer_content / KMER_LENGTH + 0.5).astype(jnp.int32)
+
+    th_all = threshold(length)
+    th_a1 = threshold(aligned_end1 - aligned_start1)
+    th_a2 = threshold(aligned_end2 - aligned_start2)
+
+    kmer_iota = jnp.arange(N_KMERS, dtype=jnp.int32)[None, :]  # [1, 64]
+
+    def body(pos, state):
+        prev_pos, c_all, c_a1, c_a2 = state
+        v = kmer_values[:, pos]                                     # [N]
+        one_hot = v[:, None] == kmer_iota                           # [N, 64]
+        # the reference loop runs kmer_pos < length - kmer_length
+        in_read = pos < length - KMER_LENGTH                        # [N]
+        prev_of_v = jnp.take_along_axis(prev_pos, v[:, None], axis=1)[:, 0]
+        eligible = in_read & (prev_of_v <= pos)                     # [N]
+        update = one_hot & eligible[:, None]                        # [N, 64]
+        prev_pos = jnp.where(update, pos + KMER_LENGTH, prev_pos)
+        in_a1 = (pos + 1 >= aligned_start1) & (pos < aligned_end1)
+        in_a2 = (pos + 1 >= aligned_start2) & (pos < aligned_end2)
+        c_all = c_all + update.astype(jnp.int32)
+        c_a1 = c_a1 + (update & in_a1[:, None]).astype(jnp.int32)
+        c_a2 = c_a2 + (update & in_a2[:, None]).astype(jnp.int32)
+        return prev_pos, c_all, c_a1, c_a2
+
+    # derive the init from an input so the carry is device-varying under
+    # shard_map (the vma rule for scan carries)
+    zero_state = jnp.zeros((n_reads, N_KMERS), jnp.int32) + (length[:, None] * 0)
+    init = (zero_state, zero_state, zero_state, zero_state)
+    _, c_all, c_a1, c_a2 = jax.lax.fori_loop(0, L - KMER_LENGTH, body, init)
+
+    counted = c_all >= 1
+    crossed = counted & ((c_all >= th_all[:, None])
+                         | (c_a1 >= th_a1[:, None])
+                         | (c_a2 >= th_a2[:, None]))
+    applicable = length >= KMER_LENGTH  # reference skips shorter sequences
+    return jnp.any(crossed, axis=1) & applicable
+
+
+def homopolymer_run_batch(windows: jnp.ndarray) -> jnp.ndarray:
+    """Longest run of identical non-PAD codes per row ([N, W] -> [N]).
+    The host builds the two breakpoint-adjacent windows with a PAD separator
+    (filter_homopolymer.cpp:22-40 concatenates them with ' ')."""
+    same = (windows[:, 1:] == windows[:, :-1]) & (windows[:, 1:] != PAD_CODE)
+
+    def body(i, state):
+        run, best = state
+        run = jnp.where(same[:, i], run + 1, 1)
+        return run, jnp.maximum(best, run)
+
+    n = windows.shape[1] - 1
+    init = (jnp.ones(windows.shape[0], jnp.int32),
+            jnp.ones(windows.shape[0], jnp.int32))
+    _, best = jax.lax.fori_loop(0, n, body, init)
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("mismatch_probability",
+                                             "pvalue_cutoff", "kmer_content"))
+def read_filter_step(bases: jnp.ndarray, ref: jnp.ndarray,
+                     match_mask: jnp.ndarray, length: jnp.ndarray,
+                     aligned_start: jnp.ndarray, aligned_end: jnp.ndarray,
+                     extra_mismatches: jnp.ndarray,
+                     mismatch_probability: float = 0.01,
+                     pvalue_cutoff: float = 0.01,
+                     kmer_content: float = 0.6):
+    """The fused per-read device step: one pass over a ReadBatch computing
+    all read-level filter statistics. XLA fuses the element-wise work into
+    a handful of VPU loops over the [N, L] tiles."""
+    mismatches, alignment_length = count_mismatches_batch(bases, ref, match_mask)
+    pvalue = binomial_pvalue(mismatches + extra_mismatches, alignment_length,
+                             mismatch_probability)
+    mismatch_discard = pvalue < pvalue_cutoff
+    low_entropy_discard = low_entropy_batch(bases, length, aligned_start,
+                                            aligned_end, aligned_start,
+                                            aligned_end, kmer_content)
+    return {
+        "mismatches": mismatches,
+        "alignment_length": alignment_length,
+        "pvalue": pvalue,
+        "mismatch_discard": mismatch_discard,
+        "low_entropy_discard": low_entropy_discard,
+    }

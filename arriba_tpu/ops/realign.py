@@ -1,0 +1,181 @@
+"""Batched realignment scoring: the TPU reformulation of filter_mismappers.
+
+The reference re-aligns each clipped segment / discordant mate against the
+partner gene with a recursive 8-mer-seeded seed-and-extend aligner
+(filter_mismappers.cpp:86-230). That recursion is inherently data-dependent;
+the TPU path splits it into two fixed-shape stages over (read, window) pairs:
+
+1. `shared_kmer_mask` — a *sound prefilter*: align() can only accept a read
+   if at least one 8-mer of the read occurs in the padded gene window
+   (the seed lookup at filter_mismappers.cpp:97-99). Rows without a shared
+   8-mer are definitively rejected without any DP.
+2. `smith_waterman_scores` — banded-free local alignment over the surviving
+   pairs via an anti-diagonal wavefront (match +1, mismatch/gap -1, floor 0),
+   vectorized over the batch on the VPU; a Pallas kernel keeps the two
+   carry diagonals in VMEM for the TPU path.
+
+The exact accept/reject decision of the reference (including splice-site
+recursion) stays with the host oracle in filters/mismappers.py; the device
+stages cut its workload to the candidates that can possibly pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .encode import PAD_CODE
+
+SEED_KMER_LENGTH = 8  # arriba.cpp:549
+
+
+def _packed_kmers(codes: jnp.ndarray, k: int) -> jnp.ndarray:
+    """[N, L] 2-bit-packable codes -> [N, L] k-mer values (positions whose
+    k-mer would run off the end or cover PAD yield -1)."""
+    clamped = jnp.minimum(codes, 3).astype(jnp.int32)
+    values = jnp.zeros_like(clamped)
+    any_pad = jnp.zeros(codes.shape, bool)
+    for j in range(k):
+        shifted = jnp.roll(codes, -j, axis=1)
+        values = (values << 2) | jnp.minimum(shifted, 3).astype(jnp.int32)
+        any_pad = any_pad | (shifted == PAD_CODE)
+    L = codes.shape[1]
+    in_range = jnp.arange(L)[None, :] <= L - k
+    return jnp.where(in_range & ~any_pad, values, -1)
+
+
+def shared_kmer_mask(reads: jnp.ndarray, windows: jnp.ndarray,
+                     k: int = SEED_KMER_LENGTH) -> jnp.ndarray:
+    """[N] bool: does any k-mer of read n occur in window n?
+
+    Sorted-membership formulation: sort the window k-mer values per row,
+    then searchsorted the read k-mers — O(L log W) comparisons per row,
+    all dense and batched.
+    """
+    read_kmers = _packed_kmers(reads, k)            # [N, L]
+    window_kmers = jnp.sort(_packed_kmers(windows, k), axis=1)  # [N, W]
+
+    idx = jax.vmap(jnp.searchsorted)(window_kmers, read_kmers)  # [N, L]
+    idx = jnp.minimum(idx, window_kmers.shape[1] - 1)
+    found = jnp.take_along_axis(window_kmers, idx, axis=1) == read_kmers
+    return jnp.any(found & (read_kmers >= 0), axis=1)
+
+
+def smith_waterman_scores(reads: jnp.ndarray, windows: jnp.ndarray,
+                          match: int = 1, mismatch: int = -1,
+                          gap: int = -1) -> jnp.ndarray:
+    """Best local-alignment score per (read, window) row via anti-diagonal
+    wavefront: L+W-1 steps, each a [N, L] VPU op; carries are the two
+    previous diagonals."""
+    n, L = reads.shape
+    W = windows.shape[1]
+    # reversed+padded windows so diagonal d reads wrev[:, W-1-d : W-1-d+L]
+    wrev = jnp.flip(windows, axis=1)
+    wrev = jnp.pad(wrev, ((0, 0), (L, L)), constant_values=PAD_CODE)
+
+    read_valid = reads != PAD_CODE
+    neg_inf = jnp.int32(-(2 ** 20))
+
+    def body(d, state):
+        h_prev, h_prev2, best = state                      # [N, L], [N, L], [N]
+        window_diag = jax.lax.dynamic_slice(
+            wrev, (0, W - 1 - d + L), (n, L))              # [N, L]: windows[d - i]
+        substitution = jnp.where(reads == window_diag, match, mismatch)
+        valid = (read_valid & (window_diag != PAD_CODE))
+        # shift previous diagonals by one read position for the i-1 terms
+        h_prev_shift = jnp.pad(h_prev, ((0, 0), (1, 0)))[:, :L]
+        h_prev2_shift = jnp.pad(h_prev2, ((0, 0), (1, 0)))[:, :L]
+        h = jnp.maximum(
+            jnp.maximum(h_prev2_shift + substitution, 0),
+            jnp.maximum(h_prev_shift + gap, h_prev + gap))
+        h = jnp.where(valid, h, 0)
+        best = jnp.maximum(best, jnp.max(h, axis=1))
+        return h, h_prev, best
+
+    # input-derived zeros keep the carry device-varying under shard_map
+    zeros = (reads * 0).astype(jnp.int32)
+    _, _, best = jax.lax.fori_loop(
+        0, L + W - 1, body, (zeros, zeros, (reads[:, 0] * 0).astype(jnp.int32)))
+    return best
+
+
+def smith_waterman_scores_pallas(reads: jnp.ndarray, windows: jnp.ndarray,
+                                 match: int = 1, mismatch: int = -1,
+                                 gap: int = -1, block_n: int = 8,
+                                 interpret: bool = False) -> jnp.ndarray:
+    """Pallas version of the wavefront: one grid step per block of reads;
+    the carry diagonals and the running best live in VMEM scratch so the
+    whole DP runs without HBM round-trips."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, L = reads.shape
+    W = windows.shape[1]
+    padded_w = W + 2 * L
+
+    def kernel(reads_ref, wrev_ref, out_ref, h_prev, h_prev2, best):
+        h_prev[:] = jnp.zeros((block_n, L), jnp.int32)
+        h_prev2[:] = jnp.zeros((block_n, L), jnp.int32)
+        best[:] = jnp.zeros((block_n, L), jnp.int32)
+        read_block = reads_ref[:]
+        read_valid = read_block != PAD_CODE
+
+        def body(d, _):
+            window_diag = wrev_ref[:, pl.ds(W - 1 - d + L, L)]
+            substitution = jnp.where(read_block == window_diag, match, mismatch)
+            valid = read_valid & (window_diag != PAD_CODE)
+            hp = h_prev[:]
+            hp2 = h_prev2[:]
+            hp_shift = jnp.pad(hp, ((0, 0), (1, 0)))[:, :L]
+            hp2_shift = jnp.pad(hp2, ((0, 0), (1, 0)))[:, :L]
+            h = jnp.maximum(
+                jnp.maximum(hp2_shift + substitution, 0),
+                jnp.maximum(hp_shift + gap, hp + gap))
+            h = jnp.where(valid, h, 0)
+            h_prev2[:] = hp
+            h_prev[:] = h
+            best[:] = jnp.maximum(best[:], h)
+            return 0
+
+        jax.lax.fori_loop(0, L + W - 1, body, 0)
+        out_ref[:] = jnp.broadcast_to(jnp.max(best[:], axis=1, keepdims=True),
+                                      (block_n, 128))
+
+    wrev = jnp.flip(windows, axis=1)
+    wrev = jnp.pad(wrev, ((0, 0), (L, L)), constant_values=PAD_CODE)
+
+    grid = ((n + block_n - 1) // block_n,)
+    result = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_n, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, padded_w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_n, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((block_n, L), jnp.int32),
+            pltpu.VMEM((block_n, L), jnp.int32),
+            pltpu.VMEM((block_n, L), jnp.int32),
+        ],
+        interpret=interpret,
+    )(reads, wrev)
+    return result[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("min_score_fraction",))
+def realign_step(reads: jnp.ndarray, windows: jnp.ndarray, length: jnp.ndarray,
+                 min_score_fraction: float = 0.8):
+    """The fused prefilter+scoring step for a batch of (read, window) pairs:
+    returns per-row seed hits, SW scores, and whether the row can possibly
+    be accepted by the reference aligner (seed present AND local score
+    >= min_align_fraction * read length)."""
+    seeds = shared_kmer_mask(reads, windows)
+    scores = smith_waterman_scores(reads, windows)
+    min_score = (min_score_fraction * length.astype(jnp.float32) + 0.5).astype(jnp.int32)
+    can_align = seeds & (scores >= min_score)
+    return {"seed_hit": seeds, "sw_score": scores, "can_align": can_align}

@@ -1,9 +1,21 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh so sharding
-tests work without TPU hardware."""
+tests work without TPU hardware.
+
+The environment may preset a TPU platform (e.g. 'axon', registered by a
+sitecustomize hook that also overrides JAX_PLATFORMS programmatically), so
+setting the env var is not enough — the jax config must be updated before
+any backend initialization. Tests must never round-trip through the TPU
+tunnel; override with ARRIBA_TPU_TEST_PLATFORM=axon to test on hardware.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+platform = os.environ.get("ARRIBA_TPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", platform)

@@ -1,0 +1,193 @@
+"""Device-op tests: batched filter math vs the host oracle, SW wavefront vs a
+plain-Python DP, and the DP-sharded step on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from arriba_tpu.ops import readfilters, realign
+from arriba_tpu.ops.encode import PAD_CODE, random_read_batch
+from arriba_tpu.parallel.dp import (make_mesh, shard_batch,
+                                    sharded_read_filter_step,
+                                    sharded_realign_step)
+
+
+def reference_low_entropy(codes, length, a1s, a1e, a2s, a2e, kmer_content, k=3):
+    """Direct port of filter_low_entropy.cpp:60-100 for one sequence."""
+    if length < k:
+        return False
+    kmer_count = [0] * (4 ** k)
+    kmer_count_a1 = [0] * (4 ** k)
+    kmer_count_a2 = [0] * (4 ** k)
+    prev = [0] * (4 ** k)
+    max_c = int(length * kmer_content / k + 0.5)
+    max_c1 = int((a1e - a1s) * kmer_content / k + 0.5)
+    max_c2 = int((a2e - a2s) * kmer_content / k + 0.5)
+    for pos in range(0, length - k):
+        v = 0
+        for j in range(k):
+            v = (v << 2) | min(int(codes[pos + j]), 3)
+        if prev[v] <= pos:
+            prev[v] = pos + k
+            kmer_count[v] += 1
+            if pos + 1 >= a1s and pos < a1e:
+                kmer_count_a1[v] += 1
+            if pos + 1 >= a2s and pos < a2e:
+                kmer_count_a2[v] += 1
+            if (kmer_count[v] >= max_c or kmer_count_a1[v] >= max_c1
+                    or kmer_count_a2[v] >= max_c2):
+                return True
+    return False
+
+
+def reference_smith_waterman(read, window):
+    """Plain local-alignment DP (match +1, mismatch -1, gap -1)."""
+    L, W = len(read), len(window)
+    H = np.zeros((L + 1, W + 1), np.int32)
+    best = 0
+    for i in range(1, L + 1):
+        for j in range(1, W + 1):
+            s = 1 if read[i - 1] == window[j - 1] else -1
+            H[i, j] = max(0, H[i - 1, j - 1] + s, H[i - 1, j] - 1, H[i, j - 1] - 1)
+            best = max(best, H[i, j])
+    return best
+
+
+def test_count_mismatches_batch():
+    rng = np.random.default_rng(0)
+    batch = random_read_batch(rng, 64, 100, mismatch_rate=0.05)
+    mismatches, aligned = readfilters.count_mismatches_batch(
+        jnp.asarray(batch.bases), jnp.asarray(batch.ref), jnp.asarray(batch.match_mask))
+    mismatches = np.asarray(mismatches)
+    aligned = np.asarray(aligned)
+    for row in range(batch.n_reads):
+        mask = batch.match_mask[row]
+        expected = np.count_nonzero(mask & (batch.bases[row] != batch.ref[row]))
+        assert mismatches[row] == expected
+        assert aligned[row] == np.count_nonzero(mask)
+    assert (mismatches[batch.n_reads:] == 0).all()
+
+
+def test_low_entropy_batch_matches_reference():
+    rng = np.random.default_rng(1)
+    n, length = 48, 80
+    codes = rng.integers(0, 4, size=(n, 128), dtype=np.uint8)
+    codes[:, length:] = PAD_CODE
+    # make some rows low-entropy: repeat a 3-mer
+    for row in range(0, n, 5):
+        codes[row, :length] = np.tile([0, 1, 2], length // 3 + 1)[:length]
+    lengths = np.full(n, length, np.int32)
+    a1s = np.zeros(n, np.int32)
+    a1e = np.full(n, 50, np.int32)
+    a2s = np.full(n, 30, np.int32)
+    a2e = np.full(n, length, np.int32)
+
+    result = np.asarray(readfilters.low_entropy_batch(
+        jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(a1s),
+        jnp.asarray(a1e), jnp.asarray(a2s), jnp.asarray(a2e), 0.6))
+    for row in range(n):
+        expected = reference_low_entropy(codes[row], length, a1s[row], a1e[row],
+                                         a2s[row], a2e[row], 0.6)
+        assert result[row] == expected, f"row {row}"
+
+
+def test_homopolymer_run_batch():
+    windows = np.full((4, 16), PAD_CODE, np.uint8)
+    windows[0, :6] = [0, 0, 0, 0, 0, 0]              # run of 6
+    windows[1, :6] = [0, 1, 0, 1, 0, 1]              # no run
+    windows[2, :8] = [2, 2, 2, PAD_CODE, 3, 3, 3, 3]  # separator breaks run
+    windows[3, :2] = [1, 1]
+    runs = np.asarray(readfilters.homopolymer_run_batch(jnp.asarray(windows)))
+    assert runs[0] == 6
+    assert runs[1] == 1
+    assert runs[2] == 4
+    assert runs[3] == 2
+
+
+def test_smith_waterman_matches_reference_dp():
+    rng = np.random.default_rng(2)
+    n, L, W = 8, 32, 64
+    reads = rng.integers(0, 4, size=(n, L), dtype=np.uint8)
+    windows = rng.integers(0, 4, size=(n, W), dtype=np.uint8)
+    # plant an exact copy of read 0 inside window 0
+    windows[0, 10:10 + L] = reads[0]
+    # plant a mutated copy of read 1
+    mutated = reads[1].copy()
+    mutated[::7] = (mutated[::7] + 1) % 4
+    windows[1, 3:3 + L] = mutated
+
+    scores = np.asarray(realign.smith_waterman_scores(
+        jnp.asarray(reads), jnp.asarray(windows)))
+    for row in range(n):
+        expected = reference_smith_waterman(reads[row], windows[row])
+        assert scores[row] == expected, f"row {row}"
+    assert scores[0] == L
+
+
+def test_smith_waterman_pallas_interpret_matches_jnp():
+    rng = np.random.default_rng(3)
+    n, L, W = 8, 128, 256
+    reads = rng.integers(0, 4, size=(n, L), dtype=np.uint8)
+    windows = rng.integers(0, 4, size=(n, W), dtype=np.uint8)
+    windows[2, 50:50 + L] = reads[2]
+    jnp_scores = np.asarray(realign.smith_waterman_scores(
+        jnp.asarray(reads), jnp.asarray(windows)))
+    pallas_scores = np.asarray(realign.smith_waterman_scores_pallas(
+        jnp.asarray(reads), jnp.asarray(windows), interpret=True))
+    np.testing.assert_array_equal(jnp_scores, pallas_scores)
+
+
+def test_shared_kmer_mask():
+    rng = np.random.default_rng(4)
+    n, L, W = 6, 64, 128
+    reads = rng.integers(0, 4, size=(n, L), dtype=np.uint8)
+    windows = rng.integers(0, 4, size=(n, W), dtype=np.uint8)
+    # row 0: window contains an 8-mer of the read
+    windows[0, 20:28] = reads[0, 5:13]
+    mask = np.asarray(realign.shared_kmer_mask(jnp.asarray(reads),
+                                               jnp.asarray(windows)))
+    assert mask[0]
+    # exact check against brute force
+    for row in range(n):
+        read_kmers = {tuple(reads[row, i:i + 8]) for i in range(L - 7)}
+        window_kmers = {tuple(windows[row, i:i + 8]) for i in range(W - 7)}
+        assert mask[row] == bool(read_kmers & window_kmers), f"row {row}"
+
+
+def test_sharded_filter_step_on_mesh():
+    rng = np.random.default_rng(5)
+    mesh = make_mesh(8)
+    batch = random_read_batch(rng, 100, 128, mismatch_rate=0.02)
+    sharded = shard_batch(batch, mesh)
+    step = sharded_read_filter_step(mesh)
+    per_read, globals_ = step(sharded.bases, sharded.ref, sharded.match_mask,
+                              sharded.length, sharded.aligned_start,
+                              sharded.aligned_end,
+                              jnp.zeros(sharded.bases.shape[0], jnp.int32))
+    assert int(globals_["total_reads"]) == batch.n_reads
+    # global mismatch tally equals the unsharded sum
+    unsharded_mm, _ = readfilters.count_mismatches_batch(
+        jnp.asarray(batch.bases), jnp.asarray(batch.ref),
+        jnp.asarray(batch.match_mask))
+    assert int(globals_["total_mismatches"]) == int(np.asarray(unsharded_mm).sum())
+    assert per_read["mismatches"].shape[0] == sharded.bases.shape[0]
+
+
+def test_sharded_realign_step_on_mesh():
+    rng = np.random.default_rng(6)
+    mesh = make_mesh(8)
+    n, L, W = 32, 128, 256
+    reads = np.full((n, L), PAD_CODE, np.uint8)
+    windows = rng.integers(0, 4, size=(n, W), dtype=np.uint8)
+    read_len = 100
+    reads[:, :read_len] = rng.integers(0, 4, size=(n, read_len), dtype=np.uint8)
+    windows[0, 64:64 + read_len] = reads[0, :read_len]  # row 0 aligns perfectly
+    lengths = np.full(n, read_len, np.int32)
+    step = sharded_realign_step(mesh)
+    result, total = step(jnp.asarray(reads), jnp.asarray(windows),
+                         jnp.asarray(lengths))
+    can_align = np.asarray(result["can_align"])
+    assert can_align[0]
+    assert int(total) == int(can_align.sum())
