@@ -1,0 +1,237 @@
+"""Synthetic-sample builders shared by the e2e and oracle-parity tests.
+
+Fragments follow the STAR conventions the ingest expects: split reads are
+(MATE1, clipped mate with SA tag, supplementary hard-clipped record);
+discordant mates are paired records without the proper-pair flag.
+"""
+
+import random
+from typing import Dict, List
+
+import numpy as np
+
+from arriba_tpu.io.bam import BamRecord, SamHeader, cigar_from_string, write_sam
+
+from .util import gtf_line, random_genome, write_fasta
+
+STOP_CODONS = ("TAA", "TAG", "TGA")
+
+
+def stop_free_cds(rng: random.Random, length: int) -> str:
+    codons = [c for c in (a + b + c for a in "ACGT" for b in "ACGT" for c in "ACGT")
+              if c not in STOP_CODONS + ("ATG",)]
+    return ("ATG" + "".join(rng.choice(codons)
+                            for _ in range(length // 3 + 1)))[:length]
+
+
+class SampleBuilder:
+    """Accumulates SAM records over a synthetic genome + GTF."""
+
+    def __init__(self, tmp_path, contig_lengths: Dict[str, int], seed: int = 7):
+        self.tmp_path = tmp_path
+        self.rng = random.Random(seed)
+        self.genome = random_genome(contig_lengths, seed=seed)
+        self.contig_names = list(contig_lengths)
+        self.gtf_lines: List[str] = []
+        self.records: List[BamRecord] = []
+        self.header = SamHeader(target_names=self.contig_names,
+                                target_lengths=list(contig_lengths.values()))
+
+    def tid(self, contig: str) -> int:
+        return self.contig_names.index(contig)
+
+    def seq(self, contig: str, pos: int, length: int) -> str:
+        return self.genome[contig][pos:pos + length].tobytes().decode()
+
+    def add_gene(self, contig: str, start: int, end: int, strand: str,
+                 gene_id: str, name: str, transcript: str,
+                 coding: bool = True, exons: List = None) -> None:
+        exon_list = exons or [(start, end)]
+        for exon_start, exon_end in exon_list:
+            self.gtf_lines.append(gtf_line(contig, "exon", exon_start, exon_end,
+                                           strand, gene_id, name, transcript))
+            if coding:
+                self.gtf_lines.append(gtf_line(contig, "CDS", exon_start, exon_end,
+                                               strand, gene_id, name, transcript))
+        if coding:
+            # make the CDS translatable from its 5' start
+            cds_start = exon_list[0][0] if strand == "+" else None
+            if cds_start is not None:
+                patch = stop_free_cds(self.rng, min(999, end - start))
+                self.genome[contig][cds_start:cds_start + len(patch)] = \
+                    np.frombuffer(patch.encode(), np.uint8)
+
+    def add_split_fragment(self, name: str, contig1: str, mate1_pos: int,
+                           split_pos: int, matched: int, clip: int,
+                           contig2: str, supp_pos: int, hi: int = 1,
+                           duplicate: bool = False) -> None:
+        """MATE1 forward + split read (clip at the 3' end mapping to contig2)
+        + hard-clipped supplementary. Breakpoints: contig1:split_pos+matched-1
+        (downstream) -> contig2:supp_pos (upstream)."""
+        tid1, tid2 = self.tid(contig1), self.tid(contig2)
+        mate1_len = 50
+        flag_extra = 1024 if duplicate else 0
+        self.records.append(BamRecord(
+            qname=name, flag=99 | flag_extra, tid=tid1, pos=mate1_pos, mapq=60,
+            cigar=cigar_from_string(f"{mate1_len}M"), mtid=tid1, mpos=split_pos,
+            tlen=150, seq=self.seq(contig1, mate1_pos, mate1_len), tags={"HI": hi}))
+        self.records.append(BamRecord(
+            qname=name, flag=147 | flag_extra, tid=tid1, pos=split_pos, mapq=60,
+            cigar=cigar_from_string(f"{matched}M{clip}S"), mtid=tid1,
+            mpos=mate1_pos, tlen=-150,
+            seq=self.seq(contig1, split_pos, matched) + self.seq(contig2, supp_pos, clip),
+            tags={"HI": hi, "SA": f"{contig2},{supp_pos + 1},-,{matched}S{clip}M,60,0;"}))
+        self.records.append(BamRecord(
+            qname=name, flag=2195 | flag_extra, tid=tid2, pos=supp_pos, mapq=60,
+            cigar=cigar_from_string(f"{matched}H{clip}M"), mtid=tid1,
+            mpos=mate1_pos, tlen=0, seq=self.seq(contig2, supp_pos, clip),
+            tags={"HI": hi}))
+
+    def add_discordant_fragment(self, name: str, contig1: str, pos1: int,
+                                contig2: str, pos2: int, hi: int = 1,
+                                length: int = 50) -> None:
+        tid1, tid2 = self.tid(contig1), self.tid(contig2)
+        self.records.append(BamRecord(
+            qname=name, flag=97, tid=tid1, pos=pos1, mapq=60,
+            cigar=cigar_from_string(f"{length}M"), mtid=tid2, mpos=pos2, tlen=0,
+            seq=self.seq(contig1, pos1, length), tags={"HI": hi}))
+        self.records.append(BamRecord(
+            qname=name, flag=145, tid=tid2, pos=pos2, mapq=60,
+            cigar=cigar_from_string(f"{length}M"), mtid=tid1, mpos=pos1, tlen=0,
+            seq=self.seq(contig2, pos2, length), tags={"HI": hi}))
+
+    def add_proper_pair(self, name: str, contig: str, pos: int,
+                        gap: int = 100, length: int = 50) -> None:
+        tid = self.tid(contig)
+        self.records.append(BamRecord(
+            qname=name, flag=99, tid=tid, pos=pos, mapq=60,
+            cigar=cigar_from_string(f"{length}M"), mtid=tid, mpos=pos + gap,
+            tlen=gap + length, seq=self.seq(contig, pos, length), tags={"HI": 1}))
+        self.records.append(BamRecord(
+            qname=name, flag=147, tid=tid, pos=pos + gap, mapq=60,
+            cigar=cigar_from_string(f"{length}M"), mtid=tid, mpos=pos,
+            tlen=-(gap + length), seq=self.seq(contig, pos + gap, length),
+            tags={"HI": 1}))
+
+    def write(self):
+        """Write genome.fa, genes.gtf, blacklist.tsv, aligned.sam; returns
+        the common CLI arguments (without -o/-O)."""
+        fasta = self.tmp_path / "genome.fa"
+        write_fasta(fasta, self.genome)
+        gtf = self.tmp_path / "genes.gtf"
+        gtf.write_text("\n".join(self.gtf_lines) + "\n")
+        blacklist = self.tmp_path / "blacklist.tsv"
+        blacklist.write_text("1:19000\t1:19500\n")
+        sam = self.tmp_path / "aligned.sam"
+        write_sam(str(sam), self.header, self.records)
+        return ["-x", str(sam), "-g", str(gtf), "-a", str(fasta),
+                "-b", str(blacklist), "-i", " ".join(self.contig_names), "-s", "no"]
+
+
+def translocation_sample(tmp_path, seed=7) -> List[str]:
+    """4 split reads + 2 discordant pairs supporting GENE1->GENE2."""
+    b = SampleBuilder(tmp_path, {"1": 20000, "2": 20000}, seed)
+    b.add_gene("1", 1000, 1999, "+", "G1", "GENE1", "T1")
+    b.add_gene("2", 5000, 5999, "+", "G2", "GENE2", "T2")
+    for i, mate1_pos in enumerate([1104, 1114, 1124, 1134]):
+        b.add_split_fragment(f"split{i}", "1", mate1_pos, 1204, 30, 40, "2", 5000)
+    for i, (p1, p2) in enumerate([(1100, 5050), (1150, 5030)]):
+        b.add_discordant_fragment(f"disc{i}", "1", p1, "2", p2)
+    for i, (contig, pos) in enumerate([("1", 1150), ("1", 1180), ("2", 5020), ("2", 5060)]):
+        b.add_proper_pair(f"norm{i}", contig, pos)
+    return b.write()
+
+
+def multi_event_sample(tmp_path, seed=13) -> List[str]:
+    """Several event types at once: a translocation, duplicates,
+    multimappers, an intergenic breakpoint (dummy genes), and background."""
+    b = SampleBuilder(tmp_path, {"1": 40000, "2": 40000, "3": 30000}, seed)
+    b.add_gene("1", 1000, 2999, "+", "G1", "ALPHA", "T1",
+               exons=[(1000, 1499), (2000, 2999)])
+    b.add_gene("1", 20000, 22999, "-", "G2", "BETA", "T2")
+    b.add_gene("2", 5000, 7999, "+", "G3", "GAMMA", "T3",
+               exons=[(5000, 5999), (7000, 7999)])
+    b.add_gene("3", 10000, 11999, "+", "G4", "DELTA", "T4", coding=False)
+
+    # translocation ALPHA -> GAMMA with varying support
+    for i, mate1_pos in enumerate([1104, 1118, 1132]):
+        b.add_split_fragment(f"t{i}", "1", mate1_pos, 1204, 30, 40, "2", 5000)
+    b.add_discordant_fragment("td0", "1", 1100, "2", 5040)
+    # PCR duplicates of the same split fragment
+    b.add_split_fragment("dup0", "1", 1104, 1204, 30, 40, "2", 5000)
+    # multimapper: same read name, two hit indices at different loci
+    b.add_split_fragment("mm0", "1", 1110, 1204, 30, 40, "2", 5000, hi=1)
+    b.add_split_fragment("mm0", "1", 20100, 20200, 30, 40, "3", 10100, hi=2)
+    # intergenic breakpoint (no gene at 2:15000) => dummy gene
+    b.add_split_fragment("ig0", "1", 1110, 1204, 30, 40, "2", 15000)
+    b.add_split_fragment("ig1", "1", 1124, 1204, 30, 40, "2", 15000)
+    # BETA -> DELTA (non-coding 3' partner)
+    for i, mate1_pos in enumerate([20100, 20115]):
+        b.add_split_fragment(f"bd{i}", "1", mate1_pos, 20200, 30, 40, "3", 10100)
+    # background coverage near all breakpoints
+    positions = [("1", 1150), ("1", 1180), ("2", 5020), ("2", 5060),
+                 ("1", 20150), ("3", 10050), ("2", 14950), ("1", 1210),
+                 ("2", 5002), ("1", 20202), ("3", 10102)]
+    for i, (contig, pos) in enumerate(positions):
+        b.add_proper_pair(f"n{i}", contig, pos)
+    return b.write()
+
+
+def fuzz_sample(tmp_path, seed: int) -> List[str]:
+    """Randomized mixture of fragment types across random gene layouts."""
+    rng = random.Random(seed)
+    b = SampleBuilder(tmp_path, {"1": 60000, "2": 60000}, seed)
+    # random gene layout: 3 genes per contig, alternating strands
+    gene_positions = {}
+    gene_row = 0
+    for contig in ("1", "2"):
+        pos = 2000
+        for g in range(3):
+            length = rng.choice([1000, 2000, 3000])
+            strand = rng.choice("+-")
+            gene_id = f"G{gene_row}"
+            b.add_gene(contig, pos, pos + length - 1, strand, gene_id,
+                       f"GENE{gene_row}", f"T{gene_row}",
+                       coding=rng.random() < 0.8)
+            gene_positions[gene_id] = (contig, pos, pos + length - 1)
+            gene_row += 1
+            pos += length + rng.choice([5000, 12000])
+
+    gene_ids = list(gene_positions)
+
+    def random_breakpoint():
+        if rng.random() < 0.15:  # intergenic
+            contig = rng.choice(("1", "2"))
+            return contig, rng.randrange(40000, 55000)
+        gene = rng.choice(gene_ids)
+        contig, start, end = gene_positions[gene]
+        return contig, rng.randrange(start + 100, end - 100)
+
+    n_fragments = rng.randrange(10, 30)
+    for i in range(n_fragments):
+        kind = rng.random()
+        contig1, bp1 = random_breakpoint()
+        contig2, bp2 = random_breakpoint()
+        if abs(bp1 - bp2) < 500 and contig1 == contig2:
+            continue
+        if kind < 0.6:
+            matched = rng.choice([25, 30, 35])
+            clip = rng.choice([30, 40])
+            split_pos = bp1 - matched + 1
+            if split_pos < 60 or bp2 + clip + 10 > 60000:
+                continue
+            mate1_pos = max(0, split_pos - rng.randrange(40, 120))
+            n_copies = 1 + (rng.random() < 0.4) + (rng.random() < 0.3) * 2
+            for copy in range(n_copies):
+                b.add_split_fragment(
+                    f"f{i}c{copy}", contig1, mate1_pos + copy * 7, split_pos,
+                    matched, clip, contig2, bp2)
+        else:
+            if bp1 + 60 > 60000 or bp2 + 60 > 60000:
+                continue
+            b.add_discordant_fragment(f"f{i}", contig1, bp1, contig2, bp2)
+        # background coverage near the breakpoints
+        if rng.random() < 0.7 and bp1 + 300 < 60000:
+            b.add_proper_pair(f"f{i}bg", contig1, bp1 + rng.randrange(0, 120))
+
+    return b.write()

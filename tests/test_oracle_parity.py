@@ -1,0 +1,67 @@
+"""Golden parity tests: run the reference arriba (built against the htslib
+shim) and our pipeline on the same synthetic samples and require byte-equal
+fusions.tsv plus identical per-stage remaining-counts.
+
+The discarded-fusions file is compared as a sorted set of rows: the
+reference writes it in unordered_map hash order, which is arbitrary
+(output_fusions.cpp:1052 'don't sort the discarded fusions')."""
+
+import re
+
+import pytest
+
+from .oracle_util import oracle_available, run_oracle, run_ours
+from .scenario import multi_event_sample, translocation_sample
+
+pytestmark = pytest.mark.skipif(not oracle_available(),
+                                reason="reference oracle not buildable")
+
+COUNTER = re.compile(r"\((?:remaining|total|marked)=(\d+)\)")
+
+
+def run_both(tmp_path, args):
+    oracle_dir = tmp_path / "oracle_out"
+    ours_dir = tmp_path / "ours_out"
+    oracle_dir.mkdir()
+    ours_dir.mkdir()
+    oracle = run_oracle(args + ["-o", str(oracle_dir / "fusions.tsv"),
+                                "-O", str(oracle_dir / "discarded.tsv")], tmp_path)
+    ours = run_ours(args + ["-o", str(ours_dir / "fusions.tsv"),
+                            "-O", str(ours_dir / "discarded.tsv")], tmp_path)
+    assert oracle.returncode == 0, oracle.stderr + oracle.stdout
+    assert ours.returncode == 0, ours.stderr + ours.stdout
+    return oracle, ours, oracle_dir, ours_dir
+
+
+def assert_parity(tmp_path, args):
+    oracle, ours, oracle_dir, ours_dir = run_both(tmp_path, args)
+
+    # per-stage counters must match exactly
+    oracle_counts = COUNTER.findall(oracle.stdout)
+    our_counts = COUNTER.findall(ours.stdout)
+    assert oracle_counts == our_counts, (
+        f"stage counters diverge:\noracle: {oracle_counts}\nours:   {our_counts}\n"
+        f"--- oracle log ---\n{oracle.stdout}\n--- our log ---\n{ours.stdout}")
+
+    oracle_main = (oracle_dir / "fusions.tsv").read_text()
+    our_main = (ours_dir / "fusions.tsv").read_text()
+    assert oracle_main == our_main, (
+        f"fusions.tsv differs:\n--- oracle ---\n{oracle_main}\n--- ours ---\n{our_main}")
+
+    oracle_discarded = sorted((oracle_dir / "discarded.tsv").read_text().splitlines())
+    our_discarded = sorted((ours_dir / "discarded.tsv").read_text().splitlines())
+    assert oracle_discarded == our_discarded
+
+
+def test_translocation_parity(tmp_path):
+    assert_parity(tmp_path, translocation_sample(tmp_path))
+
+
+def test_multi_event_parity(tmp_path):
+    assert_parity(tmp_path, multi_event_sample(tmp_path))
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 6, 7, 8])
+def test_fuzz_parity(tmp_path, seed):
+    from .scenario import fuzz_sample
+    assert_parity(tmp_path, fuzz_sample(tmp_path, seed))
