@@ -355,7 +355,8 @@ def filter_both_intronic(fusions: Fusions, chimeric_alignments: ChimericAlignmen
         if f.filter != FILTER_NONE:
             continue
         if viral_contigs[f.contig1] or viral_contigs[f.contig2]:
-            remaining += 1  # viral contigs are often not annotated
+            # viral contigs are often not annotated; note the reference's
+            # `continue` also skips the remaining++ (filter_both_intronic.cpp:25)
             continue
         if (not list_contains_exonic_reads(f.split_read1_list)
                 and not list_contains_exonic_reads(f.split_read2_list)
@@ -634,7 +635,7 @@ def filter_end_to_end_fusions(fusions: Fusions, genes: GeneTable, exons: ExonTab
         if f.filter != FILTER_NONE:
             continue
         if viral_contigs[f.contig1] or viral_contigs[f.contig2]:
-            remaining += 1
+            # the reference's `continue` skips remaining++ (filter_end_to_end.cpp:33)
             continue
         if (not f.is_read_through() and f.gene1 != f.gene2 and (f.spliced1 or f.spliced2)):
             remaining += 1

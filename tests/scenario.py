@@ -235,3 +235,147 @@ def fuzz_sample(tmp_path, seed: int) -> List[str]:
             b.add_proper_pair(f"f{i}bg", contig1, bp1 + rng.randrange(0, 120))
 
     return b.write()
+
+
+def itd_sample(tmp_path, seed=21) -> List[str]:
+    """Internal tandem duplication: 12 duplication-orientation split reads
+    inside one coding exon (recover_internal_tandem_duplication path)."""
+    b = SampleBuilder(tmp_path, {"1": 20000}, seed)
+    b.add_gene("1", 1000, 2999, "+", "G1", "FLT3LIKE", "T1")
+    # supp before split on the same contig => canonicalized to
+    # direction1=UPSTREAM @ supp_pos, direction2=DOWNSTREAM @ split end
+    for i in range(12):
+        b.add_split_fragment(f"itd{i}", "1", 1500 + i * 3, 1700, 30, 40, "1", 1660)
+    for i, pos in enumerate([1600, 1640, 1680, 1720]):
+        b.add_proper_pair(f"bg{i}", "1", pos)
+    return b.write()
+
+
+def aux_files_sample(tmp_path, seed=31) -> List[str]:
+    """Translocation plus every optional input: known fusions (-k),
+    tags (-t), protein domains (-p), WGS breakpoints (-d), and the
+    -X/-I extra flags."""
+    args = translocation_sample(tmp_path, seed)
+    known = tmp_path / "known_fusions.tsv"
+    known.write_text("GENE1\tGENE2\nNOSUCH\tGENE2\n")
+    tags = tmp_path / "tags.tsv"
+    tags.write_text("GENE1\tGENE2\toncogenic_fusion\nGENE2\tGENE1\treciprocal\n")
+    domains = tmp_path / "domains.gff3"
+    domains.write_text("\n".join([
+        "1\ttest\tprotein_domain\t1001\t1400\t.\t+\t.\t"
+        "gene_name=GENE1;gene_id=G1;Name=Kinase%20domain",
+        "1\ttest\tprotein_domain\t1500\t1900\t.\t+\t.\t"
+        "gene_name=GENE1;gene_id=G1;Name=SH2",
+        "2\ttest\tprotein_domain\t5100\t5900\t.\t+\t.\t"
+        "gene_name=GENE2;gene_id=G2;Name=DNA-binding",
+    ]) + "\n")
+    wgs = tmp_path / "wgs.tsv"
+    wgs.write_text("1:1230\t2:4995\tdownstream\tupstream\n")
+    return args + ["-k", str(known), "-t", str(tags), "-p", str(domains),
+                   "-d", str(wgs), "-X", "-I"]
+
+
+def viral_sample(tmp_path, seed=41) -> List[str]:
+    """Viral integration: pristine reads on a viral contig plus
+    human->virus split reads (viral contig filters + integration site)."""
+    b = SampleBuilder(tmp_path, {"1": 30000, "AC_012345.1": 8000}, seed)
+    b.add_gene("1", 1000, 2999, "+", "G1", "HOST", "T1")
+    virus = "AC_012345.1"
+    # integration: split reads from HOST into the virus
+    for i, mate1_pos in enumerate([1104, 1118, 1132, 1146]):
+        b.add_split_fragment(f"v{i}", "1", mate1_pos, 1204, 30, 40, virus, 3000)
+    # pristine viral reads spread over the virus (expression + coverage)
+    for i in range(12):
+        b.add_proper_pair(f"vp{i}", virus, 200 + i * 600, gap=80)
+    for i, pos in enumerate([1150, 1180, 1210]):
+        b.add_proper_pair(f"hb{i}", "1", pos)
+    args = b.write()
+    # widen interesting contigs to include the viral contig (the default -i
+    # matches AC_* but our SampleBuilder overrides -i)
+    idx = args.index("-i")
+    args[idx + 1] = "1 AC_*"
+    return args + ["-v", "AC_*"]
+
+
+def _add_split_fragment_start_clip(b: SampleBuilder, name: str, contig1: str,
+                                   mate1_pos: int, split_pos: int, matched: int,
+                                   clip: int, contig2: str, supp_pos: int,
+                                   hi: int = 1) -> None:
+    """Forward split read clipped at the START (clip maps to contig2 before
+    the junction): directions UPSTREAM @ split_pos / DOWNSTREAM @ supp end."""
+    tid1, tid2 = b.tid(contig1), b.tid(contig2)
+    read_seq = b.seq(contig2, supp_pos, clip) + b.seq(contig1, split_pos, matched)
+    b.records.append(BamRecord(
+        qname=name, flag=83, tid=tid1, pos=mate1_pos, mapq=60,
+        cigar=cigar_from_string("50M"), mtid=tid1, mpos=split_pos, tlen=-150,
+        seq=b.seq(contig1, mate1_pos, 50), tags={"HI": hi}))
+    b.records.append(BamRecord(
+        qname=name, flag=163, tid=tid1, pos=split_pos, mapq=60,
+        cigar=cigar_from_string(f"{clip}S{matched}M"), mtid=tid1, mpos=mate1_pos,
+        tlen=150, seq=read_seq,
+        tags={"HI": hi, "SA": f"{contig2},{supp_pos + 1},+,{clip}M{matched}S,60,0;"}))
+    b.records.append(BamRecord(
+        qname=name, flag=2179, tid=tid2, pos=supp_pos, mapq=60,
+        cigar=cigar_from_string(f"{clip}M{matched}H"), mtid=tid1, mpos=mate1_pos,
+        tlen=0, seq=b.seq(contig2, supp_pos, clip), tags={"HI": hi}))
+
+
+SampleBuilder.add_split_fragment_start_clip = (
+    lambda self, *args, **kwargs: _add_split_fragment_start_clip(self, *args, **kwargs))
+
+
+def fuzz_sample2(tmp_path, seed: int) -> List[str]:
+    """Fuzz with both split orientations, ITD-like events, and duplicates."""
+    rng = random.Random(seed * 977)
+    b = SampleBuilder(tmp_path, {"1": 60000, "2": 60000}, seed * 977)
+    gene_positions = {}
+    gene_row = 0
+    for contig in ("1", "2"):
+        pos = 2000
+        for g in range(3):
+            length = rng.choice([1500, 2500])
+            gene_id = f"G{gene_row}"
+            b.add_gene(contig, pos, pos + length - 1, rng.choice("+-"), gene_id,
+                       f"GENE{gene_row}", f"T{gene_row}", coding=rng.random() < 0.8)
+            gene_positions[gene_id] = (contig, pos, pos + length - 1)
+            gene_row += 1
+            pos += length + rng.choice([6000, 14000])
+    gene_ids = list(gene_positions)
+
+    def in_gene_pos(margin=200):
+        gene = rng.choice(gene_ids)
+        contig, start, end = gene_positions[gene]
+        return contig, rng.randrange(start + margin, end - margin)
+
+    for i in range(rng.randrange(8, 24)):
+        c1, p1 = in_gene_pos()
+        c2, p2 = in_gene_pos()
+        kind = rng.random()
+        matched = rng.choice([25, 30])
+        clip = rng.choice([30, 40])
+        if kind < 0.35:
+            split_pos = p1 - matched + 1
+            mate1_pos = max(0, split_pos - rng.randrange(40, 110))
+            for copy in range(1 + (rng.random() < 0.5) * rng.randrange(1, 3)):
+                b.add_split_fragment(f"a{i}c{copy}", c1, mate1_pos + copy * 5,
+                                     split_pos, matched, clip, c2, p2)
+        elif kind < 0.6:
+            mate1_pos = p1 + rng.randrange(60, 140)
+            if mate1_pos + 60 < 60000 and p2 + clip < 60000:
+                for copy in range(1 + (rng.random() < 0.5) * rng.randrange(1, 3)):
+                    b.add_split_fragment_start_clip(
+                        f"b{i}c{copy}", c1, mate1_pos + copy * 5, p1, matched,
+                        clip, c2, p2)
+        elif kind < 0.8:
+            # ITD-like: supp shortly before the split on the same contig
+            split_pos = p1
+            supp_pos = max(0, p1 - rng.randrange(10, 60))
+            n_copies = rng.randrange(2, 13)
+            for copy in range(n_copies):
+                b.add_split_fragment(f"d{i}c{copy}", c1, split_pos - 100 + copy * 3,
+                                     split_pos, matched, clip, c1, supp_pos)
+        else:
+            b.add_discordant_fragment(f"e{i}", c1, p1, c2, p2)
+        if rng.random() < 0.8:
+            b.add_proper_pair(f"g{i}", c1, p1 + rng.randrange(0, 100))
+    return b.write()

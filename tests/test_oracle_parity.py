@@ -65,3 +65,24 @@ def test_multi_event_parity(tmp_path):
 def test_fuzz_parity(tmp_path, seed):
     from .scenario import fuzz_sample
     assert_parity(tmp_path, fuzz_sample(tmp_path, seed))
+
+
+def test_itd_parity(tmp_path):
+    from .scenario import itd_sample
+    assert_parity(tmp_path, itd_sample(tmp_path))
+
+
+def test_aux_files_parity(tmp_path):
+    from .scenario import aux_files_sample
+    assert_parity(tmp_path, aux_files_sample(tmp_path))
+
+
+def test_viral_parity(tmp_path):
+    from .scenario import viral_sample
+    assert_parity(tmp_path, viral_sample(tmp_path))
+
+
+@pytest.mark.parametrize("seed", list(range(1, 9)))
+def test_fuzz2_parity(tmp_path, seed):
+    from .scenario import fuzz_sample2
+    assert_parity(tmp_path, fuzz_sample2(tmp_path, seed))
