@@ -1,0 +1,92 @@
+"""Utility-tool tests: VCF conversion, exon numbers, virus quantification,
+supporting-read extraction — driven off a real pipeline run."""
+
+import subprocess
+import sys
+
+import pytest
+
+from .oracle_util import REPO, run_ours
+from .scenario import translocation_sample, viral_sample
+
+
+@pytest.fixture(scope="module")
+def pipeline_output(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("tools")
+    args = translocation_sample(tmp)
+    result = run_ours(args + ["-o", str(tmp / "fusions.tsv")], tmp)
+    assert result.returncode == 0, result.stderr
+    return tmp
+
+
+def run_tool(module, args):
+    import os
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run([sys.executable, "-m", module] + [str(a) for a in args],
+                          capture_output=True, text=True, env=env)
+
+
+def test_convert_fusions_to_vcf(pipeline_output):
+    tmp = pipeline_output
+    result = run_tool("arriba_tpu.tools.convert_fusions_to_vcf",
+                      [tmp / "genome.fa", tmp / "fusions.tsv", tmp / "fusions.vcf"])
+    assert result.returncode == 0, result.stderr
+    vcf = (tmp / "fusions.vcf").read_text().splitlines()
+    assert vcf[0] == "##fileformat=VCFv4.3"
+    records = [line for line in vcf if not line.startswith("#")]
+    assert len(records) == 2  # one BND pair
+    chrom1, pos1, id1, ref1, alt1, qual1, filter1, info1 = records[0].split("\t")
+    assert (chrom1, pos1, id1) == ("1", "1234", "1a")
+    assert "SVTYPE=BND" in info1 and "MATEID=1b" in info1
+    assert "GENE_NAME=GENE1" in info1
+    # direction1 downstream + direction2 upstream => t[mate[ notation
+    assert alt1 == f"{ref1}[2:5001["
+
+
+def test_annotate_exon_numbers(pipeline_output):
+    tmp = pipeline_output
+    result = run_tool("arriba_tpu.tools.annotate_exon_numbers",
+                      [tmp / "fusions.tsv", tmp / "genes.gtf", tmp / "annotated.tsv"])
+    assert result.returncode == 0, result.stderr
+    lines = (tmp / "annotated.tsv").read_text().splitlines()
+    assert lines[0].endswith("\texon_number1\texon_number2")
+    # our synthetic GTF has no exon_number attributes => '.'
+    assert lines[1].endswith("\t.\t.")
+
+
+def test_extract_fusion_supporting_alignments(pipeline_output):
+    tmp = pipeline_output
+    result = run_tool("arriba_tpu.tools.extract_fusion_supporting_alignments",
+                      [tmp / "fusions.tsv", tmp / "aligned.sam", tmp / "support"])
+    assert result.returncode == 0, result.stderr
+    sam = (tmp / "support_1.sam").read_text().splitlines()
+    read_lines = [line for line in sam if not line.startswith("@")]
+    names = {line.split("\t")[0] for line in read_lines}
+    assert names == {"split0", "split1", "split2", "split3", "disc0", "disc1"}
+
+
+def test_quantify_virus_expression(tmp_path):
+    args = viral_sample(tmp_path)
+    sam_path = args[args.index("-x") + 1]
+    result = run_tool("arriba_tpu.tools.quantify_virus_expression",
+                      [sam_path, tmp_path / "virus.tsv"])
+    assert result.returncode == 0, result.stderr
+    lines = (tmp_path / "virus.tsv").read_text().splitlines()
+    assert lines[0].startswith("VIRUS\t")
+    assert len(lines) == 2
+    virus, size, covered, fraction, reads, rpkm = lines[1].split("\t")
+    assert virus == "AC_012345.1"
+    assert int(reads) >= 20  # 12 proper pairs (24 reads) are pristine
+
+
+def test_draw_fusions(pipeline_output):
+    tmp = pipeline_output
+    result = run_tool("arriba_tpu.tools.draw_fusions",
+                      [f"--fusions={tmp}/fusions.tsv",
+                       f"--annotation={tmp}/genes.gtf",
+                       f"--output={tmp}/fusions.pdf",
+                       f"--alignments={tmp}/aligned.sam"])
+    assert result.returncode == 0, result.stderr
+    pdf = (tmp / "fusions.pdf").read_bytes()
+    assert pdf.startswith(b"%PDF") and len(pdf) > 2000
