@@ -29,10 +29,34 @@ from ..constants import (CIGAR_CONSUMES_REF, CIGAR_DIFF, CIGAR_HARD_CLIP,
 from ..contigs import ContigRegistry, is_interesting_contig
 from ..io.bam import (BamRecord, FDUP, FPAIRED, FPROPER_PAIR, FREAD1,
                       FREVERSE, FSECONDARY, FSUPPLEMENTARY, FUNMAP, FMUNMAP,
-                      open_alignment_file)
+                      open_alignment_file, parse_sam_record)
+
+try:  # the native data loader (C++): decode + collation + coverage for the
+    # uninteresting majority of reads; falls back to pure Python if unbuilt
+    import os as _os
+    if _os.environ.get("ARRIBA_TPU_NO_NATIVE"):
+        _native = None
+    else:
+        from .. import _native
+except ImportError:  # pragma: no cover - build-environment dependent
+    _native = None
 from ..io.fasta import Assembly
 from ..model import Alignment, ChimericAlignments, Fragment
 from .stats import Coverage
+
+def _is_plain_sam(path: str) -> bool:
+    """True when the input is uncompressed SAM text on a regular file (the
+    formats the native loader currently parses)."""
+    import os
+    if not os.path.isfile(path):
+        return False
+    try:
+        with open(path, "rb") as fh:
+            magic = fh.read(4)
+    except OSError:
+        return False
+    return magic[:2] != b"\x1f\x8b" and magic != b"CRAM"
+
 
 CLIP_NONE = 0
 CLIP_START = 1
@@ -522,6 +546,41 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
     while len(mapped_viral_reads_by_contig) < len(contigs):
         mapped_viral_reads_by_contig.append(0)
 
+    # native fast path: the C++ loader fully handles "boring" proper pairs
+    # (decode + coverage + counters) and forwards only records that can
+    # affect chimeric extraction; the exact logic below then runs unchanged
+    # on the forwarded minority
+    native_boring_mapped = 0
+    if (_native is not None and is_rna_bam_file and not separate_chimeric_bam_file
+            and _is_plain_sam(path)):
+        name_to_tid = {name: tid for tid, name in enumerate(header.target_names)}
+        boundaries = []
+        planes = []
+        interesting_per_tid = bytearray(len(tid_to_contig))
+        viral_per_tid = bytearray(len(tid_to_contig))
+        for tid, cid in enumerate(tid_to_contig):
+            if cid < gene_index.n_contigs:
+                boundaries.append(np.ascontiguousarray(
+                    gene_index.boundaries[cid], np.int64).tobytes())
+            else:
+                boundaries.append(b"")
+            if cid < len(coverage.coverage) and len(coverage.coverage[cid]):
+                planes.append((coverage.coverage[cid],
+                               coverage.fragment_starts[cid].view(np.uint8),
+                               coverage.fragment_ends[cid].view(np.uint8)))
+            else:
+                planes.append(None)
+            interesting_per_tid[tid] = 1 if interesting_tids[cid] else 0
+            viral_per_tid[tid] = 1 if viral_contigs_mask[cid] else 0
+        _, forwarded, native_boring_mapped, viral_counts, _n_records = \
+            _native.scan_sam(path, name_to_tid, boundaries,
+                             bytes(interesting_per_tid), bytes(viral_per_tid),
+                             planes, external_duplicate_marking)
+        for tid, count in enumerate(viral_counts):
+            mapped_viral_reads_by_contig[tid_to_contig[tid]] += count
+        records = (parse_sam_record(line, name_to_tid)
+                   for line in forwarded.decode("latin-1").splitlines())
+
     collated: Dict[str, BamRecord] = {}
     no_chimeric_reads = True
     missing_hi_tag = 0
@@ -646,7 +705,7 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
     if missing_hi_tag > 0:
         print(f"WARNING: {missing_hi_tag} secondary alignments lack the 'HI' tag and were ignored",
               file=sys.stderr)
-    return len(chimeric_alignments), mapped_reads
+    return len(chimeric_alignments), mapped_reads + native_boring_mapped
 
 
 def assign_strands_from_strandedness(chimeric_alignments: ChimericAlignments,

@@ -161,28 +161,30 @@ def read_sam_text(path: str) -> Tuple[SamHeader, Iterator[BamRecord]]:
     name_to_tid = {n: i for i, n in enumerate(header.target_names)}
 
     def records() -> Iterator[BamRecord]:
-        def parse(line: str) -> BamRecord:
-            parts = line.rstrip("\n").split("\t")
-            rec = BamRecord(
-                qname=parts[0], flag=int(parts[1]),
-                tid=name_to_tid.get(parts[2], -1), pos=int(parts[3]) - 1,
-                mapq=int(parts[4]), cigar=cigar_from_string(parts[5]),
-                mtid=(name_to_tid.get(parts[6], -1) if parts[6] != "=" else name_to_tid.get(parts[2], -1)),
-                mpos=int(parts[7]) - 1, tlen=int(parts[8]),
-                seq=parts[9] if parts[9] != "*" else "",
-                qual=parts[10] if parts[10] != "*" else "")
-            for tag_field in parts[11:]:
-                name, value = _parse_sam_tag(tag_field)
-                rec.tags[name] = value
-            return rec
-
         for line in body_lines:
-            yield parse(line)
+            yield parse_sam_record(line, name_to_tid)
         for line in fh:
-            yield parse(line)
+            yield parse_sam_record(line, name_to_tid)
         fh.close()
 
     return header, records()
+
+
+def parse_sam_record(line: str, name_to_tid: Dict[str, int]) -> BamRecord:
+    """Parse one SAM body line into a BamRecord."""
+    parts = line.rstrip("\n").split("\t")
+    rec = BamRecord(
+        qname=parts[0], flag=int(parts[1]),
+        tid=name_to_tid.get(parts[2], -1), pos=int(parts[3]) - 1,
+        mapq=int(parts[4]), cigar=cigar_from_string(parts[5]),
+        mtid=(name_to_tid.get(parts[6], -1) if parts[6] != "=" else name_to_tid.get(parts[2], -1)),
+        mpos=int(parts[7]) - 1, tlen=int(parts[8]),
+        seq=parts[9] if parts[9] != "*" else "",
+        qual=parts[10] if parts[10] != "*" else "")
+    for tag_field in parts[11:]:
+        name, value = _parse_sam_tag(tag_field)
+        rec.tags[name] = value
+    return rec
 
 
 _TAG_STRUCT = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I", "f": "f"}

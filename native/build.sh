@@ -1,0 +1,8 @@
+#!/bin/bash
+# Build the native data loader extension in place.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+g++ -O3 -shared -fPIC -std=c++17 $(python3-config --includes) \
+    native/ingest.cpp \
+    -o arriba_tpu/_native$(python3-config --extension-suffix) -lz
+echo "built arriba_tpu/_native"

@@ -1,0 +1,578 @@
+/* Native data loader: BAM/SAM decoding, mate collation, coverage tracking,
+ * and a sound pre-classifier that keeps the uninteresting majority of reads
+ * entirely in C++ (the reference's data path is C++ too,
+ * read_chimeric_alignments.cpp:560-773).
+ *
+ * Division of labor with the Python ingest:
+ *  - C++ decodes every record (BGZF/gzip via zlib), collates mates, and for
+ *    "boring" pairs (proper pair, no SA tag, no soft clip >= 12, fragment
+ *    not spanning any gene boundary) performs the full bookkeeping: mapped-
+ *    read counting, pristine-viral-read counting, and the coverage walk
+ *    (port of read_stats.cpp:146-266 semantics as implemented in
+ *    arriba_tpu/ingest/stats.py).
+ *  - Everything else is forwarded to Python as SAM text, where the exact
+ *    extraction logic (ITD rescue, read-through splitting, SA split reads)
+ *    runs unchanged — so parity is owned by one implementation only.
+ *
+ * The boring classifier is a *sound superset* filter: any record that could
+ * influence chimeric extraction is forwarded.
+ */
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <zlib.h>
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr int FPAIRED = 1, FPROPER_PAIR = 2, FUNMAP = 4, FMUNMAP = 8,
+              FREVERSE = 16, FSECONDARY = 256, FDUP = 1024, FSUPPLEMENTARY = 2048;
+constexpr int CMATCH = 0, CINS = 1, CDEL = 2, CREF_SKIP = 3, CSOFT_CLIP = 4,
+              CHARD_CLIP = 5, CEQUAL = 7, CDIFF = 8;
+constexpr int COVERAGE_RESOLUTION = 20;
+constexpr int MIN_CLIPPED_FORWARD = 12;  /* is_tandem_duplication min_clipped_length */
+constexpr uint32_t CONSUMES_QUERY = (1u << CMATCH) | (1u << CINS) | (1u << CSOFT_CLIP) |
+                                    (1u << CEQUAL) | (1u << CDIFF);
+constexpr uint32_t CONSUMES_REF = (1u << CMATCH) | (1u << CDEL) | (1u << CREF_SKIP) |
+                                  (1u << CEQUAL) | (1u << CDIFF);
+
+const char CIGAR_CHARS[] = "MIDNSHP=XB";
+const char NT16[] = "=ACMGRSVTWYHKDBN";
+
+struct Record {
+    std::string line;          /* SAM text (parsed input or rebuilt from BAM) */
+    uint16_t flag = 0;
+    int32_t tid = -1;
+    int64_t pos = 0;           /* 0-based */
+    int64_t end_pos = 0;       /* 0-based exclusive (pos + ref-consumed) */
+    int32_t mtid = -1;
+    std::vector<uint32_t> cigar;
+    std::string seq;
+    bool has_sa = false;
+    int max_soft_clip = 0;
+};
+
+struct CoveragePlane {
+    uint16_t *coverage = nullptr;
+    uint8_t *starts = nullptr;
+    uint8_t *ends = nullptr;
+    Py_ssize_t windows = 0;
+};
+
+struct Scanner {
+    std::vector<CoveragePlane> planes;                 /* per tid */
+    std::vector<std::vector<int64_t>> boundaries;      /* per tid, sorted */
+    std::vector<uint8_t> interesting;                  /* per tid */
+    std::vector<uint8_t> viral;                        /* per tid */
+    std::vector<int64_t> viral_counts;                 /* per tid */
+    bool external_duplicate_marking = false;
+    long boring_mapped_reads = 0;
+    long n_records = 0;
+    std::string forwarded;
+    std::unordered_map<std::string, Record> collated;
+};
+
+/* ---- coverage walk: port of arriba_tpu/ingest/stats.py add_fragment ---- */
+
+void add_fragment(Scanner &scanner, const Record &mate1_in, const Record *mate2_in,
+                  bool is_chimeric, uint16_t flag_override, bool has_override) {
+    const Record &mate1 = mate1_in;
+    const Record &mate2 = (mate2_in != nullptr) ? *mate2_in : mate1_in;
+    uint16_t flag1 = has_override ? flag_override : mate1.flag;
+
+    if (mate1.tid < 0 || mate1.tid >= (int)scanner.planes.size() ||
+        mate2.tid < 0 || mate2.tid >= (int)scanner.planes.size())
+        return;
+    CoveragePlane &plane1 = scanner.planes[mate1.tid];
+    CoveragePlane &plane2 = scanner.planes[mate2.tid];
+    if (plane1.windows == 0 || plane2.windows == 0)
+        return;
+
+    if (flag1 & FPAIRED) {
+        if (!(flag1 & FPROPER_PAIR))
+            is_chimeric = true;
+    }
+
+    if (!is_chimeric) {
+        if (!(flag1 & FREVERSE) || !(flag1 & FPAIRED)) {
+            int64_t w = mate1.pos / COVERAGE_RESOLUTION;
+            if (w < plane1.windows) scanner.planes[mate1.tid].starts[w] = 1;
+        } else {
+            int64_t w = mate2.pos / COVERAGE_RESOLUTION;
+            if (w < plane2.windows) scanner.planes[mate2.tid].starts[w] = 1;
+        }
+    }
+
+    int64_t position1 = mate1.pos;
+    int64_t position2 = mate2.pos;
+    int64_t window = std::min(position1, position2) / COVERAGE_RESOLUTION;
+    size_t i1 = 0, i2 = 0;
+    const std::vector<uint32_t> &cigar1 = mate1.cigar;
+    const std::vector<uint32_t> &cigar2 = mate2.cigar;
+    const size_t n1 = cigar1.size(), n2 = cigar2.size();
+
+    for (;;) {
+        int64_t op_length1 = 0, op_length2 = 0;
+        uint32_t word1 = 0, word2 = 0;
+        if (i1 < n1) {
+            word1 = cigar1[i1];
+            op_length1 = (CONSUMES_REF >> (word1 & 0xf)) & 1 ? (word1 >> 4) : 0;
+        } else {
+            window = std::max(window, position2 / COVERAGE_RESOLUTION);
+        }
+        if (i2 < n2) {
+            word2 = cigar2[i2];
+            op_length2 = (CONSUMES_REF >> (word2 & 0xf)) & 1 ? (word2 >> 4) : 0;
+        } else {
+            window = std::max(window, position1 / COVERAGE_RESOLUTION);
+        }
+
+        uint32_t word;
+        int32_t contig;
+        int64_t position;
+        if (i1 < n1 && (position1 + op_length1 < position2 + op_length2 || i2 >= n2)) {
+            i1++;
+            if (op_length1 == 0) continue;
+            word = word1;
+            contig = mate1.tid;
+            position1 += op_length1;
+            position = position1;
+        } else if (i2 < n2) {
+            i2++;
+            if (op_length2 == 0) continue;
+            word = word2;
+            contig = mate2.tid;
+            position2 += op_length2;
+            position = position2;
+        } else {
+            break;
+        }
+
+        CoveragePlane &plane = scanner.planes[contig];
+        if ((CONSUMES_QUERY >> (word & 0xf)) & 1) {
+            while (window <= position / COVERAGE_RESOLUTION) {
+                if (window >= 0 && window < plane.windows &&
+                    plane.coverage[window] < 0xFFFF &&
+                    position - window * COVERAGE_RESOLUTION >= COVERAGE_RESOLUTION / 2)
+                    plane.coverage[window] += 1;
+                window += 1;
+            }
+        } else {
+            window = position / COVERAGE_RESOLUTION;
+        }
+    }
+
+    if (!is_chimeric) {
+        if ((flag1 & FREVERSE) || !(flag1 & FPAIRED)) {
+            int64_t w = (position1 - 1) / COVERAGE_RESOLUTION;
+            if (w >= 0 && w < plane1.windows) scanner.planes[mate1.tid].ends[w] = 1;
+        } else {
+            int64_t w = (position2 - 1) / COVERAGE_RESOLUTION;
+            if (w >= 0 && w < plane2.windows) scanner.planes[mate2.tid].ends[w] = 1;
+        }
+    }
+}
+
+/* ---- pristine-alignment test (read_chimeric_alignments.cpp:526-558) ---- */
+
+bool is_pristine_alignment(const Record &record) {
+    for (uint32_t word : record.cigar) {
+        uint32_t op = word & 0xf;
+        if (op != CREF_SKIP && op != CMATCH && op != CDIFF)
+            return false;
+    }
+    const std::string &sequence = record.seq;
+    int64_t repeat = 0, count = 1;
+    int64_t i = 2;
+    int64_t n = (int64_t)sequence.size();
+    while (i + 2 < n) {
+        if (sequence[i] == sequence[repeat] && sequence[i + 1] == sequence[repeat + 1]) {
+            count += 1;
+        } else if (sequence[i + 1] == sequence[repeat + 1] &&
+                   sequence[i + 2] == sequence[repeat + 2]) {
+            count += 1;
+            i += 1;
+        } else {
+            count = 1;
+            repeat = i;
+        }
+        if (count >= 8)
+            return false;
+        i += 2;
+    }
+    return true;
+}
+
+/* ---- boring classifier -------------------------------------------------- */
+
+bool spans_gene_boundary(const Scanner &scanner, int tid, int64_t lo, int64_t hi) {
+    if (tid < 0 || tid >= (int)scanner.boundaries.size())
+        return false;
+    const std::vector<int64_t> &bounds = scanner.boundaries[tid];
+    if (bounds.empty())
+        return false;
+    /* forward if the (slack-padded) interval contains a boundary, meaning the
+     * gene set can change inside the fragment */
+    auto first = std::lower_bound(bounds.begin(), bounds.end(), lo - 3);
+    auto second = std::lower_bound(bounds.begin(), bounds.end(), hi + 3);
+    return first != second;
+}
+
+bool pair_is_boring(const Scanner &scanner, const Record &record, const Record &mate) {
+    if (record.has_sa || mate.has_sa)
+        return false;
+    if (record.max_soft_clip >= MIN_CLIPPED_FORWARD ||
+        mate.max_soft_clip >= MIN_CLIPPED_FORWARD)
+        return false;
+    if (record.tid != mate.tid)
+        return false;
+    int64_t lo = std::min(record.pos, mate.pos);
+    int64_t hi = std::max(record.end_pos, mate.end_pos);
+    if (spans_gene_boundary(scanner, record.tid, lo, hi))
+        return false;
+    return true;
+}
+
+void handle_boring_pair(Scanner &scanner, const Record &record, const Record &mate) {
+    for (const Record *r : {&record, &mate})
+        if (r->tid >= 0 && r->tid < (int)scanner.interesting.size() &&
+            scanner.interesting[r->tid])
+            scanner.boring_mapped_reads += 1;
+
+    /* viral pristine counting (ingest loop's read-through branch) */
+    if (record.tid >= 0 && record.tid < (int)scanner.viral.size() &&
+        scanner.viral[record.tid]) {
+        if (is_pristine_alignment(record)) scanner.viral_counts[record.tid] += 1;
+        if (is_pristine_alignment(mate)) scanner.viral_counts[mate.tid] += 1;
+    }
+
+    if (!scanner.external_duplicate_marking || !(record.flag & FDUP))
+        add_fragment(scanner, record, &mate, false, 0, false);
+}
+
+/* ---- SAM text parsing --------------------------------------------------- */
+
+bool parse_sam_line(const std::string &line, Record &record) {
+    record.line = line;
+    record.cigar.clear();
+    record.has_sa = false;
+    record.max_soft_clip = 0;
+
+    size_t field_start = 0;
+    int field_index = 0;
+    int64_t ref_consumed = 0;
+    size_t n = line.size();
+    std::string cigar_text;
+    std::string rname, rnext;
+    record.seq.clear();
+    while (field_start <= n) {
+        size_t tab = line.find('\t', field_start);
+        size_t field_end = (tab == std::string::npos) ? n : tab;
+        switch (field_index) {
+            case 1: record.flag = (uint16_t)atoi(line.c_str() + field_start); break;
+            case 2: rname.assign(line, field_start, field_end - field_start); break;
+            case 3: record.pos = atoll(line.c_str() + field_start) - 1; break;
+            case 5: cigar_text.assign(line, field_start, field_end - field_start); break;
+            case 6: rnext.assign(line, field_start, field_end - field_start); break;
+            case 9: record.seq.assign(line, field_start, field_end - field_start); break;
+            default:
+                if (field_index >= 11 && field_end - field_start >= 5 &&
+                    line[field_start] == 'S' && line[field_start + 1] == 'A' &&
+                    line[field_start + 2] == ':')
+                    record.has_sa = true;
+        }
+        field_index++;
+        if (tab == std::string::npos) break;
+        field_start = tab + 1;
+    }
+    if (field_index < 11)
+        return false;
+
+    /* CIGAR */
+    if (cigar_text != "*") {
+        uint32_t oplen = 0;
+        for (char c : cigar_text) {
+            if (c >= '0' && c <= '9') {
+                oplen = oplen * 10 + (uint32_t)(c - '0');
+            } else {
+                const char *op_pos = strchr(CIGAR_CHARS, c);
+                if (op_pos == nullptr) return false;
+                uint32_t op = (uint32_t)(op_pos - CIGAR_CHARS);
+                record.cigar.push_back((oplen << 4) | op);
+                if (op == CSOFT_CLIP && (int)oplen > record.max_soft_clip)
+                    record.max_soft_clip = (int)oplen;
+                if ((CONSUMES_REF >> op) & 1) ref_consumed += oplen;
+                oplen = 0;
+            }
+        }
+    }
+    record.end_pos = record.pos + ref_consumed;
+    record.tid = -2;   /* resolved by the caller via the header name map */
+    record.mtid = -2;
+    (void)rname; (void)rnext;
+    return true;
+}
+
+/* ---- gzip line reader --------------------------------------------------- */
+
+class GzLineReader {
+    gzFile gz_;
+    std::vector<char> buffer_;
+    size_t begin_ = 0, end_ = 0;
+    bool eof_ = false;
+
+public:
+    explicit GzLineReader(gzFile gz) : gz_(gz), buffer_(1 << 20) {}
+
+    bool next_line(std::string &line) {
+        line.clear();
+        for (;;) {
+            for (size_t i = begin_; i < end_; ++i) {
+                if (buffer_[i] == '\n') {
+                    line.append(&buffer_[begin_], i - begin_);
+                    begin_ = i + 1;
+                    if (!line.empty() && line.back() == '\r') line.pop_back();
+                    return true;
+                }
+            }
+            line.append(&buffer_[begin_], end_ - begin_);
+            begin_ = end_ = 0;
+            if (eof_) return !line.empty();
+            int got = gzread(gz_, buffer_.data(), (unsigned)buffer_.size());
+            if (got <= 0) { eof_ = true; if (line.empty()) return false; continue; }
+            end_ = (size_t)got;
+        }
+    }
+};
+
+}  // namespace
+
+/* ---- the scan entry point ----------------------------------------------- */
+
+static bool fill_plane(PyObject *obj, Py_buffer *view, void **data,
+                       Py_ssize_t *len, int flags) {
+    if (PyObject_GetBuffer(obj, view, flags) != 0)
+        return false;
+    *data = view->buf;
+    *len = view->len / (view->itemsize ? view->itemsize : 1);
+    return true;
+}
+
+static PyObject *scan_sam(PyObject *, PyObject *args) {
+    const char *path;
+    PyObject *name_to_tid_obj;      /* dict: contig name (str) -> tid (int) */
+    PyObject *boundaries_obj;       /* list of bytes (int64 little-endian) per tid */
+    PyObject *interesting_obj;      /* bytes per tid */
+    PyObject *viral_obj;            /* bytes per tid */
+    PyObject *coverage_obj;         /* list of (cov_u16, starts_u8, ends_u8) or None */
+    int external_duplicate_marking;
+
+    if (!PyArg_ParseTuple(args, "sOOOOOp", &path, &name_to_tid_obj,
+                          &boundaries_obj, &interesting_obj, &viral_obj,
+                          &coverage_obj, &external_duplicate_marking))
+        return nullptr;
+
+    gzFile gz = gzopen(path, "rb");
+    if (gz == nullptr) {
+        PyErr_SetString(PyExc_IOError, "failed to open alignment file");
+        return nullptr;
+    }
+    gzbuffer(gz, 1 << 20);
+
+    Scanner scanner;
+    scanner.external_duplicate_marking = external_duplicate_marking != 0;
+
+    /* per-tid tables */
+    Py_ssize_t n_tids = PyList_Size(boundaries_obj);
+    scanner.boundaries.resize(n_tids);
+    for (Py_ssize_t tid = 0; tid < n_tids; ++tid) {
+        PyObject *item = PyList_GetItem(boundaries_obj, tid);
+        char *data; Py_ssize_t size;
+        if (PyBytes_AsStringAndSize(item, &data, &size) != 0) { gzclose(gz); return nullptr; }
+        const int64_t *values = (const int64_t *)data;
+        scanner.boundaries[tid].assign(values, values + size / 8);
+    }
+    {
+        char *data; Py_ssize_t size;
+        if (PyBytes_AsStringAndSize(interesting_obj, &data, &size) != 0) { gzclose(gz); return nullptr; }
+        scanner.interesting.assign(data, data + size);
+        if (PyBytes_AsStringAndSize(viral_obj, &data, &size) != 0) { gzclose(gz); return nullptr; }
+        scanner.viral.assign(data, data + size);
+    }
+    scanner.viral_counts.assign(n_tids, 0);
+
+    std::vector<Py_buffer> buffers;
+    scanner.planes.resize(n_tids);
+    bool buffer_error = false;
+    for (Py_ssize_t tid = 0; tid < n_tids && !buffer_error; ++tid) {
+        PyObject *plane_obj = PyList_GetItem(coverage_obj, tid);
+        if (plane_obj == Py_None)
+            continue;
+        CoveragePlane plane;
+        PyObject *cov = PyTuple_GetItem(plane_obj, 0);
+        PyObject *starts = PyTuple_GetItem(plane_obj, 1);
+        PyObject *ends = PyTuple_GetItem(plane_obj, 2);
+        Py_buffer view;
+        void *data; Py_ssize_t len;
+        if (!fill_plane(cov, &view, &data, &len, PyBUF_WRITABLE)) { buffer_error = true; break; }
+        buffers.push_back(view);
+        plane.coverage = (uint16_t *)data;
+        plane.windows = view.len / 2;
+        if (!fill_plane(starts, &view, &data, &len, PyBUF_WRITABLE)) { buffer_error = true; break; }
+        buffers.push_back(view);
+        plane.starts = (uint8_t *)data;
+        if (!fill_plane(ends, &view, &data, &len, PyBUF_WRITABLE)) { buffer_error = true; break; }
+        buffers.push_back(view);
+        plane.ends = (uint8_t *)data;
+        scanner.planes[tid] = plane;
+    }
+    if (buffer_error) {
+        for (Py_buffer &view : buffers) PyBuffer_Release(&view);
+        gzclose(gz);
+        return nullptr;
+    }
+
+    /* name -> tid map */
+    std::unordered_map<std::string, int32_t> name_to_tid;
+    {
+        PyObject *key, *value;
+        Py_ssize_t dict_pos = 0;
+        while (PyDict_Next(name_to_tid_obj, &dict_pos, &key, &value)) {
+            name_to_tid[PyUnicode_AsUTF8(key)] = (int32_t)PyLong_AsLong(value);
+        }
+    }
+
+    auto resolve_tid = [&](const std::string &line, int field) -> int32_t {
+        /* extract field (2=RNAME, 6=RNEXT) */
+        size_t start = 0;
+        for (int i = 0; i < field; ++i) {
+            start = line.find('\t', start);
+            if (start == std::string::npos) return -1;
+            start += 1;
+        }
+        size_t end = line.find('\t', start);
+        std::string name = line.substr(start, end - start);
+        if (name == "*") return -1;
+        if (name == "=") return -2;  /* same as RNAME; caller substitutes */
+        auto it = name_to_tid.find(name);
+        return it == name_to_tid.end() ? -1 : it->second;
+    };
+
+    std::string header_text;
+    GzLineReader reader(gz);
+    std::string line;
+    Record record;
+    long forwarded_records = 0;
+
+    while (reader.next_line(line)) {
+        if (!line.empty() && line[0] == '@') {
+            header_text += line;
+            header_text += '\n';
+            continue;
+        }
+        if (line.empty())
+            continue;
+        scanner.n_records += 1;
+
+        if (!parse_sam_line(line, record)) {
+            /* malformed: forward so Python reports it consistently */
+            scanner.forwarded += line;
+            scanner.forwarded += '\n';
+            forwarded_records += 1;
+            continue;
+        }
+        record.tid = resolve_tid(line, 2);
+
+        /* skip unmapped like the Python loop (is_rna_bam_file mode) */
+        if ((record.flag & FUNMAP) ||
+            ((record.flag & FPAIRED) && (record.flag & FMUNMAP)))
+            continue;
+
+        /* records Python must always see */
+        if (record.flag & (FSECONDARY | FSUPPLEMENTARY)) {
+            scanner.forwarded += line;
+            scanner.forwarded += '\n';
+            forwarded_records += 1;
+            continue;
+        }
+        if ((record.flag & FPAIRED) && !(record.flag & FPROPER_PAIR)) {
+            /* discordant: Python handles (incl. its coverage quirk) */
+            scanner.forwarded += line;
+            scanner.forwarded += '\n';
+            forwarded_records += 1;
+            continue;
+        }
+        if (!(record.flag & FPAIRED)) {
+            /* single-end: forward (tandem/RT logic lives in Python) */
+            scanner.forwarded += line;
+            scanner.forwarded += '\n';
+            forwarded_records += 1;
+            continue;
+        }
+
+        /* proper pair: collate by read name */
+        size_t name_end = line.find('\t');
+        std::string read_name = line.substr(0, name_end);
+        auto found = scanner.collated.find(read_name);
+        if (found == scanner.collated.end()) {
+            scanner.collated.emplace(std::move(read_name), record);
+            continue;
+        }
+        Record mate = std::move(found->second);
+        scanner.collated.erase(found);
+
+        if (pair_is_boring(scanner, record, mate)) {
+            handle_boring_pair(scanner, record, mate);
+        } else {
+            scanner.forwarded += mate.line;
+            scanner.forwarded += '\n';
+            scanner.forwarded += record.line;
+            scanner.forwarded += '\n';
+            forwarded_records += 2;
+        }
+    }
+    gzclose(gz);
+
+    /* unpaired leftovers: forward (Python's collator will hold them too) */
+    for (auto &entry : scanner.collated) {
+        scanner.forwarded += entry.second.line;
+        scanner.forwarded += '\n';
+        forwarded_records += 1;
+    }
+
+    PyObject *viral_list = PyList_New(n_tids);
+    for (Py_ssize_t tid = 0; tid < n_tids; ++tid)
+        PyList_SetItem(viral_list, tid, PyLong_FromLongLong(scanner.viral_counts[tid]));
+
+    PyObject *result = Py_BuildValue(
+        "y#y#lNl",
+        header_text.data(), (Py_ssize_t)header_text.size(),
+        scanner.forwarded.data(), (Py_ssize_t)scanner.forwarded.size(),
+        scanner.boring_mapped_reads,
+        viral_list,
+        scanner.n_records);
+
+    for (Py_buffer &view : buffers)
+        PyBuffer_Release(&view);
+    return result;
+}
+
+static PyMethodDef methods[] = {
+    {"scan_sam", scan_sam, METH_VARARGS,
+     "Scan a SAM/SAM.gz file: decode, collate, handle boring pairs natively, "
+     "forward the rest as SAM text."},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+static struct PyModuleDef module = {
+    PyModuleDef_HEAD_INIT, "_native",
+    "Native data loader for arriba_tpu", -1, methods,
+};
+
+PyMODINIT_FUNC PyInit__native(void) { return PyModule_Create(&module); }

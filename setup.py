@@ -1,0 +1,15 @@
+"""Build configuration: the native data-loader extension."""
+
+from setuptools import Extension, setup
+
+setup(
+    name="arriba_tpu",
+    version="0.1.0",
+    packages=["arriba_tpu", "arriba_tpu.annotation", "arriba_tpu.filters",
+              "arriba_tpu.ingest", "arriba_tpu.io", "arriba_tpu.ops",
+              "arriba_tpu.output", "arriba_tpu.parallel", "arriba_tpu.tools"],
+    ext_modules=[
+        Extension("arriba_tpu._native", sources=["native/ingest.cpp"],
+                  extra_compile_args=["-O3", "-std=c++17"], libraries=["z"]),
+    ],
+)
