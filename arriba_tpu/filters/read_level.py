@@ -39,7 +39,7 @@ from ..constants import (CIGAR_DEL, CIGAR_DIFF, CIGAR_EQUAL, CIGAR_HARD_CLIP,
                          cigar_oplen)
 from ..ingest.stats import COVERAGE_RESOLUTION, Coverage
 from ..io.fasta import Assembly
-from ..model import Alignment, ChimericAlignments
+from ..model import Alignment, ChimericAlignments, Fragment
 from ..seq import reverse_complement_str
 
 
@@ -611,10 +611,64 @@ def filter_mismatches(chimeric_alignments: ChimericAlignments, assembly: Assembl
     return remaining
 
 
+def _low_entropy_flags(codes: np.ndarray, lengths: np.ndarray,
+                       a1s: np.ndarray, a1e: np.ndarray, a2s: np.ndarray,
+                       a2e: np.ndarray, kmer_content: float,
+                       kmer_length: int) -> np.ndarray:
+    """Vectorized core of the recurrent-k-mer scan (filter_low_entropy.cpp:
+    60-100): per row, does any k-mer recur (non-overlapping) often enough to
+    cross any of the three thresholds? The reference's early-exit check is
+    monotone in the counters, so evaluating it on the final counters
+    (restricted to k-mers counted at least once) is equivalent. Mirrors
+    ops/readfilters.low_entropy_batch (the jax device op)."""
+    n, L = codes.shape
+    n_kmers = 4 ** kmer_length
+    kv = np.zeros((n, L), np.int32)
+    for j in range(kmer_length):
+        shifted = np.roll(codes, -j, axis=1)
+        kv = (kv << 2) | np.minimum(shifted, 3).astype(np.int32)
+
+    def threshold(segment_length):
+        return (segment_length.astype(np.float64) * kmer_content / kmer_length
+                + 0.5).astype(np.int32)
+
+    th_all = threshold(lengths)
+    th_a1 = threshold(a1e - a1s)
+    th_a2 = threshold(a2e - a2s)
+
+    prev_pos = np.zeros((n, n_kmers), np.int32)
+    c_all = np.zeros((n, n_kmers), np.int32)
+    c_a1 = np.zeros((n, n_kmers), np.int32)
+    c_a2 = np.zeros((n, n_kmers), np.int32)
+    rows = np.arange(n)
+    for pos in range(0, max(0, int(lengths.max()) - kmer_length)):
+        v = kv[:, pos]
+        eligible = (pos < lengths - kmer_length) & (prev_pos[rows, v] <= pos)
+        idx = rows[eligible]
+        vv = v[eligible]
+        prev_pos[idx, vv] = pos + kmer_length
+        c_all[idx, vv] += 1
+        in_a1 = eligible & (pos + 1 >= a1s) & (pos < a1e)
+        c_a1[rows[in_a1], v[in_a1]] += 1
+        in_a2 = eligible & (pos + 1 >= a2s) & (pos < a2e)
+        c_a2[rows[in_a2], v[in_a2]] += 1
+
+    crossed = (c_all >= 1) & ((c_all >= th_all[:, None])
+                              | (c_a1 >= th_a1[:, None])
+                              | (c_a2 >= th_a2[:, None]))
+    return crossed.any(axis=1) & (lengths >= kmer_length)
+
+
 def filter_low_entropy(chimeric_alignments: ChimericAlignments, kmer_length: int,
                        kmer_content: float, max_itd_length: int) -> int:
     """filter_low_entropy.cpp:9-112 — recurrent non-overlapping k-mers
-    covering too much of the read or its aligned segments."""
+    covering too much of the read or its aligned segments. The per-mate scan
+    is batched over all fragments via _low_entropy_flags."""
+    from .mismappers import KMER_BASE_LUT
+
+    row_fragment: List[Fragment] = []
+    row_seq: List[str] = []
+    row_windows: List[Tuple[int, int, int, int]] = []
     for mates in chimeric_alignments.values():
         is_itd = (len(mates) == 3
                   and mates[SPLIT_READ].strand == mates[SUPPLEMENTARY].strand
@@ -629,7 +683,6 @@ def filter_low_entropy(chimeric_alignments: ChimericAlignments, kmer_length: int
             if mates.filter != FILTER_NONE:
                 continue
 
-        filtered = False
         for mate_idx in (MATE1, MATE2):
             mate = mates[mate_idx]
             if len(mate.sequence) < kmer_length:
@@ -652,31 +705,26 @@ def filter_low_entropy(chimeric_alignments: ChimericAlignments, kmer_length: int
                 aligned_start2 = aligned_start1
                 aligned_end2 = aligned_end1
 
-            max_count = int(len(mate.sequence) * kmer_content / kmer_length + 0.5)
-            max_count1 = int((aligned_end1 - aligned_start1) * kmer_content / kmer_length + 0.5)
-            max_count2 = int((aligned_end2 - aligned_start2) * kmer_content / kmer_length + 0.5)
+            row_fragment.append(mates)
+            row_seq.append(mate.sequence)
+            row_windows.append((aligned_start1, aligned_end1,
+                                aligned_start2, aligned_end2))
 
-            kmer_count: Dict[int, int] = {}
-            kmer_count1: Dict[int, int] = {}
-            kmer_count2: Dict[int, int] = {}
-            previous_pos: Dict[int, int] = {}
-            for kmer_pos in range(0, len(mate.sequence) - kmer_length):
-                k = kmer_to_int(mate.sequence, kmer_pos, kmer_length)
-                if previous_pos.get(k, 0) <= kmer_pos:
-                    previous_pos[k] = kmer_pos + kmer_length
-                    kmer_count[k] = kmer_count.get(k, 0) + 1
-                    if kmer_pos + 1 >= aligned_start1 and kmer_pos < aligned_end1:
-                        kmer_count1[k] = kmer_count1.get(k, 0) + 1
-                    if kmer_pos + 1 >= aligned_start2 and kmer_pos < aligned_end2:
-                        kmer_count2[k] = kmer_count2.get(k, 0) + 1
-                    if (kmer_count[k] >= max_count
-                            or kmer_count1.get(k, 0) >= max_count1
-                            or kmer_count2.get(k, 0) >= max_count2):
-                        mates.filter = FILTER_LOW_ENTROPY
-                        filtered = True
-                        break
-            if filtered:
-                break
+    if row_seq:
+        n = len(row_seq)
+        L = max(len(s) for s in row_seq)
+        codes = np.full((n, L), 3, np.uint8)  # pad maps to code 3, same as N
+        lengths = np.zeros(n, np.int32)
+        for i, s in enumerate(row_seq):
+            codes[i, :len(s)] = KMER_BASE_LUT[np.frombuffer(
+                s.encode("latin-1"), np.uint8)]
+            lengths[i] = len(s)
+        windows = np.array(row_windows, np.int32)
+        flags = _low_entropy_flags(codes, lengths, windows[:, 0], windows[:, 1],
+                                   windows[:, 2], windows[:, 3], kmer_content,
+                                   kmer_length)
+        for i in np.nonzero(flags)[0]:
+            row_fragment[int(i)].filter = FILTER_LOW_ENTROPY
 
     remaining = 0
     for mates in chimeric_alignments.values():

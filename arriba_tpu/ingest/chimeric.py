@@ -44,9 +44,9 @@ from ..io.fasta import Assembly
 from ..model import Alignment, ChimericAlignments, Fragment
 from .stats import Coverage
 
-def _is_plain_sam(path: str) -> bool:
-    """True when the input is uncompressed SAM text on a regular file (the
-    formats the native loader currently parses)."""
+def _native_loader_supported(path: str) -> bool:
+    """True when the input is a regular SAM/SAM.gz/BAM file (the formats the
+    native loader parses; it sniffs BAM vs SAM after decompression)."""
     import os
     if not os.path.isfile(path):
         return False
@@ -55,7 +55,7 @@ def _is_plain_sam(path: str) -> bool:
             magic = fh.read(4)
     except OSError:
         return False
-    return magic[:2] != b"\x1f\x8b" and magic != b"CRAM"
+    return magic != b"CRAM"
 
 
 CLIP_NONE = 0
@@ -552,7 +552,7 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
     # on the forwarded minority
     native_boring_mapped = 0
     if (_native is not None and is_rna_bam_file and not separate_chimeric_bam_file
-            and _is_plain_sam(path)):
+            and _native_loader_supported(path)):
         name_to_tid = {name: tid for tid, name in enumerate(header.target_names)}
         boundaries = []
         planes = []

@@ -351,6 +351,160 @@ public:
     }
 };
 
+/* ---- BAM binary parsing (BGZF decompressed by zlib's gzread) ------------ */
+
+class GzBlockReader {
+    gzFile gz_;
+public:
+    explicit GzBlockReader(gzFile gz) : gz_(gz) {}
+    bool read_exact(void *data, size_t n) {
+        size_t got = 0;
+        while (got < n) {
+            int r = gzread(gz_, (char *)data + got, (unsigned)(n - got));
+            if (r <= 0) return false;
+            got += (size_t)r;
+        }
+        return true;
+    }
+};
+
+void append_int(std::string &out, long long value) {
+    char buffer[24];
+    snprintf(buffer, sizeof buffer, "%lld", value);
+    out += buffer;
+}
+
+/* decode one BAM record body (after block_size) into Record + SAM line */
+bool decode_bam_record(const std::vector<uint8_t> &body,
+                       const std::vector<std::string> &target_names,
+                       Record &record) {
+    if (body.size() < 32) return false;
+    auto rd32 = [&](size_t offset) {
+        int32_t v; memcpy(&v, body.data() + offset, 4); return v; };
+    int32_t tid = rd32(0);
+    int32_t pos = rd32(4);
+    uint32_t l_read_name = body[8];
+    uint8_t mapq = body[9];
+    uint32_t n_cigar = (uint32_t)rd32(12) & 0xffff;
+    uint16_t flag = (uint16_t)(((uint32_t)rd32(12)) >> 16);
+    int32_t l_seq = rd32(16);
+    int32_t mtid = rd32(20);
+    int32_t mpos = rd32(24);
+    int32_t tlen = rd32(28);
+    size_t offset = 32;
+    if (body.size() < offset + l_read_name + 4ull * n_cigar + (l_seq + 1) / 2 + l_seq)
+        return false;
+    const char *qname = (const char *)body.data() + offset;
+    offset += l_read_name;
+    const uint32_t *cigar = (const uint32_t *)(body.data() + offset);
+    offset += 4ull * n_cigar;
+    const uint8_t *seq4 = body.data() + offset;
+    offset += (l_seq + 1) / 2;
+    const uint8_t *qual = body.data() + offset;
+    offset += l_seq;
+
+    record.flag = flag;
+    record.tid = tid;
+    record.pos = pos;
+    record.mtid = mtid;
+    record.cigar.assign(cigar, cigar + n_cigar);
+    record.has_sa = false;
+    record.max_soft_clip = 0;
+    int64_t ref_consumed = 0;
+    for (uint32_t word : record.cigar) {
+        uint32_t op = word & 0xf;
+        if (op == CSOFT_CLIP && (int)(word >> 4) > record.max_soft_clip)
+            record.max_soft_clip = (int)(word >> 4);
+        if ((CONSUMES_REF >> op) & 1) ref_consumed += word >> 4;
+    }
+    record.end_pos = record.pos + ref_consumed;
+
+    record.seq.resize(l_seq);
+    for (int32_t i = 0; i < l_seq; ++i)
+        record.seq[i] = NT16[(seq4[i >> 1] >> ((~i & 1) << 2)) & 0xf];
+
+    /* build the SAM line (consumed by the Python parser when forwarded) */
+    std::string &line = record.line;
+    line.clear();
+    line.append(qname);
+    line += '\t'; append_int(line, flag);
+    line += '\t';
+    line += (tid >= 0 && tid < (int)target_names.size()) ? target_names[tid] : "*";
+    line += '\t'; append_int(line, (long long)pos + 1);
+    line += '\t'; append_int(line, mapq);
+    line += '\t';
+    if (n_cigar == 0) {
+        line += '*';
+    } else {
+        for (uint32_t word : record.cigar) {
+            append_int(line, word >> 4);
+            line += CIGAR_CHARS[word & 0xf];
+        }
+    }
+    line += '\t';
+    line += (mtid >= 0 && mtid < (int)target_names.size()) ? target_names[mtid] : "*";
+    line += '\t'; append_int(line, (long long)mpos + 1);
+    line += '\t'; append_int(line, tlen);
+    line += '\t';
+    line += l_seq ? record.seq : std::string("*");
+    line += '\t';
+    if (l_seq == 0 || qual[0] == 0xff) {
+        line += '*';
+    } else {
+        for (int32_t i = 0; i < l_seq; ++i) line += (char)(qual[i] + 33);
+    }
+
+    /* aux fields */
+    size_t end = body.size();
+    while (offset + 3 <= end) {
+        char tag0 = (char)body[offset], tag1 = (char)body[offset + 1];
+        char type = (char)body[offset + 2];
+        offset += 3;
+        line += '\t'; line += tag0; line += tag1; line += ':';
+        switch (type) {
+            case 'A':
+                line += "A:"; line += (char)body[offset]; offset += 1; break;
+            case 'c': line += "i:"; append_int(line, *(const int8_t *)(body.data() + offset)); offset += 1; break;
+            case 'C': line += "i:"; append_int(line, *(const uint8_t *)(body.data() + offset)); offset += 1; break;
+            case 's': { int16_t v; memcpy(&v, body.data() + offset, 2); line += "i:"; append_int(line, v); offset += 2; break; }
+            case 'S': { uint16_t v; memcpy(&v, body.data() + offset, 2); line += "i:"; append_int(line, v); offset += 2; break; }
+            case 'i': { int32_t v; memcpy(&v, body.data() + offset, 4); line += "i:"; append_int(line, v); offset += 4; break; }
+            case 'I': { uint32_t v; memcpy(&v, body.data() + offset, 4); line += "i:"; append_int(line, v); offset += 4; break; }
+            case 'f': { float v; memcpy(&v, body.data() + offset, 4); char buffer[32]; snprintf(buffer, sizeof buffer, "f:%g", v); line += buffer; offset += 4; break; }
+            case 'Z': case 'H': {
+                line += type; line += ':';
+                while (offset < end && body[offset]) { line += (char)body[offset]; offset += 1; }
+                offset += 1;
+                break;
+            }
+            case 'B': {
+                char sub = (char)body[offset]; offset += 1;
+                int32_t count; memcpy(&count, body.data() + offset, 4); offset += 4;
+                line += "B:"; line += sub;
+                int item = (sub=='c'||sub=='C') ? 1 : (sub=='s'||sub=='S') ? 2 : 4;
+                for (int32_t i = 0; i < count; ++i) {
+                    line += ',';
+                    long long v = 0;
+                    if (sub=='c') v = *(const int8_t*)(body.data()+offset);
+                    else if (sub=='C') v = *(const uint8_t*)(body.data()+offset);
+                    else if (sub=='s') { int16_t x; memcpy(&x, body.data()+offset, 2); v = x; }
+                    else if (sub=='S') { uint16_t x; memcpy(&x, body.data()+offset, 2); v = x; }
+                    else if (sub=='i') { int32_t x; memcpy(&x, body.data()+offset, 4); v = x; }
+                    else if (sub=='I') { uint32_t x; memcpy(&x, body.data()+offset, 4); v = x; }
+                    else { float x; memcpy(&x, body.data()+offset, 4); char buffer[32]; snprintf(buffer, sizeof buffer, "%g", x); line += buffer; offset += item; continue; }
+                    append_int(line, v);
+                    offset += item;
+                }
+                break;
+            }
+            default:
+                return true;  /* unknown type: stop aux parsing, line is usable */
+        }
+        if (tag0 == 'S' && tag1 == 'A') record.has_sa = true;
+    }
+    return true;
+}
+
 }  // namespace
 
 /* ---- the scan entry point ----------------------------------------------- */
@@ -465,64 +619,31 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
     };
 
     std::string header_text;
-    GzLineReader reader(gz);
-    std::string line;
-    Record record;
     long forwarded_records = 0;
 
-    while (reader.next_line(line)) {
-        if (!line.empty() && line[0] == '@') {
-            header_text += line;
-            header_text += '\n';
-            continue;
-        }
-        if (line.empty())
-            continue;
+    auto handle_record = [&](Record &record, std::string &&read_name) {
         scanner.n_records += 1;
-
-        if (!parse_sam_line(line, record)) {
-            /* malformed: forward so Python reports it consistently */
-            scanner.forwarded += line;
-            scanner.forwarded += '\n';
-            forwarded_records += 1;
-            continue;
-        }
-        record.tid = resolve_tid(line, 2);
 
         /* skip unmapped like the Python loop (is_rna_bam_file mode) */
         if ((record.flag & FUNMAP) ||
             ((record.flag & FPAIRED) && (record.flag & FMUNMAP)))
-            continue;
+            return;
 
         /* records Python must always see */
-        if (record.flag & (FSECONDARY | FSUPPLEMENTARY)) {
-            scanner.forwarded += line;
+        if ((record.flag & (FSECONDARY | FSUPPLEMENTARY)) ||
+            ((record.flag & FPAIRED) && !(record.flag & FPROPER_PAIR)) ||
+            !(record.flag & FPAIRED)) {
+            scanner.forwarded += record.line;
             scanner.forwarded += '\n';
             forwarded_records += 1;
-            continue;
-        }
-        if ((record.flag & FPAIRED) && !(record.flag & FPROPER_PAIR)) {
-            /* discordant: Python handles (incl. its coverage quirk) */
-            scanner.forwarded += line;
-            scanner.forwarded += '\n';
-            forwarded_records += 1;
-            continue;
-        }
-        if (!(record.flag & FPAIRED)) {
-            /* single-end: forward (tandem/RT logic lives in Python) */
-            scanner.forwarded += line;
-            scanner.forwarded += '\n';
-            forwarded_records += 1;
-            continue;
+            return;
         }
 
         /* proper pair: collate by read name */
-        size_t name_end = line.find('\t');
-        std::string read_name = line.substr(0, name_end);
         auto found = scanner.collated.find(read_name);
         if (found == scanner.collated.end()) {
-            scanner.collated.emplace(std::move(read_name), record);
-            continue;
+            scanner.collated.emplace(std::move(read_name), std::move(record));
+            return;
         }
         Record mate = std::move(found->second);
         scanner.collated.erase(found);
@@ -536,8 +657,75 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
             scanner.forwarded += '\n';
             forwarded_records += 2;
         }
+    };
+
+    /* sniff the (decompressed) leading bytes: BAM or SAM text */
+    char magic[4] = {0, 0, 0, 0};
+    int magic_got = gzread(gz, magic, 4);
+    bool is_bam = (magic_got == 4 && memcmp(magic, "BAM\1", 4) == 0);
+
+    if (is_bam) {
+        GzBlockReader reader(gz);
+        int32_t l_text = 0;
+        if (!reader.read_exact(&l_text, 4)) { gzclose(gz); goto done; }
+        {
+            std::vector<char> text(l_text);
+            if (l_text && !reader.read_exact(text.data(), l_text)) { gzclose(gz); goto done; }
+            header_text.assign(text.data(), strnlen(text.data(), l_text));
+        }
+        int32_t n_ref = 0;
+        if (!reader.read_exact(&n_ref, 4)) { gzclose(gz); goto done; }
+        std::vector<std::string> target_names(n_ref);
+        for (int32_t i = 0; i < n_ref; ++i) {
+            int32_t l_name = 0, l_ref = 0;
+            if (!reader.read_exact(&l_name, 4)) { gzclose(gz); goto done; }
+            std::vector<char> name(l_name);
+            if (!reader.read_exact(name.data(), l_name)) { gzclose(gz); goto done; }
+            if (!reader.read_exact(&l_ref, 4)) { gzclose(gz); goto done; }
+            target_names[i].assign(name.data(), strnlen(name.data(), l_name));
+        }
+        std::vector<uint8_t> body;
+        Record record;
+        for (;;) {
+            int32_t block_size = 0;
+            if (!reader.read_exact(&block_size, 4)) break;  /* EOF */
+            if (block_size <= 0) break;
+            body.resize(block_size);
+            if (!reader.read_exact(body.data(), block_size)) break;
+            if (!decode_bam_record(body, target_names, record))
+                continue;
+            std::string read_name((const char *)body.data() + 32);
+            handle_record(record, std::move(read_name));
+        }
+        gzclose(gz);
+    } else {
+        gzrewind(gz);
+        GzLineReader reader(gz);
+        std::string line;
+        Record record;
+        while (reader.next_line(line)) {
+            if (!line.empty() && line[0] == '@') {
+                header_text += line;
+                header_text += '\n';
+                continue;
+            }
+            if (line.empty())
+                continue;
+            if (!parse_sam_line(line, record)) {
+                /* malformed: forward so Python reports it consistently */
+                scanner.forwarded += line;
+                scanner.forwarded += '\n';
+                forwarded_records += 1;
+                scanner.n_records += 1;
+                continue;
+            }
+            record.tid = resolve_tid(line, 2);
+            size_t name_end = line.find('\t');
+            handle_record(record, line.substr(0, name_end));
+        }
+        gzclose(gz);
     }
-    gzclose(gz);
+    done:
 
     /* unpaired leftovers: forward (Python's collator will hold them too) */
     for (auto &entry : scanner.collated) {
