@@ -24,12 +24,30 @@ import numpy as np
 EMPTY = np.empty(0, np.int64)
 
 
+def sorted_union(set1: np.ndarray, set2: np.ndarray) -> np.ndarray:
+    """Union of two small sorted unique int arrays (fast path for the tiny
+    gene/exon sets that dominate queries; equivalent to np.union1d)."""
+    n1, n2 = len(set1), len(set2)
+    if n1 == 0:
+        return set2
+    if n2 == 0:
+        return set1
+    merged = sorted(set(set1.tolist()) | set(set2.tolist()))
+    return np.array(merged, np.int64)
+
+
 def combine_annotations(set1: np.ndarray, set2: np.ndarray, make_union: bool = True) -> np.ndarray:
     """Intersection of two sorted feature sets; union if disjoint and
     make_union (annotation.t.hpp:47-53)."""
-    combined = np.intersect1d(set1, set2)
+    n1, n2 = len(set1), len(set2)
+    if n1 == 0 or n2 == 0:
+        combined = EMPTY
+    else:
+        lookup = set(set2.tolist())
+        inter = [value for value in set1.tolist() if value in lookup]
+        combined = np.array(inter, np.int64) if inter else EMPTY
     if combined.size == 0 and make_union:
-        combined = np.union1d(set1, set2)
+        combined = sorted_union(set1, set2)
     return combined
 
 
@@ -113,7 +131,7 @@ class IntervalIndex:
         if idx < n:
             result_start = self.set_at(contig, idx)
             if bounds[idx] - start <= 2 and idx + 1 < n:
-                result_start = np.union1d(result_start, self.set_at(contig, idx + 1))
+                result_start = sorted_union(result_start, self.set_at(contig, idx + 1))
 
         result_end = EMPTY
         idx = int(np.searchsorted(bounds, end, side="left"))
@@ -122,7 +140,7 @@ class IntervalIndex:
         if idx > 0 and n > 0:
             prev = min(idx, n) - 1
             if end - bounds[prev] <= 2:
-                result_end = np.union1d(result_end, self.set_at(contig, prev))
+                result_end = sorted_union(result_end, self.set_at(contig, prev))
 
         return combine_annotations(result_start, result_end)
 

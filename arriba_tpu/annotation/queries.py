@@ -82,7 +82,10 @@ def annotate_alignment(alignment: Alignment, exons: ExonTable, genes: GeneTable,
     overlap, then disambiguate via splice-pattern agreement; may also resolve
     the predicted strand for unstranded data."""
     exon_set = exon_index.range_query(alignment.contig, alignment.start, alignment.end)
-    gene_set = np.unique(exons.gene[exon_set]) if len(exon_set) else EMPTY
+    if len(exon_set):
+        gene_set = np.array(sorted(set(exons.gene[exon_set].tolist())), np.int64)
+    else:
+        gene_set = EMPTY
 
     if len(alignment.cigar) > 1 and (len(gene_set) > 1 or alignment.predicted_strand_ambiguous):
         supported = EMPTY

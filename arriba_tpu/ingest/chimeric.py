@@ -287,27 +287,37 @@ def is_tandem_duplication(record: Optional[BamRecord], assembly: Assembly,
     if matches / clipped_len >= 0.7:
         return None
 
-    for contig_pos in range(window_start, window_end + 1):
-        window_seq = contig_sequence[contig_pos:contig_pos + clipped_len]
-        eq = window_seq == clipped_arr
-        matches = 0
-        mismatches = 0
-        aln_start = len(contig_sequence)
-        aln_end = -1
-        for i in range(clipped_len):
-            read_pos = i if direction == 1 else clipped_len - 1 - i
-            if eq[read_pos]:
-                matches += 1
-                if contig_pos + read_pos < aln_start:
-                    aln_start = contig_pos + read_pos
-                if contig_pos + read_pos > aln_end:
-                    aln_end = contig_pos + read_pos
-            elif i >= max_non_template_bases:
-                mismatches += 1
-                if mismatches > max_mismatches:
-                    break
+    hit = None
+    if _native is not None:
+        hit = _native.tandem_scan(clipped.encode("latin-1"), contig_sequence,
+                                  window_start, window_end, direction)
+    else:
+        for contig_pos in range(window_start, window_end + 1):
+            window_seq = contig_sequence[contig_pos:contig_pos + clipped_len]
+            eq = window_seq == clipped_arr
+            matches = 0
+            mismatches = 0
+            aln_start = len(contig_sequence)
+            aln_end = -1
+            for i in range(clipped_len):
+                read_pos = i if direction == 1 else clipped_len - 1 - i
+                if eq[read_pos]:
+                    matches += 1
+                    if contig_pos + read_pos < aln_start:
+                        aln_start = contig_pos + read_pos
+                    if contig_pos + read_pos > aln_end:
+                        aln_end = contig_pos + read_pos
+                elif i >= max_non_template_bases:
+                    mismatches += 1
+                    if mismatches > max_mismatches:
+                        break
+            if matches >= min_alignment_length or matches + mismatches == clipped_len:
+                hit = (contig_pos, aln_start, aln_end)
+                break
 
-        if matches >= min_alignment_length or matches + mismatches == clipped_len:
+    if hit is not None:
+        contig_pos, aln_start, aln_end = hit
+        if True:
             tandem = Alignment()
             tandem.start = aln_start
             tandem.end = aln_end

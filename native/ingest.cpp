@@ -751,7 +751,53 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
     return result;
 }
 
+/* Brute-force ITD window scan: the inner loop of is_tandem_duplication
+ * (read_chimeric_alignments.cpp:215-336). Returns (contig_pos, aln_start,
+ * aln_end) of the first accepted window position, or None. */
+static PyObject *tandem_scan(PyObject *, PyObject *args) {
+    const char *clipped;
+    Py_ssize_t clipped_len;
+    Py_buffer contig;
+    long long window_start, window_end;
+    int direction;
+    if (!PyArg_ParseTuple(args, "y#y*LLi", &clipped, &clipped_len, &contig,
+                          &window_start, &window_end, &direction))
+        return nullptr;
+    const uint8_t *contig_seq = (const uint8_t *)contig.buf;
+    const long long contig_len = contig.len;
+    const int max_non_template_bases = 6, max_mismatches = 1,
+              min_alignment_length = 15;
+
+    for (long long contig_pos = window_start; contig_pos <= window_end; ++contig_pos) {
+        if (contig_pos < 0 || contig_pos + clipped_len > contig_len)
+            continue;
+        const uint8_t *window = contig_seq + contig_pos;
+        long long matches = 0, mismatches = 0;
+        long long aln_start = contig_len, aln_end = -1;
+        for (Py_ssize_t i = 0; i < clipped_len; ++i) {
+            Py_ssize_t read_pos = (direction == 1) ? i : clipped_len - 1 - i;
+            if (window[read_pos] == (uint8_t)clipped[read_pos]) {
+                matches += 1;
+                if (contig_pos + read_pos < aln_start) aln_start = contig_pos + read_pos;
+                if (contig_pos + read_pos > aln_end) aln_end = contig_pos + read_pos;
+            } else if (i >= max_non_template_bases) {
+                mismatches += 1;
+                if (mismatches > max_mismatches)
+                    break;
+            }
+        }
+        if (matches >= min_alignment_length || matches + mismatches == clipped_len) {
+            PyBuffer_Release(&contig);
+            return Py_BuildValue("LLL", contig_pos, aln_start, aln_end);
+        }
+    }
+    PyBuffer_Release(&contig);
+    Py_RETURN_NONE;
+}
+
 static PyMethodDef methods[] = {
+    {"tandem_scan", tandem_scan, METH_VARARGS,
+     "ITD brute-force window scan; returns (contig_pos, aln_start, aln_end) or None."},
     {"scan_sam", scan_sam, METH_VARARGS,
      "Scan a SAM/SAM.gz file: decode, collate, handle boring pairs natively, "
      "forward the rest as SAM text."},
