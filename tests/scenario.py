@@ -379,3 +379,94 @@ def fuzz_sample2(tmp_path, seed: int) -> List[str]:
         if rng.random() < 0.8:
             b.add_proper_pair(f"g{i}", c1, p1 + rng.randrange(0, 100))
     return b.write()
+
+
+def _write_extra_sam(b: SampleBuilder, path, records) -> str:
+    write_sam(str(path), b.header, records)
+    return str(path)
+
+
+def separate_chimeric_sample(tmp_path, seed=51) -> List[str]:
+    """Old-STAR mode: chimeric alignments in a separate Chimeric.out.sam
+    passed via -c; the main BAM contributes discordant mates + coverage."""
+    b = SampleBuilder(tmp_path, {"1": 20000, "2": 20000}, seed)
+    b.add_gene("1", 1000, 1999, "+", "G1", "GENE1", "T1")
+    b.add_gene("2", 5000, 5999, "+", "G2", "GENE2", "T2")
+    # split fragments go into the separate file
+    main_records = []
+    for i, mate1_pos in enumerate([1104, 1114, 1124, 1134]):
+        b.add_split_fragment(f"split{i}", "1", mate1_pos, 1204, 30, 40, "2", 5000)
+    chimeric_records = b.records
+    b.records = main_records
+    for i, (p1, p2) in enumerate([(1100, 5050), (1150, 5030)]):
+        b.add_discordant_fragment(f"disc{i}", "1", p1, "2", p2)
+    for i, (contig, pos) in enumerate([("1", 1150), ("1", 1180), ("2", 5020), ("2", 5060)]):
+        b.add_proper_pair(f"norm{i}", contig, pos)
+    chimeric_path = _write_extra_sam(b, tmp_path / "chimeric.sam", chimeric_records)
+    args = b.write()
+    return args + ["-c", chimeric_path]
+
+
+def single_end_sample(tmp_path, seed=61) -> List[str]:
+    """Single-end reads: SA-tagged split reads without the paired flag."""
+    b = SampleBuilder(tmp_path, {"1": 20000, "2": 20000}, seed)
+    b.add_gene("1", 1000, 1999, "+", "G1", "GENE1", "T1")
+    b.add_gene("2", 5000, 5999, "+", "G2", "GENE2", "T2")
+    for i in range(4):
+        name = f"se{i}"
+        split_pos = 1204
+        b.records.append(BamRecord(
+            qname=name, flag=16, tid=0, pos=split_pos, mapq=60,
+            cigar=cigar_from_string("30M40S"), mtid=-1, mpos=-1, tlen=0,
+            seq=b.seq("1", split_pos, 30) + b.seq("2", 5000, 40),
+            tags={"HI": 1, "SA": f"2,5001,-,30S40M,60,0;"}))
+        b.records.append(BamRecord(
+            qname=name, flag=2064, tid=1, pos=5000, mapq=60,
+            cigar=cigar_from_string("30H40M"), mtid=-1, mpos=-1, tlen=0,
+            seq=b.seq("2", 5000, 40), tags={"HI": 1}))
+    # single-end background coverage
+    for i, pos in enumerate([1150, 1180, 1210, 5020, 5060]):
+        tid = 0 if pos < 3000 else 1
+        contig = "1" if tid == 0 else "2"
+        b.records.append(BamRecord(
+            qname=f"bg{i}", flag=0, tid=tid, pos=pos, mapq=60,
+            cigar=cigar_from_string("50M"), mtid=-1, mpos=-1, tlen=0,
+            seq=b.seq(contig, pos, 50), tags={"HI": 1}))
+    return b.write()
+
+
+def stranded_sample(tmp_path, seed=71, strandedness="yes") -> List[str]:
+    args = translocation_sample(tmp_path, seed)
+    idx = args.index("-s")
+    args[idx + 1] = strandedness
+    return args
+
+
+def duplicates_marked_sample(tmp_path, seed=81) -> List[str]:
+    """External duplicate marking (-u): duplicate split fragments flagged
+    with BAM_FDUP."""
+    b = SampleBuilder(tmp_path, {"1": 20000, "2": 20000}, seed)
+    b.add_gene("1", 1000, 1999, "+", "G1", "GENE1", "T1")
+    b.add_gene("2", 5000, 5999, "+", "G2", "GENE2", "T2")
+    for i, mate1_pos in enumerate([1104, 1114, 1124]):
+        b.add_split_fragment(f"s{i}", "1", mate1_pos, 1204, 30, 40, "2", 5000)
+    b.add_split_fragment("sdup", "1", 1104, 1204, 30, 40, "2", 5000,
+                         duplicate=True)
+    for i, (contig, pos) in enumerate([("1", 1150), ("2", 5020)]):
+        b.add_proper_pair(f"n{i}", contig, pos)
+    return b.write() + ["-u"]
+
+
+def subsampled_sample(tmp_path, seed=91) -> List[str]:
+    """Low subsampling threshold (-U 3) with more supporting reads than
+    the cap (exercises fusions.cpp:265-272 subsampling)."""
+    b = SampleBuilder(tmp_path, {"1": 20000, "2": 20000}, seed)
+    b.add_gene("1", 1000, 1999, "+", "G1", "GENE1", "T1")
+    b.add_gene("2", 5000, 5999, "+", "G2", "GENE2", "T2")
+    for i in range(8):
+        b.add_split_fragment(f"s{i}", "1", 1100 + i * 4, 1204, 30, 40, "2", 5000)
+    for i in range(4):
+        b.add_discordant_fragment(f"d{i}", "1", 1100 + i * 9, "2", 5030 + i * 5)
+    for i, (contig, pos) in enumerate([("1", 1150), ("2", 5020)]):
+        b.add_proper_pair(f"n{i}", contig, pos)
+    return b.write() + ["-U", "3"]

@@ -86,3 +86,29 @@ def test_viral_parity(tmp_path):
 def test_fuzz2_parity(tmp_path, seed):
     from .scenario import fuzz_sample2
     assert_parity(tmp_path, fuzz_sample2(tmp_path, seed))
+
+
+def test_separate_chimeric_parity(tmp_path):
+    from .scenario import separate_chimeric_sample
+    assert_parity(tmp_path, separate_chimeric_sample(tmp_path))
+
+
+def test_single_end_parity(tmp_path):
+    from .scenario import single_end_sample
+    assert_parity(tmp_path, single_end_sample(tmp_path))
+
+
+@pytest.mark.parametrize("strandedness", ["yes", "reverse", "auto"])
+def test_stranded_parity(tmp_path, strandedness):
+    from .scenario import stranded_sample
+    assert_parity(tmp_path, stranded_sample(tmp_path, strandedness=strandedness))
+
+
+def test_duplicates_marked_parity(tmp_path):
+    from .scenario import duplicates_marked_sample
+    assert_parity(tmp_path, duplicates_marked_sample(tmp_path))
+
+
+def test_subsampling_parity(tmp_path):
+    from .scenario import subsampled_sample
+    assert_parity(tmp_path, subsampled_sample(tmp_path))
