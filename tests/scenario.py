@@ -470,3 +470,69 @@ def subsampled_sample(tmp_path, seed=91) -> List[str]:
     for i, (contig, pos) in enumerate([("1", 1150), ("2", 5020)]):
         b.add_proper_pair(f"n{i}", contig, pos)
     return b.write() + ["-U", "3"]
+
+
+def spliced_homolog_sample(tmp_path, seed=101) -> List[str]:
+    """Multi-exon genes with spliced breakpoints and intron-spanning mates
+    (pileup intron marks), two isoforms of the same gene pair (isoform
+    recovery), a homologous gene copy (homologs filter), and a mismapping
+    clipped segment (realignment filter)."""
+    import numpy as np
+    b = SampleBuilder(tmp_path, {"1": 20000, "2": 20000}, seed)
+    b.add_gene("1", 1000, 3499, "+", "GA", "ALPHA", "TA",
+               exons=[(1000, 1499), (2000, 2499), (3000, 3499)])
+    b.add_gene("2", 5000, 6499, "+", "GB", "BRAVO", "TB",
+               exons=[(5000, 5499), (6000, 6499)])
+    b.add_gene("2", 10000, 11999, "+", "GC", "CHARLIE", "TC")
+    # CHARLIE is a copy of ALPHA's genomic span => ~100% identity
+    b.genome["2"][10000:12000] = b.genome["1"][1000:3000]
+
+    def spliced_split(name, split_pos, matched, supp_pos, mate1_parts):
+        """split read whose MATE1 spans an intron of ALPHA."""
+        seq_mate1 = "".join(b.seq("1", p, l) for p, l in mate1_parts)
+        cigar1 = ""
+        prev_end = None
+        for p, l in mate1_parts:
+            if prev_end is not None:
+                cigar1 += f"{p - prev_end}N"
+            cigar1 += f"{l}M"
+            prev_end = p + l
+        b.records.append(BamRecord(
+            qname=name, flag=99, tid=0, pos=mate1_parts[0][0], mapq=60,
+            cigar=cigar_from_string(cigar1), mtid=0, mpos=split_pos, tlen=150,
+            seq=seq_mate1, tags={"HI": 1}))
+        b.records.append(BamRecord(
+            qname=name, flag=147, tid=0, pos=split_pos, mapq=60,
+            cigar=cigar_from_string(f"{matched}M40S"), mtid=0,
+            mpos=mate1_parts[0][0], tlen=-150,
+            seq=b.seq("1", split_pos, matched) + b.seq("2", supp_pos, 40),
+            tags={"HI": 1, "SA": f"2,{supp_pos + 1},-,{matched}S40M,60,0;"}))
+        b.records.append(BamRecord(
+            qname=name, flag=2195, tid=1, pos=supp_pos, mapq=60,
+            cigar=cigar_from_string(f"{matched}H40M"), mtid=0,
+            mpos=mate1_parts[0][0], tlen=0, seq=b.seq("2", supp_pos, 40),
+            tags={"HI": 1}))
+
+    # isoform 1: ALPHA exon2 end (1:2500) -> BRAVO exon2 start (2:6001), spliced
+    for i, offset in enumerate([0, 3, 6]):
+        spliced_split(f"iso1_{i}", 2470, 30, 6000,
+                      [(1480 - offset, 20), (2000, 30 + offset)])
+    # isoform 2: ALPHA exon1 end (1:1500) -> BRAVO exon2 start, spliced
+    for i in range(3):
+        spliced_split(f"iso2_{i}", 1470, 30, 6000, [(1400 + i * 5, 50)])
+    # homolog fusion: ALPHA -> CHARLIE (CHARLIE == copy of ALPHA)
+    for i, mate1_pos in enumerate([2100, 2110, 2120]):
+        b.add_split_fragment(f"hom{i}", "1", mate1_pos, 2200, 30, 40, "2", 10500)
+    # mismapper: clip of a supposed ALPHA->BRAVO read actually matches ALPHA
+    mm_clip_source = b.seq("1", 1200, 40)
+    b.genome["2"][8000:8040] = np.frombuffer(mm_clip_source.encode(), np.uint8)
+    # (8000 is intergenic on contig 2 => dummy gene; keep it inside BRAVO
+    # instead so the mismapper filter applies to a real gene pair)
+    b.genome["2"][6100:6140] = np.frombuffer(mm_clip_source.encode(), np.uint8)
+    for i, mate1_pos in enumerate([2100, 2112, 2124]):
+        b.add_split_fragment(f"mm{i}", "1", mate1_pos, 2200, 30, 40, "2", 6100)
+
+    for i, (contig, pos) in enumerate([("1", 2420), ("1", 1420), ("2", 6010),
+                                       ("2", 10450), ("1", 2210), ("2", 6120)]):
+        b.add_proper_pair(f"bg{i}", contig, pos)
+    return b.write()

@@ -112,3 +112,8 @@ def test_duplicates_marked_parity(tmp_path):
 def test_subsampling_parity(tmp_path):
     from .scenario import subsampled_sample
     assert_parity(tmp_path, subsampled_sample(tmp_path))
+
+
+def test_spliced_homolog_parity(tmp_path):
+    from .scenario import spliced_homolog_sample
+    assert_parity(tmp_path, spliced_homolog_sample(tmp_path))
