@@ -26,6 +26,17 @@ from ..io.fasta import Assembly
 from ..model import Alignment, ChimericAlignments
 from ..seq import reverse_complement_str
 
+try:  # native realignment engine (exact recursion in C++); optional
+    import os as _os
+    if _os.environ.get("ARRIBA_TPU_NO_NATIVE"):
+        _native = None
+    else:
+        from .. import _native
+except ImportError:  # pragma: no cover - build-environment dependent
+    _native = None
+
+_native_engine_ready = False
+
 # 2-bit base encoding of the reference's kmer_to_int: T=0, G=1, C=2, other=3
 KMER_BASE_LUT = np.full(256, 3, dtype=np.int64)
 KMER_BASE_LUT[ord("T")] = 0
@@ -89,6 +100,27 @@ def make_kmer_index(fusions: Fusions, assembly: Assembly, genes: GeneTable,
         positions = np.arange(gene_start, gene_start + len(values), dtype=np.int64)
         not_n = window[:len(values)] != ord("N")
         per_contig.setdefault(contig, []).append((values[not_n], positions[not_n]))
+
+    # mirror the index into the native realignment engine
+    global _native_engine_ready
+    _native_engine_ready = False
+    _NATIVE_SPLICE_REGISTERED.clear()
+    if _native is not None:
+        _native.realign_reset()
+        for contig in sorted({int(genes.contig[g]) for g in genes_to_filter}):
+            seq = assembly.get(contig)
+            if seq is not None:
+                _native.realign_set_contig(contig, seq)
+        for gene in sorted(genes_to_filter):
+            contig = int(genes.contig[gene])
+            seq = assembly.get(contig)
+            if seq is None:
+                continue
+            gene_start = max(int(genes.start[gene]) - padding, 0)
+            gene_end = min(int(genes.end[gene]) + padding, len(seq) - 1)
+            _native.realign_add_kmers(contig, gene_start, gene_end)
+        _native.realign_finalize()
+        _native_engine_ready = True
 
     kmer_indices: KmerIndices = {}
     for contig, chunks in per_contig.items():
@@ -254,6 +286,20 @@ def align_both_strands(read_sequence: str, read_length: int, max_mate_gap: int,
             continue
 
         splice_sites = splice_sites_by_gene[gene]
+        if _native is not None and _native_engine_ready:
+            if gene not in _NATIVE_SPLICE_REGISTERED:
+                _native.realign_set_splice_sites(
+                    gene, np.asarray(splice_sites, np.int64).tobytes())
+                _NATIVE_SPLICE_REGISTERED.add(gene)
+            read_bytes = read_sequence.encode("latin-1")
+            if _native.realign_align(read_bytes, contig, gene_start, gene_end,
+                                     gene, min_score, 1):
+                return True
+            if _native.realign_align(
+                    reverse_complement_str(read_sequence).encode("latin-1"),
+                    contig, gene_start, gene_end, gene, min_score, 1):
+                return True
+            continue
         if align(0, read_sequence, 0, contig_sequence, gene_start, gene_start, gene_end,
                  kmer_index, kmer_length, splice_sites, min_score, 1):
             return True
@@ -261,6 +307,9 @@ def align_both_strands(read_sequence: str, read_length: int, max_mate_gap: int,
                  gene_start, gene_end, kmer_index, kmer_length, splice_sites, min_score, 1):
             return True
     return False
+
+
+_NATIVE_SPLICE_REGISTERED: Set[int] = set()
 
 
 def extend_split_read(split_read: Alignment, assembly: Assembly,

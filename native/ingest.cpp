@@ -795,7 +795,26 @@ static PyObject *tandem_scan(PyObject *, PyObject *args) {
     Py_RETURN_NONE;
 }
 
+extern PyObject *realign_reset(PyObject *, PyObject *);
+extern PyObject *realign_set_contig(PyObject *, PyObject *);
+extern PyObject *realign_add_kmers(PyObject *, PyObject *);
+extern PyObject *realign_finalize(PyObject *, PyObject *);
+extern PyObject *realign_set_splice_sites(PyObject *, PyObject *);
+extern PyObject *realign_align(PyObject *, PyObject *);
+
 static PyMethodDef methods[] = {
+    {"realign_reset", realign_reset, METH_NOARGS,
+     "Clear the realignment engine (contigs, k-mer indices, splice sites)."},
+    {"realign_set_contig", realign_set_contig, METH_VARARGS,
+     "Register a contig sequence buffer with the realignment engine."},
+    {"realign_add_kmers", realign_add_kmers, METH_VARARGS,
+     "Index 8-mers of a contig region into the engine."},
+    {"realign_finalize", realign_finalize, METH_NOARGS,
+     "Sort and deduplicate the engine's k-mer position lists."},
+    {"realign_set_splice_sites", realign_set_splice_sites, METH_VARARGS,
+     "Register a gene's sorted downstream splice sites (int64 bytes)."},
+    {"realign_align", realign_align, METH_VARARGS,
+     "Exact recursive seed-and-extend alignment of a read against a gene window."},
     {"tandem_scan", tandem_scan, METH_VARARGS,
      "ITD brute-force window scan; returns (contig_pos, aln_start, aln_end) or None."},
     {"scan_sam", scan_sam, METH_VARARGS,

@@ -1,0 +1,255 @@
+/* Native realignment engine: the exact recursive 8-mer-seeded seed-and-extend
+ * aligner of the mismappers filter (behavioral port of
+ * arriba_tpu/filters/mismappers.py align()/align_both_strands core), exposed
+ * as module-level functions on a singleton engine. The Python filter keeps
+ * all orchestration (which reads, which gene sets, min-score math); only the
+ * hot recursion runs here. */
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace realign_engine {
+
+constexpr int KMER_LENGTH = 8;
+
+struct Contig {
+    PyObject *owner = nullptr;   /* keeps the buffer alive */
+    const uint8_t *data = nullptr;
+    Py_ssize_t length = 0;
+    std::unordered_map<uint32_t, std::vector<int64_t>> kmer_index;
+};
+
+struct Engine {
+    std::unordered_map<int, Contig> contigs;
+    std::unordered_map<long, std::vector<int64_t>> splice_sites;  /* per gene */
+};
+
+Engine &engine() {
+    static Engine instance;
+    return instance;
+}
+
+inline uint32_t kmer_code(uint8_t base) {
+    switch (base) {
+        case 'T': return 0;
+        case 'G': return 1;
+        case 'C': return 2;
+        default: return 3;
+    }
+}
+
+inline uint32_t kmer_at(const uint8_t *sequence, Py_ssize_t position) {
+    uint32_t value = 0;
+    for (int j = 0; j < KMER_LENGTH; ++j)
+        value = (value << 2) | kmer_code(sequence[position + j]);
+    return value;
+}
+
+/* the recursive seed-and-extend (filter_mismappers.cpp:86-187 semantics as
+ * re-expressed in arriba_tpu/filters/mismappers.py) */
+bool align_recursive(int score, const uint8_t *read, Py_ssize_t read_length,
+                     Py_ssize_t read_pos, const Contig &contig,
+                     int64_t gene_pos, int64_t gene_start, int64_t gene_end,
+                     const std::vector<int64_t> &splice_sites, int min_score,
+                     int max_deletions) {
+    int skipped_bases = 0;
+
+    while (read_pos + KMER_LENGTH < read_length &&
+           read_pos + min_score <= read_length + score + 2 * KMER_LENGTH) {
+
+        auto hits = contig.kmer_index.find(kmer_at(read, read_pos));
+        if (hits != contig.kmer_index.end()) {
+            const std::vector<int64_t> &positions = hits->second;
+            for (auto it = std::lower_bound(positions.begin(), positions.end(), gene_pos);
+                 it != positions.end() && *it < gene_end; ++it) {
+                int64_t kmer_hit = *it;
+
+                int extended_score = score + KMER_LENGTH;
+                if (read_pos == skipped_bases)
+                    extended_score += skipped_bases;  /* free leading skips */
+                if (extended_score >= min_score)
+                    return true;
+
+                /* extend locally to the left */
+                {
+                    Py_ssize_t extended_read_pos = read_pos - 1;
+                    int64_t extended_gene_pos = kmer_hit - 1;
+                    int mismatch_count = 0;
+                    while (extended_read_pos >= read_pos - skipped_bases &&
+                           extended_gene_pos >= gene_start) {
+                        if (read[extended_read_pos] == contig.data[extended_gene_pos]) {
+                            extended_score += (read_pos == skipped_bases) ? 1 : 2;
+                            if (extended_score >= min_score)
+                                return true;
+                        } else {
+                            if (++mismatch_count > 1)
+                                break;
+                        }
+                        extended_read_pos -= 1;
+                        extended_gene_pos -= 1;
+                    }
+                }
+
+                /* extend locally to the right */
+                Py_ssize_t extended_read_pos = read_pos + KMER_LENGTH;
+                int64_t extended_gene_pos = kmer_hit + KMER_LENGTH;
+                int mismatch_count = 0;
+                int consecutive_mismatches = 0;
+                size_t splice_idx = std::lower_bound(splice_sites.begin(),
+                                                     splice_sites.end(),
+                                                     extended_gene_pos - 1)
+                                    - splice_sites.begin();
+                while (extended_read_pos < read_length && extended_gene_pos <= gene_end) {
+                    if (splice_idx < splice_sites.size()) {
+                        if (extended_gene_pos - 1 > splice_sites[splice_idx])
+                            splice_idx += 1;
+                        if (splice_idx < splice_sites.size() &&
+                            extended_gene_pos - 1 == splice_sites[splice_idx]) {
+                            if (align_recursive(extended_score, read, read_length,
+                                                extended_read_pos, contig,
+                                                extended_gene_pos, gene_start,
+                                                gene_end, splice_sites, min_score,
+                                                max_deletions))
+                                return true;
+                        }
+                    }
+
+                    if (read[extended_read_pos] == contig.data[extended_gene_pos]) {
+                        extended_score += 1;
+                        if (extended_score >= min_score)
+                            return true;
+                        consecutive_mismatches = 0;
+                    } else {
+                        mismatch_count += 1;
+                        if (mismatch_count == 1) {
+                            if (max_deletions > 0 && read_length >= 30 &&
+                                align_recursive(extended_score, read, read_length,
+                                                extended_read_pos, contig,
+                                                extended_gene_pos, gene_start,
+                                                gene_end, splice_sites, min_score,
+                                                max_deletions - 1))
+                                return true;
+                        }
+                        extended_score -= 1;
+                        consecutive_mismatches += 1;
+                        if (consecutive_mismatches >= 4)
+                            break;
+                    }
+                    extended_read_pos += 1;
+                    extended_gene_pos += 1;
+                }
+            }
+        }
+
+        read_pos += 1;
+        score -= 1;
+        skipped_bases += 1;
+    }
+    return false;
+}
+
+}  // namespace realign_engine
+
+using realign_engine::engine;
+
+PyObject *realign_reset(PyObject *, PyObject *) {
+    for (auto &entry : engine().contigs)
+        Py_XDECREF(entry.second.owner);
+    engine().contigs.clear();
+    engine().splice_sites.clear();
+    Py_RETURN_NONE;
+}
+
+PyObject *realign_set_contig(PyObject *, PyObject *args) {
+    int cid;
+    PyObject *obj;
+    if (!PyArg_ParseTuple(args, "iO", &cid, &obj))
+        return nullptr;
+    Py_buffer view;
+    if (PyObject_GetBuffer(obj, &view, PyBUF_SIMPLE) != 0)
+        return nullptr;
+    realign_engine::Contig &contig = engine().contigs[cid];
+    Py_XDECREF(contig.owner);
+    /* keep the buffer view alive for the engine's lifetime via the owner */
+    contig.owner = obj;
+    Py_INCREF(obj);
+    contig.data = (const uint8_t *)view.buf;
+    contig.length = view.len;
+    PyBuffer_Release(&view);  /* safe: owner reference keeps memory alive for
+                                 numpy arrays / bytes, which do not relocate */
+    Py_RETURN_NONE;
+}
+
+PyObject *realign_add_kmers(PyObject *, PyObject *args) {
+    int cid;
+    long long start, end;  /* index positions in [start, end - KMER_LENGTH) */
+    if (!PyArg_ParseTuple(args, "iLL", &cid, &start, &end))
+        return nullptr;
+    auto found = engine().contigs.find(cid);
+    if (found == engine().contigs.end()) {
+        PyErr_SetString(PyExc_KeyError, "contig not registered");
+        return nullptr;
+    }
+    realign_engine::Contig &contig = found->second;
+    if (start < 0) start = 0;
+    if (end > contig.length - 1) end = contig.length - 1;
+    for (long long pos = start; pos + realign_engine::KMER_LENGTH < end; ++pos)
+        if (contig.data[pos] != 'N')
+            contig.kmer_index[realign_engine::kmer_at(contig.data, pos)].push_back(pos);
+    Py_RETURN_NONE;
+}
+
+PyObject *realign_finalize(PyObject *, PyObject *) {
+    for (auto &entry : engine().contigs)
+        for (auto &kmer : entry.second.kmer_index) {
+            std::vector<int64_t> &positions = kmer.second;
+            std::sort(positions.begin(), positions.end());
+            positions.erase(std::unique(positions.begin(), positions.end()),
+                            positions.end());
+        }
+    Py_RETURN_NONE;
+}
+
+PyObject *realign_set_splice_sites(PyObject *, PyObject *args) {
+    long gene;
+    const char *data;
+    Py_ssize_t size;
+    if (!PyArg_ParseTuple(args, "ly#", &gene, &data, &size))
+        return nullptr;
+    const int64_t *values = (const int64_t *)data;
+    engine().splice_sites[gene].assign(values, values + size / 8);
+    Py_RETURN_NONE;
+}
+
+PyObject *realign_align(PyObject *, PyObject *args) {
+    const char *read;
+    Py_ssize_t read_length;
+    int cid;
+    long long gene_start, gene_end;
+    long gene;
+    int min_score, max_deletions;
+    if (!PyArg_ParseTuple(args, "y#iLLlii", &read, &read_length, &cid,
+                          &gene_start, &gene_end, &gene, &min_score,
+                          &max_deletions))
+        return nullptr;
+    auto found = engine().contigs.find(cid);
+    if (found == engine().contigs.end())
+        Py_RETURN_FALSE;
+    static const std::vector<int64_t> empty;
+    auto splice = engine().splice_sites.find(gene);
+    const std::vector<int64_t> &splice_sites =
+        (splice == engine().splice_sites.end()) ? empty : splice->second;
+    bool result = realign_engine::align_recursive(
+        0, (const uint8_t *)read, read_length, 0, found->second, gene_start,
+        gene_start, gene_end, splice_sites, min_score, max_deletions);
+    if (result)
+        Py_RETURN_TRUE;
+    Py_RETURN_FALSE;
+}
