@@ -16,6 +16,7 @@ from ..constants import FILTER_HOMOLOGS, FILTER_NONE
 from ..fusion import Fusion, Fusions
 from ..io.fasta import Assembly
 from ..seq import reverse_complement
+from . import mismappers as _mismappers
 from .mismappers import KmerIndices, kmer_to_int
 
 
@@ -48,6 +49,12 @@ def is_homolog(gene1: int, gene2: int, kmer_indices: KmerIndices, kmer_length: i
     small_gene_sequence = assembly[small_contig][small_start:small_start + small_length]
     if bool(genes.strand[small_gene]) != bool(genes.strand[big_gene]):
         small_gene_sequence = reverse_complement(small_gene_sequence)
+
+    if _mismappers._native is not None and _mismappers._native_engine_ready:
+        return bool(_mismappers._native.realign_is_homolog(
+            small_gene_sequence.tobytes(), small_contig, small_start, small_end,
+            big_contig, big_start, big_end, small_length, max_identity_fraction))
+
     small_seq_str = small_gene_sequence.tobytes().decode("latin-1")
     big_contig_sequence = assembly[big_contig]
 

@@ -801,6 +801,7 @@ extern PyObject *realign_add_kmers(PyObject *, PyObject *);
 extern PyObject *realign_finalize(PyObject *, PyObject *);
 extern PyObject *realign_set_splice_sites(PyObject *, PyObject *);
 extern PyObject *realign_align(PyObject *, PyObject *);
+extern PyObject *realign_is_homolog(PyObject *, PyObject *);
 
 static PyMethodDef methods[] = {
     {"realign_reset", realign_reset, METH_NOARGS,
@@ -815,6 +816,8 @@ static PyMethodDef methods[] = {
      "Register a gene's sorted downstream splice sites (int64 bytes)."},
     {"realign_align", realign_align, METH_VARARGS,
      "Exact recursive seed-and-extend alignment of a read against a gene window."},
+    {"realign_is_homolog", realign_is_homolog, METH_VARARGS,
+     "8+8-mer homology test of a small gene sequence inside a big gene window."},
     {"tandem_scan", tandem_scan, METH_VARARGS,
      "ITD brute-force window scan; returns (contig_pos, aln_start, aln_end) or None."},
     {"scan_sam", scan_sam, METH_VARARGS,

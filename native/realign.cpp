@@ -228,6 +228,63 @@ PyObject *realign_set_splice_sites(PyObject *, PyObject *args) {
     Py_RETURN_NONE;
 }
 
+/* homology test: count 8+8-mer matches of the small gene inside the big
+ * gene (behavioral port of arriba_tpu/filters/homologs.py is_homolog core) */
+PyObject *realign_is_homolog(PyObject *, PyObject *args) {
+    const char *small_seq;          /* possibly reverse-complemented */
+    Py_ssize_t small_size;
+    int small_contig, big_contig;
+    long long small_start, small_end, big_start, big_end;
+    long long small_length;         /* gene length (end - start) */
+    double max_identity_fraction;
+    if (!PyArg_ParseTuple(args, "y#iLLiLLLd", &small_seq, &small_size,
+                          &small_contig, &small_start, &small_end, &big_contig,
+                          &big_start, &big_end, &small_length,
+                          &max_identity_fraction))
+        return nullptr;
+    auto found = engine().contigs.find(big_contig);
+    if (found == engine().contigs.end())
+        Py_RETURN_FALSE;
+    const realign_engine::Contig &contig = found->second;
+    const int k = realign_engine::KMER_LENGTH;
+    const int ext = 8;
+
+    long long matching_kmers = 0;
+    double threshold = small_length * max_identity_fraction;
+    for (Py_ssize_t pos = 0; pos + 2 * k < small_size; pos += k) {
+        if (matching_kmers * k + (double)(small_size - pos) < threshold)
+            Py_RETURN_FALSE;
+        auto hits = contig.kmer_index.find(
+            realign_engine::kmer_at((const uint8_t *)small_seq, pos));
+        if (hits == contig.kmer_index.end())
+            continue;
+        const std::vector<int64_t> &positions = hits->second;
+        for (auto it = std::lower_bound(positions.begin(), positions.end(), big_start);
+             it != positions.end() && *it <= big_end; ++it) {
+            int64_t hit = *it;
+            if (small_contig == big_contig && hit >= small_start && hit <= small_end)
+                continue;
+            /* strncmp semantics with NUL padding at sequence ends */
+            bool equal = true;
+            for (int j = 0; j < ext; ++j) {
+                uint8_t big_char = (hit + k + j < contig.length)
+                                   ? contig.data[hit + k + j] : 0;
+                uint8_t small_char = (pos + k + j < small_size)
+                                     ? (uint8_t)small_seq[pos + k + j] : 0;
+                if (big_char != small_char) { equal = false; break; }
+                if (big_char == 0) break;  /* both ended */
+            }
+            if (equal) {
+                matching_kmers += 1;
+                if ((double)(matching_kmers * k) >= threshold)
+                    Py_RETURN_TRUE;
+                break;
+            }
+        }
+    }
+    Py_RETURN_FALSE;
+}
+
 PyObject *realign_align(PyObject *, PyObject *args) {
     const char *read;
     Py_ssize_t read_length;

@@ -536,3 +536,34 @@ def spliced_homolog_sample(tmp_path, seed=101) -> List[str]:
                                        ("2", 10450), ("1", 2210), ("2", 6120)]):
         b.add_proper_pair(f"bg{i}", contig, pos)
     return b.write()
+
+
+def overlapping_genes_sample(tmp_path, seed: int = 111) -> List[str]:
+    """Overlapping and nested genes: multi-gene ambiguity in annotation,
+    gene-set disambiguation via splice patterns, and fusions where a
+    breakpoint lies in several genes at once."""
+    rng = random.Random(seed)
+    b = SampleBuilder(tmp_path, {"1": 40000, "2": 40000}, seed)
+    # OVER1/OVER2 overlap by half; NEST inner gene fully inside HOST
+    b.add_gene("1", 1000, 2999, "+", "GO1", "OVER1", "TO1",
+               exons=[(1000, 1499), (2500, 2999)])
+    b.add_gene("1", 2000, 3999, "-", "GO2", "OVER2", "TO2",
+               exons=[(2000, 2499), (3500, 3999)])
+    b.add_gene("1", 10000, 15999, "+", "GH", "HOST", "TH",
+               exons=[(10000, 10499), (15500, 15999)])
+    b.add_gene("1", 11000, 12999, "+", "GN", "NEST", "TN")
+    b.add_gene("2", 5000, 6999, "+", "GT", "TARGET", "TT")
+
+    # fusions out of the overlap region (both OVER1 and OVER2 annotate)
+    for i, mate1_pos in enumerate([2504 + i * 4 for i in range(3)]):
+        b.add_split_fragment(f"ov{i}", "1", mate1_pos, 2604, 30, 40, "2", 5000)
+    # fusion out of the nested gene (HOST and NEST both annotate)
+    for i, mate1_pos in enumerate([11104 + i * 6 for i in range(3)]):
+        b.add_split_fragment(f"ns{i}", "1", mate1_pos, 11204, 30, 40, "2", 5200)
+    # discordant support spread across the overlap
+    b.add_discordant_fragment("ovd", "1", 2550, "2", 5050)
+    b.add_discordant_fragment("nsd", "1", 11150, "2", 5250)
+    for i, (contig, pos) in enumerate([("1", 2550), ("1", 11150),
+                                       ("2", 5020), ("2", 5220)]):
+        b.add_proper_pair(f"bg{i}", contig, pos)
+    return b.write()

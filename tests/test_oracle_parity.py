@@ -117,3 +117,8 @@ def test_subsampling_parity(tmp_path):
 def test_spliced_homolog_parity(tmp_path):
     from .scenario import spliced_homolog_sample
     assert_parity(tmp_path, spliced_homolog_sample(tmp_path))
+
+
+def test_overlapping_genes_parity(tmp_path):
+    from .scenario import overlapping_genes_sample
+    assert_parity(tmp_path, overlapping_genes_sample(tmp_path))
