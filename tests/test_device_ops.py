@@ -191,3 +191,56 @@ def test_sharded_realign_step_on_mesh():
     can_align = np.asarray(result["can_align"])
     assert can_align[0]
     assert int(total) == int(can_align.sum())
+
+
+def test_pileup_consensus():
+    from arriba_tpu.ops.pileup import pileup_consensus
+
+    # fusion 0: column 0 unanimous A(3); column 1 split 2:1 (not confident at
+    # 75%); column 2 covered by one deletion; fusion 1: column 0 one base
+    codes = np.array([3, 3, 3, 0, 0, 1, 5, 2], np.uint8)
+    positions = np.array([0, 0, 0, 1, 1, 1, 2, 0], np.int32)
+    fusion_ids = np.array([0, 0, 0, 0, 0, 0, 0, 1], np.int32)
+    consensus, confident, coverage = pileup_consensus(
+        jnp.asarray(codes), jnp.asarray(positions), jnp.asarray(fusion_ids),
+        n_fusions=2, window=4)
+    consensus = np.asarray(consensus)
+    confident = np.asarray(confident)
+    coverage = np.asarray(coverage)
+    assert consensus[0, 0] == 3 and confident[0, 0] and coverage[0, 0] == 3
+    assert consensus[0, 1] == 0 and not confident[0, 1] and coverage[0, 1] == 3
+    assert consensus[0, 2] == 5 and coverage[0, 2] == 1  # deletion symbol
+    assert consensus[0, 3] == PAD_CODE and coverage[0, 3] == 0
+    assert consensus[1, 0] == 2 and confident[1, 0]
+    # out-of-window observations are dropped without corrupting column 0
+    codes2 = np.array([1, 1], np.uint8)
+    positions2 = np.array([0, 99], np.int32)
+    fusion_ids2 = np.array([0, 0], np.int32)
+    consensus2, _, coverage2 = pileup_consensus(
+        jnp.asarray(codes2), jnp.asarray(positions2), jnp.asarray(fusion_ids2),
+        n_fusions=1, window=4)
+    assert np.asarray(coverage2)[0, 0] == 1
+    assert np.asarray(consensus2)[0, 0] == 1
+
+
+def test_device_point_query_matches_host_index():
+    from arriba_tpu.annotation.index import IntervalIndex
+    from arriba_tpu.ops.annotation import point_query_batch
+
+    rng = np.random.default_rng(8)
+    n_features = 40
+    starts = rng.integers(0, 5000, n_features)
+    ends = starts + rng.integers(50, 800, n_features)
+    contigs = np.zeros(n_features, np.int32)
+    index = IntervalIndex(contigs, starts.astype(np.int64), ends.astype(np.int64), 1)
+
+    positions = rng.integers(0, 6500, 200).astype(np.int64)
+    max_items = max((len(index.set_at(0, i)) for i in range(len(index.boundaries[0]))),
+                    default=1)
+    result = np.asarray(point_query_batch(
+        jnp.asarray(index.boundaries[0]), jnp.asarray(index.offsets[0]),
+        jnp.asarray(index.items[0]), jnp.asarray(positions), max_items))
+    for q, pos in enumerate(positions):
+        expected = sorted(index.point_query(0, int(pos)).tolist())
+        got = sorted(int(v) for v in result[q] if v >= 0)
+        assert got == expected, f"query {q} at {pos}"
