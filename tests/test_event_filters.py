@@ -1,0 +1,121 @@
+"""Unit tests for event-level filters on synthetic fusion tables
+(complementing the oracle-parity integration tests)."""
+
+import numpy as np
+import pytest
+
+from arriba_tpu.annotation.tables import GeneTable
+from arriba_tpu.constants import (CONFIDENCE_HIGH, CONFIDENCE_LOW,
+                                  CONFIDENCE_MEDIUM, DOWNSTREAM,
+                                  FILTER_MERGE_ADJACENT, FILTER_NONE,
+                                  FILTER_SELECT_BEST, FILTER_SHORT_ANCHOR,
+                                  UPSTREAM)
+from arriba_tpu.filters.event_level import (filter_short_anchor,
+                                            merge_adjacent_fusions,
+                                            select_most_supported_breakpoints)
+from arriba_tpu.filters.genomic_support import assign_confidence
+from arriba_tpu.fusion import Fusion
+from arriba_tpu.ingest.stats import Coverage
+
+
+def make_genes(n=4):
+    genes = GeneTable()
+    genes.contig = np.zeros(n, np.int32)
+    genes.start = np.arange(n, dtype=np.int64) * 100000
+    genes.end = genes.start + 10000
+    genes.strand = np.ones(n, np.bool_)
+    genes.gene_id = [f"G{i}" for i in range(n)]
+    genes.name = [f"GENE{i}" for i in range(n)]
+    genes.exonic_length = np.full(n, 5000, np.int64)
+    genes.is_dummy = np.zeros(n, np.bool_)
+    genes.is_protein_coding = np.ones(n, np.bool_)
+    return genes
+
+
+def make_fusion(gene1=0, gene2=1, bp1=5000, bp2=105000, split1=2, split2=2,
+                discordant=0, dir1=DOWNSTREAM, dir2=UPSTREAM, **kwargs):
+    fusion = Fusion(gene1=gene1, gene2=gene2, contig1=0, contig2=0,
+                    breakpoint1=bp1, breakpoint2=bp2, direction1=dir1,
+                    direction2=dir2, split_reads1=split1, split_reads2=split2,
+                    discordant_mates=discordant)
+    for key, value in kwargs.items():
+        setattr(fusion, key, value)
+    fusion.split_read1_list = [f"r{i}" for i in range(split1)]
+    fusion.split_read2_list = [f"s{i}" for i in range(split2)]
+    fusion.discordant_mate_list = [f"d{i}" for i in range(discordant)]
+    return fusion
+
+
+def test_select_best_prefers_split_reads_on_both_sides():
+    both = make_fusion(bp1=5000, bp2=105000, split1=1, split2=1)
+    one_side = make_fusion(bp1=5100, bp2=105100, split1=5, split2=0,
+                           discordant=5)
+    fusions = {1: one_side, 2: both}
+    remaining = select_most_supported_breakpoints(fusions)
+    assert remaining == 1
+    assert both.filter == FILTER_NONE          # rank 3 beats rank 2
+    assert one_side.filter == FILTER_SELECT_BEST
+
+
+def test_select_best_most_distal_tiebreak():
+    proximal = make_fusion(bp1=5000, bp2=105000)
+    distal = make_fusion(bp1=5500, bp2=104000)  # direction1 DOWNSTREAM: larger bp1 wins
+    fusions = {1: proximal, 2: distal}
+    select_most_supported_breakpoints(fusions)
+    assert distal.filter == FILTER_NONE
+    assert proximal.filter == FILTER_SELECT_BEST
+
+
+def test_merge_adjacent_consistent_shift():
+    # breakpoints shifted together by 2bp (deletion orientation => same
+    # shift sign on breakpoint2, merge_adjacent_fusions.cpp:49)
+    best = make_fusion(bp1=5000, bp2=105000, split1=4, split2=0)
+    shifted = make_fusion(bp1=5002, bp2=105002, split1=1, split2=0)
+    unrelated = make_fusion(bp1=5002, bp2=104998, split1=1, split2=0)
+    fusions = {1: best, 2: shifted, 3: unrelated}
+    merge_adjacent_fusions(fusions, 5, 100)
+    assert shifted.filter == FILTER_MERGE_ADJACENT
+    assert best.filter == FILTER_NONE
+    assert best.split_reads1 == 5              # absorbed the shifted support
+    assert unrelated.filter == FILTER_NONE     # inconsistent shift not merged
+
+
+def test_short_anchor():
+    short = make_fusion(anchor_start1=4990, anchor_start2=105010)
+    long = make_fusion(bp1=6000, bp2=106000, anchor_start1=5900,
+                       anchor_start2=106100)
+    fusions = {1: short, 2: long}
+    remaining = filter_short_anchor(fusions, 23)
+    assert remaining == 1
+    assert short.filter == FILTER_SHORT_ANCHOR
+    assert long.filter == FILTER_NONE
+
+
+def test_assign_confidence_tiers():
+    genes = make_genes()
+    coverage = Coverage()  # empty => get_coverage returns -1
+    # spliced inter-gene event with balanced support => high
+    good = make_fusion(split1=10, split2=10, discordant=5, spliced1=True,
+                       spliced2=True, evalue=0.001)
+    # single-read event => low
+    weak = make_fusion(gene1=2, gene2=3, bp1=205000, bp2=305000, split1=1,
+                       split2=0, evalue=0.5)
+    # non-spliced with support from one side only => demoted from high
+    lopsided = make_fusion(gene1=0, gene2=3, bp2=305000, split1=6, split2=0,
+                           discordant=0, evalue=0.001)
+    fusions = {1: good, 2: weak, 3: lopsided}
+    assign_confidence(fusions, coverage, genes)
+    assert good.confidence == CONFIDENCE_HIGH
+    assert weak.confidence == CONFIDENCE_LOW
+    # demotions: not spliced (-1), one-sided reads (-1) => low
+    assert lopsided.confidence == CONFIDENCE_LOW
+
+
+def test_assign_confidence_read_through_demotion():
+    genes = make_genes()
+    # deletion orientation, <400kb apart => read-through => low by default
+    read_through = make_fusion(split1=2, split2=2, spliced1=True, spliced2=True,
+                               evalue=0.001)
+    assert read_through.is_read_through()
+    assign_confidence({1: read_through}, Coverage(), genes)
+    assert read_through.confidence == CONFIDENCE_LOW
