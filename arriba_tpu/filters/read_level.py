@@ -611,6 +611,26 @@ def filter_mismatches(chimeric_alignments: ChimericAlignments, assembly: Assembl
     return remaining
 
 
+def _device_offload_enabled(batch_rows: int) -> bool:
+    """Offload per-read batch math to the jax device when one is configured
+    (ARRIBA_TPU_DEVICE=1 forces it on, =0 off; by default only when the
+    default jax backend is a TPU and the batch is large enough to amortize
+    transfers)."""
+    import os
+    setting = os.environ.get("ARRIBA_TPU_DEVICE")
+    if setting == "0":
+        return False
+    if setting == "1":
+        return True
+    if batch_rows < 16384:
+        return False
+    try:
+        import jax
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _low_entropy_flags(codes: np.ndarray, lengths: np.ndarray,
                        a1s: np.ndarray, a1e: np.ndarray, a2s: np.ndarray,
                        a2e: np.ndarray, kmer_content: float,
@@ -720,9 +740,24 @@ def filter_low_entropy(chimeric_alignments: ChimericAlignments, kmer_length: int
                 s.encode("latin-1"), np.uint8)]
             lengths[i] = len(s)
         windows = np.array(row_windows, np.int32)
-        flags = _low_entropy_flags(codes, lengths, windows[:, 0], windows[:, 1],
-                                   windows[:, 2], windows[:, 3], kmer_content,
-                                   kmer_length)
+        flags = None
+        if _device_offload_enabled(n):
+            # TPU path: the jax device op implements the identical recurrence
+            # (tests/test_device_ops.py proves agreement with the reference)
+            try:
+                import jax.numpy as jnp
+                from ..ops.readfilters import low_entropy_batch
+                flags = np.asarray(low_entropy_batch(
+                    jnp.asarray(codes), jnp.asarray(lengths),
+                    jnp.asarray(windows[:, 0]), jnp.asarray(windows[:, 1]),
+                    jnp.asarray(windows[:, 2]), jnp.asarray(windows[:, 3]),
+                    kmer_content))
+            except Exception:  # pragma: no cover - device-availability dependent
+                flags = None
+        if flags is None:
+            flags = _low_entropy_flags(codes, lengths, windows[:, 0], windows[:, 1],
+                                       windows[:, 2], windows[:, 3], kmer_content,
+                                       kmer_length)
         for i in np.nonzero(flags)[0]:
             row_fragment[int(i)].filter = FILTER_LOW_ENTROPY
 
