@@ -244,3 +244,53 @@ def test_device_point_query_matches_host_index():
         expected = sorted(index.point_query(0, int(pos)).tolist())
         got = sorted(int(v) for v in result[q] if v >= 0)
         assert got == expected, f"query {q} at {pos}"
+
+
+def test_tensorize_matches_host_mismatch_counts():
+    """ReadBatch CIGAR-walk encoding: device mismatch counts over M/=/X
+    positions equal a direct host walk."""
+    import random
+    from arriba_tpu.model import Alignment
+    from arriba_tpu.ops.encode import tensorize
+    from arriba_tpu.io.bam import cigar_from_string
+
+    rng = np.random.default_rng(9)
+    pyrng = random.Random(9)
+    contig_seq = np.frombuffer(
+        "".join(pyrng.choice("ACGT") for _ in range(5000)).encode(), np.uint8).copy()
+    assembly = {0: contig_seq}
+
+    chimeric = {}
+    expected = []
+    for i in range(20):
+        start = pyrng.randrange(100, 4000)
+        matched = pyrng.randrange(30, 80)
+        clip = pyrng.choice([0, 10, 25])
+        seq = contig_seq[start:start + matched].tobytes().decode()
+        # plant some mismatches
+        seq = list(seq)
+        n_mm = pyrng.randrange(0, 4)
+        for _ in range(n_mm):
+            p = pyrng.randrange(len(seq))
+            seq[p] = "ACGT"[(("ACGT".index(seq[p]) + 1) % 4)]
+        seq = "".join(seq)
+        cigar = f"{matched}M{clip}S" if clip else f"{matched}M"
+        full_seq = seq + "A" * clip
+        alignment = Alignment(contig=0, start=start, end=start + matched - 1,
+                              cigar=cigar_from_string(cigar), sequence=full_seq)
+        from arriba_tpu.model import Fragment
+        frag = Fragment()
+        frag.append(alignment)
+        frag.append(Alignment())  # empty mate (no sequence => not tensorized)
+        chimeric[f"r{i}"] = frag
+        actual_mm = sum(1 for j in range(matched)
+                        if full_seq[j] != chr(contig_seq[start + j]))
+        expected.append(actual_mm)
+
+    batch = tensorize(chimeric, assembly)
+    mismatches, aligned = readfilters.count_mismatches_batch(
+        jnp.asarray(batch.bases), jnp.asarray(batch.ref),
+        jnp.asarray(batch.match_mask))
+    mismatches = np.asarray(mismatches)
+    for i in range(20):
+        assert mismatches[i] == expected[i], f"read {i}"

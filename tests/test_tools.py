@@ -90,3 +90,47 @@ def test_draw_fusions(pipeline_output):
     assert result.returncode == 0, result.stderr
     pdf = (tmp / "fusions.pdf").read_bytes()
     assert pdf.startswith(b"%PDF") and len(pdf) > 2000
+
+
+def test_cohort_runner(tmp_path):
+    from .scenario import translocation_sample
+    sample_dir1 = tmp_path / "s1"
+    sample_dir2 = tmp_path / "s2"
+    sample_dir1.mkdir(), sample_dir2.mkdir()
+    args1 = translocation_sample(sample_dir1, seed=7)
+    args2 = translocation_sample(sample_dir2, seed=8)
+
+    def common_of(args):
+        # everything except -x (per-sample)
+        out, skip = [], False
+        it = iter(range(len(args)))
+        i = 0
+        while i < len(args):
+            if args[i] == "-x":
+                i += 2
+                continue
+            out.append(args[i]); i += 1
+        return out
+
+    manifest = tmp_path / "cohort.tsv"
+    manifest.write_text(
+        f"s1\t{sample_dir1}/aligned.sam\t{tmp_path}/out1\n"
+        f"s2\t{sample_dir2}/aligned.sam\t{tmp_path}/out2\t-U\t100\n")
+    # use sample 1's common flags for both (genomes differ by seed, so give
+    # each sample its own -g/-a via extra args instead)
+    manifest.write_text(
+        f"s1\t{sample_dir1}/aligned.sam\t{tmp_path}/out1\t" +
+        "\t".join(common_of(args1)) + "\n"
+        f"s2\t{sample_dir2}/aligned.sam\t{tmp_path}/out2\t" +
+        "\t".join(common_of(args2)) + "\n")
+
+    import os
+    import arriba_tpu
+    os.environ["PYTHONPATH"] = str(REPO) + os.pathsep + os.environ.get("PYTHONPATH", "")
+    from arriba_tpu.parallel.cohort import run_cohort
+    results = run_cohort(str(manifest), [], processes=2)
+    assert set(results) == {"s1", "s2"}
+    assert all(rc == 0 for rc, _ in results.values())
+    for out_dir in ("out1", "out2"):
+        fusions = (tmp_path / out_dir / "fusions.tsv").read_text().splitlines()
+        assert len(fusions) == 2  # header + one call
