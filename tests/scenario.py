@@ -567,3 +567,118 @@ def overlapping_genes_sample(tmp_path, seed: int = 111) -> List[str]:
                                        ("2", 5020), ("2", 5220)]):
         b.add_proper_pair(f"bg{i}", contig, pos)
     return b.write()
+
+
+def artifact_zoo_sample(tmp_path, seed=131) -> List[str]:
+    """One fragment per rarely-triggered read-level filter: homopolymer,
+    small_insert_size, long_gap, inconsistently_clipped, mismatches,
+    low_entropy, proximal read_through, same_gene, hairpin."""
+    import numpy as np
+    b = SampleBuilder(tmp_path, {"1": 1800000, "2": 50000}, seed)
+    b.add_gene("1", 1000, 2999, "+", "GA", "ALPHA", "TA")
+    b.add_gene("1", 6000, 7999, "+", "GB", "BETA", "TB")       # 3kb downstream
+    b.add_gene("1", 1500000, 1509999, "+", "GW", "WHISKEY", "TW")
+    b.add_gene("2", 5000, 6999, "+", "GT", "TARGET", "TT")
+
+    # homopolymer: poly-A immediately after the clip boundary on TARGET
+    b.genome["2"][5000:5006] = np.frombuffer(b"AAAAAA", np.uint8)
+    b.add_split_fragment("homopoly", "1", 1104, 1204, 30, 40, "2", 5000)
+
+    # good control event (keeps the sample from being empty)
+    for i in range(3):
+        b.add_split_fragment(f"good{i}", "1", 1304 + i * 6, 1404, 30, 40, "2", 5600)
+
+    # small insert: opposite strands, near-identical coordinates
+    b.records.append(BamRecord(
+        qname="smallins", flag=97, tid=0, pos=1200, mapq=60,
+        cigar=cigar_from_string("50M"), mtid=1, mpos=5200, tlen=0,
+        seq=b.seq("1", 1200, 50), tags={"HI": 1}))
+    b.records.append(BamRecord(
+        qname="smallins", flag=145, tid=1, pos=5200, mapq=60,
+        cigar=cigar_from_string("50M"), mtid=0, mpos=1200, tlen=0,
+        seq=b.seq("2", 5200, 50), tags={"HI": 1}))
+    # (different contigs => not small insert; make a same-contig overlapping one)
+    b.records.append(BamRecord(
+        qname="smallins2", flag=97, tid=0, pos=2100, mapq=60,
+        cigar=cigar_from_string("50M"), mtid=0, mpos=2102, tlen=0,
+        seq=b.seq("1", 2100, 50), tags={"HI": 1}))
+    b.records.append(BamRecord(
+        qname="smallins2", flag=145, tid=0, pos=2102, mapq=60,
+        cigar=cigar_from_string("50M"), mtid=0, mpos=2100, tlen=0,
+        seq=b.seq("1", 2102, 50), tags={"HI": 1}))
+
+    # long gap: MATE1 with a >=700kb REF_SKIP flanked by short matches; the
+    # split read sits downstream of the gap so inconsistently_clipped does
+    # not trigger first
+    b.records.append(BamRecord(
+        qname="longgap", flag=99, tid=0, pos=1490, mapq=60,
+        cigar=cigar_from_string("10M1500000N10M"), mtid=0, mpos=1501504, tlen=0,
+        seq=b.seq("1", 1490, 10) + b.seq("1", 1501500, 10),
+        tags={"HI": 1}))
+    b.records.append(BamRecord(
+        qname="longgap", flag=147, tid=0, pos=1501504, mapq=60,
+        cigar=cigar_from_string("30M40S"), mtid=0, mpos=1490, tlen=0,
+        seq=b.seq("1", 1501504, 30) + b.seq("2", 5300, 40),
+        tags={"HI": 1, "SA": "2,5301,-,30S40M,60,0;"}))
+    b.records.append(BamRecord(
+        qname="longgap", flag=2195, tid=1, pos=5300, mapq=60,
+        cigar=cigar_from_string("30H40M"), mtid=0, mpos=1490, tlen=0,
+        seq=b.seq("2", 5300, 40), tags={"HI": 1}))
+
+    # inconsistently clipped: MATE1 extends >3bp beyond the split clip point
+    b.records.append(BamRecord(
+        qname="inconsist", flag=99, tid=0, pos=1400, mapq=60,
+        cigar=cigar_from_string("60M"), mtid=0, mpos=1404, tlen=0,
+        seq=b.seq("1", 1400, 60), tags={"HI": 1}))
+    b.records.append(BamRecord(
+        qname="inconsist", flag=147, tid=0, pos=1404, mapq=60,
+        cigar=cigar_from_string("30M40S"), mtid=0, mpos=1400, tlen=0,
+        seq=b.seq("1", 1404, 30) + b.seq("2", 5700, 40),
+        tags={"HI": 1, "SA": "2,5701,-,30S40M,60,0;"}))
+    b.records.append(BamRecord(
+        qname="inconsist", flag=2195, tid=1, pos=5700, mapq=60,
+        cigar=cigar_from_string("30H40M"), mtid=0, mpos=1400, tlen=0,
+        seq=b.seq("2", 5700, 40), tags={"HI": 1}))
+
+    # mismatches: mate1 sequence mutated every 4th base
+    bad_seq = list(b.seq("1", 1104, 50))
+    for p in range(0, 50, 4):
+        bad_seq[p] = "ACGT"[("ACGT".index(bad_seq[p]) + 1) % 4]
+    b.records.append(BamRecord(
+        qname="manymm", flag=99, tid=0, pos=1104, mapq=60,
+        cigar=cigar_from_string("50M"), mtid=0, mpos=1204, tlen=0,
+        seq="".join(bad_seq), tags={"HI": 1}))
+    b.records.append(BamRecord(
+        qname="manymm", flag=147, tid=0, pos=1204, mapq=60,
+        cigar=cigar_from_string("30M40S"), mtid=0, mpos=1104, tlen=0,
+        seq=b.seq("1", 1204, 30) + b.seq("2", 5800, 40),
+        tags={"HI": 1, "SA": "2,5801,-,30S40M,60,0;"}))
+    b.records.append(BamRecord(
+        qname="manymm", flag=2195, tid=1, pos=5800, mapq=60,
+        cigar=cigar_from_string("30H40M"), mtid=0, mpos=1104, tlen=0,
+        seq=b.seq("2", 5800, 40), tags={"HI": 1}))
+
+    # low entropy: ACG-repeat region in TARGET feeding the clip
+    repeat = ("ACG" * 20)[:40]
+    b.genome["2"][5900:5940] = np.frombuffer(repeat.encode(), np.uint8)
+    b.add_split_fragment("lowent", "1", 1104, 1204, 30, 40, "2", 5900)
+
+    # proximal read-through: ALPHA->BETA deletion-orientation discordant pair
+    # with distance <= 10kb
+    b.add_discordant_fragment("prox", "1", 2800, "1", 6100)
+
+    # same gene: overlapping mates inside ALPHA in normal orientation
+    # (non-overlapping intra-gene pairs die to read_through first)
+    b.records.append(BamRecord(
+        qname="samegene", flag=97, tid=0, pos=1300, mapq=60,
+        cigar=cigar_from_string("50M"), mtid=0, mpos=1330, tlen=0,
+        seq=b.seq("1", 1300, 50), tags={"HI": 1}))
+    b.records.append(BamRecord(
+        qname="samegene", flag=145, tid=0, pos=1330, mapq=60,
+        cigar=cigar_from_string("50M"), mtid=0, mpos=1300, tlen=0,
+        seq=b.seq("1", 1330, 50), tags={"HI": 1}))
+
+    for i, (contig, pos) in enumerate([("1", 1150), ("1", 1350), ("1", 1420),
+                                       ("2", 5020), ("2", 5620), ("2", 5720)]):
+        b.add_proper_pair(f"bg{i}", contig, pos)
+    return b.write()

@@ -122,3 +122,8 @@ def test_spliced_homolog_parity(tmp_path):
 def test_overlapping_genes_parity(tmp_path):
     from .scenario import overlapping_genes_sample
     assert_parity(tmp_path, overlapping_genes_sample(tmp_path))
+
+
+def test_artifact_zoo_parity(tmp_path):
+    from .scenario import artifact_zoo_sample
+    assert_parity(tmp_path, artifact_zoo_sample(tmp_path))
