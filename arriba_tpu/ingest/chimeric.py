@@ -530,7 +530,8 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
                              separate_chimeric_bam_file: bool,
                              is_rna_bam_file: bool,
                              external_duplicate_marking: bool,
-                             max_itd_length: int) -> Tuple[int, int]:
+                             max_itd_length: int,
+                             threads: int = 1) -> Tuple[int, int]:
     """read_chimeric_alignments.cpp:560-773 — returns (n_fragments,
     mapped_reads delta)."""
     global _GENES
@@ -585,7 +586,7 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
         _, forwarded, native_boring_mapped, viral_counts, _n_records = \
             _native.scan_sam(path, name_to_tid, boundaries,
                              bytes(interesting_per_tid), bytes(viral_per_tid),
-                             planes, external_duplicate_marking)
+                             planes, external_duplicate_marking, threads)
         for tid, count in enumerate(viral_counts):
             mapped_viral_reads_by_contig[tid_to_contig[tid]] += count
         records = (parse_sam_record(line, name_to_tid)

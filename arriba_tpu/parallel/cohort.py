@@ -14,6 +14,7 @@ Common inputs (-g/-a/-b/...) come from the cohort-level arguments.
 
 from __future__ import annotations
 
+import multiprocessing
 import os
 import subprocess
 import sys
@@ -64,7 +65,9 @@ def run_cohort(manifest_path: str, common_args: List[str], processes: int = 4,
     {sample_id: (returncode, fusions_path)}."""
     samples = read_manifest(manifest_path)[host_index::n_hosts]
     results: Dict[str, Tuple[int, str]] = {}
-    with ProcessPoolExecutor(max_workers=processes) as pool:
+    # spawn context: fork is unsafe in processes that already initialized jax
+    with ProcessPoolExecutor(max_workers=processes,
+                             mp_context=multiprocessing.get_context("spawn")) as pool:
         futures = {pool.submit(_run_sample, sample, common_args): sample
                    for sample in samples}
         for future in as_completed(futures):

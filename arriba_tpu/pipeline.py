@@ -124,7 +124,8 @@ def run(options: Options) -> PipelineState:
             options.chimeric_bam_file, state.assembly, ca, state.contigs,
             options.interesting_contigs, options.viral_contigs, genes,
             state.gene_index, state.coverage, state.mapped_viral_reads_by_contig,
-            True, False, options.external_duplicate_marking, options.max_itd_length)
+            True, False, options.external_duplicate_marking, options.max_itd_length,
+            options.threads)
         state.mapped_reads += mapped
         print(f"(total={total})")
     log(f"Reading chimeric alignments from '{options.rna_bam_file}' ", end="")
@@ -133,7 +134,7 @@ def run(options: Options) -> PipelineState:
         options.interesting_contigs, options.viral_contigs, genes,
         state.gene_index, state.coverage, state.mapped_viral_reads_by_contig,
         bool(options.chimeric_bam_file), True, options.external_duplicate_marking,
-        options.max_itd_length)
+        options.max_itd_length, options.threads)
     state.mapped_reads += mapped
     print(f"(total={total})")
 

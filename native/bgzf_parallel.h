@@ -1,0 +1,185 @@
+/* Parallel BGZF block decompression for the native BAM reader — the
+ * counterpart of the reference's hts_set_threads decompression pool
+ * (read_chimeric_alignments.cpp:563-565). BGZF files are sequences of
+ * independent <=64 KB gzip members, so batches of blocks are inflated
+ * concurrently by a small worker group and served to the record parser in
+ * order. Non-BGZF inputs fall back to serial zlib. */
+
+#ifndef ARRIBA_TPU_BGZF_PARALLEL_H
+#define ARRIBA_TPU_BGZF_PARALLEL_H
+
+#include <zlib.h>
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace bgzf_parallel {
+
+struct Block {
+    std::vector<uint8_t> compressed;   /* raw deflate payload */
+    std::vector<uint8_t> decompressed;
+    uint32_t isize = 0;
+    bool ok = true;
+};
+
+class Reader {
+    FILE *file_ = nullptr;
+    int n_threads_;
+    std::vector<Block> batch_;
+    size_t batch_index_ = 0;      /* next block to serve */
+    size_t cursor_ = 0;           /* offset within current block */
+    bool eof_ = false;
+
+    bool read_block_header(Block &block) {
+        uint8_t header[12];
+        if (fread(header, 1, 12, file_) != 12)
+            return false;
+        if (header[0] != 0x1f || header[1] != 0x8b || header[2] != 8 ||
+            !(header[3] & 4))
+            return false;  /* not BGZF */
+        uint16_t xlen;
+        memcpy(&xlen, header + 10, 2);
+        std::vector<uint8_t> extra(xlen);
+        if (fread(extra.data(), 1, xlen, file_) != xlen)
+            return false;
+        int bsize = -1;
+        for (size_t offset = 0; offset + 4 <= extra.size();) {
+            uint16_t slen;
+            memcpy(&slen, extra.data() + offset + 2, 2);
+            if (extra[offset] == 'B' && extra[offset + 1] == 'C' && slen == 2) {
+                uint16_t value;
+                memcpy(&value, extra.data() + offset + 4, 2);
+                bsize = value;
+            }
+            offset += 4 + slen;
+        }
+        if (bsize < 0)
+            return false;
+        long cdata_size = bsize + 1 - 12 - xlen - 8;
+        if (cdata_size < 0)
+            return false;
+        block.compressed.resize(cdata_size);
+        if (cdata_size && fread(block.compressed.data(), 1, cdata_size, file_)
+                != (size_t)cdata_size)
+            return false;
+        uint8_t trailer[8];
+        if (fread(trailer, 1, 8, file_) != 8)
+            return false;
+        memcpy(&block.isize, trailer + 4, 4);
+        return true;
+    }
+
+    static void inflate_block(Block &block) {
+        block.decompressed.resize(block.isize);
+        if (block.isize == 0)
+            return;
+        z_stream stream{};
+        if (inflateInit2(&stream, -15) != Z_OK) {
+            block.ok = false;
+            return;
+        }
+        stream.next_in = block.compressed.data();
+        stream.avail_in = (uInt)block.compressed.size();
+        stream.next_out = block.decompressed.data();
+        stream.avail_out = block.isize;
+        int status = inflate(&stream, Z_FINISH);
+        inflateEnd(&stream);
+        block.ok = (status == Z_STREAM_END && stream.avail_out == 0);
+    }
+
+    bool refill() {
+        batch_.clear();
+        batch_index_ = 0;
+        cursor_ = 0;
+        if (eof_)
+            return false;
+        const size_t batch_blocks = 256;
+        for (size_t i = 0; i < batch_blocks; ++i) {
+            Block block;
+            if (!read_block_header(block)) {
+                eof_ = true;
+                break;
+            }
+            if (block.isize == 0 && feof(file_)) {  /* BGZF EOF marker */
+                eof_ = true;
+                break;
+            }
+            batch_.push_back(std::move(block));
+        }
+        if (batch_.empty())
+            return false;
+
+        int workers = n_threads_;
+        if (workers > (int)batch_.size())
+            workers = (int)batch_.size();
+        if (workers <= 1) {
+            for (Block &block : batch_)
+                inflate_block(block);
+        } else {
+            std::atomic<size_t> next(0);
+            std::vector<std::thread> threads;
+            threads.reserve(workers);
+            for (int t = 0; t < workers; ++t)
+                threads.emplace_back([this, &next]() {
+                    for (;;) {
+                        size_t index = next.fetch_add(1);
+                        if (index >= batch_.size())
+                            return;
+                        inflate_block(batch_[index]);
+                    }
+                });
+            for (std::thread &thread : threads)
+                thread.join();
+        }
+        for (Block &block : batch_)
+            if (!block.ok)
+                return false;
+        return true;
+    }
+
+public:
+    Reader(FILE *file, int n_threads)
+        : file_(file), n_threads_(n_threads > 0 ? n_threads : 1) {}
+
+    /* probe: true if the stream looks like BGZF (leaves position at 0) */
+    static bool is_bgzf(FILE *file) {
+        uint8_t header[18];
+        size_t got = fread(header, 1, 18, file);
+        fseek(file, 0, SEEK_SET);
+        if (got < 18)
+            return false;
+        return header[0] == 0x1f && header[1] == 0x8b && header[2] == 8 &&
+               (header[3] & 4) && header[12] == 'B' && header[13] == 'C';
+    }
+
+    bool read_exact(void *data, size_t length) {
+        uint8_t *out = (uint8_t *)data;
+        while (length > 0) {
+            if (batch_index_ >= batch_.size()) {
+                if (!refill())
+                    return false;
+            }
+            Block &block = batch_[batch_index_];
+            size_t available = block.decompressed.size() - cursor_;
+            if (available == 0) {
+                batch_index_ += 1;
+                cursor_ = 0;
+                continue;
+            }
+            size_t take = available < length ? available : length;
+            memcpy(out, block.decompressed.data() + cursor_, take);
+            cursor_ += take;
+            out += take;
+            length -= take;
+        }
+        return true;
+    }
+};
+
+}  // namespace bgzf_parallel
+
+#endif  /* ARRIBA_TPU_BGZF_PARALLEL_H */

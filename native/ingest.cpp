@@ -23,6 +23,8 @@
 
 #include <zlib.h>
 
+#include "bgzf_parallel.h"
+
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -46,7 +48,9 @@ const char CIGAR_CHARS[] = "MIDNSHP=XB";
 const char NT16[] = "=ACMGRSVTWYHKDBN";
 
 struct Record {
-    std::string line;          /* SAM text (parsed input or rebuilt from BAM) */
+    std::string line;          /* SAM text (set for SAM input; lazily built
+                                  from bam_body for BAM input) */
+    std::vector<uint8_t> bam_body;  /* raw BAM record body (BAM input only) */
     uint16_t flag = 0;
     int32_t tid = -1;
     int64_t pos = 0;           /* 0-based */
@@ -374,11 +378,90 @@ void append_int(std::string &out, long long value) {
     out += buffer;
 }
 
-/* decode one BAM record body (after block_size) into Record + SAM line */
-bool decode_bam_record(const std::vector<uint8_t> &body,
-                       const std::vector<std::string> &target_names,
-                       Record &record) {
+/* decode one BAM record body (after block_size): parse only the fields the
+ * classifier needs; the SAM line is built lazily for forwarded records */
+bool decode_bam_record(const std::vector<uint8_t> &body, Record &record) {
     if (body.size() < 32) return false;
+    auto rd32 = [&](size_t offset) {
+        int32_t v; memcpy(&v, body.data() + offset, 4); return v; };
+    int32_t tid = rd32(0);
+    int32_t pos = rd32(4);
+    uint32_t l_read_name = body[8];
+    uint32_t n_cigar = (uint32_t)rd32(12) & 0xffff;
+    uint16_t flag = (uint16_t)(((uint32_t)rd32(12)) >> 16);
+    int32_t l_seq = rd32(16);
+    int32_t mtid = rd32(20);
+    size_t offset = 32;
+    if (body.size() < offset + l_read_name + 4ull * n_cigar + (l_seq + 1) / 2 + l_seq)
+        return false;
+    offset += l_read_name;
+    const uint32_t *cigar = (const uint32_t *)(body.data() + offset);
+    offset += 4ull * n_cigar;
+    const uint8_t *seq4 = body.data() + offset;
+    offset += (l_seq + 1) / 2;
+    offset += l_seq;  /* qual */
+
+    record.flag = flag;
+    record.tid = tid;
+    record.pos = pos;
+    record.mtid = mtid;
+    record.cigar.assign(cigar, cigar + n_cigar);
+    record.has_sa = false;
+    record.max_soft_clip = 0;
+    record.line.clear();
+    int64_t ref_consumed = 0;
+    for (uint32_t word : record.cigar) {
+        uint32_t op = word & 0xf;
+        if (op == CSOFT_CLIP && (int)(word >> 4) > record.max_soft_clip)
+            record.max_soft_clip = (int)(word >> 4);
+        if ((CONSUMES_REF >> op) & 1) ref_consumed += word >> 4;
+    }
+    record.end_pos = record.pos + ref_consumed;
+
+    /* seq decode (needed for the pristine-viral test of boring pairs) */
+    record.seq.resize(l_seq);
+    for (int32_t i = 0; i < l_seq; ++i)
+        record.seq[i] = NT16[(seq4[i >> 1] >> ((~i & 1) << 2)) & 0xf];
+
+    /* SA-tag presence scan (cheap, no text construction) */
+    {
+        size_t aux = offset;
+        const size_t end = body.size();
+        while (aux + 3 <= end) {
+            char tag0 = (char)body[aux], tag1 = (char)body[aux + 1];
+            char type = (char)body[aux + 2];
+            aux += 3;
+            if (tag0 == 'S' && tag1 == 'A' && type == 'Z')
+                record.has_sa = true;
+            switch (type) {
+                case 'A': case 'c': case 'C': aux += 1; break;
+                case 's': case 'S': aux += 2; break;
+                case 'i': case 'I': case 'f': aux += 4; break;
+                case 'd': aux += 8; break;
+                case 'Z': case 'H':
+                    while (aux < end && body[aux]) ++aux;
+                    ++aux;
+                    break;
+                case 'B': {
+                    char sub = (char)body[aux]; aux += 1;
+                    int32_t count; if (aux + 4 > end) { aux = end; break; }
+                    memcpy(&count, body.data() + aux, 4); aux += 4;
+                    int item = (sub=='c'||sub=='C') ? 1 : (sub=='s'||sub=='S') ? 2 : 4;
+                    aux += (size_t)item * count;
+                    break;
+                }
+                default: aux = end; break;
+            }
+        }
+    }
+    return true;
+}
+
+/* serialize a decoded BAM record to one SAM line (forwarded records only) */
+void bam_record_to_sam(const Record &record,
+                       const std::vector<std::string> &target_names,
+                       std::string &line) {
+    const std::vector<uint8_t> &body = record.bam_body;
     auto rd32 = [&](size_t offset) {
         int32_t v; memcpy(&v, body.data() + offset, 4); return v; };
     int32_t tid = rd32(0);
@@ -392,39 +475,13 @@ bool decode_bam_record(const std::vector<uint8_t> &body,
     int32_t mpos = rd32(24);
     int32_t tlen = rd32(28);
     size_t offset = 32;
-    if (body.size() < offset + l_read_name + 4ull * n_cigar + (l_seq + 1) / 2 + l_seq)
-        return false;
     const char *qname = (const char *)body.data() + offset;
     offset += l_read_name;
-    const uint32_t *cigar = (const uint32_t *)(body.data() + offset);
     offset += 4ull * n_cigar;
-    const uint8_t *seq4 = body.data() + offset;
     offset += (l_seq + 1) / 2;
     const uint8_t *qual = body.data() + offset;
     offset += l_seq;
 
-    record.flag = flag;
-    record.tid = tid;
-    record.pos = pos;
-    record.mtid = mtid;
-    record.cigar.assign(cigar, cigar + n_cigar);
-    record.has_sa = false;
-    record.max_soft_clip = 0;
-    int64_t ref_consumed = 0;
-    for (uint32_t word : record.cigar) {
-        uint32_t op = word & 0xf;
-        if (op == CSOFT_CLIP && (int)(word >> 4) > record.max_soft_clip)
-            record.max_soft_clip = (int)(word >> 4);
-        if ((CONSUMES_REF >> op) & 1) ref_consumed += word >> 4;
-    }
-    record.end_pos = record.pos + ref_consumed;
-
-    record.seq.resize(l_seq);
-    for (int32_t i = 0; i < l_seq; ++i)
-        record.seq[i] = NT16[(seq4[i >> 1] >> ((~i & 1) << 2)) & 0xf];
-
-    /* build the SAM line (consumed by the Python parser when forwarded) */
-    std::string &line = record.line;
     line.clear();
     line.append(qname);
     line += '\t'; append_int(line, flag);
@@ -441,6 +498,7 @@ bool decode_bam_record(const std::vector<uint8_t> &body,
             line += CIGAR_CHARS[word & 0xf];
         }
     }
+    (void)record;
     line += '\t';
     line += (mtid >= 0 && mtid < (int)target_names.size()) ? target_names[mtid] : "*";
     line += '\t'; append_int(line, (long long)mpos + 1);
@@ -498,11 +556,9 @@ bool decode_bam_record(const std::vector<uint8_t> &body,
                 break;
             }
             default:
-                return true;  /* unknown type: stop aux parsing, line is usable */
+                return;  /* unknown type: stop aux parsing, line is usable */
         }
-        if (tag0 == 'S' && tag1 == 'A') record.has_sa = true;
     }
-    return true;
 }
 
 }  // namespace
@@ -526,10 +582,11 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
     PyObject *viral_obj;            /* bytes per tid */
     PyObject *coverage_obj;         /* list of (cov_u16, starts_u8, ends_u8) or None */
     int external_duplicate_marking;
+    int threads = 1;
 
-    if (!PyArg_ParseTuple(args, "sOOOOOp", &path, &name_to_tid_obj,
+    if (!PyArg_ParseTuple(args, "sOOOOOpi", &path, &name_to_tid_obj,
                           &boundaries_obj, &interesting_obj, &viral_obj,
-                          &coverage_obj, &external_duplicate_marking))
+                          &coverage_obj, &external_duplicate_marking, &threads))
         return nullptr;
 
     gzFile gz = gzopen(path, "rb");
@@ -620,6 +677,15 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
 
     std::string header_text;
     long forwarded_records = 0;
+    std::vector<std::string> bam_targets;  /* function scope: line_of outlives the BAM branch */
+    const std::vector<std::string> *bam_target_names = nullptr;
+
+    auto line_of = [&](Record &record) -> const std::string & {
+        if (record.line.empty() && !record.bam_body.empty() &&
+            bam_target_names != nullptr)
+            bam_record_to_sam(record, *bam_target_names, record.line);
+        return record.line;
+    };
 
     auto handle_record = [&](Record &record, std::string &&read_name) {
         scanner.n_records += 1;
@@ -633,7 +699,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         if ((record.flag & (FSECONDARY | FSUPPLEMENTARY)) ||
             ((record.flag & FPAIRED) && !(record.flag & FPROPER_PAIR)) ||
             !(record.flag & FPAIRED)) {
-            scanner.forwarded += record.line;
+            scanner.forwarded += line_of(record);
             scanner.forwarded += '\n';
             forwarded_records += 1;
             return;
@@ -651,9 +717,9 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         if (pair_is_boring(scanner, record, mate)) {
             handle_boring_pair(scanner, record, mate);
         } else {
-            scanner.forwarded += mate.line;
+            scanner.forwarded += line_of(mate);
             scanner.forwarded += '\n';
-            scanner.forwarded += record.line;
+            scanner.forwarded += line_of(record);
             scanner.forwarded += '\n';
             forwarded_records += 2;
         }
@@ -665,36 +731,61 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
     bool is_bam = (magic_got == 4 && memcmp(magic, "BAM\1", 4) == 0);
 
     if (is_bam) {
-        GzBlockReader reader(gz);
+        /* multithreaded BGZF decompression when requested (the reference's
+         * -@ decompression pool) */
+        FILE *raw_file = nullptr;
+        bgzf_parallel::Reader *parallel = nullptr;
+        if (threads > 1) {
+            raw_file = fopen(path, "rb");
+            if (raw_file != nullptr && bgzf_parallel::Reader::is_bgzf(raw_file)) {
+                parallel = new bgzf_parallel::Reader(raw_file, threads);
+                char bam_magic[4];
+                parallel->read_exact(bam_magic, 4);  /* skip "BAM\1" */
+            } else if (raw_file != nullptr) {
+                fclose(raw_file);
+                raw_file = nullptr;
+            }
+        }
+        GzBlockReader serial(gz);
+        auto read_exact = [&](void *data, size_t n) {
+            return parallel ? parallel->read_exact(data, n)
+                            : serial.read_exact(data, n);
+        };
+        struct Cleanup {
+            FILE *file; bgzf_parallel::Reader *reader;
+            ~Cleanup() { delete reader; if (file) fclose(file); }
+        } cleanup{raw_file, parallel};
+
         int32_t l_text = 0;
-        if (!reader.read_exact(&l_text, 4)) { gzclose(gz); goto done; }
+        if (!read_exact(&l_text, 4)) { gzclose(gz); goto done; }
         {
             std::vector<char> text(l_text);
-            if (l_text && !reader.read_exact(text.data(), l_text)) { gzclose(gz); goto done; }
+            if (l_text && !read_exact(text.data(), l_text)) { gzclose(gz); goto done; }
             header_text.assign(text.data(), strnlen(text.data(), l_text));
         }
         int32_t n_ref = 0;
-        if (!reader.read_exact(&n_ref, 4)) { gzclose(gz); goto done; }
-        std::vector<std::string> target_names(n_ref);
+        if (!read_exact(&n_ref, 4)) { gzclose(gz); goto done; }
+        std::vector<std::string> &target_names = bam_targets;
+        target_names.resize(n_ref);
         for (int32_t i = 0; i < n_ref; ++i) {
             int32_t l_name = 0, l_ref = 0;
-            if (!reader.read_exact(&l_name, 4)) { gzclose(gz); goto done; }
+            if (!read_exact(&l_name, 4)) { gzclose(gz); goto done; }
             std::vector<char> name(l_name);
-            if (!reader.read_exact(name.data(), l_name)) { gzclose(gz); goto done; }
-            if (!reader.read_exact(&l_ref, 4)) { gzclose(gz); goto done; }
+            if (!read_exact(name.data(), l_name)) { gzclose(gz); goto done; }
+            if (!read_exact(&l_ref, 4)) { gzclose(gz); goto done; }
             target_names[i].assign(name.data(), strnlen(name.data(), l_name));
         }
-        std::vector<uint8_t> body;
+        bam_target_names = &target_names;
         Record record;
         for (;;) {
             int32_t block_size = 0;
-            if (!reader.read_exact(&block_size, 4)) break;  /* EOF */
+            if (!read_exact(&block_size, 4)) break;  /* EOF */
             if (block_size <= 0) break;
-            body.resize(block_size);
-            if (!reader.read_exact(body.data(), block_size)) break;
-            if (!decode_bam_record(body, target_names, record))
+            record.bam_body.resize(block_size);
+            if (!read_exact(record.bam_body.data(), block_size)) break;
+            if (!decode_bam_record(record.bam_body, record))
                 continue;
-            std::string read_name((const char *)body.data() + 32);
+            std::string read_name((const char *)record.bam_body.data() + 32);
             handle_record(record, std::move(read_name));
         }
         gzclose(gz);
@@ -729,7 +820,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
 
     /* unpaired leftovers: forward (Python's collator will hold them too) */
     for (auto &entry : scanner.collated) {
-        scanner.forwarded += entry.second.line;
+        scanner.forwarded += line_of(entry.second);
         scanner.forwarded += '\n';
         forwarded_records += 1;
     }

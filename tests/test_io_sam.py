@@ -39,3 +39,43 @@ def test_sam_roundtrip(tmp_path):
     assert parsed[0].tags["SA"] == "2,1,+,50M,60,0;"
     assert cigar_to_string(parsed[1].cigar) == "25S25M"
     assert parsed[1].seq == "C" * 50
+
+
+def test_bam_bgzf_roundtrip_and_native_parity(tmp_path):
+    """BGZF BAM input: Python reader parses it, and the native loader (serial
+    and 4-thread BGZF decompression) produces identical pipeline output."""
+    import subprocess
+    import sys
+    import os
+    from .scenario import translocation_sample
+    from .util import write_bam
+    from arriba_tpu.io.bam import open_alignment_file, read_sam_text
+
+    args = translocation_sample(tmp_path)
+    sam_path = args[args.index("-x") + 1]
+    header, records = read_sam_text(sam_path)
+    records = list(records)
+    bam_path = tmp_path / "aligned.bam"
+    write_bam(bam_path, header, records)
+
+    header2, parsed = open_alignment_file(str(bam_path))
+    parsed = list(parsed)
+    assert header2.target_names == header.target_names
+    assert len(parsed) == len(records)
+    assert parsed[0].qname == records[0].qname
+    assert parsed[0].seq == records[0].seq
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outputs = []
+    for tag, extra in (("t1", ["-@", "1"]), ("t4", ["-@", "4"])):
+        out = tmp_path / f"fusions_{tag}.tsv"
+        bam_args = list(args)
+        bam_args[bam_args.index("-x") + 1] = str(bam_path)
+        result = subprocess.run(
+            [sys.executable, "-m", "arriba_tpu"] + bam_args + ["-o", str(out)] + extra,
+            capture_output=True, text=True, env=env)
+        assert result.returncode == 0, result.stderr
+        outputs.append(out.read_text())
+    assert outputs[0] == outputs[1]
+    assert "GENE1\tGENE2" in outputs[0]
