@@ -44,6 +44,14 @@ from ..io.fasta import Assembly
 from ..model import Alignment, ChimericAlignments, Fragment
 from .stats import Coverage
 
+def _path_is_bam(path: str) -> bool:
+    try:
+        with open(path, "rb") as fh:
+            return fh.read(2) == b"\x1f\x8b"
+    except OSError:
+        return False
+
+
 def _native_loader_supported(path: str) -> bool:
     """True when the input is a regular SAM/SAM.gz/BAM file (the formats the
     native loader parses; it sniffs BAM vs SAM after decompression)."""
@@ -537,7 +545,15 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
     global _GENES
     _GENES = genes
 
-    header, records = open_alignment_file(path)
+    native_eligible = (_native is not None and is_rna_bam_file
+                       and not separate_chimeric_bam_file
+                       and _native_loader_supported(path))
+    if native_eligible and _path_is_bam(path):
+        from ..io.bam import read_bam_header
+        header = read_bam_header(path)
+        records = iter(())  # replaced by the forwarded stream below
+    else:
+        header, records = open_alignment_file(path)
 
     # register contigs from the header; map tid -> our contig ids
     tid_to_contig = []
@@ -562,8 +578,7 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
     # affect chimeric extraction; the exact logic below then runs unchanged
     # on the forwarded minority
     native_boring_mapped = 0
-    if (_native is not None and is_rna_bam_file and not separate_chimeric_bam_file
-            and _native_loader_supported(path)):
+    if native_eligible:
         name_to_tid = {name: tid for tid, name in enumerate(header.target_names)}
         boundaries = []
         planes = []

@@ -231,6 +231,52 @@ _SEQ_PAIR_TABLE = [
 ]
 
 
+def read_bam_header(path: str) -> SamHeader:
+    """Decompress only as much of a BAM as the header needs (the native
+    loader consumes the records; full-file decode would be wasted work)."""
+    import zlib
+
+    decompressor = zlib.decompressobj(wbits=31)
+    data = b""
+    needed = 12
+
+    with open(path, "rb") as fh:
+        def ensure(n: int) -> bool:
+            nonlocal data, decompressor
+            while len(data) < n:
+                chunk = fh.read(1 << 16)
+                if not chunk:
+                    return False
+                buffered = chunk
+                while buffered:
+                    data += decompressor.decompress(buffered)
+                    if decompressor.eof:  # next BGZF member
+                        buffered = decompressor.unused_data
+                        decompressor = zlib.decompressobj(wbits=31)
+                    else:
+                        buffered = b""
+            return True
+
+        if not ensure(needed) or data[:4] != b"BAM":
+            raise ValueError(f"not a BAM file: {path}")
+        (l_text,) = struct.unpack_from("<i", data, 4)
+        ensure(8 + l_text + 4)
+        header = SamHeader(text=data[8:8 + l_text].decode("ascii", "replace"))
+        pos = 8 + l_text
+        (n_ref,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        for _ in range(n_ref):
+            ensure(pos + 8)
+            (l_name,) = struct.unpack_from("<i", data, pos)
+            ensure(pos + 8 + l_name)
+            name = data[pos + 4:pos + 4 + l_name - 1].decode("ascii")
+            (l_ref,) = struct.unpack_from("<i", data, pos + 4 + l_name)
+            header.target_names.append(name)
+            header.target_lengths.append(l_ref)
+            pos += 8 + l_name
+    return header
+
+
 def read_bam(path: str) -> Tuple[SamHeader, Iterator[BamRecord]]:
     """Decode a BAM file (BGZF-compressed binary). Whole-file decode into
     memory — matching the reference's single linear pass."""

@@ -28,11 +28,12 @@ def decompress_gzip_multi(raw: bytes) -> bytes:
     """Decompress concatenated gzip members (covers both plain gzip and BGZF,
     which is a sequence of gzip blocks)."""
     out = []
+    view = memoryview(raw)  # zero-copy slicing (BGZF has thousands of members)
     pos = 0
     n = len(raw)
     while pos < n:
         dec = zlib.decompressobj(wbits=31)  # gzip wrapper
-        out.append(dec.decompress(raw[pos:]))
+        out.append(dec.decompress(view[pos:]))
         consumed = n - pos - len(dec.unused_data)
         if consumed <= 0:
             break
