@@ -214,7 +214,12 @@ def main(argv: List[str] = None) -> int:
     start_time = time.time()
     log("Launching Arriba-TPU")
     options = parse_arguments(sys.argv[1:] if argv is None else argv)
-    run(options)
+    try:
+        run(options)
+    except RuntimeError as error:
+        # crash() semantics of the reference (common.hpp:330)
+        print(f"ERROR: {error}", file=sys.stderr)
+        return 1
     log("Freeing resources")
     elapsed = time.time() - start_time
     usage = resource.getrusage(resource.RUSAGE_SELF)

@@ -718,7 +718,7 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
             if not external_duplicate_marking or not (record.flag & FDUP):
                 coverage.add_fragment(record, previously_seen_mate, is_read_through_alignment)
 
-    if is_rna_bam_file and mapped_reads == 0:
+    if is_rna_bam_file and mapped_reads + native_boring_mapped == 0:
         raise RuntimeError("no normal reads found")
     malformed_count += remove_malformed_alignments(chimeric_alignments)
     if malformed_count > 0:
@@ -727,7 +727,8 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
         if no_chimeric_reads:
             raise RuntimeError(
                 "no split reads or discordant mates found (STAR must either be run with "
-                "'--chimOutType WithinBAM' or the file 'Chimeric.out.sam' must be passed via -c)")
+                "'--chimOutType WithinBAM' or the file 'Chimeric.out.sam' must be passed "
+                "to Arriba via the argument -c)")
     if missing_hi_tag > 0:
         print(f"WARNING: {missing_hi_tag} secondary alignments lack the 'HI' tag and were ignored",
               file=sys.stderr)

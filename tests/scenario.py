@@ -6,6 +6,7 @@ discordant mates are paired records without the proper-pair flag.
 """
 
 import random
+from pathlib import Path
 from typing import Dict, List
 
 import numpy as np
@@ -682,3 +683,52 @@ def artifact_zoo_sample(tmp_path, seed=131) -> List[str]:
                                        ("2", 5020), ("2", 5620), ("2", 5720)]):
         b.add_proper_pair(f"bg{i}", contig, pos)
     return b.write()
+
+
+def fuzz_aux_sample(tmp_path, seed: int) -> List[str]:
+    """fuzz2 events plus randomized auxiliary inputs: WGS breakpoints (-d),
+    known fusions (-k), tags (-t), and the -X/-I flags."""
+    rng = random.Random(seed * 7919)
+    args = fuzz_sample2(tmp_path, seed)
+    # random WGS breakpoints: some near real gene positions, some noise
+    wgs_lines = []
+    for _ in range(rng.randrange(2, 8)):
+        c1, c2 = rng.choice("12"), rng.choice("12")
+        p1, p2 = rng.randrange(2000, 50000), rng.randrange(2000, 50000)
+        d1, d2 = rng.choice(["upstream", "downstream"]), rng.choice(["+", "-"])
+        wgs_lines.append(f"{c1}:{p1}\t{c2}:{p2}\t{d1}\t{d2}")
+    wgs = tmp_path / "wgs.tsv"
+    wgs.write_text("\n".join(wgs_lines) + "\n")
+    known = tmp_path / "known.tsv"
+    known_lines = []
+    for _ in range(rng.randrange(1, 5)):
+        known_lines.append(f"GENE{rng.randrange(0, 6)}\tGENE{rng.randrange(0, 6)}")
+    known.write_text("\n".join(known_lines) + "\n")
+    tags = tmp_path / "tags.tsv"
+    tags.write_text("\n".join(f"{line}\ttag{i}" for i, line in enumerate(known_lines)) + "\n")
+    extra = ["-d", str(wgs), "-k", str(known), "-t", str(tags)]
+    if rng.random() < 0.5:
+        extra.append("-X")
+    if rng.random() < 0.5:
+        extra.append("-I")
+    return args + extra
+
+
+def gene_id_fallback_sample(tmp_path, seed=141) -> List[str]:
+    """GTF without gene_name attributes: the default -G spec falls back to
+    gene_id (gene_name=gene_name|gene_id)."""
+    b = SampleBuilder(tmp_path, {"1": 20000, "2": 20000}, seed)
+    b.add_gene("1", 1000, 1999, "+", "G1", "GENE1", "T1")
+    b.add_gene("2", 5000, 5999, "+", "G2", "GENE2", "T2")
+    for i, mate1_pos in enumerate([1104, 1114, 1124]):
+        b.add_split_fragment(f"s{i}", "1", mate1_pos, 1204, 30, 40, "2", 5000)
+    for i, (contig, pos) in enumerate([("1", 1150), ("2", 5020)]):
+        b.add_proper_pair(f"n{i}", contig, pos)
+    args = b.write()
+    # strip gene_name attributes from the GTF
+    gtf_path = args[args.index("-g") + 1]
+    import re as _re
+    content = Path(gtf_path).read_text()
+    content = _re.sub(r'gene_name "[^"]*"; ', "", content)
+    Path(gtf_path).write_text(content)
+    return args

@@ -127,3 +127,30 @@ def test_overlapping_genes_parity(tmp_path):
 def test_artifact_zoo_parity(tmp_path):
     from .scenario import artifact_zoo_sample
     assert_parity(tmp_path, artifact_zoo_sample(tmp_path))
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+def test_fuzz_aux_parity(tmp_path, seed):
+    from .scenario import fuzz_aux_sample
+    assert_parity(tmp_path, fuzz_aux_sample(tmp_path, seed))
+
+
+def test_gene_id_fallback_parity(tmp_path):
+    from .scenario import gene_id_fallback_sample
+    assert_parity(tmp_path, gene_id_fallback_sample(tmp_path))
+
+
+def test_no_chimeric_reads_error_parity(tmp_path):
+    """Error-path parity: an input with only normal pairs fails with the
+    reference's exact message and exit code."""
+    from .scenario import SampleBuilder
+    b = SampleBuilder(tmp_path, {"1": 20000}, 3)
+    b.add_gene("1", 1000, 1999, "+", "G1", "GENE1", "T1")
+    for i in range(4):
+        b.add_proper_pair(f"n{i}", "1", 1100 + i * 30)
+    args = b.write()
+    oracle = run_oracle(args + ["-o", str(tmp_path / "of.tsv")], tmp_path)
+    ours = run_ours(args + ["-o", str(tmp_path / "uf.tsv")], tmp_path)
+    assert oracle.returncode == ours.returncode == 1
+    assert (oracle.stderr.strip().splitlines()[-1]
+            == ours.stderr.strip().splitlines()[-1])
