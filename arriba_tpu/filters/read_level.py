@@ -612,23 +612,13 @@ def filter_mismatches(chimeric_alignments: ChimericAlignments, assembly: Assembl
 
 
 def _device_offload_enabled(batch_rows: int) -> bool:
-    """Offload per-read batch math to the jax device when one is configured
-    (ARRIBA_TPU_DEVICE=1 forces it on, =0 off; by default only when the
-    default jax backend is a TPU and the batch is large enough to amortize
-    transfers)."""
+    """Offload per-read batch math to the jax device when explicitly
+    requested (ARRIBA_TPU_DEVICE=1). Not automatic: backend probing would
+    initialize jax mid-pipeline, and tunneled TPU backends make transfers
+    far more expensive than the host computation for typical batches."""
     import os
-    setting = os.environ.get("ARRIBA_TPU_DEVICE")
-    if setting == "0":
-        return False
-    if setting == "1":
-        return True
-    if batch_rows < 16384:
-        return False
-    try:
-        import jax
-        return jax.default_backend() not in ("cpu",)
-    except Exception:  # pragma: no cover
-        return False
+    del batch_rows
+    return os.environ.get("ARRIBA_TPU_DEVICE") == "1"
 
 
 def _low_entropy_flags(codes: np.ndarray, lengths: np.ndarray,
@@ -647,6 +637,7 @@ def _low_entropy_flags(codes: np.ndarray, lengths: np.ndarray,
     for j in range(kmer_length):
         shifted = np.roll(codes, -j, axis=1)
         kv = (kv << 2) | np.minimum(shifted, 3).astype(np.int32)
+    kv_by_pos = np.ascontiguousarray(kv.T)  # column access dominates the scan
 
     def threshold(segment_length):
         return (segment_length.astype(np.float64) * kmer_content / kmer_length
@@ -662,7 +653,7 @@ def _low_entropy_flags(codes: np.ndarray, lengths: np.ndarray,
     c_a2 = np.zeros((n, n_kmers), np.int32)
     rows = np.arange(n)
     for pos in range(0, max(0, int(lengths.max()) - kmer_length)):
-        v = kv[:, pos]
+        v = kv_by_pos[pos]
         eligible = (pos < lengths - kmer_length) & (prev_pos[rows, v] <= pos)
         idx = rows[eligible]
         vv = v[eligible]
@@ -741,9 +732,9 @@ def filter_low_entropy(chimeric_alignments: ChimericAlignments, kmer_length: int
             lengths[i] = len(s)
         windows = np.array(row_windows, np.int32)
         flags = None
+        from ..ingest.chimeric import _native
         if _device_offload_enabled(n):
             # TPU path: the jax device op implements the identical recurrence
-            # (tests/test_device_ops.py proves agreement with the reference)
             try:
                 import jax.numpy as jnp
                 from ..ops.readfilters import low_entropy_batch
@@ -754,6 +745,14 @@ def filter_low_entropy(chimeric_alignments: ChimericAlignments, kmer_length: int
                     kmer_content))
             except Exception:  # pragma: no cover - device-availability dependent
                 flags = None
+        if flags is None and _native is not None and hasattr(_native, "low_entropy_scan"):
+            flags = np.zeros(n, np.uint8)
+            _native.low_entropy_scan(
+                np.ascontiguousarray(codes), np.ascontiguousarray(lengths),
+                np.ascontiguousarray(windows[:, 0]), np.ascontiguousarray(windows[:, 1]),
+                np.ascontiguousarray(windows[:, 2]), np.ascontiguousarray(windows[:, 3]),
+                flags, n, L, kmer_content, kmer_length)
+            flags = flags.astype(bool)
         if flags is None:
             flags = _low_entropy_flags(codes, lengths, windows[:, 0], windows[:, 1],
                                        windows[:, 2], windows[:, 3], kmer_content,

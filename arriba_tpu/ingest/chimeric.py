@@ -564,6 +564,7 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
         for tid, cid in enumerate(tid_to_contig):
             interesting_tids[cid] = is_interesting_contig(header.target_names[tid], interesting_contigs)
     coverage.resize(len(contigs), assembly)
+    coverage.bind_native()
 
     for cid, name in enumerate(contigs.names):
         if cid not in assembly and is_interesting_contig(name, interesting_contigs):

@@ -52,9 +52,42 @@ class Coverage:
                 self.fragment_ends[contig] = np.zeros(windows, np.bool_)
                 self.coverage[contig] = np.zeros(windows, np.uint16)
 
+    def bind_native(self) -> None:
+        """Register the coverage arrays with the native engine (called after
+        resize); add_fragment then runs the walk in C++."""
+        try:
+            from .. import _native
+        except ImportError:
+            return
+        import os
+        if os.environ.get("ARRIBA_TPU_NO_NATIVE") or not hasattr(_native, "coverage_bind"):
+            return
+        planes = []
+        for contig in range(len(self.coverage)):
+            if len(self.coverage[contig]):
+                planes.append((self.coverage[contig],
+                               self.fragment_starts[contig].view(np.uint8),
+                               self.fragment_ends[contig].view(np.uint8)))
+            else:
+                planes.append(None)
+        _native.coverage_bind(planes)
+        self._native_bound = True
+
     def add_fragment(self, mate1: BamRecord, mate2: Optional[BamRecord],
                      is_chimeric: bool) -> None:
         """read_stats.cpp:161-266 — dual-CIGAR walk over both mates."""
+        if getattr(self, "_native_bound", False):
+            from .. import _native
+            if mate2 is None:
+                _native.coverage_add(mate1.tid, mate1.pos, mate1.flag,
+                                     memoryview(mate1.cigar), 0, -1, 0, 0, b"",
+                                     is_chimeric)
+            else:
+                _native.coverage_add(mate1.tid, mate1.pos, mate1.flag,
+                                     memoryview(mate1.cigar), 1, mate2.tid,
+                                     mate2.pos, mate2.flag,
+                                     memoryview(mate2.cigar), is_chimeric)
+            return
         if mate2 is None:
             mate2 = mate1
         if (mate1.tid >= len(self.fragment_starts) or len(self.fragment_starts[mate1.tid]) == 0

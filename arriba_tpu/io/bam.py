@@ -12,6 +12,7 @@ structures.
 
 from __future__ import annotations
 
+import re
 import struct
 from dataclasses import dataclass, field
 from typing import Dict, Iterator, List, Tuple
@@ -66,13 +67,18 @@ class BamRecord:
 
     def endpos(self) -> int:
         """htslib bam_endpos: one past the last reference base consumed; pos+1
-        if the alignment consumes no reference."""
+        if the alignment consumes no reference. Memoized: records are not
+        mutated after parsing (only the flag field is ever rewritten)."""
+        cached = getattr(self, "_endpos", None)
+        if cached is not None:
+            return cached
         length = 0
-        for word in self.cigar:
-            op = cigar_op(int(word))
-            if CIGAR_CONSUMES_REF & (1 << op):
-                length += cigar_oplen(int(word))
-        return self.pos + length if length > 0 else self.pos + 1
+        for word in self.cigar.tolist():
+            if CIGAR_CONSUMES_REF & (1 << (word & 0xF)):
+                length += word >> 4
+        result = self.pos + length if length > 0 else self.pos + 1
+        object.__setattr__(self, "_endpos", result)
+        return result
 
     def cigar2qlen(self, n_ops: int | None = None) -> int:
         """htslib bam_cigar2qlen over the first n_ops operations."""
@@ -109,18 +115,16 @@ class SamHeader:
         return len(self.target_names)
 
 
+_CIGAR_TOKEN = re.compile(r"(\d+)([MIDNSHP=XB])")
+_CIGAR_OP_CODE = {op: i for i, op in enumerate("MIDNSHP=XB")}
+
+
 def cigar_from_string(cigar_str: str) -> np.ndarray:
     if cigar_str == "*" or not cigar_str:
         return np.empty(0, np.uint32)
-    words: List[int] = []
-    num = 0
-    for ch in cigar_str:
-        if ch.isdigit():
-            num = num * 10 + ord(ch) - 48
-        else:
-            words.append((num << 4) | CIGAR_OPS.index(ch))
-            num = 0
-    return np.array(words, np.uint32)
+    code = _CIGAR_OP_CODE
+    return np.array([(int(length) << 4) | code[op]
+                     for length, op in _CIGAR_TOKEN.findall(cigar_str)], np.uint32)
 
 
 def cigar_to_string(cigar: np.ndarray) -> str:
@@ -181,9 +185,16 @@ def parse_sam_record(line: str, name_to_tid: Dict[str, int]) -> BamRecord:
         mpos=int(parts[7]) - 1, tlen=int(parts[8]),
         seq=parts[9] if parts[9] != "*" else "",
         qual=parts[10] if parts[10] != "*" else "")
+    tags = rec.tags
     for tag_field in parts[11:]:
-        name, value = _parse_sam_tag(tag_field)
-        rec.tags[name] = value
+        # TAG:TYPE:VALUE (inlined _parse_sam_tag for the ingest hot path)
+        type_char = tag_field[3]
+        if type_char == "i":
+            tags[tag_field[:2]] = int(tag_field[5:])
+        elif type_char == "f":
+            tags[tag_field[:2]] = float(tag_field[5:])
+        else:
+            tags[tag_field[:2]] = tag_field[5:]
     return rec
 
 

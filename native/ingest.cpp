@@ -563,6 +563,95 @@ void bam_record_to_sam(const Record &record,
 
 }  // namespace
 
+/* ---- persistent coverage engine (Python Coverage delegates here) -------- */
+
+namespace {
+struct CoverageEngine {
+    Scanner scanner;                 /* only .planes is used */
+    std::vector<Py_buffer> buffers;
+    std::vector<PyObject *> owners;
+    bool bound = false;
+};
+CoverageEngine &coverage_engine() {
+    static CoverageEngine instance;
+    return instance;
+}
+}  // namespace
+
+static PyObject *coverage_bind(PyObject *, PyObject *args) {
+    PyObject *planes_obj;  /* list of (cov_u16, starts_u8, ends_u8) or None, per contig */
+    if (!PyArg_ParseTuple(args, "O", &planes_obj))
+        return nullptr;
+    CoverageEngine &engine = coverage_engine();
+    for (Py_buffer &view : engine.buffers)
+        PyBuffer_Release(&view);
+    for (PyObject *owner : engine.owners)
+        Py_DECREF(owner);
+    engine.buffers.clear();
+    engine.owners.clear();
+    engine.scanner.planes.clear();
+    Py_ssize_t n = PyList_Size(planes_obj);
+    engine.scanner.planes.resize(n);
+    for (Py_ssize_t i = 0; i < n; ++i) {
+        PyObject *plane_obj = PyList_GetItem(planes_obj, i);
+        if (plane_obj == Py_None)
+            continue;
+        CoveragePlane plane;
+        PyObject *parts[3] = {PyTuple_GetItem(plane_obj, 0),
+                              PyTuple_GetItem(plane_obj, 1),
+                              PyTuple_GetItem(plane_obj, 2)};
+        void *pointers[3];
+        for (int k = 0; k < 3; ++k) {
+            Py_buffer view;
+            if (PyObject_GetBuffer(parts[k], &view, PyBUF_WRITABLE) != 0)
+                return nullptr;
+            engine.buffers.push_back(view);
+            Py_INCREF(parts[k]);
+            engine.owners.push_back(parts[k]);
+            pointers[k] = view.buf;
+            if (k == 0)
+                plane.windows = view.len / 2;
+        }
+        plane.coverage = (uint16_t *)pointers[0];
+        plane.starts = (uint8_t *)pointers[1];
+        plane.ends = (uint8_t *)pointers[2];
+        engine.scanner.planes[i] = plane;
+    }
+    engine.bound = true;
+    Py_RETURN_NONE;
+}
+
+static PyObject *coverage_add(PyObject *, PyObject *args) {
+    int tid1, flag1, tid2, flag2, is_chimeric, has_mate2;
+    long long pos1, pos2;
+    Py_buffer cigar1, cigar2;
+    if (!PyArg_ParseTuple(args, "iLiy*iiLiy*i", &tid1, &pos1, &flag1, &cigar1,
+                          &has_mate2, &tid2, &pos2, &flag2, &cigar2,
+                          &is_chimeric))
+        return nullptr;
+    CoverageEngine &engine = coverage_engine();
+    if (!engine.bound) {
+        PyBuffer_Release(&cigar1);
+        PyBuffer_Release(&cigar2);
+        PyErr_SetString(PyExc_RuntimeError, "coverage engine not bound");
+        return nullptr;
+    }
+    Record mate1, mate2;
+    mate1.tid = tid1; mate1.pos = pos1; mate1.flag = (uint16_t)flag1;
+    mate1.cigar.assign((const uint32_t *)cigar1.buf,
+                       (const uint32_t *)cigar1.buf + cigar1.len / 4);
+    if (has_mate2) {
+        mate2.tid = tid2; mate2.pos = pos2; mate2.flag = (uint16_t)flag2;
+        mate2.cigar.assign((const uint32_t *)cigar2.buf,
+                           (const uint32_t *)cigar2.buf + cigar2.len / 4);
+    }
+    add_fragment(engine.scanner, mate1, has_mate2 ? &mate2 : nullptr,
+                 is_chimeric != 0, 0, false);
+    PyBuffer_Release(&cigar1);
+    PyBuffer_Release(&cigar2);
+    Py_RETURN_NONE;
+}
+
 /* ---- the scan entry point ----------------------------------------------- */
 
 static bool fill_plane(PyObject *obj, Py_buffer *view, void **data,
@@ -893,6 +982,7 @@ extern PyObject *realign_finalize(PyObject *, PyObject *);
 extern PyObject *realign_set_splice_sites(PyObject *, PyObject *);
 extern PyObject *realign_align(PyObject *, PyObject *);
 extern PyObject *realign_is_homolog(PyObject *, PyObject *);
+extern PyObject *low_entropy_scan(PyObject *, PyObject *);
 
 static PyMethodDef methods[] = {
     {"realign_reset", realign_reset, METH_NOARGS,
@@ -909,6 +999,12 @@ static PyMethodDef methods[] = {
      "Exact recursive seed-and-extend alignment of a read against a gene window."},
     {"realign_is_homolog", realign_is_homolog, METH_VARARGS,
      "8+8-mer homology test of a small gene sequence inside a big gene window."},
+    {"low_entropy_scan", low_entropy_scan, METH_VARARGS,
+     "Batched recurrent-k-mer (low-entropy) scan with the reference's early exit."},
+    {"coverage_bind", coverage_bind, METH_VARARGS,
+     "Bind per-contig coverage arrays so coverage_add can update them."},
+    {"coverage_add", coverage_add, METH_VARARGS,
+     "Run the dual-CIGAR coverage walk for one fragment natively."},
     {"tandem_scan", tandem_scan, METH_VARARGS,
      "ITD brute-force window scan; returns (contig_pos, aln_start, aln_end) or None."},
     {"scan_sam", scan_sam, METH_VARARGS,
