@@ -156,6 +156,76 @@ def _read_cytobands(path: str):
     return bands
 
 
+def _draw_circos(ax, contig_lengths, bands, fusion_rows, column,
+                 current_row, min_confidence: str, color_current="#cc3333"):
+    """Circos-style panel: contig arcs (with cytoband shading when known) and
+    chords for every fusion at or above min_confidence; the current fusion
+    is highlighted."""
+    import numpy as np
+    from matplotlib.patches import PathPatch
+    from matplotlib.path import Path as MplPath
+
+    confidence_rank = {"none": -1, "low": 0, "medium": 1, "high": 2}
+    min_rank = confidence_rank.get(min_confidence, 1)
+
+    total = sum(contig_lengths.values())
+    if total == 0:
+        return
+    gap = 0.015 * 2 * np.pi
+    usable = 2 * np.pi - gap * len(contig_lengths)
+    start_angle = {}
+    angle = np.pi / 2
+    stain_colors = {"gneg": "#f7f7f7", "gpos25": "#c8c8c8", "gpos50": "#969696",
+                    "gpos75": "#606060", "gpos100": "#252525", "acen": "#cc6666",
+                    "gvar": "#dddddd", "stalk": "#9999cc"}
+
+    def pos_to_angle(contig, position):
+        return start_angle[contig] - position / total * usable
+
+    for contig, length in contig_lengths.items():
+        start_angle[contig] = angle
+        span = length / total * usable
+        theta = np.linspace(angle, angle - span, 60)
+        ax.plot(np.cos(theta), np.sin(theta), color="#444444", linewidth=6,
+                solid_capstyle="butt", zorder=1)
+        for band_start, band_end, _name, stain in bands.get(contig, []):
+            t0, t1 = pos_to_angle(contig, band_start), pos_to_angle(contig, band_end)
+            theta_band = np.linspace(t0, t1, 12)
+            ax.plot(np.cos(theta_band), np.sin(theta_band),
+                    color=stain_colors.get(stain, "#f0f0f0"), linewidth=5,
+                    solid_capstyle="butt", zorder=2)
+        mid = angle - span / 2
+        ax.text(1.18 * np.cos(mid), 1.18 * np.sin(mid), contig, ha="center",
+                va="center", fontsize=6)
+        angle -= span + gap
+
+    def chord(contig1, pos1, contig2, pos2, color, lw, zorder):
+        if contig1 not in start_angle or contig2 not in start_angle:
+            return
+        a1, a2 = pos_to_angle(contig1, pos1), pos_to_angle(contig2, pos2)
+        p1 = (np.cos(a1), np.sin(a1))
+        p2 = (np.cos(a2), np.sin(a2))
+        path = MplPath([p1, (0, 0), p2],
+                       [MplPath.MOVETO, MplPath.CURVE3, MplPath.CURVE3])
+        ax.add_patch(PathPatch(path, fill=False, edgecolor=color,
+                               linewidth=lw, zorder=zorder))
+
+    for fields in fusion_rows:
+        if confidence_rank.get(fields[column["confidence"]], 0) < min_rank                 and fields is not current_row:
+            continue
+        c1, p1 = fields[column["breakpoint1"]].rsplit(":", 1)
+        c2, p2 = fields[column["breakpoint2"]].rsplit(":", 1)
+        if fields is current_row:
+            chord(c1, int(p1), c2, int(p2), color_current, 1.6, 4)
+        else:
+            chord(c1, int(p1), c2, int(p2), "#99999977", 0.7, 3)
+
+    ax.set_xlim(-1.3, 1.3)
+    ax.set_ylim(-1.3, 1.3)
+    ax.set_aspect("equal")
+    ax.axis("off")
+
+
 def _coverage_track(alignments_path: str, contig: str, start: int, end: int,
                     bins: int = 200):
     """Binned read-start coverage around a breakpoint from a SAM/BAM file."""
@@ -177,7 +247,8 @@ def draw_fusions(fusions_file: str, annotation_file: str, output_file: str,
                  alignments_file: str = "", cytobands_file: str = "",
                  protein_domains_file: str = "", sample_name: str = "",
                  squish_introns: bool = True, print_exon_labels: bool = True,
-                 color1: str = COLOR1, color2: str = COLOR2) -> int:
+                 color1: str = COLOR1, color2: str = COLOR2,
+                 min_confidence_for_circos_plot: str = "medium") -> int:
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -196,6 +267,7 @@ def draw_fusions(fusions_file: str, annotation_file: str, output_file: str,
         wanted_genes.add(fields[column["gene2"]])
     models = load_transcript_models(annotation_file, wanted_genes)
     cytobands = _read_cytobands(cytobands_file) if cytobands_file else {}
+    options_min_confidence = min_confidence_for_circos_plot
 
     domains = defaultdict(list)
     if protein_domains_file:
@@ -228,8 +300,17 @@ def draw_fusions(fusions_file: str, annotation_file: str, output_file: str,
                 title = f"{sample_name}: {title}"
             fig.suptitle(title, fontsize=13)
 
+            # --- circos panel (right) when cytobands are available
+            draw_circos = bool(cytobands)
+            if draw_circos:
+                circos_ax = fig.add_axes([0.7, 0.52, 0.29, 0.4])
+                contig_lengths = {name: max(end for _s, end, _n, _st in bands)
+                                  for name, bands in cytobands.items()}
+                _draw_circos(circos_ax, contig_lengths, cytobands, rows, column,
+                             fields, options_min_confidence)
+
             # --- gene panels with fusion arc
-            ax = fig.add_axes([0.05, 0.55, 0.9, 0.35])
+            ax = fig.add_axes([0.05, 0.55, 0.62 if draw_circos else 0.9, 0.35])
             ax.set_xlim(0, 1)
             ax.set_ylim(0, 1)
             ax.axis("off")
@@ -305,8 +386,8 @@ def draw_fusions(fusions_file: str, annotation_file: str, output_file: str,
                     cov_ax.set_title(f"coverage {contig}:{pos}", fontsize=8)
                     cov_ax.tick_params(labelsize=6)
 
-            # --- ideograms
-            if cytobands and bp1_contig in cytobands and not alignments_file:
+            # --- ideograms (legacy linear view when no coverage panel)
+            if False and cytobands and bp1_contig in cytobands and not alignments_file:
                 ideo_ax = fig.add_axes([0.05, 0.08, 0.9, 0.2])
                 ideo_ax.axis("off")
                 stain_colors = {"gneg": "#ffffff", "gpos25": "#c0c0c0",
@@ -378,7 +459,8 @@ def main(argv=None):
                  sample_name=options["sampleName"],
                  squish_introns=options["squishIntrons"] in ("TRUE", "T"),
                  print_exon_labels=options["printExonLabels"] in ("TRUE", "T"),
-                 color1=options["color1"], color2=options["color2"])
+                 color1=options["color1"], color2=options["color2"],
+                 min_confidence_for_circos_plot=options["minConfidenceForCircosPlot"])
     return 0
 
 

@@ -134,3 +134,20 @@ def test_cohort_runner(tmp_path):
     for out_dir in ("out1", "out2"):
         fusions = (tmp_path / out_dir / "fusions.tsv").read_text().splitlines()
         assert len(fusions) == 2  # header + one call
+
+
+def test_draw_fusions_circos(pipeline_output, tmp_path):
+    tmp = pipeline_output
+    cytobands = tmp_path / "cytobands.tsv"
+    cytobands.write_text(
+        "contig\tstart\tend\tname\tgiemsa\n"
+        "1\t0\t8000\tp11\tgneg\n1\t8000\t20000\tq11\tgpos50\n"
+        "2\t0\t20000\tq\tgneg\n")
+    result = run_tool("arriba_tpu.tools.draw_fusions",
+                      [f"--fusions={tmp}/fusions.tsv",
+                       f"--annotation={tmp}/genes.gtf",
+                       f"--output={tmp_path}/circos.pdf",
+                       f"--cytobands={cytobands}",
+                       "--minConfidenceForCircosPlot=low"])
+    assert result.returncode == 0, result.stderr
+    assert (tmp_path / "circos.pdf").read_bytes().startswith(b"%PDF")
