@@ -119,3 +119,64 @@ def test_assign_confidence_read_through_demotion():
     assert read_through.is_read_through()
     assign_confidence({1: read_through}, Coverage(), genes)
     assert read_through.confidence == CONFIDENCE_LOW
+
+
+# ---------------------------------------------------------------------------
+# output classification helpers (output_fusions.cpp:547-635, protein frame)
+
+def test_get_fusion_type_classification():
+    from arriba_tpu.output.writer import get_fusion_type
+
+    genes = make_genes(4)
+    # deletion (same strand, downstream->upstream); <400kb => read-through
+    fusion = make_fusion(dir1=DOWNSTREAM, dir2=UPSTREAM)
+    assert get_fusion_type(fusion, genes, 100) == "deletion/read-through"
+    fusion = make_fusion(dir1=DOWNSTREAM, dir2=UPSTREAM, bp2=505000)
+    assert get_fusion_type(fusion, genes, 100) == "deletion"
+    # inversion (same contig, equal directions); same strands => 3'-3'
+    fusion = make_fusion(dir1=DOWNSTREAM, dir2=DOWNSTREAM)
+    assert get_fusion_type(fusion, genes, 100) == "inversion/3'-3'"
+    genes.strand[1] = False
+    fusion = make_fusion(dir1=DOWNSTREAM, dir2=DOWNSTREAM)
+    assert get_fusion_type(fusion, genes, 100) == "inversion"
+    genes.strand[1] = True
+    # duplication (upstream->downstream)
+    fusion = make_fusion(dir1=UPSTREAM, dir2=DOWNSTREAM)
+    assert get_fusion_type(fusion, genes, 100) == "duplication"
+    # translocation (different contigs)
+    fusion = make_fusion(dir1=DOWNSTREAM, dir2=UPSTREAM)
+    fusion.contig2 = 1
+    assert get_fusion_type(fusion, genes, 100).startswith("translocation")
+    # antisense deletions (opposite gene strands)
+    genes.strand[0] = False  # gene1 on reverse strand => 3'-3'
+    fusion = make_fusion(dir1=DOWNSTREAM, dir2=UPSTREAM)
+    assert get_fusion_type(fusion, genes, 100) == "deletion/read-through/3'-3'"
+    genes.strand[0] = True
+    genes.strand[1] = False
+    fusion = make_fusion(dir1=DOWNSTREAM, dir2=UPSTREAM)
+    assert get_fusion_type(fusion, genes, 100) == "deletion/read-through/5'-5'"
+
+
+def test_get_fusion_strand_rendering():
+    from arriba_tpu.output.writer import get_fusion_strand
+
+    genes = make_genes(2)
+    assert get_fusion_strand(True, 0, False, genes) == "+/+"
+    assert get_fusion_strand(False, 0, False, genes) == "+/-"
+    assert get_fusion_strand(True, 0, True, genes) == "+/."
+    genes.strand[1] = False
+    assert get_fusion_strand(False, 1, False, genes) == "-/-"
+    genes.is_dummy[1] = True
+    assert get_fusion_strand(True, 1, False, genes) == "./+"
+
+
+def test_is_in_frame():
+    from arriba_tpu.output.protein import is_in_frame
+
+    # uppercase = codon in reading frame, lowercase = out of frame
+    assert is_in_frame("MKT|GH") == "in-frame"
+    assert is_in_frame("MKT|gh") == "out-of-frame"   # downstream out of frame
+    assert is_in_frame("MKt*t|GH") == "stop-codon"   # stop before junction,
+    #                                                  nothing in frame after it
+    assert is_in_frame("MKT|") == "."                # nothing after junction
+    assert is_in_frame(".") == "."
