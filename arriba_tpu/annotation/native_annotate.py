@@ -1,0 +1,103 @@
+"""Native bulk path for the "Annotating alignments" stage.
+
+Flattens all fragments into columnar arrays, annotates them in one
+`_native.annotate_bulk` call (exact port of annotation.cpp:379-555 — see
+native/annotate.cpp), and writes the gene sets / strand resolutions back.
+The Python implementation in `queries.annotate_alignments` remains the
+parity reference; `ARRIBA_TPU_NO_NATIVE=1` disables this path.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+
+from ..model import Fragment
+from .index import IntervalIndex
+from .tables import ExonTable, GeneTable
+
+
+def _native_module():
+    if os.environ.get("ARRIBA_TPU_NO_NATIVE") == "1":
+        return None
+    try:
+        from .. import _native
+    except ImportError:
+        return None
+    return _native if hasattr(_native, "annotate_bulk") else None
+
+
+def annotate_all_native(chimeric_alignments: Dict[str, Fragment],
+                        exons: ExonTable, genes: GeneTable,
+                        exon_index: IntervalIndex) -> bool:
+    """Annotate every fragment via the native engine; returns False (leaving
+    all fragments untouched) when the native module is unavailable."""
+    native = _native_module()
+    if native is None:
+        return False
+
+    def int64_bytes(values) -> bytes:
+        return np.ascontiguousarray(values, np.int64).tobytes()
+
+    native.annotate_bind(
+        exon_index.n_contigs,
+        [int64_bytes(b) for b in exon_index.boundaries],
+        [int64_bytes(o) for o in exon_index.offsets],
+        [int64_bytes(i) for i in exon_index.items],
+        int64_bytes(exons.gene), int64_bytes(exons.start),
+        int64_bytes(exons.end), int64_bytes(exons.prev_exon),
+        int64_bytes(exons.next_exon), int64_bytes(exons.coding_region_start),
+        int64_bytes(exons.coding_region_end),
+        int64_bytes(genes.contig), int64_bytes(genes.strand))
+
+    fragments = list(chimeric_alignments.values())
+    n_mates = sum(len(mates) for mates in fragments)
+    frag_offsets = np.zeros(len(fragments) + 1, np.int64)
+    contig = np.zeros(n_mates, np.int64)
+    start = np.zeros(n_mates, np.int64)
+    end = np.zeros(n_mates, np.int64)
+    strand = np.zeros(n_mates, np.int64)
+    pred_strand = np.zeros(n_mates, np.int64)
+    pred_ambig = np.zeros(n_mates, np.int64)
+    cigar_offsets = np.zeros(n_mates + 1, np.int64)
+    cigars = []
+    row = 0
+    for f, mates in enumerate(fragments):
+        frag_offsets[f + 1] = frag_offsets[f] + len(mates)
+        for mate in mates:
+            contig[row] = mate.contig
+            start[row] = mate.start
+            end[row] = mate.end
+            strand[row] = mate.strand
+            pred_strand[row] = mate.predicted_strand
+            pred_ambig[row] = mate.predicted_strand_ambiguous
+            cigar_offsets[row + 1] = cigar_offsets[row] + len(mate.cigar)
+            cigars.append(mate.cigar)
+            row += 1
+    cigar_words = (np.concatenate(cigars).astype(np.uint32) if cigars
+                   else np.empty(0, np.uint32))
+
+    (genes_offsets_b, genes_items_b, pred_strand_b, pred_ambig_b,
+     exonic_b) = native.annotate_bulk(
+        frag_offsets.tobytes(), contig.tobytes(), start.tobytes(),
+        end.tobytes(), strand.tobytes(), pred_strand.tobytes(),
+        pred_ambig.tobytes(), cigar_offsets.tobytes(), cigar_words.tobytes())
+
+    genes_offsets = np.frombuffer(genes_offsets_b, np.int64)
+    # writable backing store: fragments keep (read-mostly) views into it
+    genes_items = np.frombuffer(bytearray(genes_items_b), np.int64)
+    out_pred_strand = np.frombuffer(pred_strand_b, np.int64)
+    out_pred_ambig = np.frombuffer(pred_ambig_b, np.int64)
+    out_exonic = np.frombuffer(exonic_b, np.int64)
+
+    row = 0
+    for mates in fragments:
+        for mate in mates:
+            mate.genes = genes_items[genes_offsets[row]:genes_offsets[row + 1]]
+            mate.exonic = bool(out_exonic[row])
+            mate.predicted_strand = bool(out_pred_strand[row])
+            mate.predicted_strand_ambiguous = bool(out_pred_ambig[row])
+            row += 1
+    return True

@@ -172,9 +172,11 @@ def run(options: Options) -> PipelineState:
     # exonic lengths (arriba.cpp:166-184)
     compute_exonic_lengths(genes, exons, state.exon_index)
 
-    # annotate with exons (arriba.cpp:186-188)
-    for mates in ca.values():
-        annotate_alignments(mates, exons, genes, state.exon_index)
+    # annotate with exons (arriba.cpp:186-188); bulk native path when built
+    from .annotation.native_annotate import annotate_all_native
+    if not annotate_all_native(ca, exons, genes, state.exon_index):
+        for mates in ca.values():
+            annotate_alignments(mates, exons, genes, state.exon_index)
 
     # fall back to gene-level annotation (arriba.cpp:190-205)
     for mates in ca.values():

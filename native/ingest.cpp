@@ -983,6 +983,8 @@ extern PyObject *realign_set_splice_sites(PyObject *, PyObject *);
 extern PyObject *realign_align(PyObject *, PyObject *);
 extern PyObject *realign_is_homolog(PyObject *, PyObject *);
 extern PyObject *low_entropy_scan(PyObject *, PyObject *);
+extern PyObject *annotate_bind(PyObject *, PyObject *);
+extern PyObject *annotate_bulk(PyObject *, PyObject *);
 
 static PyMethodDef methods[] = {
     {"realign_reset", realign_reset, METH_NOARGS,
@@ -1001,6 +1003,10 @@ static PyMethodDef methods[] = {
      "8+8-mer homology test of a small gene sequence inside a big gene window."},
     {"low_entropy_scan", low_entropy_scan, METH_VARARGS,
      "Batched recurrent-k-mer (low-entropy) scan with the reference's early exit."},
+    {"annotate_bind", annotate_bind, METH_VARARGS,
+     "Register the exon interval index and exon/gene tables for annotation."},
+    {"annotate_bulk", annotate_bulk, METH_VARARGS,
+     "Annotate all fragments (gene sets, strands, exonic flags) in one call."},
     {"coverage_bind", coverage_bind, METH_VARARGS,
      "Bind per-contig coverage arrays so coverage_add can update them."},
     {"coverage_add", coverage_add, METH_VARARGS,
