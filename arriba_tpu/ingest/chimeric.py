@@ -528,6 +528,58 @@ def is_pristine_alignment(record: BamRecord) -> bool:
     return True
 
 
+def _materialize_fragments(chimeric_alignments: ChimericAlignments,
+                           arrays: tuple, seq_part: tuple) -> None:
+    """Build Fragment/Alignment objects from the columnar output of the
+    native extraction (native/ingest.cpp scan_sam extraction mode)."""
+    # empty arrays arrive as None (Py_BuildValue "y#" with a null pointer)
+    (names_blob, name_offsets_b, frag_offsets_b, frag_flags_b, contig_b,
+     start_b, end_b, flags_b, cigar_offsets_b, cigar_words_b) = (
+        value or b"" for value in arrays)
+    seq_offsets_b, seq_blob = (value or b"" for value in seq_part)
+
+    names = names_blob.decode("latin-1")
+    name_offsets = np.frombuffer(name_offsets_b, np.int64).tolist()
+    frag_offsets = np.frombuffer(frag_offsets_b, np.int64).tolist()
+    frag_flags = np.frombuffer(frag_flags_b, np.int64).tolist()
+    contig = np.frombuffer(contig_b, np.int64).tolist()
+    start = np.frombuffer(start_b, np.int64).tolist()
+    end = np.frombuffer(end_b, np.int64).tolist()
+    flags = np.frombuffer(flags_b, np.int64).tolist()
+    cigar_offsets = np.frombuffer(cigar_offsets_b, np.int64).tolist()
+    # writable backing store: alignments keep views into it
+    cigar_words = np.frombuffer(bytearray(cigar_words_b), np.uint32)
+    seq_offsets = np.frombuffer(seq_offsets_b, np.int64).tolist()
+    sequences = seq_blob.decode("latin-1")
+
+    from ..model import EMPTY_GENES
+    new_alignment = Alignment.__new__
+    for f in range(len(frag_flags)):
+        mates = Fragment()
+        fragment_flags = frag_flags[f]
+        mates.single_end = bool(fragment_flags & 1)
+        mates.duplicate = bool(fragment_flags & 2)
+        for row in range(frag_offsets[f], frag_offsets[f + 1]):
+            alignment = new_alignment(Alignment)
+            alignment_flags = flags[row]
+            alignment.__dict__ = {
+                "supplementary": bool(alignment_flags & 1),
+                "first_in_pair": bool(alignment_flags & 2),
+                "exonic": False,
+                "strand": bool(alignment_flags & 4),
+                "predicted_strand": FORWARD,
+                "predicted_strand_ambiguous": True,
+                "contig": contig[row],
+                "start": start[row],
+                "end": end[row],
+                "cigar": cigar_words[cigar_offsets[row]:cigar_offsets[row + 1]],
+                "sequence": sequences[seq_offsets[row]:seq_offsets[row + 1]],
+                "genes": EMPTY_GENES,
+            }
+            mates.append(alignment)
+        chimeric_alignments[names[name_offsets[f]:name_offsets[f + 1]]] = mates
+
+
 def read_chimeric_alignments(path: str, assembly: Assembly,
                              chimeric_alignments: ChimericAlignments,
                              contigs: ContigRegistry,
@@ -599,6 +651,58 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
                 planes.append(None)
             interesting_per_tid[tid] = 1 if interesting_tids[cid] else 0
             viral_per_tid[tid] = 1 if viral_contigs_mask[cid] else 0
+        extract_capable = (hasattr(_native, "annotate_bulk")
+                           and _os.environ.get("ARRIBA_TPU_NO_NATIVE_EXTRACT") != "1")
+        if extract_capable:
+            # full-native extraction: the C++ loader runs the entire
+            # extraction loop (ITD rescue, read-through splitting, SA split
+            # reads, viral counting, coverage) and the malformed-alignment
+            # normalization, emitting fragments as columnar arrays
+            gene_offsets = []
+            gene_items = []
+            for tid, cid in enumerate(tid_to_contig):
+                if cid < gene_index.n_contigs:
+                    gene_offsets.append(np.ascontiguousarray(
+                        gene_index.offsets[cid], np.int64).tobytes())
+                    gene_items.append(np.ascontiguousarray(
+                        gene_index.items[cid], np.int64).tobytes())
+                else:
+                    gene_offsets.append(np.zeros(1, np.int64).tobytes())
+                    gene_items.append(b"")
+            assembly_list = [assembly.get(cid) for cid in tid_to_contig]
+            extract_tables = (
+                gene_offsets, gene_items,
+                np.ascontiguousarray(genes.start, np.int64).tobytes(),
+                np.ascontiguousarray(genes.end, np.int64).tobytes(),
+                assembly_list,
+                np.array(tid_to_contig, np.int64).tobytes(),
+                int(max_itd_length))
+            main, seq_part = _native.scan_sam(
+                path, name_to_tid, boundaries, bytes(interesting_per_tid),
+                bytes(viral_per_tid), planes, external_duplicate_marking,
+                threads, extract_tables)
+            (_header_bytes, total_mapped, viral_counts, _n_records,
+             (missing_hi_tag, malformed_count, no_chimeric_flag),
+             arrays) = main
+            for tid, count in enumerate(viral_counts):
+                mapped_viral_reads_by_contig[tid_to_contig[tid]] += count
+            _materialize_fragments(chimeric_alignments, arrays, seq_part)
+
+            if is_rna_bam_file and total_mapped == 0:
+                raise RuntimeError("no normal reads found")
+            if malformed_count > 0:
+                print(f"WARNING: {malformed_count} SAM records were malformed and ignored",
+                      file=sys.stderr)
+            if no_chimeric_flag:
+                raise RuntimeError(
+                    "no split reads or discordant mates found (STAR must either be run with "
+                    "'--chimOutType WithinBAM' or the file 'Chimeric.out.sam' must be passed "
+                    "to Arriba via the argument -c)")
+            if missing_hi_tag > 0:
+                print(f"WARNING: {missing_hi_tag} secondary alignments lack the 'HI' tag and were ignored",
+                      file=sys.stderr)
+            return len(chimeric_alignments), total_mapped
+
         _, forwarded, native_boring_mapped, viral_counts, _n_records = \
             _native.scan_sam(path, name_to_tid, boundaries,
                              bytes(interesting_per_tid), bytes(viral_per_tid),

@@ -25,6 +25,7 @@
 
 #include "bgzf_parallel.h"
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -59,6 +60,8 @@ struct Record {
     std::vector<uint32_t> cigar;
     std::string seq;
     bool has_sa = false;
+    bool hi_present = false;
+    int64_t hi_value = 0;
     int max_soft_clip = 0;
 };
 
@@ -260,12 +263,650 @@ void handle_boring_pair(Scanner &scanner, const Record &record, const Record &ma
         add_fragment(scanner, record, &mate, false, 0, false);
 }
 
+/* ---- full-native chimeric extraction ------------------------------------
+ *
+ * Exact port of the extraction loop of read_chimeric_alignments.cpp:560-773
+ * plus remove_malformed_alignments (:377-506), as implemented in
+ * arriba_tpu/ingest/chimeric.py (which remains the parity reference;
+ * ARRIBA_TPU_NO_NATIVE=1 switches back to it). Fragments are emitted as
+ * columnar arrays and materialized into Alignment objects in Python.
+ */
+
+constexpr int FREAD1 = 0x40;
+constexpr int CLIP_NONE = 0, CLIP_START = 1, CLIP_END = 2;
+
+struct AlignmentData {
+    bool supplementary = false, first_in_pair = false;
+    bool strand_forward = true;  /* FORWARD = true */
+    int64_t contig = 0;
+    int64_t start = 0, end = 0;
+    std::vector<uint32_t> cigar;
+    std::string seq;
+
+    int64_t preclipping() const {
+        if (!cigar.empty()) {
+            uint32_t op = cigar.front() & 0xf;
+            if (op == CSOFT_CLIP || op == CHARD_CLIP) return cigar.front() >> 4;
+        }
+        return 0;
+    }
+    int64_t postclipping() const {
+        if (!cigar.empty()) {
+            uint32_t op = cigar.back() & 0xf;
+            if (op == CSOFT_CLIP || op == CHARD_CLIP) return cigar.back() >> 4;
+        }
+        return 0;
+    }
+};
+
+struct FragmentData {
+    std::string name;
+    bool single_end = false, duplicate = false;
+    std::vector<AlignmentData> mates;
+    bool dead = false;
+};
+
+struct GeneSetsTid {  /* CSR sets aligned with scanner.boundaries[tid] */
+    std::vector<int64_t> offsets, items;
+};
+
+struct AssemblyPlane {
+    const uint8_t *seq = nullptr;
+    Py_ssize_t len = 0;
+};
+
+struct Extractor {
+    bool enabled = false;
+    std::vector<GeneSetsTid> gene_sets;        /* per tid */
+    std::vector<int64_t> gene_start, gene_end; /* per gene row */
+    std::vector<AssemblyPlane> assembly;       /* per tid */
+    std::vector<int64_t> tid_to_contig;        /* per tid */
+    int64_t max_itd_length = 0;
+
+    std::vector<FragmentData> fragments;
+    std::unordered_map<std::string, size_t> by_name;
+    long mapped_reads = 0, missing_hi = 0, malformed = 0;
+    bool no_chimeric = true;
+};
+
+bool strand_fwd(const Record &record) { return !(record.flag & FREVERSE); }
+
+int64_t seq_length(const Record &record) {
+    return record.seq == "*" ? 0 : (int64_t)record.seq.size();
+}
+
+/* htslib bam_endpos: pos+1 when no reference base is consumed */
+int64_t endpos_htslib(const Record &record) {
+    return record.end_pos > record.pos ? record.end_pos : record.pos + 1;
+}
+
+int64_t cigar2qlen(const std::vector<uint32_t> &cigar, int64_t n_ops) {
+    int64_t length = 0;
+    for (int64_t i = 0; i < n_ops && i < (int64_t)cigar.size(); ++i)
+        if ((CONSUMES_QUERY >> (cigar[i] & 0xf)) & 1) length += cigar[i] >> 4;
+    return length;
+}
+
+int64_t cigar2rlen(const std::vector<uint32_t> &cigar, int64_t n_ops) {
+    int64_t length = 0;
+    for (int64_t i = 0; i < n_ops && i < (int64_t)cigar.size(); ++i)
+        if ((CONSUMES_REF >> (cigar[i] & 0xf)) & 1) length += cigar[i] >> 4;
+    return length;
+}
+
+FragmentData &fragment_for(Extractor &ext, const std::string &read_name) {
+    auto found = ext.by_name.find(read_name);
+    if (found != ext.by_name.end())
+        return ext.fragments[found->second];
+    ext.by_name.emplace(read_name, ext.fragments.size());
+    ext.fragments.emplace_back();
+    ext.fragments.back().name = read_name;
+    return ext.fragments.back();
+}
+
+/* read_chimeric_alignments.cpp:50-91 (chimeric.py add_chimeric_alignment) */
+void add_chimeric_alignment(const Extractor &ext, FragmentData &mates,
+                            const Record &record, bool is_supplementary,
+                            int64_t cigar_op_idx, int clip) {
+    mates.single_end = !(record.flag & FPAIRED);
+    mates.duplicate = mates.duplicate || (record.flag & FDUP);
+    mates.mates.emplace_back();
+    AlignmentData &alignment = mates.mates.back();
+    alignment.strand_forward = strand_fwd(record);
+    alignment.first_in_pair = (record.flag & FREAD1) != 0;
+    alignment.contig = (record.tid >= 0 && record.tid < (int)ext.tid_to_contig.size())
+                           ? ext.tid_to_contig[record.tid] : record.tid;
+    alignment.supplementary = is_supplementary;
+    if (!is_supplementary && record.seq != "*")
+        alignment.seq = record.seq;
+
+    const std::vector<uint32_t> &cigar = record.cigar;
+    if (clip == CLIP_START) {
+        alignment.start = record.pos + cigar2rlen(cigar, cigar_op_idx);
+        alignment.end = endpos_htslib(record) - 1;
+        uint32_t clip_type = (!cigar.empty() && (cigar[0] & 0xf) == CHARD_CLIP)
+                                 ? CHARD_CLIP : CSOFT_CLIP;
+        alignment.cigar.clear();
+        alignment.cigar.push_back(
+            ((uint32_t)cigar2qlen(cigar, cigar_op_idx) << 4) | clip_type);
+        alignment.cigar.insert(alignment.cigar.end(), cigar.begin() + cigar_op_idx,
+                               cigar.end());
+    } else if (clip == CLIP_END) {
+        alignment.start = record.pos;
+        alignment.end = record.pos + cigar2rlen(cigar, cigar_op_idx + 1) - 1;
+        uint32_t clip_type = (!cigar.empty() && (cigar.back() & 0xf) == CHARD_CLIP)
+                                 ? CHARD_CLIP : CSOFT_CLIP;
+        alignment.cigar.assign(cigar.begin(), cigar.begin() + cigar_op_idx + 1);
+        alignment.cigar.push_back(
+            ((uint32_t)(seq_length(record) - cigar2qlen(cigar, cigar_op_idx + 1)) << 4)
+            | clip_type);
+    } else {
+        alignment.start = record.pos;
+        alignment.end = endpos_htslib(record) - 1;
+        alignment.cigar = cigar;
+    }
+}
+
+/* read_chimeric_alignments.cpp:511-522 */
+bool is_clipped_at_correct_end(const Record &record) {
+    if (!(record.flag & FPAIRED))
+        return true;
+    if (record.cigar.empty())
+        return false;
+    size_t clipped_end;
+    if (record.flag & FSUPPLEMENTARY)
+        clipped_end = strand_fwd(record) ? record.cigar.size() - 1 : 0;
+    else
+        clipped_end = strand_fwd(record) ? 0 : record.cigar.size() - 1;
+    uint32_t op = record.cigar[clipped_end] & 0xf;
+    return op == CSOFT_CLIP || op == CHARD_CLIP;
+}
+
+/* read_chimeric_alignments.cpp:197-211 */
+bool clipped_sequence_is_adapter(const Record *mate1, const Record *mate2) {
+    if (mate1 == nullptr || mate2 == nullptr)
+        return false;
+    if (mate1->pos != mate2->pos)
+        return false;
+    if (!strand_fwd(*mate1) && !mate1->cigar.empty() &&
+        (mate1->cigar.front() & 0xf) == CSOFT_CLIP && strand_fwd(*mate2) &&
+        !mate2->cigar.empty() && (mate2->cigar.back() & 0xf) == CSOFT_CLIP &&
+        (mate1->cigar.front() >> 4) == (mate2->cigar.back() >> 4))
+        return true;
+    if (!strand_fwd(*mate2) && !mate2->cigar.empty() &&
+        (mate2->cigar.front() & 0xf) == CSOFT_CLIP && strand_fwd(*mate1) &&
+        !mate1->cigar.empty() && (mate1->cigar.back() & 0xf) == CSOFT_CLIP &&
+        (mate2->cigar.front() >> 4) == (mate1->cigar.back() >> 4))
+        return true;
+    return false;
+}
+
+/* gene interval index point query (annotation.t.hpp:61-68) */
+void gene_point_query(const Scanner &scanner, const Extractor &ext, int32_t tid,
+                      int64_t pos, std::vector<int64_t> &out) {
+    out.clear();
+    if (tid < 0 || tid >= (int)scanner.boundaries.size())
+        return;
+    const std::vector<int64_t> &bounds = scanner.boundaries[tid];
+    auto it = std::lower_bound(bounds.begin(), bounds.end(), pos);
+    if (it == bounds.end())
+        return;
+    size_t idx = it - bounds.begin();
+    const GeneSetsTid &sets = ext.gene_sets[tid];
+    if (idx + 1 >= sets.offsets.size())
+        return;
+    out.assign(sets.items.begin() + sets.offsets[idx],
+               sets.items.begin() + sets.offsets[idx + 1]);
+}
+
+/* read_chimeric_alignments.cpp:19-41 */
+bool find_spanning_intron(const Record &record, int64_t gene1_end,
+                          int64_t gene2_start, int64_t &cigar_op_idx,
+                          int64_t &read_pos) {
+    if (record.cigar.size() < 3)
+        return false;
+    int64_t before = record.pos;
+    for (size_t i = 0; i < record.cigar.size(); ++i) {
+        uint32_t word = record.cigar[i];
+        uint32_t op = word & 0xf;
+        int64_t op_length = ((CONSUMES_REF >> op) & 1) ? (word >> 4) : 0;
+        int64_t after = before + op_length;
+        if (op == CREF_SKIP &&
+            ((before <= gene1_end && gene1_end < after) ||
+             (before < gene2_start && gene2_start <= after))) {
+            cigar_op_idx = (int64_t)i;
+            read_pos = cigar2qlen(record.cigar, (int64_t)i);
+            return true;
+        }
+        before = after;
+    }
+    return false;
+}
+
+/* read_chimeric_alignments.cpp:93-193 (chimeric.py extract_read_through_alignment) */
+bool extract_read_through_alignment(Scanner &scanner, Extractor &ext,
+                                    const std::string &read_name,
+                                    const Record *forward_mate,
+                                    const Record *reverse_mate) {
+    if (forward_mate != nullptr && !strand_fwd(*forward_mate))
+        std::swap(forward_mate, reverse_mate);
+
+    std::vector<int64_t> forward_genes, reverse_genes;
+    if (forward_mate != nullptr)
+        gene_point_query(scanner, ext, forward_mate->tid, forward_mate->pos, forward_genes);
+    else
+        gene_point_query(scanner, ext, reverse_mate->tid, reverse_mate->pos, forward_genes);
+    if (reverse_mate != nullptr)
+        gene_point_query(scanner, ext, reverse_mate->tid, endpos_htslib(*reverse_mate), reverse_genes);
+    else
+        gene_point_query(scanner, ext, forward_mate->tid, endpos_htslib(*forward_mate), reverse_genes);
+
+    std::vector<int64_t> common_genes;  /* intersection only (make_union=False) */
+    std::set_intersection(forward_genes.begin(), forward_genes.end(),
+                          reverse_genes.begin(), reverse_genes.end(),
+                          std::back_inserter(common_genes));
+    if (!common_genes.empty() || (forward_genes.empty() && reverse_genes.empty()))
+        return false;
+
+    /* boundaries of the biggest overlapped genes (annotation.cpp:558-567) */
+    int64_t forward_gene_start = -1, forward_gene_end = -1;
+    int64_t reverse_gene_start = -1, reverse_gene_end = -1;
+    for (int64_t g : forward_genes) {
+        if (forward_gene_start == -1 || ext.gene_start[g] < forward_gene_start)
+            forward_gene_start = ext.gene_start[g];
+        if (ext.gene_end[g] > forward_gene_end) forward_gene_end = ext.gene_end[g];
+    }
+    for (int64_t g : reverse_genes) {
+        if (reverse_gene_start == -1 || ext.gene_start[g] < reverse_gene_start)
+            reverse_gene_start = ext.gene_start[g];
+        if (ext.gene_end[g] > reverse_gene_end) reverse_gene_end = ext.gene_end[g];
+    }
+    if (forward_genes.empty()) { forward_gene_start = -1; forward_gene_end = -1; }
+    if (reverse_genes.empty()) { reverse_gene_start = -1; reverse_gene_end = -1; }
+    if (forward_gene_end == -1) forward_gene_end = reverse_gene_start - 1;
+    if (reverse_gene_start == -1) reverse_gene_start = forward_gene_end + 1;
+
+    int64_t fwd_op = 0, fwd_read_pos = 0, rev_op = 0, rev_read_pos = 0;
+    bool fwd_has_intron = forward_mate != nullptr &&
+        find_spanning_intron(*forward_mate, forward_gene_end, reverse_gene_start,
+                             fwd_op, fwd_read_pos);
+    bool rev_has_intron = reverse_mate != nullptr &&
+        find_spanning_intron(*reverse_mate, forward_gene_end, reverse_gene_start,
+                             rev_op, rev_read_pos);
+
+    if (fwd_has_intron &&
+        (!rev_has_intron || fwd_read_pos < seq_length(*reverse_mate) - rev_read_pos)) {
+        if (ext.by_name.find(read_name) == ext.by_name.end()) {
+            FragmentData &mates = fragment_for(ext, read_name);
+            add_chimeric_alignment(ext, mates, *forward_mate, false, fwd_op + 1, CLIP_START);
+            add_chimeric_alignment(ext, mates, *forward_mate, true, fwd_op - 1, CLIP_END);
+            if (reverse_mate != nullptr) {
+                if (rev_has_intron)
+                    add_chimeric_alignment(ext, mates, *reverse_mate, false, rev_op + 1, CLIP_START);
+                else
+                    add_chimeric_alignment(ext, mates, *reverse_mate, false, 0, CLIP_NONE);
+            }
+            return true;
+        }
+    } else if (rev_has_intron) {
+        if (ext.by_name.find(read_name) == ext.by_name.end()) {
+            FragmentData &mates = fragment_for(ext, read_name);
+            add_chimeric_alignment(ext, mates, *reverse_mate, true, rev_op + 1, CLIP_START);
+            add_chimeric_alignment(ext, mates, *reverse_mate, false, rev_op - 1, CLIP_END);
+            if (forward_mate != nullptr) {
+                if (fwd_has_intron)
+                    add_chimeric_alignment(ext, mates, *forward_mate, false, fwd_op - 1, CLIP_END);
+                else
+                    add_chimeric_alignment(ext, mates, *forward_mate, false, 0, CLIP_NONE);
+            }
+            return true;
+        }
+    } else if (forward_mate != nullptr && reverse_mate != nullptr &&
+               reverse_mate->pos >= reverse_gene_start &&
+               endpos_htslib(*forward_mate) <= forward_gene_end) {
+        if (ext.by_name.find(read_name) == ext.by_name.end()) {
+            FragmentData &mates = fragment_for(ext, read_name);
+            add_chimeric_alignment(ext, mates, *forward_mate, false, 0, CLIP_NONE);
+            add_chimeric_alignment(ext, mates, *reverse_mate, false, 0, CLIP_NONE);
+        }
+        return true;
+    }
+
+    return false;
+}
+
+/* brute-force ITD window scan shared by the Python binding and the extractor */
+bool tandem_scan_core(const uint8_t *clipped, int64_t clipped_len,
+                      const uint8_t *contig_seq, int64_t contig_len,
+                      int64_t window_start, int64_t window_end, int direction,
+                      int64_t &out_pos, int64_t &out_start, int64_t &out_end) {
+    const int max_non_template_bases = 6, max_mismatches = 1,
+              min_alignment_length = 15;
+    for (int64_t contig_pos = window_start; contig_pos <= window_end; ++contig_pos) {
+        if (contig_pos < 0 || contig_pos + clipped_len > contig_len)
+            continue;
+        const uint8_t *window = contig_seq + contig_pos;
+        int64_t matches = 0, mismatches = 0;
+        int64_t aln_start = contig_len, aln_end = -1;
+        for (int64_t i = 0; i < clipped_len; ++i) {
+            int64_t read_pos = (direction == 1) ? i : clipped_len - 1 - i;
+            if (window[read_pos] == clipped[read_pos]) {
+                matches += 1;
+                if (contig_pos + read_pos < aln_start) aln_start = contig_pos + read_pos;
+                if (contig_pos + read_pos > aln_end) aln_end = contig_pos + read_pos;
+            } else if (i >= max_non_template_bases) {
+                mismatches += 1;
+                if (mismatches > max_mismatches)
+                    break;
+            }
+        }
+        if (matches >= min_alignment_length || matches + mismatches == clipped_len) {
+            out_pos = contig_pos;
+            out_start = aln_start;
+            out_end = aln_end;
+            return true;
+        }
+    }
+    return false;
+}
+
+/* read_chimeric_alignments.cpp:215-336 (chimeric.py is_tandem_duplication) */
+bool is_tandem_duplication(const Extractor &ext, const Record *record,
+                           AlignmentData &tandem) {
+    const int64_t min_clipped_length = 12, min_duplication_length = 9;
+    const int64_t max_duplication_length = ext.max_itd_length;
+
+    if (record == nullptr || record->cigar.empty())
+        return false;
+
+    int64_t clipped_len = 0, clipped_pos = 0;
+    bool clipped_start = true;
+    int direction = 1;
+    int64_t window_start = 0, window_end = 0, extended_read_start = 0;
+    uint32_t first = record->cigar.front(), last = record->cigar.back();
+    int64_t l_qseq = seq_length(*record);
+    if ((first & 0xf) == CSOFT_CLIP && (int64_t)(first >> 4) >= min_clipped_length) {
+        clipped_len = first >> 4;
+        clipped_pos = 0;
+        direction = -1;
+        window_start = record->pos + min_duplication_length - clipped_len;
+        window_end = record->pos + max_duplication_length - clipped_len;
+        extended_read_start = record->pos - clipped_len;
+        clipped_start = true;
+    }
+    if ((last & 0xf) == CSOFT_CLIP &&
+        (int64_t)(last >> 4) >= std::max(min_clipped_length, clipped_len)) {
+        clipped_len = last >> 4;
+        clipped_pos = l_qseq - clipped_len;
+        direction = 1;
+        window_start = endpos_htslib(*record) - max_duplication_length;
+        window_end = endpos_htslib(*record) - min_duplication_length;
+        extended_read_start = endpos_htslib(*record);
+        clipped_start = false;
+    }
+    if (clipped_len == 0)
+        return false;
+
+    if (record->tid < 0 || record->tid >= (int)ext.assembly.size() ||
+        ext.assembly[record->tid].seq == nullptr)
+        return false;
+    const AssemblyPlane &plane = ext.assembly[record->tid];
+    if (window_end + max_duplication_length + clipped_len + 1 >= plane.len ||
+        window_start <= max_duplication_length + clipped_len + 1)
+        return false;
+    if (clipped_pos < 0 || clipped_pos + clipped_len > l_qseq)
+        return false;  /* malformed seq: the reference would misbehave here */
+
+    const uint8_t *clipped = (const uint8_t *)record->seq.data() + clipped_pos;
+
+    /* premature-clipping check: does the clipped segment extend linearly? */
+    {
+        int64_t lo = extended_read_start;
+        int64_t pad_left = lo < 0 ? -lo : 0;
+        int64_t usable = clipped_len - pad_left;
+        if (lo + clipped_len > plane.len) usable = plane.len - std::max(lo, (int64_t)0);
+        int64_t matches = 0;
+        for (int64_t i = 0; i < usable; ++i)
+            if (plane.seq[std::max(lo, (int64_t)0) + i] == clipped[pad_left + i])
+                matches += 1;
+        if ((double)matches / (double)clipped_len >= 0.7)
+            return false;
+    }
+
+    int64_t contig_pos, aln_start, aln_end;
+    if (!tandem_scan_core(clipped, clipped_len, plane.seq, plane.len, window_start,
+                          window_end, direction, contig_pos, aln_start, aln_end))
+        return false;
+
+    tandem = AlignmentData();
+    tandem.start = aln_start;
+    tandem.end = aln_end;
+    tandem.strand_forward = strand_fwd(*record);
+    tandem.first_in_pair = (record->flag & FREAD1) != 0;
+    tandem.contig = (record->tid >= 0 && record->tid < (int)ext.tid_to_contig.size())
+                        ? ext.tid_to_contig[record->tid] : record->tid;
+    tandem.supplementary = !(record->flag & FPAIRED) ||
+                           (clipped_start && strand_fwd(*record)) ||
+                           (!clipped_start && !strand_fwd(*record));
+    if (!tandem.supplementary && record->seq != "*")
+        tandem.seq = record->seq;
+    int64_t clip_left = clipped_start ? 0 : l_qseq - clipped_len;
+    int64_t clip_right = clipped_start ? l_qseq - clipped_len : 0;
+    if (aln_start > contig_pos) clip_left += aln_start - contig_pos;
+    if (aln_end < contig_pos + clipped_len - 1)
+        clip_right += contig_pos + clipped_len - 1 - aln_end;
+    tandem.cigar.clear();
+    if (clip_left > 0) tandem.cigar.push_back(((uint32_t)clip_left << 4) | CSOFT_CLIP);
+    tandem.cigar.push_back(((uint32_t)(aln_end - aln_start + 1) << 4) | CMATCH);
+    if (clip_right > 0) tandem.cigar.push_back(((uint32_t)clip_right << 4) | CSOFT_CLIP);
+    return true;
+}
+
+/* the record/pair extraction block of the ingest loop
+ * (read_chimeric_alignments.cpp:676-771, chimeric.py:678-720) */
+void handle_extract_pair(Scanner &scanner, Extractor &ext,
+                         const std::string &read_name, Record &record,
+                         Record *previously_seen_mate) {
+    bool is_tandem_alignment = false;
+    AlignmentData tandem;
+    bool have_tandem = false;
+    if (!clipped_sequence_is_adapter(&record, previously_seen_mate) &&
+        (previously_seen_mate == nullptr ||
+         strand_fwd(record) != strand_fwd(*previously_seen_mate))) {
+        have_tandem = is_tandem_duplication(ext, &record, tandem);
+        if (!have_tandem)
+            have_tandem = is_tandem_duplication(ext, previously_seen_mate, tandem);
+    }
+    if (have_tandem) {
+        FragmentData &mates = fragment_for(ext, read_name + "ITD");
+        add_chimeric_alignment(ext, mates, record,
+                               strand_fwd(record) == tandem.strand_forward &&
+                                   !tandem.supplementary,
+                               0, CLIP_NONE);
+        if (previously_seen_mate != nullptr)
+            add_chimeric_alignment(ext, mates, *previously_seen_mate,
+                                   strand_fwd(*previously_seen_mate) == tandem.strand_forward &&
+                                       !tandem.supplementary,
+                                   0, CLIP_NONE);
+        mates.single_end = !(record.flag & FPAIRED);
+        mates.mates.push_back(tandem);
+        is_tandem_alignment = true;
+    }
+
+    bool is_read_through_alignment = false;
+    if ((record.has_sa && is_clipped_at_correct_end(record)) ||
+        (previously_seen_mate != nullptr && previously_seen_mate->has_sa &&
+         is_clipped_at_correct_end(*previously_seen_mate))) {
+        FragmentData &mates = fragment_for(ext, read_name);
+        add_chimeric_alignment(ext, mates, record, false, 0, CLIP_NONE);
+        if (previously_seen_mate != nullptr)
+            add_chimeric_alignment(ext, mates, *previously_seen_mate, false, 0, CLIP_NONE);
+        ext.no_chimeric = false;
+    } else if (!is_tandem_alignment) {
+        is_read_through_alignment = extract_read_through_alignment(
+            scanner, ext, read_name, &record, previously_seen_mate);
+        if (record.tid >= 0 && record.tid < (int)scanner.viral.size() &&
+            scanner.viral[record.tid]) {
+            if (is_pristine_alignment(record))
+                scanner.viral_counts[record.tid] += 1;
+            if (previously_seen_mate != nullptr &&
+                is_pristine_alignment(*previously_seen_mate))
+                scanner.viral_counts[previously_seen_mate->tid] += 1;
+        }
+    }
+
+    if (!scanner.external_duplicate_marking || !(record.flag & FDUP))
+        add_fragment(scanner, record, previously_seen_mate,
+                     is_read_through_alignment, 0, false);
+}
+
+/* read_chimeric_alignments.cpp:340-373 (chimeric.py disjoin_split_read_segments) */
+bool disjoin_split_read_segments(AlignmentData &split_read, AlignmentData &supplementary) {
+    const int64_t min_remaining = 10;
+    int64_t clipped_split = split_read.strand_forward ? split_read.preclipping()
+                                                      : split_read.postclipping();
+    int64_t clipped_supp = supplementary.strand_forward ? supplementary.postclipping()
+                                                        : supplementary.preclipping();
+    int64_t overlap = (int64_t)split_read.seq.size() - clipped_split - clipped_supp;
+    if (overlap <= 0)
+        return true;
+
+    int64_t clipped_idx = supplementary.strand_forward
+                              ? (int64_t)supplementary.cigar.size() - 1 : 0;
+    int64_t matching_idx = supplementary.strand_forward ? clipped_idx - 1 : 1;
+    if (supplementary.cigar.size() < 2 ||
+        (supplementary.cigar[matching_idx] & 0xf) != CMATCH ||
+        (int64_t)(supplementary.cigar[matching_idx] >> 4) < overlap + min_remaining)
+        return false;
+
+    supplementary.cigar[clipped_idx] =
+        (uint32_t)(((supplementary.cigar[clipped_idx] >> 4) + overlap) << 4) |
+        (supplementary.cigar[clipped_idx] & 0xf);
+    supplementary.cigar[matching_idx] =
+        (uint32_t)(((supplementary.cigar[matching_idx] >> 4) - overlap) << 4) |
+        (supplementary.cigar[matching_idx] & 0xf);
+    if (supplementary.strand_forward)
+        supplementary.end -= overlap;
+    else
+        supplementary.start += overlap;
+    return true;
+}
+
+void to_soft_clip(std::vector<uint32_t> &cigar, size_t idx) {
+    cigar[idx] = ((cigar[idx] >> 4) << 4) | CSOFT_CLIP;
+}
+
+bool complement_strand_if(bool strand, bool condition) {
+    return condition ? !strand : strand;
+}
+
+/* read_chimeric_alignments.cpp:377-506 (chimeric.py _normalize_fragment) */
+bool normalize_fragment(FragmentData &fragment) {
+    std::vector<AlignmentData> &mates = fragment.mates;
+    const int MATE1 = 0, MATE2 = 1, SPLIT = 1, SUPP = 2;
+
+    if (fragment.single_end) {
+        if (!(mates.size() == 2 && mates[MATE1].supplementary != mates[MATE2].supplementary))
+            return false;
+        /* simulate paired-end: shorter anchor becomes SUPPLEMENTARY, longer
+         * becomes SPLIT_READ, MATE1 is a copy of the split read */
+        if (mates[MATE1].end - mates[MATE1].start > mates[MATE2].end - mates[MATE2].start) {
+            AlignmentData supplementary = mates[MATE2];
+            mates[MATE2] = mates[MATE1];
+            mates.push_back(supplementary);
+        } else {
+            AlignmentData supplementary = mates[MATE1];
+            mates[MATE1] = mates[MATE2];
+            mates.push_back(supplementary);
+        }
+
+        if (!mates[MATE1].supplementary)
+            mates[SPLIT].seq = mates[MATE1].seq;
+        else if (!mates[SPLIT].supplementary)
+            mates[MATE1].seq = mates[SPLIT].seq;
+        else {
+            mates[MATE1].seq = mates[SUPP].seq;
+            mates[SPLIT].seq = mates[SUPP].seq;
+        }
+        mates[SUPP].seq.clear();
+
+        for (int m : {MATE1, SPLIT}) {
+            if (!mates[m].cigar.empty()) {
+                if ((mates[m].cigar.front() & 0xf) == CHARD_CLIP)
+                    to_soft_clip(mates[m].cigar, 0);
+                if ((mates[m].cigar.back() & 0xf) == CHARD_CLIP)
+                    to_soft_clip(mates[m].cigar, mates[m].cigar.size() - 1);
+            }
+        }
+
+        mates[SUPP].supplementary = true;
+        mates[MATE1].supplementary = false;
+        mates[SPLIT].supplementary = false;
+
+        AlignmentData &split = mates[SPLIT];
+        AlignmentData &supp = mates[SUPP];
+        bool same_strand = split.strand_forward == supp.strand_forward;
+        int64_t left_anchor = (int64_t)split.seq.size() - split.preclipping() -
+                              (same_strand ? supp.postclipping() : supp.preclipping());
+        int64_t right_anchor = (int64_t)split.seq.size() - split.postclipping() -
+                               (same_strand ? supp.preclipping() : supp.postclipping());
+        bool flip_mate1_strand = left_anchor < right_anchor ? split.strand_forward
+                                                            : !split.strand_forward;
+        mates[MATE1].strand_forward =
+            complement_strand_if(mates[MATE1].strand_forward, flip_mate1_strand);
+        mates[SPLIT].strand_forward =
+            complement_strand_if(mates[SPLIT].strand_forward, !flip_mate1_strand);
+        mates[SUPP].strand_forward =
+            complement_strand_if(mates[SUPP].strand_forward, !flip_mate1_strand);
+
+        mates[MATE1].first_in_pair = !flip_mate1_strand;
+        mates[SPLIT].first_in_pair = flip_mate1_strand;
+        mates[SUPP].first_in_pair = flip_mate1_strand;
+
+        if (!disjoin_split_read_segments(mates[SPLIT], mates[SUPP]))
+            return false;
+    } else {  /* paired-end */
+        if (mates.size() == 3) {
+            if (mates[MATE1].supplementary)
+                std::swap(mates[MATE1], mates[SUPP]);
+            else if (mates[MATE2].supplementary)
+                std::swap(mates[MATE2], mates[SUPP]);
+            if (mates[SPLIT].first_in_pair != mates[SUPP].first_in_pair)
+                std::swap(mates[MATE1], mates[MATE2]);
+            if (mates[MATE1].supplementary || mates[SPLIT].supplementary ||
+                !mates[SUPP].supplementary)
+                return false;
+            if (mates[MATE1].contig != mates[SPLIT].contig ||
+                mates[MATE1].strand_forward == mates[SPLIT].strand_forward)
+                return false;
+            if (!disjoin_split_read_segments(mates[SPLIT], mates[SUPP]))
+                return false;
+        } else if (mates.size() == 2) {
+            if (mates[MATE1].supplementary || mates[MATE2].supplementary)
+                return false;
+        } else {
+            return false;
+        }
+    }
+
+    for (int m : {MATE1, MATE2}) {
+        if (mates[m].cigar.empty())
+            return false;
+        if ((mates[m].cigar.front() & 0xf) == CHARD_CLIP ||
+            (mates[m].cigar.back() & 0xf) == CHARD_CLIP)
+            return false;
+    }
+    return true;
+}
+
 /* ---- SAM text parsing --------------------------------------------------- */
 
 bool parse_sam_line(const std::string &line, Record &record) {
     record.line = line;
     record.cigar.clear();
     record.has_sa = false;
+    record.hi_present = false;
+    record.hi_value = 0;
     record.max_soft_clip = 0;
 
     size_t field_start = 0;
@@ -290,6 +931,13 @@ bool parse_sam_line(const std::string &line, Record &record) {
                     line[field_start] == 'S' && line[field_start + 1] == 'A' &&
                     line[field_start + 2] == ':')
                     record.has_sa = true;
+                if (field_index >= 11 && field_end - field_start >= 6 &&
+                    line[field_start] == 'H' && line[field_start + 1] == 'I' &&
+                    line[field_start + 2] == ':' && line[field_start + 3] == 'i' &&
+                    line[field_start + 4] == ':') {
+                    record.hi_present = true;
+                    record.hi_value = atoll(line.c_str() + field_start + 5);
+                }
         }
         field_index++;
         if (tab == std::string::npos) break;
@@ -407,6 +1055,8 @@ bool decode_bam_record(const std::vector<uint8_t> &body, Record &record) {
     record.mtid = mtid;
     record.cigar.assign(cigar, cigar + n_cigar);
     record.has_sa = false;
+    record.hi_present = false;
+    record.hi_value = 0;
     record.max_soft_clip = 0;
     record.line.clear();
     int64_t ref_consumed = 0;
@@ -433,10 +1083,28 @@ bool decode_bam_record(const std::vector<uint8_t> &body, Record &record) {
             aux += 3;
             if (tag0 == 'S' && tag1 == 'A' && type == 'Z')
                 record.has_sa = true;
+            bool is_hi = (tag0 == 'H' && tag1 == 'I');
             switch (type) {
-                case 'A': case 'c': case 'C': aux += 1; break;
-                case 's': case 'S': aux += 2; break;
-                case 'i': case 'I': case 'f': aux += 4; break;
+                case 'c':
+                    if (is_hi && aux < end) { record.hi_present = true; record.hi_value = *(const int8_t *)(body.data() + aux); }
+                    aux += 1; break;
+                case 'C':
+                    if (is_hi && aux < end) { record.hi_present = true; record.hi_value = body[aux]; }
+                    aux += 1; break;
+                case 'A': aux += 1; break;
+                case 's':
+                    if (is_hi && aux + 2 <= end) { int16_t v; memcpy(&v, body.data() + aux, 2); record.hi_present = true; record.hi_value = v; }
+                    aux += 2; break;
+                case 'S':
+                    if (is_hi && aux + 2 <= end) { uint16_t v; memcpy(&v, body.data() + aux, 2); record.hi_present = true; record.hi_value = v; }
+                    aux += 2; break;
+                case 'i':
+                    if (is_hi && aux + 4 <= end) { int32_t v; memcpy(&v, body.data() + aux, 4); record.hi_present = true; record.hi_value = v; }
+                    aux += 4; break;
+                case 'I':
+                    if (is_hi && aux + 4 <= end) { uint32_t v; memcpy(&v, body.data() + aux, 4); record.hi_present = true; record.hi_value = v; }
+                    aux += 4; break;
+                case 'f': aux += 4; break;
                 case 'd': aux += 8; break;
                 case 'Z': case 'H':
                     while (aux < end && body[aux]) ++aux;
@@ -672,10 +1340,15 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
     PyObject *coverage_obj;         /* list of (cov_u16, starts_u8, ends_u8) or None */
     int external_duplicate_marking;
     int threads = 1;
+    PyObject *extract_obj = Py_None; /* None, or (gene_offsets, gene_items,
+                                        gene_start, gene_end, assembly_list,
+                                        tid_to_contig, max_itd_length) enabling
+                                        full-native extraction */
 
-    if (!PyArg_ParseTuple(args, "sOOOOOpi", &path, &name_to_tid_obj,
+    if (!PyArg_ParseTuple(args, "sOOOOOpi|O", &path, &name_to_tid_obj,
                           &boundaries_obj, &interesting_obj, &viral_obj,
-                          &coverage_obj, &external_duplicate_marking, &threads))
+                          &coverage_obj, &external_duplicate_marking, &threads,
+                          &extract_obj))
         return nullptr;
 
     gzFile gz = gzopen(path, "rb");
@@ -708,6 +1381,50 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
     scanner.viral_counts.assign(n_tids, 0);
 
     std::vector<Py_buffer> buffers;
+    Extractor extractor;
+    if (extract_obj != Py_None) {
+        PyObject *gene_offsets_obj = PyTuple_GetItem(extract_obj, 0);
+        PyObject *gene_items_obj = PyTuple_GetItem(extract_obj, 1);
+        PyObject *gene_start_obj = PyTuple_GetItem(extract_obj, 2);
+        PyObject *gene_end_obj = PyTuple_GetItem(extract_obj, 3);
+        PyObject *assembly_obj = PyTuple_GetItem(extract_obj, 4);
+        PyObject *tid_to_contig_obj = PyTuple_GetItem(extract_obj, 5);
+        PyObject *max_itd_obj = PyTuple_GetItem(extract_obj, 6);
+        if (gene_offsets_obj == nullptr || max_itd_obj == nullptr) { gzclose(gz); return nullptr; }
+        auto read_int64_bytes = [&](PyObject *obj, std::vector<int64_t> &out) {
+            char *data; Py_ssize_t size;
+            if (PyBytes_AsStringAndSize(obj, &data, &size) != 0) return false;
+            out.assign((const int64_t *)data, (const int64_t *)data + size / 8);
+            return true;
+        };
+        extractor.gene_sets.resize(n_tids);
+        for (Py_ssize_t tid = 0; tid < n_tids; ++tid) {
+            if (!read_int64_bytes(PyList_GetItem(gene_offsets_obj, tid),
+                                  extractor.gene_sets[tid].offsets) ||
+                !read_int64_bytes(PyList_GetItem(gene_items_obj, tid),
+                                  extractor.gene_sets[tid].items)) {
+                gzclose(gz); return nullptr;
+            }
+        }
+        if (!read_int64_bytes(gene_start_obj, extractor.gene_start) ||
+            !read_int64_bytes(gene_end_obj, extractor.gene_end) ||
+            !read_int64_bytes(tid_to_contig_obj, extractor.tid_to_contig)) {
+            gzclose(gz); return nullptr;
+        }
+        extractor.assembly.resize(n_tids);
+        for (Py_ssize_t tid = 0; tid < n_tids; ++tid) {
+            PyObject *plane_obj = PyList_GetItem(assembly_obj, tid);
+            if (plane_obj == Py_None)
+                continue;
+            Py_buffer view;
+            if (PyObject_GetBuffer(plane_obj, &view, PyBUF_SIMPLE) != 0) { gzclose(gz); return nullptr; }
+            buffers.push_back(view);
+            extractor.assembly[tid].seq = (const uint8_t *)view.buf;
+            extractor.assembly[tid].len = view.len;
+        }
+        extractor.max_itd_length = PyLong_AsLongLong(max_itd_obj);
+        extractor.enabled = true;
+    }
     scanner.planes.resize(n_tids);
     bool buffer_error = false;
     for (Py_ssize_t tid = 0; tid < n_tids && !buffer_error; ++tid) {
@@ -776,7 +1493,85 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         return record.line;
     };
 
+    auto handle_record_extract = [&](Record &record, const std::string &qname) {
+        scanner.n_records += 1;
+
+        /* the extraction loop, chimeric.py:617-720 */
+        if ((record.flag & FUNMAP) ||
+            ((record.flag & FPAIRED) && (record.flag & FMUNMAP)))
+            return;
+
+        long long hit_index = 1;
+        if (record.hi_present) {
+            hit_index = record.hi_value;
+        } else if (record.flag & FSECONDARY) {
+            extractor.missing_hi += 1;
+            return;
+        }
+        std::string read_name = qname;
+        read_name += ',';
+        append_int(read_name, hit_index);
+
+        if (record.seq == "*")
+            record.seq.clear();
+
+        if (record.flag & FSUPPLEMENTARY) {
+            if (is_clipped_at_correct_end(record))
+                add_chimeric_alignment(extractor, fragment_for(extractor, read_name),
+                                       record, true, 0, CLIP_NONE);
+            else
+                extractor.malformed += 1;
+            extractor.no_chimeric = false;
+            return;
+        }
+
+        if (record.tid >= 0 && record.tid < (int)scanner.interesting.size() &&
+            scanner.interesting[record.tid])
+            extractor.mapped_reads += 1;
+
+        if ((record.flag & FPAIRED) && !(record.flag & FPROPER_PAIR)) {
+            add_chimeric_alignment(extractor, fragment_for(extractor, read_name),
+                                   record, false, 0, CLIP_NONE);
+            extractor.no_chimeric = false;
+            if (!scanner.external_duplicate_marking || !(record.flag & FDUP))
+                /* the reference clears ALL flags here
+                 * (read_chimeric_alignments.cpp:664) */
+                add_fragment(scanner, record, nullptr, true, 0, true);
+            return;
+        }
+
+        if (record.flag & FPAIRED) {
+            auto found = scanner.collated.find(read_name);
+            if (found == scanner.collated.end()) {
+                scanner.collated.emplace(std::move(read_name), std::move(record));
+                return;
+            }
+            Record mate = std::move(found->second);
+            scanner.collated.erase(found);
+            if (pair_is_boring(scanner, record, mate)) {
+                /* mapped reads already counted at arrival; coverage + viral */
+                if (record.tid >= 0 && record.tid < (int)scanner.viral.size() &&
+                    scanner.viral[record.tid]) {
+                    if (is_pristine_alignment(record))
+                        scanner.viral_counts[record.tid] += 1;
+                    if (is_pristine_alignment(mate))
+                        scanner.viral_counts[mate.tid] += 1;
+                }
+                if (!scanner.external_duplicate_marking || !(record.flag & FDUP))
+                    add_fragment(scanner, record, &mate, false, 0, false);
+            } else {
+                handle_extract_pair(scanner, extractor, read_name, record, &mate);
+            }
+        } else {
+            handle_extract_pair(scanner, extractor, read_name, record, nullptr);
+        }
+    };
+
     auto handle_record = [&](Record &record, std::string &&read_name) {
+        if (extractor.enabled) {
+            handle_record_extract(record, read_name);
+            return;
+        }
         scanner.n_records += 1;
 
         /* skip unmapped like the Python loop (is_rna_bam_file mode) */
@@ -907,16 +1702,108 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
     }
     done:
 
+    PyObject *viral_list = PyList_New(n_tids);
+    for (Py_ssize_t tid = 0; tid < n_tids; ++tid)
+        PyList_SetItem(viral_list, tid, PyLong_FromLongLong(scanner.viral_counts[tid]));
+
+    if (extractor.enabled) {
+        /* leftover collated first-mates are dropped, like the Python loop */
+
+        /* remove_malformed_alignments (chimeric.py:392-403) */
+        for (FragmentData &fragment : extractor.fragments) {
+            if (!normalize_fragment(fragment)) {
+                fragment.dead = true;
+                extractor.malformed += 1;
+            }
+        }
+
+        /* serialize fragments to columnar arrays */
+        size_t n_frags = 0, n_alignments = 0, names_size = 0, cigar_size = 0,
+               seq_size = 0;
+        for (const FragmentData &fragment : extractor.fragments) {
+            if (fragment.dead) continue;
+            n_frags += 1;
+            names_size += fragment.name.size();
+            n_alignments += fragment.mates.size();
+            for (const AlignmentData &mate : fragment.mates) {
+                cigar_size += mate.cigar.size();
+                seq_size += mate.seq.size();
+            }
+        }
+        std::string names_blob; names_blob.reserve(names_size);
+        std::vector<int64_t> name_offsets(n_frags + 1, 0);
+        std::vector<int64_t> frag_offsets(n_frags + 1, 0);
+        std::vector<int64_t> frag_flags(n_frags, 0);
+        std::vector<int64_t> aln_contig(n_alignments), aln_start(n_alignments),
+            aln_end(n_alignments), aln_flags(n_alignments);
+        std::vector<int64_t> cigar_offsets(n_alignments + 1, 0);
+        std::vector<uint32_t> cigar_words; cigar_words.reserve(cigar_size);
+        std::vector<int64_t> seq_offsets(n_alignments + 1, 0);
+        std::string seq_blob; seq_blob.reserve(seq_size);
+        size_t f = 0, row = 0;
+        for (const FragmentData &fragment : extractor.fragments) {
+            if (fragment.dead) continue;
+            names_blob += fragment.name;
+            name_offsets[f + 1] = (int64_t)names_blob.size();
+            frag_flags[f] = (fragment.single_end ? 1 : 0) | (fragment.duplicate ? 2 : 0);
+            for (const AlignmentData &mate : fragment.mates) {
+                aln_contig[row] = mate.contig;
+                aln_start[row] = mate.start;
+                aln_end[row] = mate.end;
+                aln_flags[row] = (mate.supplementary ? 1 : 0) |
+                                 (mate.first_in_pair ? 2 : 0) |
+                                 (mate.strand_forward ? 4 : 0);
+                cigar_words.insert(cigar_words.end(), mate.cigar.begin(), mate.cigar.end());
+                cigar_offsets[row + 1] = (int64_t)cigar_words.size();
+                seq_blob += mate.seq;
+                seq_offsets[row + 1] = (int64_t)seq_blob.size();
+                row += 1;
+            }
+            frag_offsets[f + 1] = (int64_t)row;
+            f += 1;
+        }
+
+        PyObject *result = Py_BuildValue(
+            "y#lNl(lli)(y#y#y#y#y#y#y#y#y#y#)",
+            header_text.data(), (Py_ssize_t)header_text.size(),
+            extractor.mapped_reads + scanner.boring_mapped_reads,
+            viral_list,
+            scanner.n_records,
+            extractor.missing_hi, extractor.malformed,
+            extractor.no_chimeric ? 1 : 0,
+            names_blob.data(), (Py_ssize_t)names_blob.size(),
+            (const char *)name_offsets.data(), (Py_ssize_t)(name_offsets.size() * 8),
+            (const char *)frag_offsets.data(), (Py_ssize_t)(frag_offsets.size() * 8),
+            (const char *)frag_flags.data(), (Py_ssize_t)(frag_flags.size() * 8),
+            (const char *)aln_contig.data(), (Py_ssize_t)(aln_contig.size() * 8),
+            (const char *)aln_start.data(), (Py_ssize_t)(aln_start.size() * 8),
+            (const char *)aln_end.data(), (Py_ssize_t)(aln_end.size() * 8),
+            (const char *)aln_flags.data(), (Py_ssize_t)(aln_flags.size() * 8),
+            (const char *)cigar_offsets.data(), (Py_ssize_t)(cigar_offsets.size() * 8),
+            (const char *)cigar_words.data(), (Py_ssize_t)(cigar_words.size() * 4));
+        /* seq arrays appended separately (Py_BuildValue arg count limits) */
+        PyObject *seq_tuple = Py_BuildValue(
+            "(y#y#)",
+            (const char *)seq_offsets.data(), (Py_ssize_t)(seq_offsets.size() * 8),
+            seq_blob.data(), (Py_ssize_t)seq_blob.size());
+        for (Py_buffer &view : buffers)
+            PyBuffer_Release(&view);
+        if (result == nullptr || seq_tuple == nullptr) {
+            Py_XDECREF(result); Py_XDECREF(seq_tuple);
+            return nullptr;
+        }
+        PyObject *combined = PyTuple_New(2);
+        PyTuple_SET_ITEM(combined, 0, result);
+        PyTuple_SET_ITEM(combined, 1, seq_tuple);
+        return combined;
+    }
+
     /* unpaired leftovers: forward (Python's collator will hold them too) */
     for (auto &entry : scanner.collated) {
         scanner.forwarded += line_of(entry.second);
         scanner.forwarded += '\n';
         forwarded_records += 1;
     }
-
-    PyObject *viral_list = PyList_New(n_tids);
-    for (Py_ssize_t tid = 0; tid < n_tids; ++tid)
-        PyList_SetItem(viral_list, tid, PyLong_FromLongLong(scanner.viral_counts[tid]));
 
     PyObject *result = Py_BuildValue(
         "y#y#lNl",
