@@ -1872,6 +1872,8 @@ extern PyObject *realign_is_homolog(PyObject *, PyObject *);
 extern PyObject *low_entropy_scan(PyObject *, PyObject *);
 extern PyObject *annotate_bind(PyObject *, PyObject *);
 extern PyObject *annotate_bulk(PyObject *, PyObject *);
+extern PyObject *mismatch_scan(PyObject *, PyObject *);
+extern PyObject *low_entropy_scan_flat(PyObject *, PyObject *);
 
 static PyMethodDef methods[] = {
     {"realign_reset", realign_reset, METH_NOARGS,
@@ -1894,6 +1896,10 @@ static PyMethodDef methods[] = {
      "Register the exon interval index and exon/gene tables for annotation."},
     {"annotate_bulk", annotate_bulk, METH_VARARGS,
      "Annotate all fragments (gene sets, strands, exonic flags) in one call."},
+    {"mismatch_scan", mismatch_scan, METH_VARARGS,
+     "Bulk (mismatches, alignment_length) computation for candidate alignments."},
+    {"low_entropy_scan_flat", low_entropy_scan_flat, METH_VARARGS,
+     "Low-entropy scan over concatenated raw sequences (CSR, no padding)."},
     {"coverage_bind", coverage_bind, METH_VARARGS,
      "Bind per-contig coverage arrays so coverage_add can update them."},
     {"coverage_add", coverage_add, METH_VARARGS,

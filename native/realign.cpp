@@ -230,6 +230,78 @@ PyObject *realign_set_splice_sites(PyObject *, PyObject *args) {
 
 /* recurrent-k-mer (low-entropy) scan: exact port of the per-read loop of
  * filter_low_entropy.cpp:60-100 with its early exit, batched over rows */
+/* CSR variant of low_entropy_scan: raw ASCII sequences (concatenated blob +
+ * int64 offsets) instead of a padded code matrix; the T/G/C/other -> 0/1/2/3
+ * mapping of filter_low_entropy.cpp happens inline. */
+PyObject *low_entropy_scan_flat(PyObject *, PyObject *args) {
+    Py_buffer seq_blob, seq_offsets, a1s, a1e, a2s, a2e, result;
+    int kmer_length;
+    double kmer_content;
+    if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*w*di", &seq_blob, &seq_offsets,
+                          &a1s, &a1e, &a2s, &a2e, &result, &kmer_content,
+                          &kmer_length))
+        return nullptr;
+    const uint8_t *blob = (const uint8_t *)seq_blob.buf;
+    const int64_t *offsets = (const int64_t *)seq_offsets.buf;
+    const int n = (int)(seq_offsets.len / 8) - 1;
+    const int32_t *a1s_data = (const int32_t *)a1s.buf;
+    const int32_t *a1e_data = (const int32_t *)a1e.buf;
+    const int32_t *a2s_data = (const int32_t *)a2s.buf;
+    const int32_t *a2e_data = (const int32_t *)a2e.buf;
+    uint8_t *result_data = (uint8_t *)result.buf;
+
+    int8_t code_of[256];
+    for (int i = 0; i < 256; ++i) code_of[i] = 3;
+    code_of['T'] = 0; code_of['G'] = 1; code_of['C'] = 2;
+
+    const int n_kmers = 1 << (2 * kmer_length);
+    std::vector<int32_t> kmer_count(n_kmers), count_a1(n_kmers), count_a2(n_kmers);
+    std::vector<int32_t> previous_pos(n_kmers);
+
+    for (int row = 0; row < n; ++row) {
+        const uint8_t *sequence = blob + offsets[row];
+        const int length = (int)(offsets[row + 1] - offsets[row]);
+        result_data[row] = 0;
+        if (length < kmer_length)
+            continue;
+        const int max_c = (int)(length * kmer_content / kmer_length + 0.5);
+        const int max_c1 = (int)((a1e_data[row] - a1s_data[row]) * kmer_content / kmer_length + 0.5);
+        const int max_c2 = (int)((a2e_data[row] - a2s_data[row]) * kmer_content / kmer_length + 0.5);
+        std::fill(kmer_count.begin(), kmer_count.end(), 0);
+        std::fill(count_a1.begin(), count_a1.end(), 0);
+        std::fill(count_a2.begin(), count_a2.end(), 0);
+        std::fill(previous_pos.begin(), previous_pos.end(), 0);
+
+        for (int pos = 0; pos < length - kmer_length; ++pos) {
+            int value = 0;
+            for (int j = 0; j < kmer_length; ++j)
+                value = (value << 2) | code_of[sequence[pos + j]];
+            if (previous_pos[value] <= pos) {
+                previous_pos[value] = pos + kmer_length;
+                kmer_count[value] += 1;
+                if (pos + 1 >= a1s_data[row] && pos < a1e_data[row])
+                    count_a1[value] += 1;
+                if (pos + 1 >= a2s_data[row] && pos < a2e_data[row])
+                    count_a2[value] += 1;
+                if (kmer_count[value] >= max_c || count_a1[value] >= max_c1 ||
+                    count_a2[value] >= max_c2) {
+                    result_data[row] = 1;
+                    break;
+                }
+            }
+        }
+    }
+
+    PyBuffer_Release(&seq_blob);
+    PyBuffer_Release(&seq_offsets);
+    PyBuffer_Release(&a1s);
+    PyBuffer_Release(&a1e);
+    PyBuffer_Release(&a2s);
+    PyBuffer_Release(&a2e);
+    PyBuffer_Release(&result);
+    Py_RETURN_NONE;
+}
+
 PyObject *low_entropy_scan(PyObject *, PyObject *args) {
     Py_buffer codes, lengths, a1s, a1e, a2s, a2e, result;
     int n, L, kmer_length;
