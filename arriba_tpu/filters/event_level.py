@@ -214,62 +214,101 @@ def estimate_expected_fusions(fusions: Fusions, mapped_reads: int,
     fraction_read_through = (0.0 if not genes_with_fusions
                              else float(f32(1.0 * len(genes_with_read_through) / len(genes_with_fusions))))
 
-    for f in fusions.values():
-        max_fusion_partners = float(f32(max(
-            10000.0 / genes.exonic_length[f.gene1] * max(fusion_partner_count[f.gene1] - 1, 1),
-            10000.0 / genes.exonic_length[f.gene2] * max(fusion_partner_count[f.gene2] - 1, 1),
-        )))
+    # Vectorized per-fusion e-value. Each reference step is `evalue *= x`
+    # with float evalue and double x: multiply in float64, round to float32 —
+    # reproduced below with explicit float64 intermediates per masked step.
+    fusion_list = list(fusions.values())
+    n = len(fusion_list)
+    if n == 0:
+        return
+    gene1 = np.fromiter((f.gene1 for f in fusion_list), np.int64, n)
+    gene2 = np.fromiter((f.gene2 for f in fusion_list), np.int64, n)
+    bp1 = np.fromiter((f.breakpoint1 for f in fusion_list), np.int64, n)
+    bp2 = np.fromiter((f.breakpoint2 for f in fusion_list), np.int64, n)
+    contig1 = np.fromiter((f.contig1 for f in fusion_list), np.int64, n)
+    contig2 = np.fromiter((f.contig2 for f in fusion_list), np.int64, n)
+    dir1 = np.fromiter((f.direction1 for f in fusion_list), np.bool_, n)
+    dir2 = np.fromiter((f.direction2 for f in fusion_list), np.bool_, n)
+    sup = np.fromiter((f.supporting_reads() for f in fusion_list), np.int64, n)
+    spliced_mask = np.fromiter((f.spliced1 or f.spliced2 for f in fusion_list), np.bool_, n)
+    both_exonic = np.fromiter((f.exonic1 and f.exonic2 for f in fusion_list), np.bool_, n)
+    neither_exonic = np.fromiter((not f.exonic1 and not f.exonic2 for f in fusion_list),
+                                 np.bool_, n)
+    fpc1 = np.fromiter((fusion_partner_count.get(int(g), 0) for g in gene1), np.int64, n)
+    fpc2 = np.fromiter((fusion_partner_count.get(int(g), 0) for g in gene2), np.int64, n)
 
-        sup = f.supporting_reads()
-        # the reference computes pow(0.02, sup-2) with unsigned underflow for
-        # sup<2, which yields pow(0.02, huge)==0 => the max() resolves to 1.0
-        reads_scaling = mapped_reads / 20000000.0 * math.pow(0.02, sup - 2) if sup >= 2 else 0.0
-        evalue = f32(max_fusion_partners * max(1.0, reads_scaling))
+    gs1, ge1 = genes.start[gene1], genes.end[gene1]
+    gs2, ge2 = genes.start[gene2], genes.end[gene2]
+    intragenic = (gene1 == gene2) | (
+        (gs2 - 10000 <= bp1) & (bp1 <= ge2 + 10000)
+        & (gs1 - 10000 <= bp2) & (bp2 <= ge1 + 10000))
+    read_through = (contig1 == contig2) & (bp2 - bp1 < 400000) & ~dir1 & dir2
 
-        if f.is_intragenic(genes):
-            evalue = f32(float(evalue) * (2.0 / (intragenic_duplications + intragenic_inversions)))
-            if f.direction1 == UPSTREAM and f.direction2 == DOWNSTREAM:
-                evalue = f32(float(evalue) * intragenic_duplications)
-            elif f.direction1 == f.direction2:
-                evalue = f32(float(evalue) * intragenic_inversions)
+    exonic_length1 = genes.exonic_length[gene1].astype(np.float64)
+    exonic_length2 = genes.exonic_length[gene2].astype(np.float64)
+    max_fusion_partners = np.maximum(
+        10000.0 / exonic_length1 * np.maximum(fpc1 - 1, 1),
+        10000.0 / exonic_length2 * np.maximum(fpc2 - 1, 1)).astype(f32)
 
-            if sup >= 1:
-                evalue = f32(float(evalue) * (math.pow(sup - 0.42, -2.11) * math.pow(10, -1.11)))
-                spliced_distance = get_spliced_distance(f.contig1, f.breakpoint1, f.breakpoint2,
-                                                        f.gene1, exons, exon_index)
-                if spliced_distance < 1000:
-                    evalue = f32(float(evalue) * math.pow(max(400, spliced_distance) / 1000.0, -2))
-                    if spliced_distance < 400:
-                        evalue = f32(float(evalue) * math.pow(max(1, spliced_distance) / 400.0, -4.58))
+    with np.errstate(all="ignore"):
+        # pow(0.02, sup-2) underflows for sup<2 in the reference (unsigned
+        # wrap -> pow(0.02, huge) == 0) => the max() resolves to 1.0
+        reads_scaling = np.where(
+            sup >= 2, mapped_reads / 20000000.0 * np.power(0.02, (sup - 2).astype(np.float64)),
+            0.0)
+        evalue = (max_fusion_partners.astype(np.float64)
+                  * np.maximum(1.0, reads_scaling)).astype(f32)
 
-            evalue = f32(float(evalue) * max(1.0, spliced_events_in_same_gene / 0.25
-                                             / spliced_events_in_different_genes))
-        else:  # intergenic event
-            if sup >= 1:
-                evalue = f32(float(evalue) * (math.pow(sup - 0.73, -2.28) * math.pow(10, -1.75)))
-                if f.is_read_through():
-                    evalue = f32(float(evalue)
-                                 * math.pow(max(1, f.breakpoint2 - f.breakpoint1) / 400000.0, -0.63))
-                elif f.contig1 == f.contig2 and f.breakpoint2 - f.breakpoint1 < 400000:
-                    evalue = f32(float(evalue)
-                                 * math.pow(max(1, f.breakpoint2 - f.breakpoint1) / 400000.0, -1.53))
+        def step(mask, factor):
+            updated = (evalue.astype(np.float64) * factor).astype(f32)
+            return np.where(mask, updated, evalue)
+
+        evalue = step(intragenic, 2.0 / (intragenic_duplications + intragenic_inversions))
+        duplication_mask = intragenic & dir1 & ~dir2          # UPSTREAM, DOWNSTREAM
+        inversion_mask = intragenic & (dir1 == dir2)
+        evalue = step(duplication_mask, float(intragenic_duplications))
+        evalue = step(inversion_mask, float(intragenic_inversions))
+
+        intragenic_sup = intragenic & (sup >= 1)
+        evalue = step(intragenic_sup,
+                      np.power((sup - 0.42), -2.11) * math.pow(10, -1.11))
+        for i in np.nonzero(intragenic_sup)[0]:
+            f = fusion_list[i]
+            spliced_distance = get_spliced_distance(f.contig1, f.breakpoint1, f.breakpoint2,
+                                                    f.gene1, exons, exon_index)
+            if spliced_distance < 1000:
+                evalue[i] = f32(float(evalue[i]) * math.pow(max(400, spliced_distance) / 1000.0, -2))
+                if spliced_distance < 400:
+                    evalue[i] = f32(float(evalue[i]) * math.pow(max(1, spliced_distance) / 400.0, -4.58))
+        evalue = step(intragenic, max(1.0, spliced_events_in_same_gene / 0.25
+                                      / spliced_events_in_different_genes))
+
+        intergenic_sup = ~intragenic & (sup >= 1)
+        evalue = step(intergenic_sup,
+                      np.power((sup - 0.73), -2.28) * math.pow(10, -1.75))
+        breakpoint_distance = np.maximum(1, bp2 - bp1) / 400000.0
+        evalue = step(intergenic_sup & read_through, np.power(breakpoint_distance, -0.63))
+        close = (contig1 == contig2) & (bp2 - bp1 < 400000)
+        evalue = step(intergenic_sup & ~read_through & close,
+                      np.power(breakpoint_distance, -1.53))
 
         # location bonus
-        evalue = f32(float(evalue) * (4.0 / (spliced_breakpoints + exonic_breakpoints
-                                             + intronic_breakpoints + exonic_intronic_breakpoints)))
-        if f.spliced1 or f.spliced2:
-            evalue = f32(float(evalue) * spliced_breakpoints)
-        elif f.exonic1 and f.exonic2:
-            evalue = f32(float(evalue) * max(spliced_breakpoints, exonic_breakpoints))
-        elif not f.exonic1 and not f.exonic2:
-            evalue = f32(float(evalue) * max(spliced_breakpoints, intronic_breakpoints))
-        else:
-            evalue = f32(float(evalue) * max(spliced_breakpoints, exonic_intronic_breakpoints))
+        evalue = step(np.True_, 4.0 / (spliced_breakpoints + exonic_breakpoints
+                                       + intronic_breakpoints + exonic_intronic_breakpoints))
+        evalue = step(spliced_mask, float(spliced_breakpoints))
+        evalue = step(~spliced_mask & both_exonic,
+                      float(max(spliced_breakpoints, exonic_breakpoints)))
+        evalue = step(~spliced_mask & neither_exonic,
+                      float(max(spliced_breakpoints, intronic_breakpoints)))
+        evalue = step(~spliced_mask & ~both_exonic & ~neither_exonic,
+                      float(max(spliced_breakpoints, exonic_intronic_breakpoints)))
 
-        if fraction_read_through > 0.25 and f.is_read_through():
-            evalue = f32(float(evalue) * (1 + math.pow((fraction_read_through - 0.25) * 20, 2)))
+        if fraction_read_through > 0.25:
+            evalue = step(read_through,
+                          1 + math.pow((fraction_read_through - 0.25) * 20, 2))
 
-        f.evalue = float(evalue)
+    for f, value in zip(fusion_list, evalue.tolist()):
+        f.evalue = value
 
 
 def filter_relative_support(fusions: Fusions, genes: GeneTable, evalue_cutoff: float) -> int:

@@ -221,14 +221,14 @@ def find_fusions(chimeric_alignments: ChimericAlignments, fusions: Fusions,
                 anchor_start1, anchor_start2 = anchor_start2, anchor_start1
                 swapped = True
 
-            for gene1 in genes1:
-                for gene2 in genes2:
-                    key: FusionKey = (int(gene1), int(gene2), contig1, contig2,
+            for gene1 in genes1.tolist():
+                for gene2 in genes2.tolist():
+                    key: FusionKey = (gene1, gene2, contig1, contig2,
                                       breakpoint1, breakpoint2, direction1, direction2)
                     fusion = fusions.get(key)
                     is_new = fusion is None
                     if is_new:
-                        fusion = Fusion(gene1=int(gene1), gene2=int(gene2),
+                        fusion = Fusion(gene1=gene1, gene2=gene2,
                                         direction1=direction1, direction2=direction2,
                                         contig1=contig1, contig2=contig2,
                                         breakpoint1=breakpoint1, breakpoint2=breakpoint2)
@@ -277,14 +277,14 @@ def find_fusions(chimeric_alignments: ChimericAlignments, fusions: Fusions,
                 exonic1, exonic2 = exonic2, exonic1
                 anchor_start1, anchor_start2 = anchor_start2, anchor_start1
 
-            for gene1 in genes1:
-                for gene2 in genes2:
-                    key = (int(gene1), int(gene2), contig1, contig2,
+            for gene1 in genes1.tolist():
+                for gene2 in genes2.tolist():
+                    key = (gene1, gene2, contig1, contig2,
                            breakpoint1, breakpoint2, direction1, direction2)
                     fusion = fusions.get(key)
                     is_new = fusion is None
                     if is_new:
-                        fusion = Fusion(gene1=int(gene1), gene2=int(gene2),
+                        fusion = Fusion(gene1=gene1, gene2=gene2,
                                         direction1=direction1, direction2=direction2,
                                         contig1=contig1, contig2=contig2,
                                         breakpoint1=breakpoint1, breakpoint2=breakpoint2)
@@ -296,7 +296,7 @@ def find_fusions(chimeric_alignments: ChimericAlignments, fusions: Fusions,
                     _expand_anchor(fusion, 1, anchor_start1)
                     _expand_anchor(fusion, 2, anchor_start2)
                     discordant_by_gene_pair.setdefault(
-                        (int(gene1), int(gene2), direction1, direction2), []
+                        (gene1, gene2, direction1, direction2), []
                     ).append((breakpoint1, breakpoint2, name))
 
     # second pass: assign discordant mates to fusions (fusions.cpp:368-437)
