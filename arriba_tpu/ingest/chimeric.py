@@ -605,7 +605,8 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
         header = read_bam_header(path)
         records = iter(())  # replaced by the forwarded stream below
     else:
-        header, records = open_alignment_file(path)
+        header, records = open_alignment_file(path, reference_by_name={
+            contigs.names[cid]: seq for cid, seq in assembly.items()})
 
     # register contigs from the header; map tid -> our contig ids
     tid_to_contig = []

@@ -343,14 +343,18 @@ def read_bam(path: str) -> Tuple[SamHeader, Iterator[BamRecord]]:
     return header, records(pos)
 
 
-def open_alignment_file(path: str) -> Tuple[SamHeader, Iterator[BamRecord]]:
-    """Open SAM or BAM by magic byte sniffing (CRAM is rejected)."""
+def open_alignment_file(path: str, reference_by_name=None
+                        ) -> Tuple[SamHeader, Iterator[BamRecord]]:
+    """Open SAM, BAM, or CRAM by magic byte sniffing. CRAM decoding uses
+    `reference_by_name` (contig name -> uint8 sequence array) for sequence
+    reconstruction; without it, reference bases decode as N."""
     with open(path, "rb") as fh:
         magic = fh.read(4)
     if magic[:2] == b"\x1f\x8b":
         return read_bam(path)
     if magic == b"CRAM":
-        raise NotImplementedError("CRAM input is not supported; convert to BAM")
+        from .cram import read_cram
+        return read_cram(path, reference_by_name)
     return read_sam_text(path)
 
 
