@@ -27,6 +27,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <thread>
 #include <cstring>
 #include <string>
 #include <unordered_map>
@@ -1660,43 +1661,128 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
             target_names[i].assign(name.data(), strnlen(name.data(), l_name));
         }
         bam_target_names = &target_names;
-        Record record;
-        for (;;) {
-            int32_t block_size = 0;
-            if (!read_exact(&block_size, 4)) break;  /* EOF */
-            if (block_size <= 0) break;
-            record.bam_body.resize(block_size);
-            if (!read_exact(record.bam_body.data(), block_size)) break;
-            if (!decode_bam_record(record.bam_body, record))
-                continue;
-            std::string read_name((const char *)record.bam_body.data() + 32);
-            handle_record(record, std::move(read_name));
+        if (threads > 1) {
+            /* batch-parallel decode: bodies read serially, decoded by a
+             * worker pool, handled sequentially in order */
+            const size_t BATCH = 16384;
+            std::vector<std::vector<uint8_t>> bodies(BATCH);
+            std::vector<Record> decoded(BATCH);
+            std::vector<uint8_t> ok(BATCH);
+            bool eof = false;
+            while (!eof) {
+                size_t count = 0;
+                while (count < BATCH) {
+                    int32_t block_size = 0;
+                    if (!read_exact(&block_size, 4) || block_size <= 0) { eof = true; break; }
+                    bodies[count].resize(block_size);
+                    if (!read_exact(bodies[count].data(), block_size)) { eof = true; break; }
+                    count += 1;
+                }
+                int n_workers = std::min(threads, 8);
+                std::vector<std::thread> pool;
+                for (int w = 0; w < n_workers; ++w)
+                    pool.emplace_back([&, w]() {
+                        for (size_t i = w; i < count; i += n_workers) {
+                            ok[i] = decode_bam_record(bodies[i], decoded[i]) ? 1 : 0;
+                            if (ok[i])
+                                decoded[i].bam_body = bodies[i];
+                        }
+                    });
+                for (std::thread &worker : pool)
+                    worker.join();
+                for (size_t i = 0; i < count; ++i) {
+                    if (!ok[i])
+                        continue;
+                    std::string read_name((const char *)decoded[i].bam_body.data() + 32);
+                    handle_record(decoded[i], std::move(read_name));
+                }
+            }
+        } else {
+            Record record;
+            for (;;) {
+                int32_t block_size = 0;
+                if (!read_exact(&block_size, 4)) break;  /* EOF */
+                if (block_size <= 0) break;
+                record.bam_body.resize(block_size);
+                if (!read_exact(record.bam_body.data(), block_size)) break;
+                if (!decode_bam_record(record.bam_body, record))
+                    continue;
+                std::string read_name((const char *)record.bam_body.data() + 32);
+                handle_record(record, std::move(read_name));
+            }
         }
         gzclose(gz);
     } else {
         gzrewind(gz);
         GzLineReader reader(gz);
-        std::string line;
-        Record record;
-        while (reader.next_line(line)) {
-            if (!line.empty() && line[0] == '@') {
-                header_text += line;
-                header_text += '\n';
-                continue;
+        if (threads > 1) {
+            /* batch-parallel parse: lines read serially, parsed by a worker
+             * pool, handled sequentially in order */
+            const size_t BATCH = 16384;
+            std::vector<std::string> lines(BATCH);
+            std::vector<Record> decoded(BATCH);
+            std::vector<uint8_t> ok(BATCH);
+            bool eof = false;
+            while (!eof) {
+                size_t count = 0;
+                while (count < BATCH) {
+                    if (!reader.next_line(lines[count])) { eof = true; break; }
+                    if (lines[count].empty())
+                        continue;
+                    if (lines[count][0] == '@') {
+                        header_text += lines[count];
+                        header_text += '\n';
+                        continue;
+                    }
+                    count += 1;
+                }
+                int n_workers = std::min(threads, 8);
+                std::vector<std::thread> pool;
+                for (int w = 0; w < n_workers; ++w)
+                    pool.emplace_back([&, w]() {
+                        for (size_t i = w; i < count; i += n_workers) {
+                            ok[i] = parse_sam_line(lines[i], decoded[i]) ? 1 : 0;
+                            if (ok[i])
+                                decoded[i].tid = resolve_tid(lines[i], 2);
+                        }
+                    });
+                for (std::thread &worker : pool)
+                    worker.join();
+                for (size_t i = 0; i < count; ++i) {
+                    if (!ok[i]) {
+                        scanner.forwarded += lines[i];
+                        scanner.forwarded += '\n';
+                        forwarded_records += 1;
+                        scanner.n_records += 1;
+                        continue;
+                    }
+                    size_t name_end = lines[i].find('\t');
+                    handle_record(decoded[i], lines[i].substr(0, name_end));
+                }
             }
-            if (line.empty())
-                continue;
-            if (!parse_sam_line(line, record)) {
-                /* malformed: forward so Python reports it consistently */
-                scanner.forwarded += line;
-                scanner.forwarded += '\n';
-                forwarded_records += 1;
-                scanner.n_records += 1;
-                continue;
+        } else {
+            std::string line;
+            Record record;
+            while (reader.next_line(line)) {
+                if (!line.empty() && line[0] == '@') {
+                    header_text += line;
+                    header_text += '\n';
+                    continue;
+                }
+                if (line.empty())
+                    continue;
+                if (!parse_sam_line(line, record)) {
+                    /* malformed: forward so Python reports it consistently */
+                    scanner.forwarded += line;
+                    scanner.forwarded += '\n';
+                    forwarded_records += 1;
+                    scanner.n_records += 1;
+                    continue;
+                }
+                record.tid = resolve_tid(line, 2);
+                size_t name_end = line.find('\t');
+                handle_record(record, line.substr(0, name_end));
             }
-            record.tid = resolve_tid(line, 2);
-            size_t name_end = line.find('\t');
-            handle_record(record, line.substr(0, name_end));
         }
         gzclose(gz);
     }
