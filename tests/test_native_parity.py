@@ -1,0 +1,84 @@
+"""Differential tests: native fast paths vs the pure-Python parity reference,
+compared on in-memory structures (sharper than end-to-end TSV equality)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(os.path.dirname(__file__), "..",
+                                    "arriba_tpu")),
+    reason="repo layout")
+
+
+def _ingest(options, no_native_extract=False):
+    """Run the pipeline front half (through annotation) in-process and return
+    (chimeric_alignments dict, per-mate snapshots)."""
+    env_key = "ARRIBA_TPU_NO_NATIVE"
+    code = f"""
+import json, sys, os
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+import numpy as np
+from arriba_tpu.cli import parse_arguments
+from arriba_tpu import pipeline
+
+options = parse_arguments({options!r})
+state = {{}}
+
+# monkeypatch: capture the annotated fragments right before find_fusions
+from arriba_tpu import fusions_finder
+orig = fusions_finder.find_fusions
+def capture(ca, *args, **kwargs):
+    rows = []
+    for name, mates in ca.items():
+        for m in mates:
+            rows.append([name, int(mates.single_end), int(mates.duplicate),
+                         int(m.supplementary), int(m.first_in_pair),
+                         int(m.strand), int(m.predicted_strand),
+                         int(m.predicted_strand_ambiguous), int(m.exonic),
+                         int(m.contig), int(m.start), int(m.end),
+                         [int(x) for x in m.cigar],
+                         m.sequence, [int(g) for g in m.genes]])
+    print("\\nCAPTURE\\t" + json.dumps(rows))
+    raise SystemExit(0)
+fusions_finder.find_fusions = capture
+pipeline.find_fusions = capture
+try:
+    pipeline.run(options)
+except SystemExit:
+    pass
+"""
+    env = dict(os.environ)
+    env.pop("ARRIBA_TPU_NO_NATIVE", None)
+    env.pop("ARRIBA_TPU_NO_NATIVE_EXTRACT", None)
+    if no_native_extract:
+        env["ARRIBA_TPU_NO_NATIVE"] = "1"
+    result = subprocess.run([sys.executable, "-c", code], env=env,
+                            capture_output=True, text=True, timeout=300)
+    assert result.returncode == 0, result.stderr[-3000:]
+    import json
+    for line in result.stdout.splitlines():
+        if line.startswith("CAPTURE\t"):
+            return json.loads(line[len("CAPTURE\t"):])
+    raise AssertionError("capture line missing: " + result.stdout[-500:])
+
+
+@pytest.mark.parametrize("seed", [501, 502, 503])
+def test_native_ingest_and_annotation_structures_match(tmp_path, seed):
+    """The full native front half (extraction + bulk annotation) produces
+    fragment/alignment structures identical to the pure-Python path —
+    every field, including gene sets and resolved strands."""
+    from .scenario import fuzz_sample
+    args = fuzz_sample(tmp_path, seed)
+    argv = args + ["-o", str(tmp_path / "f.tsv")]
+
+    native_rows = _ingest(argv, no_native_extract=False)
+    python_rows = _ingest(argv, no_native_extract=True)
+    # both paths sort fragments by read name before annotation, so row
+    # order is comparable directly
+    assert len(native_rows) == len(python_rows)
+    for native, python in zip(native_rows, python_rows):
+        assert native == python
