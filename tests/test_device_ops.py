@@ -294,3 +294,47 @@ def test_tensorize_matches_host_mismatch_counts():
     mismatches = np.asarray(mismatches)
     for i in range(20):
         assert mismatches[i] == expected[i], f"read {i}"
+
+
+def test_cluster_candidates_matches_host():
+    """Device sort+segment clustering == host dict aggregation."""
+    import numpy as np
+    from arriba_tpu.ops.cluster import (SUPPORT_KINDS, cluster_candidates_jit,
+                                        pack_keys)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    n = 512
+    n_used = 400
+    gene1 = rng.integers(0, 20, n)
+    gene2 = rng.integers(0, 20, n)
+    contig1 = rng.integers(0, 3, n)
+    contig2 = rng.integers(0, 3, n)
+    bp1 = rng.integers(0, 10, n) * 1000        # few distinct values => clusters
+    bp2 = rng.integers(0, 10, n) * 1000
+    d1 = rng.integers(0, 2, n)
+    d2 = rng.integers(0, 2, n)
+    kind = rng.integers(0, SUPPORT_KINDS, n).astype(np.int32)
+    valid = np.arange(n) < n_used
+
+    expected = {}
+    for i in range(n_used):
+        key = (gene1[i], gene2[i], contig1[i], contig2[i], bp1[i], bp2[i],
+               d1[i], d2[i])
+        expected.setdefault(key, [0] * SUPPORT_KINDS)[kind[i]] += 1
+
+    words = pack_keys(*(jnp.asarray(x) for x in
+                        (gene1, gene2, contig1, contig2, bp1, bp2, d1, d2)))
+    out = cluster_candidates_jit(words, jnp.asarray(kind), jnp.asarray(valid))
+    n_clusters = int(out["n_clusters"])
+    assert n_clusters == len(expected)
+    got = {}
+    out_words = [np.asarray(w) for w in out["words"]]
+    for i in range(n_clusters):
+        g1, g2, contig_pair, b1, b2, dir_pair = (int(w[i]) for w in out_words)
+        unpacked = (g1, g2, contig_pair >> 16, contig_pair & 0xFFFF,
+                    b1, b2, (dir_pair >> 1) & 1, dir_pair & 1)
+        got[unpacked] = list(np.asarray(out["support"][i]))
+    expected_typed = {tuple(int(v) for v in key): counts
+                      for key, counts in expected.items()}
+    assert got == expected_typed
