@@ -17,7 +17,7 @@ vectorizable on host (numpy) and device (jnp.searchsorted).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

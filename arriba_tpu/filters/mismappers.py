@@ -10,7 +10,6 @@ device path for large read sets.
 
 from __future__ import annotations
 
-import sys
 from bisect import bisect_left
 from typing import Dict, List, Set, Tuple
 

@@ -325,32 +325,31 @@ def is_tandem_duplication(record: Optional[BamRecord], assembly: Assembly,
 
     if hit is not None:
         contig_pos, aln_start, aln_end = hit
-        if True:
-            tandem = Alignment()
-            tandem.start = aln_start
-            tandem.end = aln_end
-            tandem.strand = get_strand(record)
-            tandem.first_in_pair = bool(record.flag & FREAD1)
-            tandem.contig = record.tid
-            tandem.supplementary = (not (record.flag & FPAIRED)
-                                    or (clipped_start and get_strand(record) == FORWARD)
-                                    or (not clipped_start and get_strand(record) == REVERSE))
-            if not tandem.supplementary:
-                tandem.sequence = record.seq
-            clip_left = 0 if clipped_start else record.l_qseq - clipped_len
-            clip_right = record.l_qseq - clipped_len if clipped_start else 0
-            if aln_start > contig_pos:
-                clip_left += aln_start - contig_pos
-            if aln_end < contig_pos + clipped_len - 1:
-                clip_right += contig_pos + clipped_len - 1 - aln_end
-            cigar: List[int] = []
-            if clip_left > 0:
-                cigar.append(make_cigar_word(CIGAR_SOFT_CLIP, clip_left))
-            cigar.append(make_cigar_word(CIGAR_MATCH, aln_end - aln_start + 1))
-            if clip_right > 0:
-                cigar.append(make_cigar_word(CIGAR_SOFT_CLIP, clip_right))
-            tandem.cigar = np.array(cigar, np.uint32)
-            return tandem
+        tandem = Alignment()
+        tandem.start = aln_start
+        tandem.end = aln_end
+        tandem.strand = get_strand(record)
+        tandem.first_in_pair = bool(record.flag & FREAD1)
+        tandem.contig = record.tid
+        tandem.supplementary = (not (record.flag & FPAIRED)
+                                or (clipped_start and get_strand(record) == FORWARD)
+                                or (not clipped_start and get_strand(record) == REVERSE))
+        if not tandem.supplementary:
+            tandem.sequence = record.seq
+        clip_left = 0 if clipped_start else record.l_qseq - clipped_len
+        clip_right = record.l_qseq - clipped_len if clipped_start else 0
+        if aln_start > contig_pos:
+            clip_left += aln_start - contig_pos
+        if aln_end < contig_pos + clipped_len - 1:
+            clip_right += contig_pos + clipped_len - 1 - aln_end
+        cigar: List[int] = []
+        if clip_left > 0:
+            cigar.append(make_cigar_word(CIGAR_SOFT_CLIP, clip_left))
+        cigar.append(make_cigar_word(CIGAR_MATCH, aln_end - aln_start + 1))
+        if clip_right > 0:
+            cigar.append(make_cigar_word(CIGAR_SOFT_CLIP, clip_right))
+        tandem.cigar = np.array(cigar, np.uint32)
+        return tandem
 
     return None
 

@@ -8,7 +8,6 @@ trailing '\\r' stripped (DOS line breaks).
 
 from __future__ import annotations
 
-import gzip
 import io
 import zlib
 from typing import Iterator

@@ -10,14 +10,13 @@ in-frame classifier.
 from __future__ import annotations
 
 import sys
-from collections import defaultdict
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from ..annotation.index import IntervalIndex
 from ..annotation.tables import Annotation, ExonTable, GeneTable, TranscriptTable
-from ..constants import DOWNSTREAM, FORWARD, REVERSE, UPSTREAM
+from ..constants import DOWNSTREAM, FORWARD, UPSTREAM
 from ..contigs import ContigRegistry, remove_chr
 from ..io.compressed import iter_lines
 from ..io.fasta import Assembly

@@ -13,8 +13,7 @@ leading batch axis ('dp'); annotation arrays and thresholds are replicated.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

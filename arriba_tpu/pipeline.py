@@ -13,7 +13,7 @@ from __future__ import annotations
 import sys
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 
@@ -21,10 +21,10 @@ from .annotation.index import IntervalIndex, combine_annotations
 from .annotation.queries import annotate_alignments, compute_exonic_lengths
 from .annotation.tables import Annotation
 from .config import Options
-from .constants import (FILTER_NONE, FORWARD, MATE1, SPLIT_READ,
+from .constants import (FORWARD, MATE1, SPLIT_READ,
                         STRANDEDNESS_AUTO, STRANDEDNESS_NO,
                         STRANDEDNESS_REVERSE, STRANDEDNESS_YES, SUPPLEMENTARY)
-from .contigs import ContigRegistry, is_interesting_contig
+from .contigs import ContigRegistry
 from .filters import read_level
 from .filters.blacklist import filter_blacklisted_ranges, recover_known_fusions
 from .filters.event_level import (filter_both_intronic, filter_end_to_end_fusions,

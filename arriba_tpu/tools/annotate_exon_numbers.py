@@ -8,7 +8,7 @@ exon's exon_number attribute (last match wins, like the awk loop).
 from __future__ import annotations
 
 import sys
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 from ..io.compressed import iter_lines
 
