@@ -96,3 +96,40 @@ def cluster_candidates(words, kind, valid):
 
 
 cluster_candidates_jit = jax.jit(cluster_candidates)
+
+
+def merge_cluster_tables(words, support, valid):
+    """Merge already-aggregated cluster tables (e.g. gathered from DP
+    shards): rows with equal keys sum their support vectors. Same mechanism
+    as cluster_candidates, but summing int32 support rows instead of
+    one-hot kinds."""
+    n = words[0].shape[0]
+    words = [jnp.where(valid, word, _SENTINEL) for word in words]
+    for word_index in range(len(words) - 1, -1, -1):
+        order = jnp.argsort(words[word_index], stable=True)
+        words = [word[order] for word in words]
+        support = support[order]
+    valid = words[-1] != _SENTINEL
+    for word in words[:-1]:
+        valid = valid | (word != _SENTINEL)
+
+    changed = jnp.zeros(n - 1, jnp.bool_)
+    for word in words:
+        changed = changed | (word[1:] != word[:-1])
+    first = jnp.concatenate([jnp.ones(1, jnp.bool_), changed]) & valid
+    segment = jnp.cumsum(first.astype(jnp.int32)) - 1
+    segment = jnp.where(valid, segment, n - 1)
+
+    support = support * valid[:, None].astype(support.dtype)
+    out_support = jax.ops.segment_sum(support, segment, num_segments=n)
+
+    slot = jnp.where(first, segment, n)
+    out_words = tuple(
+        jnp.full((n,), _SENTINEL).at[slot].set(word, mode="drop")
+        for word in words)
+    n_clusters = jnp.sum(first.astype(jnp.int32))
+    cluster_valid = jnp.arange(n) < n_clusters
+    return {
+        "words": out_words, "support": out_support,
+        "cluster_valid": cluster_valid, "n_clusters": n_clusters,
+    }

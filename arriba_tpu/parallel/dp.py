@@ -124,3 +124,46 @@ def sharded_realign_step(mesh: Mesh, min_score_fraction: float = 0.8):
         out_specs=({"seed_hit": vec, "sw_score": vec, "can_align": vec}, P()),
     )
     return jax.jit(sharded)
+
+
+def sharded_cluster_step(mesh: Mesh):
+    """Distributed fusion-candidate clustering: each shard aggregates its
+    candidates locally (sort + segment-reduce, ops/cluster.py), the compact
+    per-shard cluster tables are all-gathered over ICI, and a second
+    aggregation pass merges them — the DP analog of merging per-host fusion
+    candidate tables before the global cascade stages (SURVEY §2.7;
+    fusions.cpp:203-366 is the single-threaded original).
+
+    Returns a jitted function (words tuple, kind, valid) -> global cluster
+    dict (replicated on every device).
+    """
+    from ..ops import cluster
+
+    def step(words, kind, valid):
+        local = cluster.cluster_candidates(words, kind, valid)
+        # compact per-shard tables -> every device, then merge. The gathered
+        # arrays are small (clusters, not candidates), so the all-gather is
+        # cheap relative to re-sorting raw candidates globally.
+        gathered_words = tuple(
+            jax.lax.all_gather(word, "dp", tiled=True)
+            for word in local["words"])
+        gathered_valid = jax.lax.all_gather(local["cluster_valid"], "dp",
+                                            tiled=True)
+        gathered_support = jax.lax.all_gather(local["support"], "dp",
+                                              tiled=True)
+        merged = cluster.merge_cluster_tables(gathered_words, gathered_support,
+                                              gathered_valid)
+        return merged
+
+    vec = P("dp")
+    out_rep = {"words": (P(), P(), P(), P(), P(), P()), "support": P(),
+               "cluster_valid": P(), "n_clusters": P()}
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=((vec, vec, vec, vec, vec, vec), vec, vec),
+        out_specs=out_rep,
+        # outputs mix all-gathered (replicated) data with shard-invariant
+        # constants; the static vma checker cannot prove replication here
+        check_vma=False,
+    )
+    return jax.jit(sharded)

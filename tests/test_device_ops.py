@@ -338,3 +338,59 @@ def test_cluster_candidates_matches_host():
     expected_typed = {tuple(int(v) for v in key): counts
                       for key, counts in expected.items()}
     assert got == expected_typed
+
+
+def test_sharded_cluster_matches_host():
+    """DP-sharded clustering (local aggregate -> all_gather -> merge) equals
+    host dict aggregation, independent of the shard count."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from arriba_tpu.ops.cluster import SUPPORT_KINDS, pack_keys
+    from arriba_tpu.parallel.dp import make_mesh, sharded_cluster_step
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs a multi-device (virtual CPU) mesh")
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(23)
+    n = 64 * mesh.devices.size
+    gene1 = rng.integers(0, 6, n)
+    gene2 = rng.integers(0, 6, n)
+    contig1 = np.zeros(n, np.int64)
+    contig2 = np.zeros(n, np.int64)
+    bp1 = rng.integers(0, 4, n) * 100
+    bp2 = rng.integers(0, 4, n) * 100
+    d1 = rng.integers(0, 2, n)
+    d2 = rng.integers(0, 2, n)
+    kind = rng.integers(0, SUPPORT_KINDS, n).astype(np.int32)
+    valid = rng.random(n) < 0.9
+
+    expected = {}
+    for i in range(n):
+        if not valid[i]:
+            continue
+        key = (gene1[i], gene2[i], 0, 0, bp1[i], bp2[i], d1[i], d2[i])
+        expected.setdefault(tuple(int(v) for v in key),
+                            [0] * SUPPORT_KINDS)[kind[i]] += 1
+
+    words = pack_keys(*(jnp.asarray(x) for x in
+                        (gene1, gene2, contig1, contig2, bp1, bp2, d1, d2)))
+    vec = NamedSharding(mesh, P("dp"))
+    words = tuple(jax.device_put(w, vec) for w in words)
+    step = sharded_cluster_step(mesh)
+    out = step(words, jax.device_put(jnp.asarray(kind), vec),
+               jax.device_put(jnp.asarray(valid), vec))
+
+    n_clusters = int(out["n_clusters"])
+    assert n_clusters == len(expected)
+    got = {}
+    out_words = [np.asarray(w) for w in out["words"]]
+    for i in range(n_clusters):
+        g1, g2, contig_pair, b1, b2, dir_pair = (int(w[i]) for w in out_words)
+        key = (g1, g2, contig_pair >> 16, contig_pair & 0xFFFF, b1, b2,
+               (dir_pair >> 1) & 1, dir_pair & 1)
+        got[key] = list(int(v) for v in np.asarray(out["support"][i]))
+    assert got == expected
