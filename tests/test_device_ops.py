@@ -394,3 +394,32 @@ def test_sharded_cluster_matches_host():
                (dir_pair >> 1) & 1, dir_pair & 1)
         got[key] = list(int(v) for v in np.asarray(out["support"][i]))
     assert got == expected
+
+
+def test_blacklist_range_triage_matches_bruteforce():
+    import numpy as np
+    import jax.numpy as jnp
+    from arriba_tpu.ops.blacklist import (build_range_index, contig_offsets,
+                                          query_points)
+
+    rng = np.random.default_rng(7)
+    lengths = [100000, 50000, 200000]
+    offsets = contig_offsets(lengths)
+    n_ranges = 300
+    contig = rng.integers(0, 3, n_ranges)
+    start = np.array([rng.integers(0, lengths[c] - 100) for c in contig])
+    end = start + rng.integers(1, 5000, n_ranges)
+    end = np.minimum(end, np.array([lengths[c] - 1 for c in contig]))
+    starts_d, ends_d = build_range_index(contig, start, end, offsets)
+
+    n_queries = 2000
+    q_contig = rng.integers(0, 3, n_queries)
+    q_pos = np.array([rng.integers(0, lengths[c]) for c in q_contig])
+    q_global = jnp.asarray((offsets[q_contig].astype(np.uint64)
+                            + q_pos.astype(np.uint64)).astype(np.uint32))
+    got = np.asarray(query_points(starts_d, ends_d, q_global))
+
+    for i in range(n_queries):
+        expected = bool(np.any((contig == q_contig[i]) & (start <= q_pos[i])
+                               & (q_pos[i] <= end)))
+        assert got[i] == expected, i
