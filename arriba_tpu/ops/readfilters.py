@@ -5,8 +5,9 @@ These are the embarrassingly-parallel-over-reads stages of the cascade
 recurrent k-mer content (filter_low_entropy.cpp:77-100), and homopolymer
 runs (filter_homopolymer.cpp:38-52), reformulated as fixed-shape masked
 array ops over a ReadBatch. jnp element-wise ops map onto the VPU; the
-scan over read positions is a lax.fori_loop with [N, 64] carries so XLA
-keeps everything resident in VMEM.
+greedy k-mer selection scan carries two bits of per-row state through a
+chunked scan (sequential depth ~chunk + n_chunks instead of L), and the
+per-k-mer counters come from chunked one-hot reductions.
 
 The host implementations in filters/read_level.py are the semantic oracle;
 tests/test_device_ops.py checks agreement.
@@ -80,12 +81,17 @@ def low_entropy_batch(bases: jnp.ndarray, length: jnp.ndarray,
     recur (non-overlapping) often enough to cover >= kmer_content of the
     read or of either aligned segment?
 
-    Carries [N, 64] per-kmer state through a fori_loop over read positions:
-    prev allowed position and three occurrence counters. The early-exit
-    check of the reference is monotone in the counters, so evaluating it on
-    the final counters (restricted to k-mers counted at least once) is
-    equivalent.
+    The reference's greedy non-overlapping selection has a key property for
+    K=3: whether position p is selected depends only on whether the SAME
+    k-mer was selected at p-1 or p-2. Selection is therefore a per-row scan
+    with two bits of state — computed here as a chunked scan (4 entry-state
+    lanes per chunk, sequential only over the chunk length and the chunk
+    count), followed by chunked one-hot reductions into [N, 64] per-k-mer
+    counters. The early-exit check of the reference is
+    monotone in the counters, so evaluating it on the final counters
+    (restricted to k-mers counted at least once) is equivalent.
     """
+    assert KMER_LENGTH == 3
     n_reads, L = bases.shape
     kmer_values = _kmer_values(bases)
 
@@ -98,30 +104,76 @@ def low_entropy_batch(bases: jnp.ndarray, length: jnp.ndarray,
     th_a1 = threshold(aligned_end1 - aligned_start1)
     th_a2 = threshold(aligned_end2 - aligned_start2)
 
-    kmer_iota = jnp.arange(N_KMERS, dtype=jnp.int32)[None, :]  # [1, 64]
+    positions = jnp.arange(L, dtype=jnp.int32)[None, :]            # [1, L]
+    eligible = positions < (length - KMER_LENGTH)[:, None]         # [N, L]
+    false_col = jnp.zeros((n_reads, 1), jnp.bool_) & (length[:, None] < 0)
+    same1 = jnp.concatenate(
+        [false_col, kmer_values[:, 1:] == kmer_values[:, :-1]], axis=1)
+    same2 = jnp.concatenate(
+        [false_col, false_col, kmer_values[:, 2:] == kmer_values[:, :-2]],
+        axis=1)
 
-    def body(pos, state):
-        prev_pos, c_all, c_a1, c_a2 = state
-        v = kmer_values[:, pos]                                     # [N]
-        one_hot = v[:, None] == kmer_iota                           # [N, 64]
-        # the reference loop runs kmer_pos < length - kmer_length
-        in_read = pos < length - KMER_LENGTH                        # [N]
-        prev_of_v = jnp.take_along_axis(prev_pos, v[:, None], axis=1)[:, 0]
-        eligible = in_read & (prev_of_v <= pos)                     # [N]
-        update = one_hot & eligible[:, None]                        # [N, 64]
-        prev_pos = jnp.where(update, pos + KMER_LENGTH, prev_pos)
-        in_a1 = (pos + 1 >= aligned_start1) & (pos < aligned_end1)
-        in_a2 = (pos + 1 >= aligned_start2) & (pos < aligned_end2)
-        c_all = c_all + update.astype(jnp.int32)
-        c_a1 = c_a1 + (update & in_a1[:, None]).astype(jnp.int32)
-        c_a2 = c_a2 + (update & in_a2[:, None]).astype(jnp.int32)
-        return prev_pos, c_all, c_a1, c_a2
+    chunk = 16
+    n_chunks = -(-L // chunk)
+    pad = n_chunks * chunk - L
 
-    # derive the init from an input so the carry is device-varying under
-    # shard_map (the vma rule for scan carries)
-    zero_state = jnp.zeros((n_reads, N_KMERS), jnp.int32) + (length[:, None] * 0)
-    init = (zero_state, zero_state, zero_state, zero_state)
-    _, c_all, c_a1, c_a2 = jax.lax.fori_loop(0, L - KMER_LENGTH, body, init)
+    def to_chunks(array):
+        padded = jnp.pad(array, ((0, 0), (0, pad)))
+        return padded.reshape(n_reads, n_chunks, chunk)
+
+    eligible_c = to_chunks(eligible)
+    same1_c = to_chunks(same1)
+    same2_c = to_chunks(same2)
+
+    # 4 entry lanes: (selected at p-1, selected at p-2) before the chunk
+    lane_prev1 = jnp.array([False, False, True, True])[None, None, :]
+    lane_prev2 = jnp.array([False, True, False, True])[None, None, :]
+    selected_steps = []
+    for step in range(chunk):
+        prev1 = selected_steps[step - 1] if step >= 1 else lane_prev1
+        prev2 = selected_steps[step - 2] if step >= 2 else (
+            lane_prev1 if step == 1 else lane_prev2)
+        selected = (eligible_c[:, :, step, None]
+                    & ~(prev1 & same1_c[:, :, step, None])
+                    & ~(prev2 & same2_c[:, :, step, None]))   # [N, C, 4]
+        selected_steps.append(selected)
+    lanes = jnp.stack(selected_steps, axis=2)                  # [N, C, S, 4]
+
+    # fold over chunks: pick each chunk's lane from the carried 2-bit state
+    zero_bit = (length * 0).astype(jnp.bool_)
+
+    def fold(carry, chunk_lanes):
+        prev1, prev2 = carry                                   # [N] each
+        lane = prev1.astype(jnp.int32) * 2 + prev2.astype(jnp.int32)
+        picked = jnp.take_along_axis(
+            chunk_lanes, lane[:, None, None], axis=2)[:, :, 0]  # [N, S]
+        return (picked[:, -1], picked[:, -2]), picked
+
+    lanes_by_chunk = jnp.moveaxis(lanes, 1, 0)                 # [C, N, S, 4]
+    _, picked = jax.lax.scan(fold, (zero_bit, zero_bit), lanes_by_chunk)
+    selected = jnp.moveaxis(picked, 0, 1).reshape(n_reads, n_chunks * chunk)
+    selected = selected[:, :L]
+
+    # per-k-mer counters: chunked one-hot reductions over the 64-k-mer axis
+    # (scatter-add lowers poorly on TPU; masked reductions ride the VPU)
+    in_a1 = ((positions + 1 >= aligned_start1[:, None])
+             & (positions < aligned_end1[:, None]))
+    in_a2 = ((positions + 1 >= aligned_start2[:, None])
+             & (positions < aligned_end2[:, None]))
+    kmer_iota = jnp.arange(N_KMERS, dtype=jnp.int32)[None, None, :]
+    c_all = jnp.zeros((n_reads, N_KMERS), jnp.int32)
+    c_a1 = jnp.zeros((n_reads, N_KMERS), jnp.int32)
+    c_a2 = jnp.zeros((n_reads, N_KMERS), jnp.int32)
+    for chunk_start in range(0, L, chunk):
+        sl = slice(chunk_start, min(chunk_start + chunk, L))
+        one_hot = (kmer_values[:, sl, None] == kmer_iota)      # [N, S, 64]
+        sel = selected[:, sl]
+        c_all = c_all + jnp.sum(one_hot & sel[:, :, None], axis=1,
+                                dtype=jnp.int32)
+        c_a1 = c_a1 + jnp.sum(one_hot & (sel & in_a1[:, sl])[:, :, None],
+                              axis=1, dtype=jnp.int32)
+        c_a2 = c_a2 + jnp.sum(one_hot & (sel & in_a2[:, sl])[:, :, None],
+                              axis=1, dtype=jnp.int32)
 
     counted = c_all >= 1
     crossed = counted & ((c_all >= th_all[:, None])
