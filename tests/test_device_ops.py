@@ -423,3 +423,42 @@ def test_blacklist_range_triage_matches_bruteforce():
         expected = bool(np.any((contig == q_contig[i]) & (start <= q_pos[i])
                                & (q_pos[i] <= end)))
         assert got[i] == expected, i
+
+
+def test_shard_count_invariance():
+    """Same per-read outputs and global statistics at 1, 2, and 8 shards
+    (SURVEY §4: multi-host determinism — same output for 1 vs N shards)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from arriba_tpu.ops.encode import random_read_batch
+    from arriba_tpu.parallel.dp import (make_mesh, shard_batch,
+                                        sharded_read_filter_step)
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs the virtual 8-device CPU mesh")
+
+    rng = np.random.default_rng(5)
+    batch = random_read_batch(rng, 128, 96, mismatch_rate=0.02)
+
+    results = {}
+    for n_devices in (1, 2, 8):
+        mesh = make_mesh(n_devices)
+        sharded = shard_batch(batch, mesh)
+        step = sharded_read_filter_step(mesh)
+        per_read, globals_ = step(
+            sharded.bases, sharded.ref, sharded.match_mask, sharded.length,
+            sharded.aligned_start, sharded.aligned_end,
+            jnp.zeros(sharded.bases.shape[0], jnp.int32))
+        results[n_devices] = (
+            {k: np.asarray(v)[:batch.n_reads] for k, v in per_read.items()},
+            {k: int(v) for k, v in globals_.items()})
+
+    base_per_read, base_globals = results[1]
+    for n_devices in (2, 8):
+        per_read, globals_ = results[n_devices]
+        assert globals_ == base_globals, n_devices
+        for key in base_per_read:
+            np.testing.assert_array_equal(per_read[key], base_per_read[key],
+                                          err_msg=f"{key}@{n_devices}")
