@@ -171,3 +171,41 @@ def test_cram_pipeline_equivalence(tmp_path):
     assert cram_result.returncode == 0, cram_result.stderr
     assert ((tmp_path / "from_sam.tsv").read_bytes()
             == (tmp_path / "from_cram.tsv").read_bytes())
+
+
+@pytest.mark.parametrize("seed", [601, 602])
+def test_cram_pipeline_equivalence_fuzz(tmp_path, seed):
+    """Fuzz samples (ITDs, read-throughs, multimappers, viral reads, ...)
+    produce identical fusions.tsv from SAM and CRAM input."""
+    from .oracle_util import run_ours
+    from .scenario import fuzz_sample
+
+    args = fuzz_sample(tmp_path, seed)
+    sam_result = run_ours(args + ["-o", str(tmp_path / "from_sam.tsv")], tmp_path)
+    assert sam_result.returncode == 0, sam_result.stderr
+
+    sam_path = args[args.index("-x") + 1]
+    fasta_path = args[args.index("-a") + 1]
+    reference = {}
+    name, chunks = None, []
+    for line in open(fasta_path):
+        if line.startswith(">"):
+            if name is not None:
+                reference[name] = np.frombuffer("".join(chunks).encode(),
+                                                np.uint8).copy()
+            name, chunks = line[1:].split()[0].strip(), []
+        else:
+            chunks.append(line.strip())
+    if name is not None:
+        reference[name] = np.frombuffer("".join(chunks).encode(), np.uint8).copy()
+
+    header, records = read_sam_text(sam_path)
+    write_cram(str(tmp_path / "sample.cram"), header, list(records), reference)
+
+    cram_args = list(args)
+    cram_args[cram_args.index("-x") + 1] = str(tmp_path / "sample.cram")
+    cram_result = run_ours(cram_args + ["-o", str(tmp_path / "from_cram.tsv")],
+                           tmp_path)
+    assert cram_result.returncode == 0, cram_result.stderr
+    assert ((tmp_path / "from_sam.tsv").read_bytes()
+            == (tmp_path / "from_cram.tsv").read_bytes())
