@@ -1,0 +1,72 @@
+"""Scaling benchmark: chimeric reads/s of the DP-sharded filter step at
+1..N devices (BASELINE.md: chimeric-reads/s scaling at 1 chip / 1 host /
+more hosts).
+
+On real multi-chip hardware this measures ICI scaling directly. In a
+single-chip or CPU environment, run with
+`JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8`
+to measure the sharded program over a virtual mesh (demonstrates the
+sharding works and the collectives are sublinear; absolute numbers are
+host-bound). Prints one JSON line per mesh size.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import os
+
+    import jax
+
+    # the environment may register a tunneled single-chip TPU platform that
+    # overrides JAX_PLATFORMS; honor an explicit request for the CPU mesh
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        import jax.extend.backend
+        jax.extend.backend.clear_backends()
+    import jax.numpy as jnp
+
+    from arriba_tpu.ops.encode import random_read_batch
+    from arriba_tpu.parallel.dp import (make_mesh, shard_batch,
+                                        sharded_read_filter_step)
+
+    n_available = len(jax.devices())
+    mesh_sizes = [n for n in (1, 2, 4, 8, 16) if n <= n_available]
+    on_cpu = jax.devices()[0].platform == "cpu"
+    n_reads = 8192 if on_cpu else 65536
+    rng = np.random.default_rng(0)
+    batch = random_read_batch(rng, n_reads, 152, mismatch_rate=0.01)
+
+    for n_devices in mesh_sizes:
+        mesh = make_mesh(n_devices)
+        sharded = shard_batch(batch, mesh)
+        step = sharded_read_filter_step(mesh)
+        args = (sharded.bases, sharded.ref, sharded.match_mask, sharded.length,
+                sharded.aligned_start, sharded.aligned_end,
+                jnp.zeros(sharded.bases.shape[0], jnp.int32))
+        per_read, globals_ = step(*args)
+        jax.block_until_ready((per_read, globals_))
+
+        iters = 10
+        start = time.perf_counter()
+        for _ in range(iters):
+            per_read, globals_ = step(*args)
+        checksum = int(globals_["total_mismatches"])  # host barrier
+        elapsed = time.perf_counter() - start
+        assert checksum >= 0
+
+        print(json.dumps({
+            "metric": "sharded_filter_reads_per_s",
+            "devices": n_devices,
+            "value": round(n_reads * iters / elapsed, 1),
+            "unit": "reads/s",
+        }))
+
+
+if __name__ == "__main__":
+    main()
