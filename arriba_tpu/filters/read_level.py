@@ -722,6 +722,25 @@ def _filter_mismatches_native(chimeric_alignments: ChimericAlignments,
     return remaining
 
 
+def _apply_jax_platform_env() -> None:
+    """Honor an explicit JAX_PLATFORMS request even when a site hook has
+    programmatically registered a different default backend (e.g. a
+    tunneled single-chip TPU platform)."""
+    import os
+
+    platform = os.environ.get("JAX_PLATFORMS")
+    if not platform:
+        return
+    import jax
+    if jax.config.jax_platforms != platform:
+        jax.config.update("jax_platforms", platform)
+        try:
+            import jax.extend.backend
+            jax.extend.backend.clear_backends()
+        except Exception:  # pragma: no cover - jax-version dependent
+            pass
+
+
 def _device_offload_enabled(batch_rows: int) -> bool:
     """Offload per-read batch math to the jax device when explicitly
     requested (ARRIBA_TPU_DEVICE=1). Not automatic: backend probing would
@@ -861,6 +880,7 @@ def filter_low_entropy(chimeric_alignments: ChimericAlignments, kmer_length: int
         if flags is None and _device_offload_enabled(n):
             # TPU path: the jax device op implements the identical recurrence
             try:
+                _apply_jax_platform_env()
                 import jax.numpy as jnp
                 from ..ops.readfilters import low_entropy_batch
                 flags = np.asarray(low_entropy_batch(

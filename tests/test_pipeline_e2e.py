@@ -141,3 +141,27 @@ def test_full_pipeline(sample, capsys):
     # discarded output exists and has the header
     discarded = (tmp_path / "fusions.discarded.tsv").read_text().split("\n")
     assert discarded[0].startswith("#gene1")
+
+
+def test_device_offload_equivalence(sample, tmp_path):
+    """ARRIBA_TPU_DEVICE=1 (jax offload of the batched read filters) produces
+    the same fusions.tsv as the host path."""
+    import os
+    import subprocess
+    import sys
+
+    options, sample_dir = sample
+    args = ["-x", options.rna_bam_file, "-g", options.gene_annotation_file,
+            "-a", options.assembly_file, "-b", options.blacklist_file,
+            "-i", "1,2", "-s", "no"]
+    outputs = {}
+    for label, env_extra in (("host", {}), ("device", {"ARRIBA_TPU_DEVICE": "1"})):
+        out_path = str(tmp_path / f"fusions_{label}.tsv")
+        env = dict(os.environ, JAX_PLATFORMS=os.environ.get(
+            "ARRIBA_TPU_TEST_PLATFORM", "cpu"), **env_extra)
+        result = subprocess.run(
+            [sys.executable, "-m", "arriba_tpu"] + args + ["-o", out_path],
+            env=env, capture_output=True, text=True, timeout=420)
+        assert result.returncode == 0, result.stderr[-2000:]
+        outputs[label] = open(out_path, "rb").read()
+    assert outputs["host"] == outputs["device"]
