@@ -33,11 +33,11 @@ def find_top_expressed_genes(chimeric_alignments: ChimericAlignments,
     sort with the reference's tie-break on gene id)."""
     read_count_by_gene: Dict[int, int] = defaultdict(int)
     for mates in chimeric_alignments.values():
-        for gene in mates[MATE1].genes:
-            read_count_by_gene[int(gene)] += 1
+        for gene in mates[MATE1].genes.tolist():
+            read_count_by_gene[gene] += 1
         mate2 = MATE2 if len(mates) == 2 else SUPPLEMENTARY
-        for gene in mates[mate2].genes:
-            read_count_by_gene[int(gene)] += 1
+        for gene in mates[mate2].genes.tolist():
+            read_count_by_gene[gene] += 1
 
     high_expression_threshold = 0
     if read_count_by_gene:
