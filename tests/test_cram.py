@@ -209,3 +209,67 @@ def test_cram_pipeline_equivalence_fuzz(tmp_path, seed):
     assert cram_result.returncode == 0, cram_result.stderr
     assert ((tmp_path / "from_sam.tsv").read_bytes()
             == (tmp_path / "from_cram.tsv").read_bytes())
+
+
+def _encoding_params(*values):
+    from arriba_tpu.io.cram import write_itf8
+    return b"".join(write_itf8(v) for v in values)
+
+
+def test_huffman_codec():
+    """Canonical Huffman decode, including the 0-bit single-symbol form."""
+    from arriba_tpu.io.cram import BitReader, make_int_decoder
+
+    # single symbol, zero-length code: no bits consumed
+    params = _encoding_params(1, 42, 1, 0)
+    decoder = make_int_decoder(3, params)
+    assert decoder(BitReader(b""), {}) == 42
+
+    # three symbols, lengths 1/2/2 -> canonical codes 0, 10, 11
+    params = _encoding_params(3, 5, 6, 7, 3, 1, 2, 2)
+    decoder = make_int_decoder(3, params)
+    bits = BitReader(bytes([0b01011000]))  # 0, 10, 11 -> 5, 6, 7
+    assert [decoder(bits, {}) for _ in range(3)] == [5, 6, 7]
+
+
+def test_beta_gamma_subexp_codecs():
+    from arriba_tpu.io.cram import BitReader, make_int_decoder
+
+    # BETA: offset 0, 4 bits -> reads raw 4-bit values
+    decoder = make_int_decoder(6, _encoding_params(0, 4))
+    bits = BitReader(bytes([0b00110101]))  # 0011=3, 0101=5
+    assert [decoder(bits, {}) for _ in range(2)] == [3, 5]
+
+    # BETA with offset: value = bits - offset
+    decoder = make_int_decoder(6, _encoding_params(1, 4))
+    assert decoder(BitReader(bytes([0b01000000])), {}) == 3
+
+    # GAMMA (offset 0): Elias gamma — '1'=1, '010'=2, '011'=3
+    decoder = make_int_decoder(9, _encoding_params(0))
+    bits = BitReader(bytes([0b10100110]))  # 1 | 010 | 011 -> 1, 2, 3
+    assert [decoder(bits, {}) for _ in range(3)] == [1, 2, 3]
+
+    # SUBEXP k=2, offset 0: '0' + 2 bits -> values 0..3
+    decoder = make_int_decoder(7, _encoding_params(0, 2))
+    bits = BitReader(bytes([0b00101100]))  # 0 01 | 0 11 -> 1, 3
+    assert [decoder(bits, {}) for _ in range(2)] == [1, 3]
+    # '10' + k+0 bits with leading 1 -> 1<<(k) + bits
+    bits = BitReader(bytes([0b10100000]))  # i=1: reads i+k-1=2 bits '10' -> 4+2
+    assert decoder(bits, {}) == 6
+
+
+def test_byte_array_len_codec():
+    from arriba_tpu.io.cram import (BitReader, ExternalStream,
+                                    make_byte_decoder, write_itf8)
+
+    # len: EXTERNAL stream 1; values: EXTERNAL stream 2
+    len_params = write_itf8(1)
+    val_params = write_itf8(2)
+    params = (write_itf8(1) + write_itf8(len(len_params)) + len_params
+              + write_itf8(1) + write_itf8(len(val_params)) + val_params)
+    kind, decoder = make_byte_decoder(4, params)
+    assert kind == "array"
+    externals = {1: ExternalStream(write_itf8(3) + write_itf8(2)),
+                 2: ExternalStream(b"abcde")}
+    assert decoder(BitReader(b""), externals) == b"abc"
+    assert decoder(BitReader(b""), externals) == b"de"
