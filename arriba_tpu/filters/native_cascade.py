@@ -1,0 +1,287 @@
+"""Native dispatch for the read-level filter cascade (#1-14).
+
+One marshal of the (annotated) fragments feeds native/cascade.cpp, which
+runs the whole cascade and the mate-gap collection in C++; the pipeline
+keeps its stage-by-stage logging by reading the per-stage `remaining=`
+counters from here. The Python implementations in read_level.py remain the
+parity reference (ARRIBA_TPU_NO_NATIVE=1 / ARRIBA_TPU_NO_NATIVE_CASCADE=1
+fall back to them per stage).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..constants import (FILTER_DUPLICATES, FILTER_HAIRPIN,
+                         FILTER_HOMOPOLYMER, FILTER_INCONSISTENTLY_CLIPPED,
+                         FILTER_LONG_GAP, FILTER_LOW_COVERAGE_VIRAL_CONTIGS,
+                         FILTER_LOW_ENTROPY, FILTER_MISMATCHES,
+                         FILTER_READ_THROUGH, FILTER_SAME_GENE,
+                         FILTER_SMALL_INSERT_SIZE,
+                         FILTER_TOP_EXPRESSED_VIRAL_CONTIGS,
+                         FILTER_UNINTERESTING_CONTIGS, FILTER_VIRAL_CONTIGS,
+                         FORWARD)
+from ..ingest.stats import fragment_length_stats
+from . import read_level
+
+_STAGES = ("duplicates", "uninteresting_contigs", "viral_contigs",
+           "top_expressed_viral_contigs", "low_coverage_viral_contigs",
+           "read_through", "inconsistently_clipped", "homopolymer",
+           "small_insert_size", "long_gap", "same_gene", "hairpin",
+           "mismatches", "low_entropy")
+_STAGE_FILTER_IDS = (FILTER_DUPLICATES, FILTER_UNINTERESTING_CONTIGS,
+                     FILTER_VIRAL_CONTIGS, FILTER_TOP_EXPRESSED_VIRAL_CONTIGS,
+                     FILTER_LOW_COVERAGE_VIRAL_CONTIGS, FILTER_READ_THROUGH,
+                     FILTER_INCONSISTENTLY_CLIPPED, FILTER_HOMOPOLYMER,
+                     FILTER_SMALL_INSERT_SIZE, FILTER_LONG_GAP,
+                     FILTER_SAME_GENE, FILTER_HAIRPIN, FILTER_MISMATCHES,
+                     FILTER_LOW_ENTROPY)
+
+
+def _native_module():
+    if (os.environ.get("ARRIBA_TPU_NO_NATIVE") == "1"
+            or os.environ.get("ARRIBA_TPU_NO_NATIVE_CASCADE") == "1"):
+        return None
+    try:
+        from .. import _native
+    except ImportError:
+        return None
+    return _native if hasattr(_native, "cascade_begin") else None
+
+
+class ReadLevelCascade:
+    """Facade the pipeline drives stage-by-stage. When the native engine is
+    available, __init__ runs stages 1-5 + gap collection in one call, and
+    estimate_fragment_length() triggers stages 6-14; each accessor then just
+    returns the precomputed counter. Otherwise every method delegates to the
+    Python implementation."""
+
+    def __init__(self, chimeric_alignments, state, options, genes, exons,
+                 exon_index) -> None:
+        self.ca = chimeric_alignments
+        self.state = state
+        self.options = options
+        self.genes = genes
+        self.exons = exons
+        self.exon_index = exon_index
+        self._native = _native_module()
+        self._counts = {}
+        self._gaps: Optional[np.ndarray] = None
+        self._fragments = None
+        if self._native is not None:
+            try:
+                self._begin()
+            except Exception:
+                # fall back cleanly to the Python implementations
+                self._native = None
+
+    # -- native driver ------------------------------------------------------
+
+    def _enabled_mask(self) -> int:
+        mask = 0
+        for bit, name in enumerate(_STAGES):
+            if self.options.filters[name]:
+                mask |= 1 << bit
+        return mask
+
+    def _begin(self) -> None:
+        ca = self.ca
+        state = self.state
+        genes = self.genes
+
+        fragments = list(ca.values())
+        self._fragments = fragments
+        n_mates = sum(len(mates) for mates in fragments)
+        frag_offsets = np.zeros(len(fragments) + 1, np.int64)
+        frag_flags = np.zeros(len(fragments), np.int64)
+        frag_filter = np.zeros(len(fragments), np.int64)
+        contig = np.zeros(n_mates, np.int64)
+        start = np.zeros(n_mates, np.int64)
+        end = np.zeros(n_mates, np.int64)
+        strand = np.zeros(n_mates, np.int64)
+        cigar_offsets = np.zeros(n_mates + 1, np.int64)
+        seq_offsets = np.zeros(n_mates + 1, np.int64)
+        genes_offsets = np.zeros(n_mates + 1, np.int64)
+        cigar_parts = []
+        seq_parts = []
+        gene_parts = []
+        row = 0
+        for f, mates in enumerate(fragments):
+            frag_offsets[f + 1] = frag_offsets[f] + len(mates)
+            frag_flags[f] = ((1 if mates.single_end else 0)
+                             | (2 if mates.duplicate else 0)
+                             | (4 if mates.multimapper else 0))
+            frag_filter[f] = mates.filter
+            for mate in mates:
+                contig[row] = mate.contig
+                start[row] = mate.start
+                end[row] = mate.end
+                strand[row] = 1 if mate.strand == FORWARD else 0
+                cigar_offsets[row + 1] = cigar_offsets[row] + len(mate.cigar)
+                seq_offsets[row + 1] = seq_offsets[row] + len(mate.sequence)
+                genes_offsets[row + 1] = genes_offsets[row] + len(mate.genes)
+                cigar_parts.append(mate.cigar.astype(np.uint32, copy=False).tobytes())
+                seq_parts.append(mate.sequence)
+                gene_parts.append(np.ascontiguousarray(mate.genes, np.int64).tobytes())
+                row += 1
+
+        options = self.options
+        n_contigs = len(state.interesting_contigs)
+        interesting = bytes(bytearray(
+            1 if state.interesting_contigs[i] else 0 for i in range(n_contigs)))
+        viral = bytes(bytearray(
+            1 if state.viral_contigs[i] else 0 for i in range(n_contigs)))
+        mapped_viral = np.zeros(n_contigs, np.int64)
+        for i, count in enumerate(state.mapped_viral_reads_by_contig[:n_contigs]):
+            mapped_viral[i] = count
+        assembly_list = [state.assembly.get(i) for i in range(n_contigs)]
+        coverage_list = []
+        for i in range(n_contigs):
+            planes = state.coverage.coverage
+            coverage_list.append(planes[i] if i < len(planes) and len(planes[i])
+                                 else None)
+
+        params = (1 if options.external_duplicate_marking else 0,
+                  int(options.top_viral_contigs),
+                  float(options.viral_contig_min_covered_fraction),
+                  int(options.min_read_through_distance),
+                  int(options.homopolymer_length),
+                  self._enabled_mask())
+
+        counts_b, gaps_b, read_length_sum, read_length_count = \
+            self._native.cascade_begin(
+                frag_offsets.tobytes(), contig.tobytes(), start.tobytes(),
+                end.tobytes(), strand.tobytes(), cigar_offsets.tobytes(),
+                b"".join(cigar_parts), seq_offsets.tobytes(),
+                "".join(seq_parts).encode("latin-1"), genes_offsets.tobytes(),
+                b"".join(gene_parts), frag_flags.tobytes(),
+                frag_filter.tobytes(), interesting, viral,
+                mapped_viral.tobytes(),
+                np.ascontiguousarray(genes.start, np.int64).tobytes(),
+                np.ascontiguousarray(genes.end, np.int64).tobytes(),
+                np.ascontiguousarray(genes.is_dummy, np.uint8).tobytes(),
+                assembly_list, coverage_list, params, _STAGE_FILTER_IDS)
+
+        counts = np.frombuffer(counts_b, np.int64)
+        for bit, name in enumerate(_STAGES[:5]):
+            self._counts[name] = int(counts[bit])
+        self._gaps = np.frombuffer(gaps_b or b"", np.int64)
+        self._read_length_sum = read_length_sum
+        self._read_length_count = read_length_count
+
+    def _finish(self) -> None:
+        state = self.state
+        options = self.options
+        genome_size = sum(
+            len(state.assembly[c]) for c in range(len(state.interesting_contigs))
+            if state.interesting_contigs[c] and c in state.assembly)
+        counts_b, filters_b = self._native.cascade_finish(
+            int(state.max_mate_gap), 0.01,
+            float(options.mismatch_pvalue_cutoff), int(genome_size),
+            float(options.max_kmer_content), 3, int(options.max_itd_length))
+        counts = np.frombuffer(counts_b, np.int64)
+        for bit, name in enumerate(_STAGES[5:]):
+            self._counts[name] = int(counts[bit])
+        filters = np.frombuffer(filters_b, np.int64).tolist()
+        for mates, filter_id in zip(self._fragments, filters):
+            mates.filter = filter_id
+
+    # -- stage accessors (pipeline call order) ------------------------------
+
+    def filter_duplicates(self):
+        if self._native:
+            return self._counts["duplicates"]
+        return read_level.filter_duplicates(
+            self.ca, self.options.external_duplicate_marking)
+
+    def filter_uninteresting_contigs(self):
+        if self._native:
+            return self._counts["uninteresting_contigs"]
+        return read_level.filter_uninteresting_contigs(
+            self.ca, self.state.interesting_contigs)
+
+    def filter_viral_contigs(self):
+        if self._native:
+            return self._counts["viral_contigs"]
+        return read_level.filter_viral_contigs(self.ca, self.state.viral_contigs)
+
+    def filter_top_expressed_viral_contigs(self):
+        if self._native:
+            return self._counts["top_expressed_viral_contigs"]
+        return read_level.filter_top_expressed_viral_contigs(
+            self.ca, self.options.top_viral_contigs, self.state.viral_contigs,
+            self.state.interesting_contigs,
+            self.state.mapped_viral_reads_by_contig, self.state.assembly,
+            self.genes)
+
+    def filter_low_coverage_viral_contigs(self):
+        if self._native:
+            return self._counts["low_coverage_viral_contigs"]
+        return read_level.filter_low_coverage_viral_contigs(
+            self.ca, self.state.coverage, self.state.viral_contigs,
+            self.options.viral_contig_min_covered_fraction, 100)
+
+    def estimate_fragment_length(self):
+        if self._native:
+            result = fragment_length_stats(self._gaps, self._read_length_sum,
+                                           self._read_length_count)
+            self._finish()  # stages 6-14 (hairpin does not need max_mate_gap)
+            return result
+        from ..ingest.stats import estimate_fragment_length
+        return estimate_fragment_length(self.ca, self.genes, self.exons,
+                                        self.exon_index)
+
+    def filter_proximal_read_through(self):
+        if self._native:
+            return self._counts["read_through"]
+        return read_level.filter_proximal_read_through(
+            self.ca, self.genes, self.options.min_read_through_distance)
+
+    def filter_inconsistently_clipped_mates(self):
+        if self._native:
+            return self._counts["inconsistently_clipped"]
+        return read_level.filter_inconsistently_clipped_mates(self.ca)
+
+    def filter_homopolymer(self):
+        if self._native:
+            return self._counts["homopolymer"]
+        return read_level.filter_homopolymer(
+            self.ca, self.options.homopolymer_length, self.genes, self.exons,
+            self.exon_index)
+
+    def filter_small_insert_size(self):
+        if self._native:
+            return self._counts["small_insert_size"]
+        return read_level.filter_small_insert_size(self.ca, 5)
+
+    def filter_long_gap(self):
+        if self._native:
+            return self._counts["long_gap"]
+        return read_level.filter_long_gap(self.ca)
+
+    def filter_same_gene(self):
+        if self._native:
+            return self._counts["same_gene"]
+        return read_level.filter_same_gene(self.ca)
+
+    def filter_hairpin(self):
+        if self._native:
+            return self._counts["hairpin"]
+        return read_level.filter_hairpin(self.ca, self.state.max_mate_gap)
+
+    def filter_mismatches(self):
+        if self._native:
+            return self._counts["mismatches"]
+        return read_level.filter_mismatches(
+            self.ca, self.state.assembly, self.state.interesting_contigs,
+            self.state.viral_contigs, 0.01, self.options.mismatch_pvalue_cutoff)
+
+    def filter_low_entropy(self):
+        if self._native:
+            return self._counts["low_entropy"]
+        return read_level.filter_low_entropy(self.ca, 3,
+                                             self.options.max_kmer_content,
+                                             self.options.max_itd_length)

@@ -226,11 +226,19 @@ def estimate_fragment_length(chimeric_alignments: ChimericAlignments,
             if len(mate_gaps) > 100000:
                 break
 
+    return fragment_length_stats(np.array(mate_gaps, np.int64),
+                                 read_length_sum, read_length_count)
+
+
+def fragment_length_stats(mate_gaps: np.ndarray, read_length_sum: float,
+                          read_length_count: int):
+    """Statistics half of read_stats.cpp:11-92 (iterative outlier trimming),
+    shared by the Python and native gap-collection paths."""
     if len(mate_gaps) < 10000:
         return False, 0.0, 0.0, (read_length_sum / read_length_count if read_length_count else 0.0)
 
     read_length_mean = read_length_sum / read_length_count
-    gaps = np.array(mate_gaps, np.float64)
+    gaps = mate_gaps.astype(np.float64)
     no_more_outliers = False
     while True:
         mean = float(gaps.sum() / len(gaps))

@@ -284,33 +284,37 @@ def run(options: Options) -> PipelineState:
     # gene ids are row indices already (arriba.cpp:321-325)
 
     # --- read-level cascade (arriba.cpp:327-409) -----------------------------
+    # one facade: native (single bulk marshal, C++ stages) or Python per stage
+    from .filters.native_cascade import ReadLevelCascade
+    cascade = ReadLevelCascade(ca, state, options, genes, exons, state.exon_index)
+
     if enabled["duplicates"]:
         log("Filtering duplicates ", end="")
-        print(f"(remaining={read_level.filter_duplicates(ca, options.external_duplicate_marking)})")
+        print(f"(remaining={cascade.filter_duplicates()})")
 
     if enabled["uninteresting_contigs"]:
         log(f"Filtering mates which do not map to interesting contigs "
             f"({options.interesting_contigs}) ", end="")
-        print(f"(remaining={read_level.filter_uninteresting_contigs(ca, state.interesting_contigs)})")
+        print(f"(remaining={cascade.filter_uninteresting_contigs()})")
 
     if enabled["viral_contigs"]:
         log(f"Filtering mates which only map to viral contigs ({options.viral_contigs}) ",
             end="")
-        print(f"(remaining={read_level.filter_viral_contigs(ca, state.viral_contigs)})")
+        print(f"(remaining={cascade.filter_viral_contigs()})")
 
     if enabled["top_expressed_viral_contigs"]:
         log(f"Filtering viral contigs with expression lower than the top "
             f"{options.top_viral_contigs} ", end="")
-        print(f"(remaining={read_level.filter_top_expressed_viral_contigs(ca, options.top_viral_contigs, state.viral_contigs, state.interesting_contigs, state.mapped_viral_reads_by_contig, state.assembly, genes)})")
+        print(f"(remaining={cascade.filter_top_expressed_viral_contigs()})")
 
     if enabled["low_coverage_viral_contigs"]:
         log(f"Filtering viral contigs with less than "
             f"{options.viral_contig_min_covered_fraction * 100}% coverage ", end="")
-        print(f"(remaining={read_level.filter_low_coverage_viral_contigs(ca, state.coverage, state.viral_contigs, options.viral_contig_min_covered_fraction, 100)})")
+        print(f"(remaining={cascade.filter_low_coverage_viral_contigs()})")
 
     log("Estimating fragment length ", end="")
     ok, mate_gap_mean, mate_gap_stddev, read_length_mean = \
-        estimate_fragment_length(ca, genes, exons, state.exon_index)
+        cascade.estimate_fragment_length()
     if ok:
         print(f"(mate gap mean={mate_gap_mean:g}, mate gap stddev={mate_gap_stddev:g}, "
               f"read length mean={read_length_mean:g})")
@@ -324,42 +328,42 @@ def run(options: Options) -> PipelineState:
     if enabled["read_through"]:
         log(f"Filtering read-through fragments with a distance "
             f"<={options.min_read_through_distance}bp ", end="")
-        print(f"(remaining={read_level.filter_proximal_read_through(ca, genes, options.min_read_through_distance)})")
+        print(f"(remaining={cascade.filter_proximal_read_through()})")
 
     if enabled["inconsistently_clipped"]:
         log("Filtering inconsistently clipped mates ", end="")
-        print(f"(remaining={read_level.filter_inconsistently_clipped_mates(ca)})")
+        print(f"(remaining={cascade.filter_inconsistently_clipped_mates()})")
 
     if enabled["homopolymer"]:
         log(f"Filtering breakpoints adjacent to homopolymers "
             f">={options.homopolymer_length}nt ", end="")
-        print(f"(remaining={read_level.filter_homopolymer(ca, options.homopolymer_length, genes, exons, state.exon_index)})")
+        print(f"(remaining={cascade.filter_homopolymer()})")
 
     if enabled["small_insert_size"]:
         log("Filtering fragments with small insert size ", end="")
-        print(f"(remaining={read_level.filter_small_insert_size(ca, 5)})")
+        print(f"(remaining={cascade.filter_small_insert_size()})")
 
     if enabled["long_gap"]:
         log("Filtering alignments with long gaps ", end="")
-        print(f"(remaining={read_level.filter_long_gap(ca)})")
+        print(f"(remaining={cascade.filter_long_gap()})")
 
     if enabled["same_gene"]:
         log("Filtering fragments with both mates in the same gene ", end="")
-        print(f"(remaining={read_level.filter_same_gene(ca)})")
+        print(f"(remaining={cascade.filter_same_gene()})")
 
     if enabled["hairpin"]:
         log("Filtering fusions arising from hairpin structures ", end="")
-        print(f"(remaining={read_level.filter_hairpin(ca, state.max_mate_gap)})")
+        print(f"(remaining={cascade.filter_hairpin()})")
 
     if enabled["mismatches"]:
         log(f"Filtering reads with a mismatch p-value "
             f"<={options.mismatch_pvalue_cutoff} ", end="")
-        print(f"(remaining={read_level.filter_mismatches(ca, state.assembly, state.interesting_contigs, state.viral_contigs, 0.01, options.mismatch_pvalue_cutoff)})")
+        print(f"(remaining={cascade.filter_mismatches()})")
 
     if enabled["low_entropy"]:
         log(f"Filtering reads with low entropy (k-mer content "
             f">={options.max_kmer_content * 100}%) ", end="")
-        print(f"(remaining={read_level.filter_low_entropy(ca, 3, options.max_kmer_content, options.max_itd_length)})")
+        print(f"(remaining={cascade.filter_low_entropy()})")
 
     # --- candidate generation + event-level cascade (arriba.cpp:411-585) -----
     log("Finding fusions and counting supporting reads ", end="")

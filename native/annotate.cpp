@@ -16,29 +16,17 @@
 #include <cstring>
 #include <vector>
 
+#include "annotate.h"
+
 namespace annotate_engine {
 
 static const int64_t MAX_SPLICE_SITE_DISTANCE = 2;  // annotation.hpp:23
 static const bool UPSTREAM_DIR = true;              // constants.py UPSTREAM
 
-struct ContigIndex {
-    std::vector<int64_t> boundaries;  // sorted unique region keys
-    std::vector<int64_t> offsets;     // CSR offsets, len = n_boundaries + 1
-    std::vector<int64_t> items;       // feature rows per region, ascending
-};
-
-struct Engine {
-    int n_contigs = 0;
-    std::vector<ContigIndex> exon_index;
-    // exon table columns (all int64)
-    std::vector<int64_t> exon_gene, exon_start, exon_end, exon_prev, exon_next,
-        exon_cds_start, exon_cds_end;
-    // gene table columns
-    std::vector<int64_t> gene_contig, gene_strand;
-    bool ready = false;
-};
-
-static Engine engine;
+Engine &engine() {
+    static Engine instance;
+    return instance;
+}
 
 typedef std::vector<int64_t> Set;
 
@@ -74,9 +62,9 @@ static size_t lower_bound_index(const std::vector<int64_t> &values, int64_t key)
 // Features overlapping the region containing pos (annotation.t.hpp:61-68).
 static void point_query(int64_t contig, int64_t pos, Set &out) {
     out.clear();
-    if (contig >= engine.n_contigs)
+    if (contig >= engine().n_contigs)
         return;
-    const ContigIndex &index = engine.exon_index[contig];
+    const ContigIndex &index = engine().exon_index[contig];
     size_t idx = lower_bound_index(index.boundaries, pos);
     if (idx >= index.boundaries.size())
         return;
@@ -86,7 +74,7 @@ static void point_query(int64_t contig, int64_t pos, Set &out) {
 // Features overlapping [start, end] with 2 bp slack at each end; intersection
 // of the start/end result sets, union if disjoint (annotation.t.hpp:70-99).
 static void range_query(int64_t contig, int64_t start, int64_t end, Set &out) {
-    if (contig >= engine.n_contigs) {
+    if (contig >= engine().n_contigs) {
         out.clear();
         return;
     }
@@ -96,7 +84,7 @@ static void range_query(int64_t contig, int64_t start, int64_t end, Set &out) {
     }
     if (start > end)
         std::swap(start, end);
-    const ContigIndex &index = engine.exon_index[contig];
+    const ContigIndex &index = engine().exon_index[contig];
     size_t n = index.boundaries.size();
 
     Set result_start, result_end, scratch;
@@ -137,20 +125,20 @@ static bool exons_near_splice_site(int64_t gene, bool direction,
     int64_t lo = index.offsets[boundary_idx], hi = index.offsets[boundary_idx + 1];
     for (int64_t i = lo; i < hi; ++i) {
         int64_t e = index.items[i];
-        if (engine.exon_gene[e] != gene)
+        if (engine().exon_gene[e] != gene)
             continue;
-        int64_t prev_e = engine.exon_prev[e], next_e = engine.exon_next[e];
+        int64_t prev_e = engine().exon_prev[e], next_e = engine().exon_next[e];
         if (direction == UPSTREAM_DIR) {
-            if (std::abs(engine.exon_start[e] - breakpoint) <= MAX_SPLICE_SITE_DISTANCE &&
+            if (std::abs(engine().exon_start[e] - breakpoint) <= MAX_SPLICE_SITE_DISTANCE &&
                 (prev_e >= 0 ||
-                 (prev_e < 0 && next_e < 0 && engine.exon_cds_start[e] != -1) ||
-                 engine.exon_start[e] == engine.exon_cds_start[e]))
+                 (prev_e < 0 && next_e < 0 && engine().exon_cds_start[e] != -1) ||
+                 engine().exon_start[e] == engine().exon_cds_start[e]))
                 return true;
         } else {
-            if (std::abs(engine.exon_end[e] - breakpoint) <= MAX_SPLICE_SITE_DISTANCE &&
+            if (std::abs(engine().exon_end[e] - breakpoint) <= MAX_SPLICE_SITE_DISTANCE &&
                 (next_e >= 0 ||
-                 (prev_e < 0 && next_e < 0 && engine.exon_cds_start[e] != -1) ||
-                 engine.exon_end[e] == engine.exon_cds_end[e]))
+                 (prev_e < 0 && next_e < 0 && engine().exon_cds_start[e] != -1) ||
+                 engine().exon_end[e] == engine().exon_cds_end[e]))
                 return true;
         }
     }
@@ -159,11 +147,11 @@ static bool exons_near_splice_site(int64_t gene, bool direction,
 
 // annotation.cpp:404-429 — check the boundary sets at, after, and before the
 // breakpoint.
-static bool is_breakpoint_spliced(int64_t gene, bool direction, int64_t breakpoint) {
-    int64_t contig = engine.gene_contig[gene];
-    if (contig >= engine.n_contigs)
+bool is_breakpoint_spliced(int64_t gene, bool direction, int64_t breakpoint) {
+    int64_t contig = engine().gene_contig[gene];
+    if (contig >= engine().n_contigs)
         return false;
-    const ContigIndex &index = engine.exon_index[contig];
+    const ContigIndex &index = engine().exon_index[contig];
     size_t n = index.boundaries.size();
     if (n == 0)
         return false;
@@ -202,7 +190,7 @@ static void annotate_alignment(MateState &mate) {
     Set &gene_set = mate.genes;
     gene_set.clear();
     for (int64_t e : exon_set)
-        gene_set.push_back(engine.exon_gene[e]);
+        gene_set.push_back(engine().exon_gene[e]);
     std::sort(gene_set.begin(), gene_set.end());
     gene_set.erase(std::unique(gene_set.begin(), gene_set.end()), gene_set.end());
 
@@ -241,9 +229,9 @@ static void annotate_alignment(MateState &mate) {
                 gene_set = supported;
             if (mate.predicted_strand_ambiguous) {
                 bool all_same = true;
-                bool first = engine.gene_strand[supported[0]] != 0;
+                bool first = engine().gene_strand[supported[0]] != 0;
                 for (int64_t g : supported)
-                    if ((engine.gene_strand[g] != 0) != first) {
+                    if ((engine().gene_strand[g] != 0) != first) {
                         all_same = false;
                         break;
                     }
@@ -345,9 +333,9 @@ PyObject *annotate_bind(PyObject *, PyObject *args) {
                           &exon_cds_end, &gene_contig, &gene_strand))
         return nullptr;
 
-    engine = Engine();
-    engine.n_contigs = n_contigs;
-    engine.exon_index.resize(n_contigs);
+    engine() = Engine();
+    engine().n_contigs = n_contigs;
+    engine().exon_index.resize(n_contigs);
     if (PyList_Size(boundaries_list) != n_contigs ||
         PyList_Size(offsets_list) != n_contigs ||
         PyList_Size(items_list) != n_contigs) {
@@ -356,24 +344,24 @@ PyObject *annotate_bind(PyObject *, PyObject *args) {
     }
     for (int c = 0; c < n_contigs; ++c) {
         if (!bytes_to_vector(PyList_GET_ITEM(boundaries_list, c),
-                             engine.exon_index[c].boundaries) ||
+                             engine().exon_index[c].boundaries) ||
             !bytes_to_vector(PyList_GET_ITEM(offsets_list, c),
-                             engine.exon_index[c].offsets) ||
+                             engine().exon_index[c].offsets) ||
             !bytes_to_vector(PyList_GET_ITEM(items_list, c),
-                             engine.exon_index[c].items))
+                             engine().exon_index[c].items))
             return nullptr;
     }
-    if (!bytes_to_vector(exon_gene, engine.exon_gene) ||
-        !bytes_to_vector(exon_start, engine.exon_start) ||
-        !bytes_to_vector(exon_end, engine.exon_end) ||
-        !bytes_to_vector(exon_prev, engine.exon_prev) ||
-        !bytes_to_vector(exon_next, engine.exon_next) ||
-        !bytes_to_vector(exon_cds_start, engine.exon_cds_start) ||
-        !bytes_to_vector(exon_cds_end, engine.exon_cds_end) ||
-        !bytes_to_vector(gene_contig, engine.gene_contig) ||
-        !bytes_to_vector(gene_strand, engine.gene_strand))
+    if (!bytes_to_vector(exon_gene, engine().exon_gene) ||
+        !bytes_to_vector(exon_start, engine().exon_start) ||
+        !bytes_to_vector(exon_end, engine().exon_end) ||
+        !bytes_to_vector(exon_prev, engine().exon_prev) ||
+        !bytes_to_vector(exon_next, engine().exon_next) ||
+        !bytes_to_vector(exon_cds_start, engine().exon_cds_start) ||
+        !bytes_to_vector(exon_cds_end, engine().exon_cds_end) ||
+        !bytes_to_vector(gene_contig, engine().gene_contig) ||
+        !bytes_to_vector(gene_strand, engine().gene_strand))
         return nullptr;
-    engine.ready = true;
+    engine().ready = true;
     Py_RETURN_NONE;
 }
 
@@ -389,7 +377,7 @@ PyObject *annotate_bulk(PyObject *, PyObject *args) {
                           &start_b, &end_b, &strand_b, &pred_strand_b,
                           &pred_ambig_b, &cigar_offsets_b, &cigar_words_b))
         return nullptr;
-    if (!engine.ready) {
+    if (!engine().ready) {
         PyErr_SetString(PyExc_RuntimeError, "annotate_bind not called");
         return nullptr;
     }

@@ -1,0 +1,31 @@
+// Shared view of the annotation engine (exon interval index + exon/gene
+// tables) for native stages that need splice-site tests and spliced
+// distances (annotate.cpp owns the data; cascade.cpp consumes it).
+#pragma once
+
+#include <cstdint>
+#include <vector>
+
+namespace annotate_engine {
+
+struct ContigIndex {
+    std::vector<int64_t> boundaries;  // sorted unique region keys
+    std::vector<int64_t> offsets;     // CSR offsets, len = n_boundaries + 1
+    std::vector<int64_t> items;       // feature rows per region, ascending
+};
+
+struct Engine {
+    int n_contigs = 0;
+    std::vector<ContigIndex> exon_index;
+    std::vector<int64_t> exon_gene, exon_start, exon_end, exon_prev, exon_next,
+        exon_cds_start, exon_cds_end;
+    std::vector<int64_t> gene_contig, gene_strand;
+    bool ready = false;
+};
+
+Engine &engine();
+
+// annotation.cpp:404-429
+bool is_breakpoint_spliced(int64_t gene, bool direction, int64_t breakpoint);
+
+}  // namespace annotate_engine

@@ -1960,6 +1960,8 @@ extern PyObject *annotate_bind(PyObject *, PyObject *);
 extern PyObject *annotate_bulk(PyObject *, PyObject *);
 extern PyObject *mismatch_scan(PyObject *, PyObject *);
 extern PyObject *low_entropy_scan_flat(PyObject *, PyObject *);
+extern PyObject *cascade_begin(PyObject *, PyObject *);
+extern PyObject *cascade_finish(PyObject *, PyObject *);
 
 static PyMethodDef methods[] = {
     {"realign_reset", realign_reset, METH_NOARGS,
@@ -1986,6 +1988,10 @@ static PyMethodDef methods[] = {
      "Bulk (mismatches, alignment_length) computation for candidate alignments."},
     {"low_entropy_scan_flat", low_entropy_scan_flat, METH_VARARGS,
      "Low-entropy scan over concatenated raw sequences (CSR, no padding)."},
+    {"cascade_begin", cascade_begin, METH_VARARGS,
+     "Read-level cascade stages 1-5 + fragment-length gap collection."},
+    {"cascade_finish", cascade_finish, METH_VARARGS,
+     "Read-level cascade stages 6-14; returns per-fragment filter ids."},
     {"coverage_bind", coverage_bind, METH_VARARGS,
      "Bind per-contig coverage arrays so coverage_add can update them."},
     {"coverage_add", coverage_add, METH_VARARGS,
