@@ -82,3 +82,32 @@ def test_native_ingest_and_annotation_structures_match(tmp_path, seed):
     assert len(native_rows) == len(python_rows)
     for native, python in zip(native_rows, python_rows):
         assert native == python
+
+
+@pytest.mark.parametrize("kill_switch", [
+    "ARRIBA_TPU_NO_NATIVE", "ARRIBA_TPU_NO_NATIVE_EXTRACT",
+    "ARRIBA_TPU_NO_NATIVE_CASCADE"])
+def test_fallback_paths_stay_equivalent(tmp_path, kill_switch):
+    """Each native kill switch falls back to a path that produces identical
+    output and stage counters (guards fallback rot)."""
+    import re
+
+    from .scenario import fuzz_sample
+
+    args = fuzz_sample(tmp_path, 777)
+    results = {}
+    for label, env_extra in (("native", {}), ("fallback", {kill_switch: "1"})):
+        out = str(tmp_path / f"f_{label}.tsv")
+        env = dict(os.environ)
+        for key in ("ARRIBA_TPU_NO_NATIVE", "ARRIBA_TPU_NO_NATIVE_EXTRACT",
+                    "ARRIBA_TPU_NO_NATIVE_CASCADE"):
+            env.pop(key, None)
+        env.update(env_extra)
+        result = subprocess.run(
+            [sys.executable, "-m", "arriba_tpu"] + args + ["-o", out],
+            env=env, capture_output=True, text=True, timeout=300,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert result.returncode == 0, result.stderr[-2000:]
+        counters = re.findall(r"\((?:remaining|total|marked)=\d+\)", result.stdout)
+        results[label] = (open(out, "rb").read(), counters)
+    assert results["native"] == results["fallback"]
