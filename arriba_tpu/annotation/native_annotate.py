@@ -29,14 +29,11 @@ def _native_module():
     return _native if hasattr(_native, "annotate_bulk") else None
 
 
-def annotate_all_native(chimeric_alignments: Dict[str, Fragment],
-                        exons: ExonTable, genes: GeneTable,
-                        exon_index: IntervalIndex) -> bool:
-    """Annotate every fragment via the native engine; returns False (leaving
-    all fragments untouched) when the native module is unavailable."""
-    native = _native_module()
-    if native is None:
-        return False
+def bind_annotation_engine(native, exon_index: IntervalIndex,
+                           exons: ExonTable, genes: GeneTable) -> None:
+    """(Re-)register the exon interval index and exon/gene tables with the
+    native annotation engine. Must be re-run after the gene table grows
+    (dummy-gene creation) so native splice tests see every gene row."""
 
     def int64_bytes(values) -> bytes:
         return np.ascontiguousarray(values, np.int64).tobytes()
@@ -51,6 +48,18 @@ def annotate_all_native(chimeric_alignments: Dict[str, Fragment],
         int64_bytes(exons.next_exon), int64_bytes(exons.coding_region_start),
         int64_bytes(exons.coding_region_end),
         int64_bytes(genes.contig), int64_bytes(genes.strand))
+
+
+def annotate_all_native(chimeric_alignments: Dict[str, Fragment],
+                        exons: ExonTable, genes: GeneTable,
+                        exon_index: IntervalIndex) -> bool:
+    """Annotate every fragment via the native engine; returns False (leaving
+    all fragments untouched) when the native module is unavailable."""
+    native = _native_module()
+    if native is None:
+        return False
+
+    bind_annotation_engine(native, exon_index, exons, genes)
 
     fragments = list(chimeric_alignments.values())
     n_mates = sum(len(mates) for mates in fragments)

@@ -92,6 +92,12 @@ class ReadLevelCascade:
         state = self.state
         genes = self.genes
 
+        # the annotation engine was bound before dummy genes were created;
+        # re-bind so native splice tests cover every gene row (the cascade's
+        # homopolymer filter and find_fusions index genes by row id)
+        from ..annotation.native_annotate import bind_annotation_engine
+        bind_annotation_engine(self._native, self.exon_index, self.exons, genes)
+
         fragments = list(ca.values())
         self._fragments = fragments
         n_mates = sum(len(mates) for mates in fragments)
@@ -102,6 +108,9 @@ class ReadLevelCascade:
         start = np.zeros(n_mates, np.int64)
         end = np.zeros(n_mates, np.int64)
         strand = np.zeros(n_mates, np.int64)
+        pred_strand = np.zeros(n_mates, np.int64)
+        pred_ambig = np.zeros(n_mates, np.int64)
+        exonic = np.zeros(n_mates, np.int64)
         cigar_offsets = np.zeros(n_mates + 1, np.int64)
         seq_offsets = np.zeros(n_mates + 1, np.int64)
         genes_offsets = np.zeros(n_mates + 1, np.int64)
@@ -120,6 +129,9 @@ class ReadLevelCascade:
                 start[row] = mate.start
                 end[row] = mate.end
                 strand[row] = 1 if mate.strand == FORWARD else 0
+                pred_strand[row] = 1 if mate.predicted_strand == FORWARD else 0
+                pred_ambig[row] = 1 if mate.predicted_strand_ambiguous else 0
+                exonic[row] = 1 if mate.exonic else 0
                 cigar_offsets[row + 1] = cigar_offsets[row] + len(mate.cigar)
                 seq_offsets[row + 1] = seq_offsets[row] + len(mate.sequence)
                 genes_offsets[row + 1] = genes_offsets[row] + len(mate.genes)
@@ -154,7 +166,8 @@ class ReadLevelCascade:
         counts_b, gaps_b, read_length_sum, read_length_count = \
             self._native.cascade_begin(
                 frag_offsets.tobytes(), contig.tobytes(), start.tobytes(),
-                end.tobytes(), strand.tobytes(), cigar_offsets.tobytes(),
+                end.tobytes(), strand.tobytes(), pred_strand.tobytes(),
+                pred_ambig.tobytes(), exonic.tobytes(), cigar_offsets.tobytes(),
                 b"".join(cigar_parts), seq_offsets.tobytes(),
                 "".join(seq_parts).encode("latin-1"), genes_offsets.tobytes(),
                 b"".join(gene_parts), frag_flags.tobytes(),
@@ -285,3 +298,83 @@ class ReadLevelCascade:
         return read_level.filter_low_entropy(self.ca, 3,
                                              self.options.max_kmer_content,
                                              self.options.max_itd_length)
+
+    # -- candidate generation (fusions.cpp:203-473) -------------------------
+
+    def find_fusions(self, fusions):
+        from ..fusions_finder import find_fusions
+        if not (self._native and hasattr(self._native, "find_fusions_native")):
+            return find_fusions(self.ca, fusions, self.genes, self.exons,
+                                self.exon_index, self.state.max_mate_gap,
+                                self.options.subsampling_threshold)
+        try:
+            result = self._native.find_fusions_native(
+                int(self.state.max_mate_gap),
+                int(self.options.subsampling_threshold))
+            return self._materialize_fusions(fusions, result)
+        except Exception:
+            fusions.clear()
+            return find_fusions(self.ca, fusions, self.genes, self.exons,
+                                self.exon_index, self.state.max_mate_gap,
+                                self.options.subsampling_threshold)
+        finally:
+            self._native.cascade_release()
+
+    def _materialize_fusions(self, fusions, result) -> int:
+        import sys
+
+        from ..fusion import Fusion
+
+        (columns_b, offsets_b, items_b, swapped_b, subsampled,
+         remaining) = result
+        columns = np.frombuffer(columns_b or b"", np.int64).reshape(-1, 17)
+        n = len(columns)
+        offsets = np.frombuffer(offsets_b or b"", np.int64).tolist()
+        items = np.frombuffer(items_b or b"", np.int64).tolist()
+        names = list(self.ca.keys())
+
+        # pass-2 canonicalization: MATE1 = lower coordinate (mirrors the
+        # in-place swap the Python implementation performs)
+        for index in np.frombuffer(swapped_b or b"", np.int64).tolist():
+            mates = self._fragments[index]
+            mates[0], mates[1] = mates[1], mates[0]
+
+        off1 = offsets[:n + 1]
+        off2 = offsets[n + 1:2 * (n + 1)]
+        off3 = offsets[2 * (n + 1):]
+        new_fusion = Fusion.__new__
+        for i, row in enumerate(columns.tolist()):
+            (gene1, gene2, contig1, contig2, breakpoint1, breakpoint2,
+             direction1, direction2, filter_id, split_reads1, split_reads2,
+             discordant_mates, anchor_start1, anchor_start2, flags, _r1,
+             _r2) = row
+            fusion = Fusion(gene1=gene1, gene2=gene2, contig1=contig1,
+                            contig2=contig2, breakpoint1=breakpoint1,
+                            breakpoint2=breakpoint2,
+                            direction1=bool(direction1),
+                            direction2=bool(direction2))
+            fusion.filter = filter_id
+            fusion.split_reads1 = split_reads1
+            fusion.split_reads2 = split_reads2
+            fusion.discordant_mates = discordant_mates
+            fusion.anchor_start1 = anchor_start1
+            fusion.anchor_start2 = anchor_start2
+            fusion.exonic1 = bool(flags & 1)
+            fusion.exonic2 = bool(flags & 2)
+            fusion.predicted_strand1 = bool(flags & 4)
+            fusion.predicted_strand2 = bool(flags & 8)
+            fusion.predicted_strands_ambiguous = bool(flags & 16)
+            fusion.transcript_start = bool(flags & 32)
+            fusion.transcript_start_ambiguous = bool(flags & 64)
+            fusion.spliced1 = bool(flags & 128)
+            fusion.spliced2 = bool(flags & 256)
+            fusion.split_read1_list = [names[j] for j in items[off1[i]:off1[i + 1]]]
+            fusion.split_read2_list = [names[j] for j in items[off2[i]:off2[i + 1]]]
+            fusion.discordant_mate_list = [names[j] for j in items[off3[i]:off3[i + 1]]]
+            fusions[(gene1, gene2, contig1, contig2, breakpoint1, breakpoint2,
+                     bool(direction1), bool(direction2))] = fusion
+        if subsampled:
+            print(f"WARNING: some fusions were subsampled, because they have "
+                  f"more than {self.options.subsampling_threshold} supporting "
+                  f"reads", file=sys.stderr)
+        return remaining

@@ -368,7 +368,7 @@ def run(options: Options) -> PipelineState:
     # --- candidate generation + event-level cascade (arriba.cpp:411-585) -----
     log("Finding fusions and counting supporting reads ", end="")
     fusions = state.fusions
-    print(f"(total={find_fusions(ca, fusions, genes, exons, state.exon_index, state.max_mate_gap, options.subsampling_threshold)})")
+    print(f"(total={cascade.find_fusions(fusions)})")
 
     if options.genomic_breakpoints_file:
         log(f"Marking fusions with support from whole-genome sequencing in "

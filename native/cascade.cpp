@@ -30,6 +30,22 @@
 #include <vector>
 
 #include "annotate.h"
+#include "cascade.h"
+
+namespace cascade_store {
+Cascade &cascade() {
+    static Cascade instance;
+    return instance;
+}
+
+void release_cascade() {
+    Cascade &c = cascade();
+    for (Py_buffer &view : c.held) PyBuffer_Release(&view);
+    c = Cascade();
+}
+}  // namespace cascade_store
+
+using namespace cascade_store;
 
 namespace {
 
@@ -38,76 +54,6 @@ constexpr int CMATCH = 0, CINS = 1, CDEL = 2, CREF_SKIP = 3, CSOFT_CLIP = 4,
 constexpr int COVERAGE_RESOLUTION = 20;
 constexpr bool FORWARD = true;
 constexpr int MATE1 = 0, MATE2 = 1, SPLIT_READ = 1, SUPPLEMENTARY = 2;
-
-struct Mate {
-    int64_t contig = 0, start = 0, end = 0;
-    bool strand = FORWARD;
-    const uint32_t *cigar = nullptr;
-    int64_t n_cigar = 0;
-    const char *seq = nullptr;
-    int64_t seq_len = 0;
-    const int64_t *genes = nullptr;
-    int64_t n_genes = 0;
-
-    int64_t preclipping() const {
-        if (n_cigar) {
-            uint32_t op = cigar[0] & 0xf;
-            if (op == CSOFT_CLIP || op == CHARD_CLIP) return cigar[0] >> 4;
-        }
-        return 0;
-    }
-    int64_t postclipping() const {
-        if (n_cigar) {
-            uint32_t op = cigar[n_cigar - 1] & 0xf;
-            if (op == CSOFT_CLIP || op == CHARD_CLIP) return cigar[n_cigar - 1] >> 4;
-        }
-        return 0;
-    }
-};
-
-struct Fragment {
-    int64_t filter = 0;
-    bool single_end = false, duplicate = false, multimapper = false;
-    int n_mates = 0;
-    Mate mates[3];
-};
-
-struct Params {
-    bool external_duplicate_marking = false;
-    int64_t top_viral_contigs = 0;
-    double viral_min_covered_fraction = 0;
-    int64_t min_read_through_distance = 0;
-    int64_t homopolymer_length = 0;
-    uint32_t enabled = 0;                 // bit per stage, cascade order
-    int64_t filter_ids[14] = {0};
-};
-
-struct Cascade {
-    std::vector<Fragment> fragments;
-    // backing stores
-    std::vector<int64_t> ints;            // all int64 inputs, concatenated
-    std::vector<uint32_t> cigars;
-    std::string seqs;
-    std::vector<int64_t> genes_items;
-
-    std::vector<uint8_t> interesting, viral;       // per contig
-    std::vector<int64_t> mapped_viral;             // per contig
-    std::vector<int64_t> gene_start, gene_end;
-    std::vector<uint8_t> gene_is_dummy;
-    std::vector<const uint8_t *> assembly;
-    std::vector<int64_t> assembly_len;
-    std::vector<const uint16_t *> coverage;
-    std::vector<int64_t> coverage_len;
-    std::vector<Py_buffer> held;
-
-    Params params;
-    bool ready = false;
-};
-
-Cascade &cascade() {
-    static Cascade instance;
-    return instance;
-}
 
 bool stage_enabled(int stage) { return (cascade().params.enabled >> stage) & 1; }
 int64_t stage_filter(int stage) { return cascade().params.filter_ids[stage]; }
@@ -1037,12 +983,6 @@ bool bytes_to_u8(PyObject *obj, std::vector<uint8_t> &out) {
     return true;
 }
 
-void release_cascade() {
-    Cascade &c = cascade();
-    for (Py_buffer &view : c.held) PyBuffer_Release(&view);
-    c = Cascade();
-}
-
 }  // namespace
 
 // cascade_begin(frag_offsets, contig, start, end, strand, cigar_offsets,
@@ -1059,12 +999,14 @@ void release_cascade() {
 // -> (counts_1to5 bytes, gaps bytes, read_length_sum, read_length_count)
 PyObject *cascade_begin(PyObject *, PyObject *args) {
     PyObject *frag_offsets_b, *contig_b, *start_b, *end_b, *strand_b,
+        *pred_strand_b, *pred_ambig_b, *exonic_b,
         *cigar_offsets_b, *cigar_words_b, *seq_offsets_b, *seq_blob_b,
         *genes_offsets_b, *genes_items_b, *frag_flags_b, *frag_filter_b,
         *interesting_b, *viral_b, *mapped_viral_b, *gene_start_b, *gene_end_b,
         *gene_is_dummy_b, *assembly_obj, *coverage_obj, *params_obj, *ids_obj;
-    if (!PyArg_ParseTuple(args, "SSSSSSSSSSSSSSSSSSSOOOO", &frag_offsets_b,
+    if (!PyArg_ParseTuple(args, "SSSSSSSSSSSSSSSSSSSSSSOOOO", &frag_offsets_b,
                           &contig_b, &start_b, &end_b, &strand_b,
+                          &pred_strand_b, &pred_ambig_b, &exonic_b,
                           &cigar_offsets_b, &cigar_words_b, &seq_offsets_b,
                           &seq_blob_b, &genes_offsets_b, &genes_items_b,
                           &frag_flags_b, &frag_filter_b, &interesting_b,
@@ -1076,11 +1018,15 @@ PyObject *cascade_begin(PyObject *, PyObject *args) {
     release_cascade();
     Cascade &c = cascade();
 
-    std::vector<int64_t> frag_offsets, contig, start, end, strand, cigar_offsets,
-        seq_offsets, genes_offsets, frag_flags, frag_filter;
+    std::vector<int64_t> frag_offsets, contig, start, end, strand, pred_strand,
+        pred_ambig, exonic, cigar_offsets, seq_offsets, genes_offsets,
+        frag_flags, frag_filter;
     if (!bytes_to_i64(frag_offsets_b, frag_offsets) || !bytes_to_i64(contig_b, contig)
         || !bytes_to_i64(start_b, start) || !bytes_to_i64(end_b, end)
         || !bytes_to_i64(strand_b, strand)
+        || !bytes_to_i64(pred_strand_b, pred_strand)
+        || !bytes_to_i64(pred_ambig_b, pred_ambig)
+        || !bytes_to_i64(exonic_b, exonic)
         || !bytes_to_i64(cigar_offsets_b, cigar_offsets)
         || !bytes_to_i64(seq_offsets_b, seq_offsets)
         || !bytes_to_i64(genes_offsets_b, genes_offsets)
@@ -1161,6 +1107,9 @@ PyObject *cascade_begin(PyObject *, PyObject *args) {
             mate.start = start[row];
             mate.end = end[row];
             mate.strand = strand[row] != 0;
+            mate.predicted_strand = pred_strand[row] != 0;
+            mate.predicted_strand_ambiguous = pred_ambig[row] != 0;
+            mate.exonic = exonic[row] != 0;
             mate.cigar = c.cigars.data() + cigar_offsets[row];
             mate.n_cigar = cigar_offsets[row + 1] - cigar_offsets[row];
             mate.seq = c.seqs.data() + seq_offsets[row];
@@ -1229,10 +1178,10 @@ PyObject *cascade_finish(PyObject *, PyObject *args) {
     for (size_t f = 0; f < c.fragments.size(); ++f)
         filters[f] = c.fragments[f].filter;
 
-    PyObject *result = Py_BuildValue(
+    // the store stays alive: find_fusions_native consumes it; the Python
+    // facade calls cascade_release afterwards (or the next cascade_begin does)
+    return Py_BuildValue(
         "(y#y#)", (const char *)counts, (Py_ssize_t)sizeof(counts),
         filters.empty() ? "" : (const char *)filters.data(),
         (Py_ssize_t)(filters.size() * 8));
-    release_cascade();
-    return result;
 }

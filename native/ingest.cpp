@@ -1962,6 +1962,8 @@ extern PyObject *mismatch_scan(PyObject *, PyObject *);
 extern PyObject *low_entropy_scan_flat(PyObject *, PyObject *);
 extern PyObject *cascade_begin(PyObject *, PyObject *);
 extern PyObject *cascade_finish(PyObject *, PyObject *);
+extern PyObject *find_fusions_native(PyObject *, PyObject *);
+extern PyObject *cascade_release(PyObject *, PyObject *);
 
 static PyMethodDef methods[] = {
     {"realign_reset", realign_reset, METH_NOARGS,
@@ -1992,6 +1994,11 @@ static PyMethodDef methods[] = {
      "Read-level cascade stages 1-5 + fragment-length gap collection."},
     {"cascade_finish", cascade_finish, METH_VARARGS,
      "Read-level cascade stages 6-14; returns per-fragment filter ids."},
+    {"find_fusions_native", find_fusions_native, METH_VARARGS,
+     "Candidate generation + discordant assignment + strand prediction over "
+     "the cascade's fragment store."},
+    {"cascade_release", cascade_release, METH_NOARGS,
+     "Release the cascade fragment store and its pinned buffers."},
     {"coverage_bind", coverage_bind, METH_VARARGS,
      "Bind per-contig coverage arrays so coverage_add can update them."},
     {"coverage_add", coverage_add, METH_VARARGS,

@@ -29,9 +29,10 @@ options = parse_arguments({options!r})
 state = {{}}
 
 # monkeypatch: capture the annotated fragments right before find_fusions
-from arriba_tpu import fusions_finder
-orig = fusions_finder.find_fusions
-def capture(ca, *args, **kwargs):
+# (patch the cascade facade method so both native and Python paths hit it)
+from arriba_tpu.filters import native_cascade
+def capture(self, *args, **kwargs):
+    ca = self.ca
     rows = []
     for name, mates in ca.items():
         for m in mates:
@@ -44,8 +45,7 @@ def capture(ca, *args, **kwargs):
                          m.sequence, [int(g) for g in m.genes]])
     print("\\nCAPTURE\\t" + json.dumps(rows))
     raise SystemExit(0)
-fusions_finder.find_fusions = capture
-pipeline.find_fusions = capture
+native_cascade.ReadLevelCascade.find_fusions = capture
 try:
     pipeline.run(options)
 except SystemExit:
