@@ -50,6 +50,28 @@ def bind_annotation_engine(native, exon_index: IntervalIndex,
         int64_bytes(genes.contig), int64_bytes(genes.strand))
 
 
+# marshal reuse: the read-level cascade runs on the same fragments right
+# after annotation (only gene sets change in between), so the geometry/CIGAR
+# columns marshalled here are stashed for native_cascade to consume
+_marshal_cache = None
+
+
+def consume_marshal_cache(fragments):
+    """Return the cached annotation marshal if it matches `fragments`
+    element-for-element; single use."""
+    global _marshal_cache
+    cache = _marshal_cache
+    _marshal_cache = None
+    if cache is None:
+        return None
+    cached_fragments = cache["fragments"]
+    if len(cached_fragments) != len(fragments):
+        return None
+    if any(a is not b for a, b in zip(cached_fragments, fragments)):
+        return None
+    return cache
+
+
 def annotate_all_native(chimeric_alignments: Dict[str, Fragment],
                         exons: ExonTable, genes: GeneTable,
                         exon_index: IntervalIndex) -> bool:
@@ -109,4 +131,19 @@ def annotate_all_native(chimeric_alignments: Dict[str, Fragment],
             mate.predicted_strand = bool(out_pred_strand[row])
             mate.predicted_strand_ambiguous = bool(out_pred_ambig[row])
             row += 1
+
+    global _marshal_cache
+    _marshal_cache = {
+        "fragments": fragments,
+        "frag_offsets": frag_offsets.tobytes(),
+        "contig": contig.tobytes(),
+        "start": start.tobytes(),
+        "end": end.tobytes(),
+        "strand": strand.tobytes(),
+        "pred_strand": pred_strand_b or b"",
+        "pred_ambig": pred_ambig_b or b"",
+        "exonic": exonic_b or b"",
+        "cigar_offsets": cigar_offsets.tobytes(),
+        "cigar_words": cigar_words.tobytes(),
+    }
     return True

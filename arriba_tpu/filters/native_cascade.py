@@ -101,44 +101,74 @@ class ReadLevelCascade:
         fragments = list(ca.values())
         self._fragments = fragments
         n_mates = sum(len(mates) for mates in fragments)
-        frag_offsets = np.zeros(len(fragments) + 1, np.int64)
+
         frag_flags = np.zeros(len(fragments), np.int64)
         frag_filter = np.zeros(len(fragments), np.int64)
-        contig = np.zeros(n_mates, np.int64)
-        start = np.zeros(n_mates, np.int64)
-        end = np.zeros(n_mates, np.int64)
-        strand = np.zeros(n_mates, np.int64)
-        pred_strand = np.zeros(n_mates, np.int64)
-        pred_ambig = np.zeros(n_mates, np.int64)
-        exonic = np.zeros(n_mates, np.int64)
-        cigar_offsets = np.zeros(n_mates + 1, np.int64)
-        seq_offsets = np.zeros(n_mates + 1, np.int64)
-        genes_offsets = np.zeros(n_mates + 1, np.int64)
-        cigar_parts = []
-        seq_parts = []
-        gene_parts = []
-        row = 0
         for f, mates in enumerate(fragments):
-            frag_offsets[f + 1] = frag_offsets[f] + len(mates)
             frag_flags[f] = ((1 if mates.single_end else 0)
                              | (2 if mates.duplicate else 0)
                              | (4 if mates.multimapper else 0))
             frag_filter[f] = mates.filter
+
+        # sequences + post-dummy gene sets always marshal fresh; the
+        # geometry/CIGAR/predicted-strand columns are identical to the ones
+        # the annotation stage marshalled moments ago, so reuse them
+        seq_offsets = np.zeros(n_mates + 1, np.int64)
+        genes_offsets = np.zeros(n_mates + 1, np.int64)
+        seq_parts = []
+        gene_parts = []
+        row = 0
+        for mates in fragments:
             for mate in mates:
-                contig[row] = mate.contig
-                start[row] = mate.start
-                end[row] = mate.end
-                strand[row] = 1 if mate.strand == FORWARD else 0
-                pred_strand[row] = 1 if mate.predicted_strand == FORWARD else 0
-                pred_ambig[row] = 1 if mate.predicted_strand_ambiguous else 0
-                exonic[row] = 1 if mate.exonic else 0
-                cigar_offsets[row + 1] = cigar_offsets[row] + len(mate.cigar)
                 seq_offsets[row + 1] = seq_offsets[row] + len(mate.sequence)
                 genes_offsets[row + 1] = genes_offsets[row] + len(mate.genes)
-                cigar_parts.append(mate.cigar.astype(np.uint32, copy=False).tobytes())
                 seq_parts.append(mate.sequence)
                 gene_parts.append(np.ascontiguousarray(mate.genes, np.int64).tobytes())
                 row += 1
+
+        from ..annotation.native_annotate import consume_marshal_cache
+        cache = consume_marshal_cache(fragments)
+        if cache is not None:
+            frag_offsets_b = cache["frag_offsets"]
+            contig_b, start_b, end_b = cache["contig"], cache["start"], cache["end"]
+            strand_b = cache["strand"]
+            pred_strand_b, pred_ambig_b = cache["pred_strand"], cache["pred_ambig"]
+            exonic_b = cache["exonic"]
+            cigar_offsets_b, cigar_words_b = (cache["cigar_offsets"],
+                                              cache["cigar_words"])
+        else:
+            frag_offsets = np.zeros(len(fragments) + 1, np.int64)
+            contig = np.zeros(n_mates, np.int64)
+            start = np.zeros(n_mates, np.int64)
+            end = np.zeros(n_mates, np.int64)
+            strand = np.zeros(n_mates, np.int64)
+            pred_strand = np.zeros(n_mates, np.int64)
+            pred_ambig = np.zeros(n_mates, np.int64)
+            exonic = np.zeros(n_mates, np.int64)
+            cigar_offsets = np.zeros(n_mates + 1, np.int64)
+            cigar_parts = []
+            row = 0
+            for f, mates in enumerate(fragments):
+                frag_offsets[f + 1] = frag_offsets[f] + len(mates)
+                for mate in mates:
+                    contig[row] = mate.contig
+                    start[row] = mate.start
+                    end[row] = mate.end
+                    strand[row] = 1 if mate.strand == FORWARD else 0
+                    pred_strand[row] = 1 if mate.predicted_strand == FORWARD else 0
+                    pred_ambig[row] = 1 if mate.predicted_strand_ambiguous else 0
+                    exonic[row] = 1 if mate.exonic else 0
+                    cigar_offsets[row + 1] = cigar_offsets[row] + len(mate.cigar)
+                    cigar_parts.append(mate.cigar.astype(np.uint32, copy=False).tobytes())
+                    row += 1
+            frag_offsets_b = frag_offsets.tobytes()
+            contig_b, start_b, end_b = (contig.tobytes(), start.tobytes(),
+                                        end.tobytes())
+            strand_b = strand.tobytes()
+            pred_strand_b, pred_ambig_b = pred_strand.tobytes(), pred_ambig.tobytes()
+            exonic_b = exonic.tobytes()
+            cigar_offsets_b = cigar_offsets.tobytes()
+            cigar_words_b = b"".join(cigar_parts)
 
         options = self.options
         n_contigs = len(state.interesting_contigs)
@@ -165,10 +195,10 @@ class ReadLevelCascade:
 
         counts_b, gaps_b, read_length_sum, read_length_count = \
             self._native.cascade_begin(
-                frag_offsets.tobytes(), contig.tobytes(), start.tobytes(),
-                end.tobytes(), strand.tobytes(), pred_strand.tobytes(),
-                pred_ambig.tobytes(), exonic.tobytes(), cigar_offsets.tobytes(),
-                b"".join(cigar_parts), seq_offsets.tobytes(),
+                frag_offsets_b, contig_b, start_b,
+                end_b, strand_b, pred_strand_b,
+                pred_ambig_b, exonic_b, cigar_offsets_b,
+                cigar_words_b, seq_offsets.tobytes(),
                 "".join(seq_parts).encode("latin-1"), genes_offsets.tobytes(),
                 b"".join(gene_parts), frag_flags.tobytes(),
                 frag_filter.tobytes(), interesting, viral,
