@@ -372,37 +372,50 @@ class ReadLevelCascade:
         off1 = offsets[:n + 1]
         off2 = offsets[n + 1:2 * (n + 1)]
         off3 = offsets[2 * (n + 1):]
+        from ..constants import CONFIDENCE_LOW
         new_fusion = Fusion.__new__
         for i, row in enumerate(columns.tolist()):
             (gene1, gene2, contig1, contig2, breakpoint1, breakpoint2,
              direction1, direction2, filter_id, split_reads1, split_reads2,
              discordant_mates, anchor_start1, anchor_start2, flags, _r1,
              _r2) = row
-            fusion = Fusion(gene1=gene1, gene2=gene2, contig1=contig1,
-                            contig2=contig2, breakpoint1=breakpoint1,
-                            breakpoint2=breakpoint2,
-                            direction1=bool(direction1),
-                            direction2=bool(direction2))
-            fusion.filter = filter_id
-            fusion.split_reads1 = split_reads1
-            fusion.split_reads2 = split_reads2
-            fusion.discordant_mates = discordant_mates
-            fusion.anchor_start1 = anchor_start1
-            fusion.anchor_start2 = anchor_start2
-            fusion.exonic1 = bool(flags & 1)
-            fusion.exonic2 = bool(flags & 2)
-            fusion.predicted_strand1 = bool(flags & 4)
-            fusion.predicted_strand2 = bool(flags & 8)
-            fusion.predicted_strands_ambiguous = bool(flags & 16)
-            fusion.transcript_start = bool(flags & 32)
-            fusion.transcript_start_ambiguous = bool(flags & 64)
-            fusion.spliced1 = bool(flags & 128)
-            fusion.spliced2 = bool(flags & 256)
-            fusion.split_read1_list = [names[j] for j in items[off1[i]:off1[i + 1]]]
-            fusion.split_read2_list = [names[j] for j in items[off2[i]:off2[i + 1]]]
-            fusion.discordant_mate_list = [names[j] for j in items[off3[i]:off3[i + 1]]]
+            direction1 = bool(direction1)
+            direction2 = bool(direction2)
+            fusion = new_fusion(Fusion)
+            fusion.__dict__ = {
+                "transcript_start_ambiguous": bool(flags & 64),
+                "split_reads1": split_reads1,
+                "transcript_start": bool(flags & 32),
+                "split_reads2": split_reads2,
+                "spliced1": bool(flags & 128),
+                "spliced2": bool(flags & 256),
+                "exonic1": bool(flags & 1),
+                "exonic2": bool(flags & 2),
+                "predicted_strand1": bool(flags & 4),
+                "predicted_strand2": bool(flags & 8),
+                "direction1": direction1,
+                "direction2": direction2,
+                "confidence": CONFIDENCE_LOW,
+                "filter": filter_id,
+                "predicted_strands_ambiguous": bool(flags & 16),
+                "discordant_mates": discordant_mates,
+                "contig1": contig1,
+                "contig2": contig2,
+                "evalue": 0.0,
+                "breakpoint1": breakpoint1,
+                "breakpoint2": breakpoint2,
+                "anchor_start1": anchor_start1,
+                "anchor_start2": anchor_start2,
+                "closest_genomic_breakpoint1": -1,
+                "closest_genomic_breakpoint2": -1,
+                "gene1": gene1,
+                "gene2": gene2,
+                "split_read1_list": [names[j] for j in items[off1[i]:off1[i + 1]]],
+                "split_read2_list": [names[j] for j in items[off2[i]:off2[i + 1]]],
+                "discordant_mate_list": [names[j] for j in items[off3[i]:off3[i + 1]]],
+            }
             fusions[(gene1, gene2, contig1, contig2, breakpoint1, breakpoint2,
-                     bool(direction1), bool(direction2))] = fusion
+                     direction1, direction2)] = fusion
         if subsampled:
             print(f"WARNING: some fusions were subsampled, because they have "
                   f"more than {self.options.subsampling_threshold} supporting "
