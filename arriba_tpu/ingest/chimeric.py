@@ -551,13 +551,18 @@ def _materialize_fragments(chimeric_alignments: ChimericAlignments,
     seq_offsets = np.frombuffer(seq_offsets_b, np.int64).tolist()
     sequences = seq_blob.decode("latin-1")
 
+    from ..constants import FILTER_NONE
     from ..model import EMPTY_GENES
     new_alignment = Alignment.__new__
+    new_fragment = Fragment.__new__
     for f in range(len(frag_flags)):
-        mates = Fragment()
+        # skip Fragment.__init__: list.__new__ already yields an empty list
+        mates = new_fragment(Fragment)
         fragment_flags = frag_flags[f]
         mates.single_end = bool(fragment_flags & 1)
+        mates.multimapper = False
         mates.duplicate = bool(fragment_flags & 2)
+        mates.filter = FILTER_NONE
         for row in range(frag_offsets[f], frag_offsets[f + 1]):
             alignment = new_alignment(Alignment)
             alignment_flags = flags[row]
