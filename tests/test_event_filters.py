@@ -180,3 +180,45 @@ def test_is_in_frame():
     #                                                  nothing in frame after it
     assert is_in_frame("MKT|") == "."                # nothing after junction
     assert is_in_frame(".") == "."
+
+
+def test_gene_to_name_and_fusion_site():
+    from arriba_tpu.annotation.index import IntervalIndex
+    from arriba_tpu.annotation.tables import ExonTable
+    from arriba_tpu.output.writer import gene_to_name, get_fusion_site
+
+    genes = make_genes(3)
+    # gene2 becomes a dummy between GENE0 (0-10000) and GENE1 (100000-110000)
+    genes.start[2] = 50000
+    genes.end[2] = 50100
+    genes.is_dummy[2] = True
+    gene_index = IntervalIndex(genes.contig, genes.start, genes.end, 1)
+
+    # real gene: plain name
+    assert gene_to_name(0, 0, 5000, genes, gene_index) == "GENE0"
+    # dummy gene: flanking real genes with distances
+    name = gene_to_name(2, 0, 50050, genes, gene_index)
+    assert "GENE0(40050)" in name and "GENE1(49950)" in name
+
+    # exon table: GENE0 with one coding exon 1000-2999 and one 4000-4999
+    exons = ExonTable()
+    exons.contig = np.zeros(2, np.int32)
+    exons.start = np.array([1000, 4000], np.int64)
+    exons.end = np.array([2999, 4999], np.int64)
+    exons.gene = np.array([0, 0], np.int64)
+    exons.prev_exon = np.array([-1, 0], np.int64)
+    exons.next_exon = np.array([1, -1], np.int64)
+    exons.coding_region_start = np.array([1000, 4000], np.int64)
+    exons.coding_region_end = np.array([2999, 4999], np.int64)
+    exon_index = IntervalIndex(exons.contig, exons.start, exons.end, 1)
+
+    # intergenic (outside the gene), intron, and CDS classifications
+    assert get_fusion_site(0, False, False, 0, 20000, genes, exons,
+                           exon_index) == "intergenic"
+    assert get_fusion_site(0, False, False, 0, 3500, genes, exons,
+                           exon_index) == "intron"
+    site = get_fusion_site(0, False, True, 0, 2000, genes, exons, exon_index)
+    assert site == "CDS"
+    # spliced breakpoint at an exon boundary
+    site = get_fusion_site(0, True, True, 0, 2999, genes, exons, exon_index)
+    assert "splice-site" in site
