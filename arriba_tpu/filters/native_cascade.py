@@ -43,7 +43,10 @@ _STAGE_FILTER_IDS = (FILTER_DUPLICATES, FILTER_UNINTERESTING_CONTIGS,
 
 def _native_module():
     if (os.environ.get("ARRIBA_TPU_NO_NATIVE") == "1"
-            or os.environ.get("ARRIBA_TPU_NO_NATIVE_CASCADE") == "1"):
+            or os.environ.get("ARRIBA_TPU_NO_NATIVE_CASCADE") == "1"
+            # explicit TPU offload routes the per-read math through the jax
+            # ops in read_level.py instead of the C++ cascade
+            or os.environ.get("ARRIBA_TPU_DEVICE") == "1"):
         return None
     try:
         from .. import _native
