@@ -337,6 +337,8 @@ class ReadLevelCascade:
     def find_fusions(self, fusions):
         from ..fusions_finder import find_fusions
         if not (self._native and hasattr(self._native, "find_fusions_native")):
+            if self._native is not None and hasattr(self._native, "cascade_release"):
+                self._native.cascade_release()  # don't pin the store
             return find_fusions(self.ca, fusions, self.genes, self.exons,
                                 self.exon_index, self.state.max_mate_gap,
                                 self.options.subsampling_threshold)

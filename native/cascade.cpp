@@ -60,8 +60,6 @@ int64_t stage_filter(int stage) { return cascade().params.filter_ids[stage]; }
 
 // ---- shared helpers -------------------------------------------------------
 
-typedef std::vector<int64_t> Genes;
-
 bool genes_intersect(const Mate &a, const Mate &b) {
     // non-empty intersection of two sorted gene arrays
     int64_t i = 0, j = 0;

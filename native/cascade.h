@@ -60,7 +60,6 @@ struct Params {
 struct Cascade {
     std::vector<Fragment> fragments;
     // backing stores
-    std::vector<int64_t> ints;
     std::vector<uint32_t> cigars;
     std::string seqs;
     std::vector<int64_t> genes_items;
