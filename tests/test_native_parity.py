@@ -111,3 +111,35 @@ def test_fallback_paths_stay_equivalent(tmp_path, kill_switch):
         counters = re.findall(r"\((?:remaining|total|marked)=\d+\)", result.stdout)
         results[label] = (open(out, "rb").read(), counters)
     assert results["native"] == results["fallback"]
+
+
+def test_subsampling_parity_native_vs_python(tmp_path):
+    """The 300-read subsampling logic (here forced low with -U) behaves
+    identically in the native and Python find_fusions, including the
+    warning and the discarded-support bookkeeping."""
+    from .scenario import SampleBuilder
+
+    builder = SampleBuilder(tmp_path, {"1": 30000, "2": 30000}, 13)
+    builder.add_gene("1", 1000, 4999, "+", "G1", "GENE1", "T1")
+    builder.add_gene("2", 11000, 14999, "+", "G2", "GENE2", "T2")
+    for i in range(20):
+        builder.add_split_fragment(f"s{i}", "1", 2800, 2950, 25, 25, "2", 11000)
+    for i in range(15):
+        builder.add_discordant_fragment(f"d{i}", "1", 2800, "2", 11100)
+    for i in range(40):
+        builder.add_proper_pair(f"n{i}", "1", 1200 + i * 31)
+    args = builder.write() + ["-U", "5"]
+
+    outputs = {}
+    for label, env_extra in (("native", {}),
+                             ("python", {"ARRIBA_TPU_NO_NATIVE_CASCADE": "1"})):
+        out = str(tmp_path / f"f_{label}.tsv")
+        env = dict(os.environ, **env_extra)
+        result = subprocess.run(
+            [sys.executable, "-m", "arriba_tpu"] + args + ["-o", out],
+            env=env, capture_output=True, text=True, timeout=300,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert result.returncode == 0, result.stderr[-2000:]
+        assert "subsampled" in result.stderr, label
+        outputs[label] = open(out, "rb").read()
+    assert outputs["native"] == outputs["python"]
