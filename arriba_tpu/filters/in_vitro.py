@@ -199,8 +199,9 @@ def _count_supporting_reads(fusion: Fusion, chimeric_alignments: ChimericAlignme
 
     multimappers = 0
     unique_mappers = 0
-    for name in (fusion.split_read1_list + fusion.split_read2_list
-                 + fusion.discordant_mate_list):
+    from itertools import chain
+    for name in chain(fusion.split_read1_list, fusion.split_read2_list,
+                      fusion.discordant_mate_list):
         mates = chimeric_alignments[name]
         if mates.multimapper:
             multimappers += 1
