@@ -150,13 +150,20 @@ def filter_multimappers(chimeric_alignments: ChimericAlignments, fusions: Fusion
                         assembly: Assembly, genes: GeneTable, exons: ExonTable,
                         exon_index: IntervalIndex) -> int:
     """filter_multimappers.cpp:115-221."""
+    from itertools import chain
+
     # for each multi-mapper, find the fusion with the most supporting reads
+    # (only multi-mapping read names are ever looked up below)
+    multimapper_names = {name for name, mates in chimeric_alignments.items()
+                         if mates.multimapper}
     most_supported_fusion: Dict[str, Fusion] = {}
-    for fusion in fusions.values():
-        for name in (fusion.split_read1_list + fusion.split_read2_list
-                     + fusion.discordant_mate_list):
-            if fusion_has_more_support(fusion, most_supported_fusion.get(name), genes):
-                most_supported_fusion[name] = fusion
+    if multimapper_names:
+        for fusion in fusions.values():
+            for name in chain(fusion.split_read1_list, fusion.split_read2_list,
+                              fusion.discordant_mate_list):
+                if name in multimapper_names and fusion_has_more_support(
+                        fusion, most_supported_fusion.get(name), genes):
+                    most_supported_fusion[name] = fusion
 
     # for each cluster of multi-mapping alignments, pick the highest score
     names = list(chimeric_alignments.keys())
@@ -198,19 +205,24 @@ def filter_multimappers(chimeric_alignments: ChimericAlignments, fusions: Fusion
         i += 1
 
     # reduce supporting-read counts where reads were discarded as multimappers
-    for fusion in fusions.values():
-        if fusion.filter != FILTER_NONE or fusion.supporting_reads() == 0:
-            continue
-        for name in fusion.split_read1_list:
-            if chimeric_alignments[name].filter == FILTER_MULTIMAPPERS and fusion.split_reads1 > 0:
-                fusion.split_reads1 -= 1
-        for name in fusion.split_read2_list:
-            if chimeric_alignments[name].filter == FILTER_MULTIMAPPERS and fusion.split_reads2 > 0:
-                fusion.split_reads2 -= 1
-        for name in fusion.discordant_mate_list:
-            if chimeric_alignments[name].filter == FILTER_MULTIMAPPERS and fusion.discordant_mates > 0:
-                fusion.discordant_mates -= 1
-        if fusion.supporting_reads() == 0:  # all supporting reads discarded
-            fusion.filter = FILTER_MULTIMAPPERS
+    # (a no-op when nothing was discarded: fusions with zero support are
+    # skipped by the guard, so no filter flags could change either)
+    discarded = {name for name, mates in chimeric_alignments.items()
+                 if mates.filter == FILTER_MULTIMAPPERS}
+    if discarded:
+        for fusion in fusions.values():
+            if fusion.filter != FILTER_NONE or fusion.supporting_reads() == 0:
+                continue
+            for name in fusion.split_read1_list:
+                if name in discarded and fusion.split_reads1 > 0:
+                    fusion.split_reads1 -= 1
+            for name in fusion.split_read2_list:
+                if name in discarded and fusion.split_reads2 > 0:
+                    fusion.split_reads2 -= 1
+            for name in fusion.discordant_mate_list:
+                if name in discarded and fusion.discordant_mates > 0:
+                    fusion.discordant_mates -= 1
+            if fusion.supporting_reads() == 0:  # all supporting reads discarded
+                fusion.filter = FILTER_MULTIMAPPERS
 
     return sum(1 for f in fusions.values() if f.filter == FILTER_NONE)
