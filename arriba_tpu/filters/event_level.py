@@ -136,41 +136,72 @@ def estimate_expected_fusions(fusions: Fusions, mapped_reads: int,
     rounds through float32 like the reference's `float evalue` member."""
     f32 = np.float32
 
-    # find all fusion partners for each gene (deduplicated by breakpoints)
-    fusion_partners: Dict[int, Set[int]] = defaultdict(set)
-    overlap_duplicates: Dict[Tuple[int, int, int], int] = defaultdict(int)
-    for f in fusions.values():
-        if f.filter == FILTER_NONE and f.gene1 != f.gene2:
-            key2 = (f.gene2, f.breakpoint1, f.breakpoint2)
-            if not overlap_duplicates[key2]:
-                fusion_partners[f.gene2].add(f.gene1)
-            overlap_duplicates[key2] += 1
-            key1 = (f.gene1, f.breakpoint1, f.breakpoint2)
-            if not overlap_duplicates[key1]:
-                fusion_partners[f.gene1].add(f.gene2)
-            overlap_duplicates[key1] += 1
+    # one pass extracts every per-fusion column; all preliminary counters
+    # below are vectorized over them
+    fusion_list = list(fusions.values())
+    n_fusions = len(fusion_list)
+    if n_fusions == 0:
+        return
+    col_filter = np.fromiter((f.filter for f in fusion_list), np.int64, n_fusions)
+    col_gene1 = np.fromiter((f.gene1 for f in fusion_list), np.int64, n_fusions)
+    col_gene2 = np.fromiter((f.gene2 for f in fusion_list), np.int64, n_fusions)
+    col_bp1 = np.fromiter((f.breakpoint1 for f in fusion_list), np.int64, n_fusions)
+    col_bp2 = np.fromiter((f.breakpoint2 for f in fusion_list), np.int64, n_fusions)
+    col_contig1 = np.fromiter((f.contig1 for f in fusion_list), np.int64, n_fusions)
+    col_contig2 = np.fromiter((f.contig2 for f in fusion_list), np.int64, n_fusions)
+    col_dir1 = np.fromiter((f.direction1 for f in fusion_list), np.bool_, n_fusions)
+    col_dir2 = np.fromiter((f.direction2 for f in fusion_list), np.bool_, n_fusions)
+    col_split = np.fromiter((f.split_reads1 + f.split_reads2 for f in fusion_list),
+                            np.int64, n_fusions)
+    col_sup = np.fromiter((f.supporting_reads() for f in fusion_list),
+                          np.int64, n_fusions)
+    col_spliced1 = np.fromiter((f.spliced1 for f in fusion_list), np.bool_, n_fusions)
+    col_spliced2 = np.fromiter((f.spliced2 for f in fusion_list), np.bool_, n_fusions)
+    col_exonic1 = np.fromiter((f.exonic1 for f in fusion_list), np.bool_, n_fusions)
+    col_exonic2 = np.fromiter((f.exonic2 for f in fusion_list), np.bool_, n_fusions)
+    col_none = col_filter == FILTER_NONE
+    col_dummy1 = genes.is_dummy[col_gene1]
+    col_dummy2 = genes.is_dummy[col_gene2]
+    col_read_through = ((col_contig1 == col_contig2)
+                        & (col_bp2 - col_bp1 < 400000) & ~col_dir1 & col_dir2)
 
+    # find all fusion partners for each gene (deduplicated by breakpoints):
+    # first occurrence of each (gene, bp1, bp2) key — over the interleaved
+    # key2/key1 stream the reference walks — contributes a partner edge
+    eligible = col_none & (col_gene1 != col_gene2)
     fusion_partner_count: Dict[int, int] = defaultdict(int)
-    for g1, partners in fusion_partners.items():
-        for g2 in partners:
-            if len(partners) >= len(fusion_partners[g2]):
+    if eligible.any():
+        key_gene = np.empty(2 * int(eligible.sum()), np.int64)
+        partner = np.empty_like(key_gene)
+        key_gene[0::2] = col_gene2[eligible]
+        partner[0::2] = col_gene1[eligible]
+        key_gene[1::2] = col_gene1[eligible]
+        partner[1::2] = col_gene2[eligible]
+        bp1_rep = np.repeat(col_bp1[eligible], 2)
+        bp2_rep = np.repeat(col_bp2[eligible], 2)
+        keys = np.stack([key_gene, bp1_rep, bp2_rep], axis=1)
+        _, first_indices = np.unique(keys, axis=0, return_index=True)
+        edges = np.unique(np.stack([key_gene[first_indices],
+                                    partner[first_indices]], axis=1), axis=0)
+        partner_genes, partner_counts = np.unique(edges[:, 0], return_counts=True)
+        size_of = dict(zip(partner_genes.tolist(), partner_counts.tolist()))
+        for g1, g2 in edges.tolist():
+            # a partner with no outgoing edges has an (implicitly) empty set
+            if size_of[g1] >= size_of.get(g2, 0):
                 fusion_partner_count[g1] += 1
 
     # breakpoint-location distribution (spliced / exonic / intronic / mixed)
-    spliced_breakpoints = exonic_breakpoints = intronic_breakpoints = exonic_intronic_breakpoints = 0
-    for f in fusions.values():
-        if (f.filter == FILTER_NONE
-                and (f.contig1 != f.contig2 or f.breakpoint2 - f.breakpoint1 > 500000)
-                and f.supporting_reads() >= 2 and f.split_reads1 + f.split_reads2 > 0
-                and not genes.is_dummy[f.gene1] and not genes.is_dummy[f.gene2]):
-            if f.spliced1 or f.spliced2:
-                spliced_breakpoints += 1
-            elif f.exonic1 and f.exonic2:
-                exonic_breakpoints += 1
-            elif not f.exonic1 and not f.exonic2:
-                intronic_breakpoints += 1
-            else:
-                exonic_intronic_breakpoints += 1
+    located = (col_none
+               & ((col_contig1 != col_contig2) | (col_bp2 - col_bp1 > 500000))
+               & (col_sup >= 2) & (col_split > 0) & ~col_dummy1 & ~col_dummy2)
+    any_spliced = col_spliced1 | col_spliced2
+    spliced_breakpoints = int(np.sum(located & any_spliced))
+    exonic_breakpoints = int(np.sum(located & ~any_spliced
+                                    & col_exonic1 & col_exonic2))
+    intronic_breakpoints = int(np.sum(located & ~any_spliced
+                                      & ~col_exonic1 & ~col_exonic2))
+    exonic_intronic_breakpoints = int(np.sum(located & ~any_spliced
+                                             & (col_exonic1 != col_exonic2)))
     total = spliced_breakpoints + exonic_breakpoints + intronic_breakpoints + exonic_intronic_breakpoints
     if (total < 100 or spliced_breakpoints == 0 or exonic_breakpoints == 0
             or intronic_breakpoints == 0 or exonic_intronic_breakpoints == 0):
@@ -178,62 +209,43 @@ def estimate_expected_fusions(fusions: Fusions, mapped_reads: int,
         intronic_breakpoints, exonic_intronic_breakpoints = 10, 15
 
     # intragenic duplication/inversion ratio
-    intragenic_duplications = intragenic_inversions = 0
-    for f in fusions.values():
-        if f.filter == FILTER_NONE and f.gene1 == f.gene2 and f.split_reads1 + f.split_reads2 >= 2:
-            if f.direction1 == UPSTREAM and f.direction2 == DOWNSTREAM:
-                intragenic_duplications += 1
-            elif f.direction1 == f.direction2:
-                intragenic_inversions += 1
+    intragenic_mask = col_none & (col_gene1 == col_gene2) & (col_split >= 2)
+    intragenic_duplications = int(np.sum(intragenic_mask & col_dir1 & ~col_dir2))
+    intragenic_inversions = int(np.sum(intragenic_mask & (col_dir1 == col_dir2)))
     if intragenic_inversions + intragenic_duplications < 100:
         intragenic_inversions = intragenic_duplications = 1
 
     # intragenic : intergenic spliced ratio
-    spliced_events_in_same_gene = spliced_events_in_different_genes = 0
-    for f in fusions.values():
-        if f.spliced1 and f.spliced2:
-            if f.gene1 == f.gene2:
-                spliced_events_in_same_gene += 1
-            else:
-                spliced_events_in_different_genes += 1
+    both_spliced = col_spliced1 & col_spliced2
+    spliced_events_in_same_gene = int(np.sum(both_spliced & (col_gene1 == col_gene2)))
+    spliced_events_in_different_genes = int(np.sum(both_spliced & (col_gene1 != col_gene2)))
     if spliced_events_in_same_gene + spliced_events_in_different_genes < 100:
         spliced_events_in_same_gene = 0
         spliced_events_in_different_genes = 100
 
     # fraction of genes involved in read-through fusions
-    genes_with_fusions: Set[int] = set()
-    genes_with_read_through: Set[int] = set()
-    for f in fusions.values():
-        if (not genes.is_dummy[f.gene1] and not genes.is_dummy[f.gene2]
-                and f.split_reads1 + f.split_reads2 > 0):
-            genes_with_fusions.add(f.gene1)
-            genes_with_fusions.add(f.gene2)
-            if f.is_read_through():
-                genes_with_read_through.add(f.gene1)
-                genes_with_read_through.add(f.gene2)
-    fraction_read_through = (0.0 if not genes_with_fusions
-                             else float(f32(1.0 * len(genes_with_read_through) / len(genes_with_fusions))))
+    with_fusion = ~col_dummy1 & ~col_dummy2 & (col_split > 0)
+    genes_with_fusions = np.unique(np.concatenate(
+        [col_gene1[with_fusion], col_gene2[with_fusion]]))
+    rt = with_fusion & col_read_through
+    genes_with_read_through = np.unique(np.concatenate(
+        [col_gene1[rt], col_gene2[rt]]))
+    fraction_read_through = (0.0 if len(genes_with_fusions) == 0
+                             else float(f32(1.0 * len(genes_with_read_through)
+                                            / len(genes_with_fusions))))
 
     # Vectorized per-fusion e-value. Each reference step is `evalue *= x`
     # with float evalue and double x: multiply in float64, round to float32 —
     # reproduced below with explicit float64 intermediates per masked step.
-    fusion_list = list(fusions.values())
-    n = len(fusion_list)
-    if n == 0:
-        return
-    gene1 = np.fromiter((f.gene1 for f in fusion_list), np.int64, n)
-    gene2 = np.fromiter((f.gene2 for f in fusion_list), np.int64, n)
-    bp1 = np.fromiter((f.breakpoint1 for f in fusion_list), np.int64, n)
-    bp2 = np.fromiter((f.breakpoint2 for f in fusion_list), np.int64, n)
-    contig1 = np.fromiter((f.contig1 for f in fusion_list), np.int64, n)
-    contig2 = np.fromiter((f.contig2 for f in fusion_list), np.int64, n)
-    dir1 = np.fromiter((f.direction1 for f in fusion_list), np.bool_, n)
-    dir2 = np.fromiter((f.direction2 for f in fusion_list), np.bool_, n)
-    sup = np.fromiter((f.supporting_reads() for f in fusion_list), np.int64, n)
-    spliced_mask = np.fromiter((f.spliced1 or f.spliced2 for f in fusion_list), np.bool_, n)
-    both_exonic = np.fromiter((f.exonic1 and f.exonic2 for f in fusion_list), np.bool_, n)
-    neither_exonic = np.fromiter((not f.exonic1 and not f.exonic2 for f in fusion_list),
-                                 np.bool_, n)
+    n = n_fusions
+    gene1, gene2 = col_gene1, col_gene2
+    bp1, bp2 = col_bp1, col_bp2
+    contig1, contig2 = col_contig1, col_contig2
+    dir1, dir2 = col_dir1, col_dir2
+    sup = col_sup
+    spliced_mask = col_spliced1 | col_spliced2
+    both_exonic = col_exonic1 & col_exonic2
+    neither_exonic = ~col_exonic1 & ~col_exonic2
     fpc1 = np.fromiter((fusion_partner_count.get(int(g), 0) for g in gene1), np.int64, n)
     fpc2 = np.fromiter((fusion_partner_count.get(int(g), 0) for g in gene2), np.int64, n)
 
@@ -242,7 +254,7 @@ def estimate_expected_fusions(fusions: Fusions, mapped_reads: int,
     intragenic = (gene1 == gene2) | (
         (gs2 - 10000 <= bp1) & (bp1 <= ge2 + 10000)
         & (gs1 - 10000 <= bp2) & (bp2 <= ge1 + 10000))
-    read_through = (contig1 == contig2) & (bp2 - bp1 < 400000) & ~dir1 & dir2
+    read_through = col_read_through
 
     exonic_length1 = genes.exonic_length[gene1].astype(np.float64)
     exonic_length2 = genes.exonic_length[gene2].astype(np.float64)
