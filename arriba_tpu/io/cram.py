@@ -977,10 +977,14 @@ def _encode_tag_value(tag_type: str, value) -> bytes:
 
 
 def write_cram(path: str, header, records,
-               reference_by_name: Dict[str, np.ndarray]) -> None:
-    """Minimal CRAM 3.0 writer: one slice per container, every record
-    detached, gzip-compressed EXTERNAL/BYTE_ARRAY_STOP encodings, reference-
-    based sequences with the identity substitution matrix."""
+               reference_by_name: Dict[str, np.ndarray],
+               mate_downstream: bool = False) -> None:
+    """Minimal CRAM 3.0 writer: one slice per container, gzip-compressed
+    EXTERNAL/BYTE_ARRAY_STOP encodings, reference-based sequences with the
+    identity substitution matrix. Records are written detached by default;
+    with `mate_downstream`, adjacent same-name paired records are linked via
+    the NF data series instead (exercising the reader's downstream-mate
+    resolution, the form htslib emits for sorted pairs)."""
     out = bytearray()
     out += b"CRAM" + bytes([3, 0]) + b"arriba_tpu_cram_fix\x00"
 
@@ -1015,8 +1019,8 @@ def write_cram(path: str, header, records,
     # external content ids (one stream per series)
     ids = {key: idx + 1 for idx, key in enumerate(
         ["BF", "CF", "RI", "RL", "AP", "RG", "RN", "MF", "NS", "NP", "TS",
-         "TL", "FN", "FC", "FP", "BS", "IN", "SC", "DL", "RS", "PD", "HC",
-         "MQ", "BA", "QS", "TAG"])}
+         "NF", "TL", "FN", "FC", "FP", "BS", "IN", "SC", "DL", "RS", "PD",
+         "HC", "MQ", "BA", "QS", "TAG"])}
 
     # group records into one slice
     streams: Dict[str, bytearray] = {key: bytearray() for key in ids}
@@ -1032,18 +1036,26 @@ def write_cram(path: str, header, records,
         if line not in tag_lines:
             tag_lines.append(line)
 
-    for rec in record_list:
-        put_int("BF", rec.flag & ~0x28)          # mate bits via MF
-        put_int("CF", 0x2 | (0x1 if rec.qual else 0))  # detached (+quals)
+    for index, rec in enumerate(record_list):
+        downstream = (mate_downstream and index + 1 < len(record_list)
+                      and (rec.flag & 0x1)
+                      and record_list[index + 1].qname == rec.qname)
+        put_int("BF", rec.flag & ~0x28)          # mate bits via MF/mate record
+        cram_flags = 0x1 if rec.qual else 0
+        cram_flags |= 0x4 if downstream else 0x2
+        put_int("CF", cram_flags)
         put_int("RI", rec.tid)
         put_int("RL", len(rec.seq))
         put_int("AP", rec.pos + 1)
         put_int("RG", -1)
         streams["RN"] += rec.qname.encode("latin-1") + b"\x00"
-        put_int("MF", (0x1 if rec.flag & 0x20 else 0) | (0x2 if rec.flag & 0x8 else 0))
-        put_int("NS", rec.mtid)
-        put_int("NP", rec.mpos + 1)
-        put_int("TS", rec.tlen)
+        if downstream:
+            put_int("NF", 0)  # the mate is the next record in the slice
+        else:
+            put_int("MF", (0x1 if rec.flag & 0x20 else 0) | (0x2 if rec.flag & 0x8 else 0))
+            put_int("NS", rec.mtid)
+            put_int("NP", rec.mpos + 1)
+            put_int("TS", rec.tlen)
         line = tuple((name, _tag_type_of(value)) for name, value in rec.tags.items())
         put_int("TL", tag_lines.index(line))
         for name, value in rec.tags.items():
@@ -1113,7 +1125,7 @@ def write_cram(path: str, header, records,
     ds_entries = bytearray()
     n_ds = 0
     for key in ["BF", "CF", "RI", "RL", "AP", "RG", "MF", "NS", "NP", "TS",
-                "TL", "FN", "FP", "BS", "DL", "RS", "PD", "HC", "MQ"]:
+                "NF", "TL", "FN", "FP", "BS", "DL", "RS", "PD", "HC", "MQ"]:
         ds_entries += key.encode() + external_encoding(ids[key])
         n_ds += 1
     ds_entries += b"RN" + stop_encoding(ids["RN"]); n_ds += 1

@@ -273,3 +273,28 @@ def test_byte_array_len_codec():
                  2: ExternalStream(b"abcde")}
     assert decoder(BitReader(b""), externals) == b"abc"
     assert decoder(BitReader(b""), externals) == b"de"
+
+
+def test_cram_downstream_mate_resolution(tmp_path):
+    """The reader resolves NF-linked (non-detached) mates: flags, mate
+    coordinates, and tids reconstructed from the partner record."""
+    sam = (
+        "@HD\tVN:1.6\tSO:unsorted\n"
+        "@SQ\tSN:1\tLN:200\n"
+        "p1\t99\t1\t10\t60\t20M\t1\t50\t65\tACGTACGTACGTACGTACGT\t"
+        "IIIIIIIIIIIIIIIIIIII\n"
+        "p1\t147\t1\t50\t60\t20M\t1\t10\t-65\tACGTACGTACGTACGTACGT\t"
+        "IIIIIIIIIIIIIIIIIIII\n")
+    (tmp_path / "p.sam").write_text(sam)
+    header, records = read_sam_text(str(tmp_path / "p.sam"))
+    records = list(records)
+    reference = {"1": np.frombuffer(b"A" * 200, np.uint8).copy()}
+    write_cram(str(tmp_path / "p.cram"), header, records, reference,
+               mate_downstream=True)
+    _, parsed = read_cram(str(tmp_path / "p.cram"), reference)
+    parsed = list(parsed)
+    assert len(parsed) == 2
+    for expected, got in zip(records, parsed):
+        for attr in ("qname", "flag", "tid", "pos", "mtid", "mpos", "seq"):
+            assert getattr(expected, attr) == getattr(got, attr), (
+                attr, getattr(expected, attr), getattr(got, attr))
