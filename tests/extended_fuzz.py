@@ -1,0 +1,41 @@
+"""Extended oracle fuzz sweep (not collected by pytest — run directly).
+
+Runs every fuzz scenario family against the in-tree reference oracle over
+an arbitrary seed band and reports divergences. Used throughout round 1 to
+bank ~1000 byte-equal runs beyond the fixed suite seeds.
+
+    python tests/extended_fuzz.py [first_seed [last_seed]]
+"""
+
+import pathlib
+import sys
+import tempfile
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import tests.conftest  # noqa: F401  (platform setup)
+from tests.scenario import fuzz_aux_sample, fuzz_sample, fuzz_sample2
+from tests.test_oracle_parity import assert_parity
+
+
+def main() -> int:
+    first = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    last = int(sys.argv[2]) if len(sys.argv) > 2 else first + 25
+    failures = []
+    runs = 0
+    for family, builder in (("fuzz", fuzz_sample), ("fuzz2", fuzz_sample2),
+                            ("aux", fuzz_aux_sample)):
+        for seed in range(first, last):
+            tmp = pathlib.Path(tempfile.mkdtemp(prefix="arriba_fuzz_"))
+            runs += 1
+            try:
+                assert_parity(tmp, builder(tmp, seed))
+            except Exception as error:  # noqa: BLE001 - report and continue
+                failures.append((family, seed))
+                print(f"FAIL {family} seed={seed}: {str(error)[:300]}")
+    print(f"done: {len(failures)} failures / {runs} runs")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
