@@ -19,3 +19,29 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", platform)
+
+
+# build the native extension when missing so a fresh checkout tests the
+# native fast paths, not just the pure-Python fallback
+def _ensure_native_built() -> None:
+    import importlib
+    import pathlib
+    import subprocess
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    try:
+        importlib.import_module("arriba_tpu._native")
+        return
+    except ImportError:
+        pass
+    build = repo / "native" / "build.sh"
+    if not build.exists():
+        return
+    try:
+        subprocess.run(["bash", str(build)], cwd=repo, check=True,
+                       capture_output=True, timeout=600)
+    except Exception:
+        return  # tests still run on the Python parity reference
+
+
+_ensure_native_built()
