@@ -24,6 +24,16 @@ from ..constants import (FILTER_DUPLICATES, FILTER_HAIRPIN,
                          FILTER_TOP_EXPRESSED_VIRAL_CONTIGS,
                          FILTER_UNINTERESTING_CONTIGS, FILTER_VIRAL_CONTIGS,
                          FORWARD)
+from ..constants import (FILTER_BLACKLIST, FILTER_END_TO_END,
+                         FILTER_INTERNAL_TANDEM_DUPLICATION, FILTER_INTRONIC,
+                         FILTER_INTRAGENIC_EXONIC, FILTER_IN_VITRO,
+                         FILTER_ISOFORMS, FILTER_MARGINAL_READ_THROUGH,
+                         FILTER_MERGE_ADJACENT, FILTER_MIN_SUPPORT,
+                         FILTER_MULTIMAPPERS, FILTER_NON_CODING_NEIGHBORS,
+                         FILTER_NO_COVERAGE, FILTER_NO_GENOMIC_SUPPORT,
+                         FILTER_RELATIVE_SUPPORT, FILTER_SELECT_BEST,
+                         FILTER_SHORT_ANCHOR, FILTER_HOMOLOGS,
+                         FILTER_MISMAPPERS)
 from ..ingest.stats import fragment_length_stats
 from . import read_level
 
@@ -342,42 +352,47 @@ class ReadLevelCascade:
             return find_fusions(self.ca, fusions, self.genes, self.exons,
                                 self.exon_index, self.state.max_mate_gap,
                                 self.options.subsampling_threshold)
-        try:
-            result = self._native.find_fusions_native(
-                int(self.state.max_mate_gap),
-                int(self.options.subsampling_threshold))
-            return self._materialize_fusions(fusions, result)
-        except Exception:
-            fusions.clear()
-            return find_fusions(self.ca, fusions, self.genes, self.exons,
-                                self.exon_index, self.state.max_mate_gap,
-                                self.options.subsampling_threshold)
-        finally:
-            self._native.cascade_release()
-
-    def _materialize_fusions(self, fusions, result) -> int:
         import sys
-
-        from ..fusion import Fusion
-
-        (columns_b, offsets_b, items_b, swapped_b, subsampled,
-         remaining) = result
-        columns = np.frombuffer(columns_b or b"", np.int64).reshape(-1, 17)
-        n = len(columns)
-        offsets = np.frombuffer(offsets_b or b"", np.int64).tolist()
-        items = np.frombuffer(items_b or b"", np.int64).tolist()
-        names = list(self.ca.keys())
-
+        swapped_b, subsampled, remaining = self._native.find_fusions_native(
+            int(self.state.max_mate_gap),
+            int(self.options.subsampling_threshold), 1)
         # pass-2 canonicalization: MATE1 = lower coordinate (mirrors the
         # in-place swap the Python implementation performs)
         for index in np.frombuffer(swapped_b or b"", np.int64).tolist():
             mates = self._fragments[index]
             mates[0], mates[1] = mates[1], mates[0]
+        if subsampled:
+            print(f"WARNING: some fusions were subsampled, because they have "
+                  f"more than {self.options.subsampling_threshold} supporting "
+                  f"reads", file=sys.stderr)
+        return remaining
+
+    def materialize_fusions(self, fusions) -> None:
+        """One-time materialization of the native fusion table into Python
+        Fusion objects (event_export), syncing per-fragment filter ids that
+        event stages may have updated. Releases both native stores."""
+        from ..fusion import Fusion
+
+        (columns_b, evalue_b, confidence_b, closest_b, offsets_b, items_b,
+         frag_filters_b) = self._native.event_export()
+        self._native.event_release()
+        columns = np.frombuffer(columns_b or b"", np.int64).reshape(-1, 17)
+        n = len(columns)
+        evalues = np.frombuffer(evalue_b or b"", np.float32).tolist()
+        confidences = np.frombuffer(confidence_b or b"", np.int64).tolist()
+        closest = np.frombuffer(closest_b or b"", np.int64).reshape(-1, 2).tolist()
+        offsets = np.frombuffer(offsets_b or b"", np.int64).tolist()
+        items = np.frombuffer(items_b or b"", np.int64).tolist()
+        names = list(self.ca.keys())
+
+        for mates, filter_id in zip(
+                self._fragments,
+                np.frombuffer(frag_filters_b or b"", np.int64).tolist()):
+            mates.filter = filter_id
 
         off1 = offsets[:n + 1]
         off2 = offsets[n + 1:2 * (n + 1)]
         off3 = offsets[2 * (n + 1):]
-        from ..constants import CONFIDENCE_LOW
         new_fusion = Fusion.__new__
         for i, row in enumerate(columns.tolist()):
             (gene1, gene2, contig1, contig2, breakpoint1, breakpoint2,
@@ -400,19 +415,19 @@ class ReadLevelCascade:
                 "predicted_strand2": bool(flags & 8),
                 "direction1": direction1,
                 "direction2": direction2,
-                "confidence": CONFIDENCE_LOW,
+                "confidence": confidences[i],
                 "filter": filter_id,
                 "predicted_strands_ambiguous": bool(flags & 16),
                 "discordant_mates": discordant_mates,
                 "contig1": contig1,
                 "contig2": contig2,
-                "evalue": 0.0,
+                "evalue": evalues[i],
                 "breakpoint1": breakpoint1,
                 "breakpoint2": breakpoint2,
                 "anchor_start1": anchor_start1,
                 "anchor_start2": anchor_start2,
-                "closest_genomic_breakpoint1": -1,
-                "closest_genomic_breakpoint2": -1,
+                "closest_genomic_breakpoint1": closest[i][0],
+                "closest_genomic_breakpoint2": closest[i][1],
                 "gene1": gene1,
                 "gene2": gene2,
                 "split_read1_list": [names[j] for j in items[off1[i]:off1[i + 1]]],
@@ -421,8 +436,336 @@ class ReadLevelCascade:
             }
             fusions[(gene1, gene2, contig1, contig2, breakpoint1, breakpoint2,
                      direction1, direction2)] = fusion
-        if subsampled:
-            print(f"WARNING: some fusions were subsampled, because they have "
-                  f"more than {self.options.subsampling_threshold} supporting "
-                  f"reads", file=sys.stderr)
-        return remaining
+
+
+# ---------------------------------------------------------------------------
+# event-level cascade facade (arriba.cpp:415-612 stage order)
+
+# order must match event.h's FilterName enum
+def _event_filter_order():
+    return (FILTER_DUPLICATES, FILTER_HAIRPIN, FILTER_INCONSISTENTLY_CLIPPED,
+            FILTER_MISMATCHES, FILTER_MERGE_ADJACENT, FILTER_MULTIMAPPERS,
+            FILTER_RELATIVE_SUPPORT, FILTER_NON_CODING_NEIGHBORS,
+            FILTER_INTRAGENIC_EXONIC, FILTER_MIN_SUPPORT,
+            FILTER_INTERNAL_TANDEM_DUPLICATION, FILTER_INTRONIC,
+            FILTER_IN_VITRO, FILTER_SELECT_BEST, FILTER_MARGINAL_READ_THROUGH,
+            FILTER_NO_GENOMIC_SUPPORT, FILTER_BLACKLIST, FILTER_SHORT_ANCHOR,
+            FILTER_END_TO_END, FILTER_NO_COVERAGE, FILTER_HOMOLOGS,
+            FILTER_MISMAPPERS, FILTER_ISOFORMS, FILTER_HOMOPOLYMER,
+            FILTER_UNINTERESTING_CONTIGS)
+
+
+class EventCascade:
+    """Drives the event-level cascade stage by stage. While the native fusion
+    table is live, stages run in C++ over the columnar store (native/event.cpp,
+    mirroring arriba.cpp:415-612); the table materializes into Python Fusion
+    objects immediately before the first stage without a native twin, and the
+    Python implementations take over from there. ARRIBA_TPU_NO_NATIVE_EVENT=1
+    forces immediate materialization (all stages in Python)."""
+
+    def __init__(self, read_cascade: "ReadLevelCascade", fusions, state,
+                 options, annotation) -> None:
+        self.rc = read_cascade
+        self.ca = read_cascade.ca
+        self.fusions = fusions
+        self.state = state
+        self.options = options
+        self.annotation = annotation
+        self.genes = read_cascade.genes
+        self.exons = read_cascade.exons
+        self.exon_index = read_cascade.exon_index
+        self._kmer_indices = None
+        native = read_cascade._native
+        self._native = native if (native is not None
+                                  and hasattr(native, "event_bind")) else None
+        self._live = self._native is not None
+        if (self._live
+                and os.environ.get("ARRIBA_TPU_NO_NATIVE_EVENT") == "1"):
+            self.materialize()
+        elif self._live:
+            self._bind()
+
+    # -- native plumbing ----------------------------------------------------
+
+    def _cluster_ids(self) -> np.ndarray:
+        """Multimapper cluster ids: adjacent fragments (sorted-name order)
+        with equal HI-stripped names share an id (read_chimeric_alignments
+        .cpp:792-802 key adjacency)."""
+        from ..model import strip_hi_tag_from_read_name
+        ids = np.empty(len(self.ca), np.int64)
+        previous = None
+        current = -1
+        for i, name in enumerate(self.ca.keys()):
+            stripped = strip_hi_tag_from_read_name(name)
+            if stripped != previous:
+                current += 1
+                previous = stripped
+            ids[i] = current
+        return ids
+
+    def _bind(self) -> None:
+        genes = self.genes
+        coverage = self.state.coverage
+        n_contigs = len(self.state.interesting_contigs)
+
+        def int64_bytes(values):
+            return np.ascontiguousarray(values, np.int64).tobytes()
+
+        gene_index = self.state.gene_index
+        starts = []
+        ends = []
+        for contig in range(n_contigs):
+            if (contig < len(coverage.fragment_starts)
+                    and len(coverage.fragment_starts[contig])):
+                starts.append(coverage.fragment_starts[contig].view(np.uint8))
+                ends.append(coverage.fragment_ends[contig].view(np.uint8))
+            else:
+                starts.append(None)
+                ends.append(None)
+        self._native.event_bind(
+            int64_bytes(genes.is_protein_coding),
+            int64_bytes(genes.exonic_length),
+            self._cluster_ids().tobytes(),
+            [int64_bytes(b) for b in gene_index.boundaries],
+            [int64_bytes(o) for o in gene_index.offsets],
+            [int64_bytes(i) for i in gene_index.items],
+            starts, ends,
+            int64_bytes(np.array(_event_filter_order(), np.int64)))
+
+    def materialize(self) -> None:
+        if not self._live:
+            return
+        self._live = False
+        self.rc.materialize_fusions(self.fusions)
+
+    def _dispatch(self, native_name: str, native_args: tuple, python_fn,
+                  python_args: tuple):
+        if self._live:
+            fn = getattr(self._native, native_name, None)
+            if fn is not None:
+                return fn(*native_args)
+            self.materialize()
+        return python_fn(*python_args)
+
+    # -- stages (pipeline call order) ----------------------------------------
+
+    def mark_genomic_support(self) -> int:
+        from .genomic_support import mark_genomic_support
+        options = self.options
+        self.materialize()
+        return mark_genomic_support(self.fusions,
+                                    options.genomic_breakpoints_file,
+                                    self.state.contigs, self.genes,
+                                    options.max_genomic_breakpoint_distance,
+                                    options.max_itd_length)
+
+    def merge_adjacent(self) -> int:
+        from .event_level import merge_adjacent_fusions
+        return self._dispatch(
+            "ev_merge_adjacent", (5, int(self.options.max_itd_length)),
+            merge_adjacent_fusions,
+            (self.fusions, 5, self.options.max_itd_length))
+
+    def multimappers(self) -> int:
+        from .multimappers import filter_multimappers
+        return self._dispatch(
+            "ev_multimappers", (),
+            filter_multimappers,
+            (self.ca, self.fusions, self.state.assembly, self.genes,
+             self.exons, self.exon_index))
+
+    def estimate_expected_fusions(self) -> None:
+        from .event_level import estimate_expected_fusions
+        return self._dispatch(
+            "ev_estimate_expected", (int(self.state.mapped_reads),),
+            estimate_expected_fusions,
+            (self.fusions, self.state.mapped_reads, self.genes, self.exons,
+             self.exon_index))
+
+    def non_coding_neighbors(self) -> int:
+        from .event_level import filter_non_coding_neighbors
+        return self._dispatch(
+            "ev_non_coding_neighbors", (),
+            filter_non_coding_neighbors, (self.fusions, self.genes))
+
+    def intragenic_exonic(self) -> int:
+        from .event_level import filter_intragenic_both_exonic
+        return self._dispatch(
+            "ev_intragenic_exonic", (float(self.options.exonic_fraction),),
+            filter_intragenic_both_exonic,
+            (self.fusions, self.genes, self.exons, self.exon_index,
+             self.options.exonic_fraction))
+
+    def min_support(self) -> int:
+        from .event_level import filter_min_support
+        return self._dispatch(
+            "ev_min_support", (int(self.options.min_support),),
+            filter_min_support,
+            (self.fusions, self.genes, self.options.min_support))
+
+    def relative_support(self) -> int:
+        from .event_level import filter_relative_support
+        return self._dispatch(
+            "ev_relative_support", (float(self.options.evalue_cutoff),),
+            filter_relative_support,
+            (self.fusions, self.genes, self.options.evalue_cutoff))
+
+    def recover_internal_tandem_duplication(self) -> int:
+        from .event_level import recover_internal_tandem_duplication
+        options = self.options
+        return self._dispatch(
+            "ev_recover_itd",
+            (int(options.max_itd_length), int(options.min_itd_support),
+             float(options.min_itd_allele_fraction),
+             int(options.subsampling_threshold)),
+            recover_internal_tandem_duplication,
+            (self.fusions, self.ca, self.state.coverage, self.genes,
+             self.exons, self.exon_index, options.max_itd_length,
+             options.min_itd_support, options.min_itd_allele_fraction,
+             options.subsampling_threshold))
+
+    def both_intronic(self) -> int:
+        from .event_level import filter_both_intronic
+        viral = bytes(bytearray(1 if v else 0 for v in self.state.viral_contigs))
+        return self._dispatch(
+            "ev_both_intronic", (viral,),
+            filter_both_intronic,
+            (self.fusions, self.ca, self.state.viral_contigs))
+
+    def known_fusions(self) -> int:
+        from .blacklist import recover_known_fusions
+        self.materialize()
+        return recover_known_fusions(
+            self.fusions, self.options.known_fusions_file, self.state.contigs,
+            self.annotation.gene_names, self.genes, self.state.coverage,
+            self.state.max_mate_gap)
+
+    def in_vitro(self) -> int:
+        from .in_vitro import filter_in_vitro
+        return self._dispatch(
+            "ev_in_vitro", (float(self.options.high_expression_quantile),),
+            filter_in_vitro,
+            (self.fusions, self.ca, self.options.high_expression_quantile,
+             self.state.gene_index, self.state.coverage))
+
+    def recover_both_spliced(self) -> int:
+        from .in_vitro import recover_both_spliced
+        return self._dispatch(
+            "ev_recover_both_spliced",
+            (200, float(self.options.high_expression_quantile), 1000, 1000),
+            recover_both_spliced,
+            (self.fusions, self.ca, self.genes, self.exons, self.exon_index,
+             self.state.coverage, 200, self.options.high_expression_quantile,
+             1000, 1000))
+
+    def select_best(self) -> int:
+        from .event_level import select_most_supported_breakpoints
+        return self._dispatch(
+            "ev_select_best", (),
+            select_most_supported_breakpoints, (self.fusions,))
+
+    def marginal_read_through(self) -> int:
+        from .event_level import filter_marginal_read_through
+        return self._dispatch(
+            "ev_marginal_read_through", (),
+            filter_marginal_read_through,
+            (self.fusions, self.genes, self.state.coverage))
+
+    def recover_many_spliced(self) -> int:
+        from .event_level import recover_many_spliced
+        return self._dispatch(
+            "ev_recover_many_spliced", (int(self.options.min_spliced_events),),
+            recover_many_spliced,
+            (self.fusions, self.genes, self.options.min_spliced_events))
+
+    def assign_confidence(self) -> None:
+        from .genomic_support import assign_confidence
+        return self._dispatch(
+            "ev_assign_confidence", (),
+            assign_confidence,
+            (self.fusions, self.state.coverage, self.genes))
+
+    def no_genomic_support(self) -> int:
+        from .genomic_support import filter_no_genomic_support
+        viral = bytes(bytearray(1 if v else 0 for v in self.state.viral_contigs))
+        return self._dispatch(
+            "ev_no_genomic_support", (viral,),
+            filter_no_genomic_support,
+            (self.fusions, self.state.viral_contigs))
+
+    def blacklist(self) -> int:
+        from .blacklist import filter_blacklisted_ranges
+        self.materialize()
+        return filter_blacklisted_ranges(
+            self.fusions, self.options.blacklist_file, self.state.contigs,
+            self.annotation.gene_names, self.genes,
+            self.options.evalue_cutoff, self.state.max_mate_gap)
+
+    def short_anchor(self) -> int:
+        from .event_level import filter_short_anchor
+        return self._dispatch(
+            "ev_short_anchor", (int(self.options.min_anchor_length),),
+            filter_short_anchor,
+            (self.fusions, self.options.min_anchor_length))
+
+    def end_to_end(self) -> int:
+        from .event_level import filter_end_to_end_fusions
+        viral = bytes(bytearray(1 if v else 0 for v in self.state.viral_contigs))
+        return self._dispatch(
+            "ev_end_to_end", (viral,),
+            filter_end_to_end_fusions,
+            (self.fusions, self.genes, self.exons, self.exon_index,
+             self.state.viral_contigs))
+
+    def no_coverage(self) -> int:
+        from .event_level import filter_no_coverage
+        return self._dispatch(
+            "ev_no_coverage", (),
+            filter_no_coverage,
+            (self.fusions, self.state.coverage, self.genes, self.exons,
+             self.exon_index))
+
+    def make_kmer_index(self, padding: int, kmer_length: int) -> None:
+        from .mismappers import make_kmer_index
+        if self._live and hasattr(self._native, "ev_make_kmer_index"):
+            self._native.ev_make_kmer_index(int(padding))
+            return
+        self.materialize()
+        self._kmer_indices = make_kmer_index(self.fusions, self.state.assembly,
+                                             self.genes, padding, kmer_length)
+
+    def homologs(self) -> int:
+        from .homologs import filter_homologs
+        return self._dispatch(
+            "ev_homologs", (float(self.options.max_homolog_identity),),
+            filter_homologs,
+            (self.fusions, self._kmer_indices or {}, 8, self.state.assembly,
+             self.genes, self.options.max_homolog_identity))
+
+    def mismappers(self) -> int:
+        from .mismappers import filter_mismappers
+        return self._dispatch(
+            "ev_mismappers",
+            (float(self.options.max_mismapper_fraction),
+             int(self.state.max_mate_gap)),
+            filter_mismappers,
+            (self.fusions, self.ca, self._kmer_indices or {}, 8,
+             self.state.assembly, self.genes, self.exons, self.exon_index,
+             self.options.max_mismapper_fraction, self.state.max_mate_gap))
+
+    def recover_genomic_support(self) -> int:
+        from .genomic_support import recover_genomic_support
+        return self._dispatch(
+            "ev_recover_genomic_support", (),
+            recover_genomic_support, (self.fusions,))
+
+    def recover_isoforms(self) -> int:
+        from .event_level import recover_isoforms
+        return self._dispatch(
+            "ev_recover_isoforms", (),
+            recover_isoforms, (self.fusions,))
+
+    def finish(self) -> None:
+        """Materialize (if still native) so the output writer sees Python
+        Fusion objects; always called before writing."""
+        self.materialize()

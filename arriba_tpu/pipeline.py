@@ -370,136 +370,140 @@ def run(options: Options) -> PipelineState:
     fusions = state.fusions
     print(f"(total={cascade.find_fusions(fusions)})")
 
+    # the event cascade runs natively over the columnar fusion table while it
+    # can; the table materializes into Python Fusion objects before the first
+    # stage without a native twin (see filters/native_cascade.EventCascade)
+    from .filters.native_cascade import EventCascade
+    events = EventCascade(cascade, fusions, state, options, annotation)
+
     if options.genomic_breakpoints_file:
         log(f"Marking fusions with support from whole-genome sequencing in "
             f"'{options.genomic_breakpoints_file}' ", end="")
-        print(f"(marked={mark_genomic_support(fusions, options.genomic_breakpoints_file, state.contigs, genes, options.max_genomic_breakpoint_distance, options.max_itd_length)})")
+        print(f"(marked={events.mark_genomic_support()})")
 
     if enabled["merge_adjacent"]:
         log("Merging adjacent fusion breakpoints ", end="")
-        print(f"(remaining={merge_adjacent_fusions(fusions, 5, options.max_itd_length)})")
+        print(f"(remaining={events.merge_adjacent()})")
 
     if enabled["multimappers"]:
         log("Filtering multi-mapping fusions by alignment score and read support ",
             end="")
-        print(f"(remaining={filter_multimappers(ca, fusions, state.assembly, genes, exons, state.exon_index)})")
+        print(f"(remaining={events.multimappers()})")
 
     log("Estimating expected number of fusions by random chance (e-value) ")
-    estimate_expected_fusions(fusions, state.mapped_reads, genes, exons,
-                              state.exon_index)
+    events.estimate_expected_fusions()
 
     if enabled["non_coding_neighbors"]:
         log("Filtering fusions with both breakpoints in adjacent non-coding/"
             "intergenic regions ", end="")
-        print(f"(remaining={filter_non_coding_neighbors(fusions, genes)})")
+        print(f"(remaining={events.non_coding_neighbors()})")
 
     if enabled["intragenic_exonic"]:
         log("Filtering intragenic fusions with both breakpoints in exonic regions ",
             end="")
-        print(f"(remaining={filter_intragenic_both_exonic(fusions, genes, exons, state.exon_index, options.exonic_fraction)})")
+        print(f"(remaining={events.intragenic_exonic()})")
 
     if enabled["min_support"]:
         log(f"Filtering fusions with <{options.min_support} supporting reads ", end="")
-        print(f"(remaining={filter_min_support(fusions, genes, options.min_support)})")
+        print(f"(remaining={events.min_support()})")
 
     if enabled["relative_support"]:
         log(f"Filtering fusions with an e-value >={options.evalue_cutoff:g} ", end="")
-        print(f"(remaining={filter_relative_support(fusions, genes, options.evalue_cutoff)})")
+        print(f"(remaining={events.relative_support()})")
 
     if enabled["internal_tandem_duplication"]:
         log(f"Searching for internal tandem duplications <={options.max_itd_length}bp "
             f"with >={options.min_itd_support} supporting reads and "
             f">={options.min_itd_allele_fraction * 100:g}% allele fraction ", end="")
-        print(f"(remaining={recover_internal_tandem_duplication(fusions, ca, state.coverage, genes, exons, state.exon_index, options.max_itd_length, options.min_itd_support, options.min_itd_allele_fraction, options.subsampling_threshold)})")
+        print(f"(remaining={events.recover_internal_tandem_duplication()})")
 
     if enabled["intronic"]:
         log("Filtering fusions with both breakpoints in intronic/intergenic regions ",
             end="")
-        print(f"(remaining={filter_both_intronic(fusions, ca, state.viral_contigs)})")
+        print(f"(remaining={events.both_intronic()})")
 
     if options.known_fusions_file and enabled["known_fusions"]:
         log(f"Searching for known fusions in '{options.known_fusions_file}' ", end="")
-        print(f"(remaining={recover_known_fusions(fusions, options.known_fusions_file, state.contigs, annotation.gene_names, genes, state.coverage, state.max_mate_gap)})")
+        print(f"(remaining={events.known_fusions()})")
 
     if enabled["in_vitro"]:
         log(f"Filtering in vitro-generated fusions between genes with an expression "
             f"above the {options.high_expression_quantile * 100:g}% quantile ", end="")
-        print(f"(remaining={filter_in_vitro(fusions, ca, options.high_expression_quantile, gene_index, state.coverage)})")
+        print(f"(remaining={events.in_vitro()})")
 
     if enabled["spliced"]:
         log("Searching for fusions with spliced split reads ", end="")
-        print(f"(remaining={recover_both_spliced(fusions, ca, genes, exons, state.exon_index, state.coverage, 200, 0.998, 1000, 1000)})")
+        print(f"(remaining={events.recover_both_spliced()})")
 
     if enabled["select_best"]:
         log("Selecting best breakpoints from genes with multiple breakpoints ", end="")
-        print(f"(remaining={select_most_supported_breakpoints(fusions)})")
+        print(f"(remaining={events.select_best()})")
 
     if enabled["marginal_read_through"]:
         log("Filtering read-through fusions with breakpoints near the gene boundary ",
             end="")
-        print(f"(remaining={filter_marginal_read_through(fusions, genes, state.coverage)})")
+        print(f"(remaining={events.marginal_read_through()})")
 
     if enabled["many_spliced"]:
         log(f"Searching for fusions with >={options.min_spliced_events} spliced events ",
             end="")
-        print(f"(remaining={recover_many_spliced(fusions, genes, options.min_spliced_events)})")
+        print(f"(remaining={events.recover_many_spliced()})")
 
     if options.genomic_breakpoints_file and enabled["no_genomic_support"]:
         log("Assigning confidence scores to events ")
-        assign_confidence(fusions, state.coverage, genes)
+        events.assign_confidence()
         log("Filtering low-confidence events with no support from WGS ", end="")
-        print(f"(remaining={filter_no_genomic_support(fusions, state.viral_contigs)})")
+        print(f"(remaining={events.no_genomic_support()})")
 
     if enabled["blacklist"] and options.blacklist_file:
         log(f"Filtering blacklisted fusions in '{options.blacklist_file}' ", end="")
-        print(f"(remaining={filter_blacklisted_ranges(fusions, options.blacklist_file, state.contigs, annotation.gene_names, genes, options.evalue_cutoff, state.max_mate_gap)})")
+        print(f"(remaining={events.blacklist()})")
 
     if enabled["short_anchor"]:
         log(f"Filtering fusions with anchors <={options.min_anchor_length}nt ", end="")
-        print(f"(remaining={filter_short_anchor(fusions, options.min_anchor_length)})")
+        print(f"(remaining={events.short_anchor()})")
 
     if enabled["end_to_end"]:
         log("Filtering end-to-end fusions with low support ", end="")
-        print(f"(remaining={filter_end_to_end_fusions(fusions, genes, exons, state.exon_index, state.viral_contigs)})")
+        print(f"(remaining={events.end_to_end()})")
 
     if enabled["no_coverage"]:
         log("Filtering fusions with no coverage around the breakpoints ", end="")
-        print(f"(remaining={filter_no_coverage(fusions, state.coverage, genes, exons, state.exon_index)})")
+        print(f"(remaining={events.no_coverage()})")
 
-    kmer_indices = {}
     if enabled["homologs"] or enabled["mismappers"]:
         log("Indexing gene sequences ")
-        kmer_indices = make_kmer_index(
-            fusions, state.assembly, genes,
+        events.make_kmer_index(
             int(state.max_mate_gap + 2 * state.read_length_mean), KMER_LENGTH)
 
     if enabled["homologs"]:
         log(f"Filtering genes with >={options.max_homolog_identity * 100:g}% identity ",
             end="")
-        print(f"(remaining={filter_homologs(fusions, kmer_indices, KMER_LENGTH, state.assembly, genes, options.max_homolog_identity)})")
+        print(f"(remaining={events.homologs()})")
 
     if enabled["mismappers"]:
         log(f"Re-aligning chimeric reads to filter fusions with "
             f">={options.max_mismapper_fraction * 100:g}% mis-mappers ", end="")
-        print(f"(remaining={filter_mismappers(fusions, ca, kmer_indices, KMER_LENGTH, state.assembly, genes, exons, state.exon_index, options.max_mismapper_fraction, state.max_mate_gap)})")
+        print(f"(remaining={events.mismappers()})")
 
     if options.genomic_breakpoints_file and enabled["genomic_support"]:
         log("Searching for fusions with support from WGS ", end="")
-        print(f"(remaining={recover_genomic_support(fusions)})")
+        print(f"(remaining={events.recover_genomic_support()})")
 
     if (options.genomic_breakpoints_file and enabled["genomic_support"]) \
             or enabled["many_spliced"]:
         if enabled["select_best"]:
             log("Selecting best breakpoints from genes with multiple breakpoints ",
                 end="")
-            print(f"(remaining={select_most_supported_breakpoints(fusions)})")
+            print(f"(remaining={events.select_best()})")
 
     if enabled["isoforms"]:
         log("Searching for additional isoforms ", end="")
-        print(f"(remaining={recover_isoforms(fusions)})")
+        print(f"(remaining={events.recover_isoforms()})")
 
     log("Assigning confidence scores to events ")
-    assign_confidence(fusions, state.coverage, genes)
+    events.assign_confidence()
+    events.finish()
 
     if options.tags_file:
         log(f"Loading tags from '{options.tags_file}'")

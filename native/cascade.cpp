@@ -983,6 +983,15 @@ bool bytes_to_u8(PyObject *obj, std::vector<uint8_t> &out) {
 
 }  // namespace
 
+namespace cascade_store {
+
+int64_t spliced_distance(int64_t contig, int64_t position1, int64_t position2,
+                         int64_t gene) {
+    return get_spliced_distance(contig, position1, position2, gene);
+}
+
+}  // namespace cascade_store
+
 // cascade_begin(frag_offsets, contig, start, end, strand, cigar_offsets,
 //   cigar_words, seq_offsets, seq_blob, genes_offsets, genes_items,
 //   frag_flags,                      # bit0 single_end, bit1 dup, bit2 multimapper

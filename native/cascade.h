@@ -81,4 +81,8 @@ struct Cascade {
 Cascade &cascade();
 void release_cascade();
 
+// annotation.cpp:570-618 via the annotation engine (defined in cascade.cpp)
+int64_t spliced_distance(int64_t contig, int64_t position1, int64_t position2,
+                         int64_t gene);
+
 }  // namespace cascade_store

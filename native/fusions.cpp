@@ -19,6 +19,7 @@
 
 #include "annotate.h"
 #include "cascade.h"
+#include "event.h"
 
 namespace {
 
@@ -30,20 +31,7 @@ constexpr bool UPSTREAM = true, DOWNSTREAM = false;
 constexpr int MATE1 = 0, MATE2 = 1, SPLIT_READ = 1, SUPPLEMENTARY = 2;
 constexpr bool TRANSCRIPT_START_GENE1 = true, TRANSCRIPT_START_GENE2 = false;
 
-struct FusionData {
-    int64_t gene1, gene2, contig1, contig2, breakpoint1, breakpoint2;
-    bool direction1, direction2;
-    bool exonic1 = false, exonic2 = false;
-    int64_t filter = 0;
-    int64_t split_reads1 = 0, split_reads2 = 0, discordant_mates = 0;
-    int64_t anchor_start1 = 0, anchor_start2 = 0;
-    bool predicted_strand1 = FORWARD, predicted_strand2 = FORWARD;
-    bool predicted_strands_ambiguous = true;
-    bool transcript_start = TRANSCRIPT_START_GENE1;
-    bool transcript_start_ambiguous = true;
-    bool spliced1 = false, spliced2 = false;
-    std::vector<int64_t> split_read1_list, split_read2_list, discordant_list;
-};
+using FusionData = event_store::EventFusion;
 
 template <size_t N>
 struct KeyHash {
@@ -247,7 +235,9 @@ void predict_transcript_start(FusionData &fusion,
 // -> (columns..., lists..., swapped fragment indices, subsampled, remaining)
 PyObject *find_fusions_native(PyObject *, PyObject *args) {
     long long max_mate_gap, subsampling_threshold;
-    if (!PyArg_ParseTuple(args, "LL", &max_mate_gap, &subsampling_threshold))
+    int keep = 0;
+    if (!PyArg_ParseTuple(args, "LL|i", &max_mate_gap, &subsampling_threshold,
+                          &keep))
         return nullptr;
     cascade_store::Cascade &c = cascade_store::cascade();
     if (!c.ready) {
@@ -520,69 +510,39 @@ PyObject *find_fusions_native(PyObject *, PyObject *args) {
         if (fusion.filter == 0) remaining += 1;
     }
 
-    // serialize: 16 int64 columns + flags column + 3 CSR lists + swaps
-    size_t n = fusions.size();
-    std::vector<int64_t> columns(n * 17);
-    std::vector<int64_t> list_offsets(3 * (n + 1), 0);
-    std::vector<int64_t> list_items;
-    for (size_t i = 0; i < n; ++i) {
-        const FusionData &fusion = fusions[i];
-        int64_t *row = columns.data() + i * 17;
-        row[0] = fusion.gene1;
-        row[1] = fusion.gene2;
-        row[2] = fusion.contig1;
-        row[3] = fusion.contig2;
-        row[4] = fusion.breakpoint1;
-        row[5] = fusion.breakpoint2;
-        row[6] = fusion.direction1;
-        row[7] = fusion.direction2;
-        row[8] = fusion.filter;
-        row[9] = fusion.split_reads1;
-        row[10] = fusion.split_reads2;
-        row[11] = fusion.discordant_mates;
-        row[12] = fusion.anchor_start1;
-        row[13] = fusion.anchor_start2;
-        row[14] = (fusion.exonic1 ? 1 : 0) | (fusion.exonic2 ? 2 : 0)
-                  | (fusion.predicted_strand1 ? 4 : 0)
-                  | (fusion.predicted_strand2 ? 8 : 0)
-                  | (fusion.predicted_strands_ambiguous ? 16 : 0)
-                  | (fusion.transcript_start ? 32 : 0)
-                  | (fusion.transcript_start_ambiguous ? 64 : 0)
-                  | (fusion.spliced1 ? 128 : 0) | (fusion.spliced2 ? 256 : 0);
-        row[15] = 0;
-        row[16] = 0;
-    }
-    for (int which = 0; which < 3; ++which) {
-        int64_t *offsets = list_offsets.data() + which * (n + 1);
-        for (size_t i = 0; i < n; ++i) {
-            const std::vector<int64_t> &list =
-                which == 0 ? fusions[i].split_read1_list
-                : which == 1 ? fusions[i].split_read2_list
-                             : fusions[i].discordant_list;
-            list_items.insert(list_items.end(), list.begin(), list.end());
-            offsets[i + 1] = offsets[i] + (int64_t)list.size();
-        }
-    }
-    // convert per-list offsets to absolute positions in list_items
-    {
-        int64_t base = list_offsets[n];  // end of list 0
-        for (size_t i = 0; i <= n; ++i)
-            list_offsets[(n + 1) + i] += base;
-        base = list_offsets[(n + 1) + n];
-        for (size_t i = 0; i <= n; ++i)
-            list_offsets[2 * (n + 1) + i] += base;
+    // hand the table to the event store: the native event cascade mutates it
+    // in place (arriba.cpp:420-585 stage order) and Python materializes the
+    // Fusion objects once, at the end, via event_export
+    event_store::Store &es = event_store::store();
+    es.fusions = std::move(fusions);
+    es.ready = true;
+    es.subsampled = subsampled;
+
+    if (keep) {
+        return Py_BuildValue(
+            "(y#iL)",
+            swapped.empty() ? "" : (const char *)swapped.data(),
+            (Py_ssize_t)(swapped.size() * 8), subsampled ? 1 : 0,
+            (long long)remaining);
     }
 
-    return Py_BuildValue(
-        "(y#y#y#y#iL)",
-        n ? (const char *)columns.data() : "", (Py_ssize_t)(columns.size() * 8),
-        n ? (const char *)list_offsets.data() : "",
-        (Py_ssize_t)(list_offsets.size() * 8),
-        list_items.empty() ? "" : (const char *)list_items.data(),
-        (Py_ssize_t)(list_items.size() * 8),
+    // legacy single-call mode: serialize immediately and drop the store
+    PyObject *serialized = event_store::serialize_fusions_py();
+    if (serialized == nullptr) {
+        event_store::release_store();
+        return nullptr;
+    }
+    PyObject *result = Py_BuildValue(
+        "(OOOOOOy#iL)", PyTuple_GET_ITEM(serialized, 0),
+        PyTuple_GET_ITEM(serialized, 1), PyTuple_GET_ITEM(serialized, 2),
+        PyTuple_GET_ITEM(serialized, 3), PyTuple_GET_ITEM(serialized, 4),
+        PyTuple_GET_ITEM(serialized, 5),
         swapped.empty() ? "" : (const char *)swapped.data(),
-        (Py_ssize_t)(swapped.size() * 8),
-        subsampled ? 1 : 0, (long long)remaining);
+        (Py_ssize_t)(swapped.size() * 8), subsampled ? 1 : 0,
+        (long long)remaining);
+    Py_DECREF(serialized);
+    event_store::release_store();
+    return result;
 }
 
 PyObject *cascade_release(PyObject *, PyObject *) {

@@ -1964,6 +1964,10 @@ extern PyObject *cascade_begin(PyObject *, PyObject *);
 extern PyObject *cascade_finish(PyObject *, PyObject *);
 extern PyObject *find_fusions_native(PyObject *, PyObject *);
 extern PyObject *cascade_release(PyObject *, PyObject *);
+extern PyObject *event_bind(PyObject *, PyObject *);
+extern PyObject *event_export(PyObject *, PyObject *);
+extern PyObject *event_release(PyObject *, PyObject *);
+extern PyObject *ev_merge_adjacent(PyObject *, PyObject *);
 
 static PyMethodDef methods[] = {
     {"realign_reset", realign_reset, METH_NOARGS,
@@ -1999,6 +2003,14 @@ static PyMethodDef methods[] = {
      "the cascade's fragment store."},
     {"cascade_release", cascade_release, METH_NOARGS,
      "Release the cascade fragment store and its pinned buffers."},
+    {"event_bind", event_bind, METH_VARARGS,
+     "Bind event-cascade context (gene props, gene index, coverage bitmaps)."},
+    {"event_export", event_export, METH_NOARGS,
+     "Serialize the fusion table + per-fragment filters for materialization."},
+    {"event_release", event_release, METH_NOARGS,
+     "Release the event fusion store and the cascade fragment store."},
+    {"ev_merge_adjacent", ev_merge_adjacent, METH_VARARGS,
+     "Event stage: merge adjacent fusion breakpoints (merge_adjacent_fusions.cpp)."},
     {"coverage_bind", coverage_bind, METH_VARARGS,
      "Bind per-contig coverage arrays so coverage_add can update them."},
     {"coverage_add", coverage_add, METH_VARARGS,
