@@ -1968,6 +1968,12 @@ extern PyObject *event_bind(PyObject *, PyObject *);
 extern PyObject *event_export(PyObject *, PyObject *);
 extern PyObject *event_release(PyObject *, PyObject *);
 extern PyObject *ev_merge_adjacent(PyObject *, PyObject *);
+extern PyObject *ev_multimappers(PyObject *, PyObject *);
+extern PyObject *ev_estimate_expected(PyObject *, PyObject *);
+extern PyObject *ev_non_coding_neighbors(PyObject *, PyObject *);
+extern PyObject *ev_intragenic_exonic(PyObject *, PyObject *);
+extern PyObject *ev_min_support(PyObject *, PyObject *);
+extern PyObject *ev_relative_support(PyObject *, PyObject *);
 
 static PyMethodDef methods[] = {
     {"realign_reset", realign_reset, METH_NOARGS,
@@ -2011,6 +2017,19 @@ static PyMethodDef methods[] = {
      "Release the event fusion store and the cascade fragment store."},
     {"ev_merge_adjacent", ev_merge_adjacent, METH_VARARGS,
      "Event stage: merge adjacent fusion breakpoints (merge_adjacent_fusions.cpp)."},
+    {"ev_multimappers", ev_multimappers, METH_NOARGS,
+     "Event stage: discard all but the best multi-mapping alignment "
+     "(filter_multimappers.cpp)."},
+    {"ev_estimate_expected", ev_estimate_expected, METH_VARARGS,
+     "Event stage: e-value model (filter_relative_support.cpp:17-207)."},
+    {"ev_non_coding_neighbors", ev_non_coding_neighbors, METH_NOARGS,
+     "Event stage: filter read-through between non-coding neighbors."},
+    {"ev_intragenic_exonic", ev_intragenic_exonic, METH_VARARGS,
+     "Event stage: filter intragenic both-exonic events."},
+    {"ev_min_support", ev_min_support, METH_VARARGS,
+     "Event stage: minimum supporting-read filter."},
+    {"ev_relative_support", ev_relative_support, METH_VARARGS,
+     "Event stage: e-value cutoff filter (filter_relative_support.cpp:209-224)."},
     {"coverage_bind", coverage_bind, METH_VARARGS,
      "Bind per-contig coverage arrays so coverage_add can update them."},
     {"coverage_add", coverage_add, METH_VARARGS,
