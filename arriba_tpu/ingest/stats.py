@@ -163,15 +163,20 @@ class Coverage:
                 self.fragment_ends[mate2.tid][(position2 - 1) // COVERAGE_RESOLUTION] = True
 
     def fragment_starts_here(self, contig: int, start: int, end: int) -> bool:
-        """read_stats.cpp:269-279."""
+        """read_stats.cpp:269-279 — trunc division like the reference's int
+        arithmetic; its `(unsigned) window` cast makes a negative window an
+        immediate miss."""
         if contig >= len(self.fragment_starts):
             return False
         starts = self.fragment_starts[contig]
-        for window in range(start // COVERAGE_RESOLUTION + 1, end // COVERAGE_RESOLUTION + 1):
-            if window >= len(starts):
+        window = int(start / COVERAGE_RESOLUTION) + 1
+        last = int(end / COVERAGE_RESOLUTION)
+        while window <= last:
+            if window < 0 or window >= len(starts):
                 return False
             if starts[window]:
                 return True
+            window += 1
         return False
 
     def fragment_ends_here(self, contig: int, start: int, end: int) -> bool:
@@ -179,11 +184,14 @@ class Coverage:
         if contig >= len(self.fragment_ends):
             return False
         ends = self.fragment_ends[contig]
-        for window in range(start // COVERAGE_RESOLUTION, end // COVERAGE_RESOLUTION):
-            if window >= len(ends):
+        window = int(start / COVERAGE_RESOLUTION)
+        last = int(end / COVERAGE_RESOLUTION)
+        while window < last:
+            if window < 0 or window >= len(ends):
                 return False
             if ends[window]:
                 return True
+            window += 1
         return False
 
     def get_coverage(self, contig: int, position: int, direction: bool) -> int:

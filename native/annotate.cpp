@@ -115,6 +115,15 @@ static void range_query(int64_t contig, int64_t start, int64_t end, Set &out) {
     combine_annotations(result_start, result_end, out);
 }
 
+void exon_point_query(int64_t contig, int64_t pos, std::vector<int64_t> &out) {
+    point_query(contig, pos, out);
+}
+
+void exon_range_query(int64_t contig, int64_t start, int64_t end,
+                      std::vector<int64_t> &out) {
+    range_query(contig, start, end, out);
+}
+
 // annotation.cpp:379-401 — does any exon of `gene` in the boundary set have a
 // matching boundary within MAX_SPLICE_SITE_DISTANCE of the breakpoint,
 // excluding terminal exons (with single-exon-coding and incomplete-annotation

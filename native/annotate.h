@@ -28,4 +28,10 @@ Engine &engine();
 // annotation.cpp:404-429
 bool is_breakpoint_spliced(int64_t gene, bool direction, int64_t breakpoint);
 
+// annotation.t.hpp:61-68 / :70-99 over the engine's exon index (for native
+// event stages that need exon lookups)
+void exon_point_query(int64_t contig, int64_t pos, std::vector<int64_t> &out);
+void exon_range_query(int64_t contig, int64_t start, int64_t end,
+                      std::vector<int64_t> &out);
+
 }  // namespace annotate_engine

@@ -953,3 +953,1147 @@ PyObject *ev_relative_support(PyObject *, PyObject *args) {
     }
     return PyLong_FromLongLong(remaining);
 }
+
+// ---------------------------------------------------------------------------
+// recover_internal_tandem_duplication.cpp:8-84 (event_level.py:425-493)
+
+PyObject *ev_recover_itd(PyObject *, PyObject *args) {
+    long long max_itd_length, min_supporting_reads, subsampling_threshold;
+    double min_fraction_of_coverage;
+    if (!PyArg_ParseTuple(args, "LLdL", &max_itd_length, &min_supporting_reads,
+                          &min_fraction_of_coverage, &subsampling_threshold))
+        return nullptr;
+    if (!require_ready()) return nullptr;
+    Store &s = event_store::store();
+    cascade_store::Cascade &c = cascade_store::cascade();
+    const int64_t protrude_into_introns = 7;
+
+    const int64_t duplicates_id = fid(event_store::F_DUPLICATES);
+    const int64_t hairpin_id = fid(event_store::F_HAIRPIN);
+    const int64_t clipped_id = fid(event_store::F_INCONSISTENTLY_CLIPPED);
+    const int64_t mismatches_id = fid(event_store::F_MISMATCHES);
+    const int64_t relative_id = fid(event_store::F_RELATIVE_SUPPORT);
+    const int64_t intragenic_id = fid(event_store::F_INTRAGENIC_EXONIC);
+
+    int64_t duplicates = 0;
+    for (const Fragment &fragment : c.fragments)
+        if (fragment.filter == duplicates_id) duplicates += 1;
+    double duplication_rate =
+        c.fragments.empty() ? 0.0
+                            : 1.0 * (double)duplicates / (double)c.fragments.size();
+
+    const annotate_engine::Engine &eng = annotate_engine::engine();
+    std::vector<int64_t> exon_set;
+    for (EventFusion &f : s.fusions) {
+        if (f.filter != relative_id && f.filter != intragenic_id
+            && f.filter != hairpin_id && f.filter != clipped_id
+            && f.filter != mismatches_id)
+            continue;
+        if (!(f.gene1 == f.gene2 && f.exonic1 && f.exonic2
+              && f.direction1 == UPSTREAM && f.direction2 == DOWNSTREAM
+              && s.gene_is_protein_coding[f.gene1]
+              && f.breakpoint2 - f.breakpoint1 >= 0
+              && f.breakpoint2 - f.breakpoint1 < max_itd_length))
+            continue;
+
+        annotate_engine::exon_range_query(f.contig1, f.breakpoint1,
+                                          f.breakpoint2, exon_set);
+        bool is_in_coding_region = false;
+        for (int64_t e : exon_set) {
+            if (eng.exon_gene[e] == f.gene1
+                && eng.exon_cds_start[e] <= f.breakpoint1 + protrude_into_introns
+                && eng.exon_cds_end[e] + protrude_into_introns >= f.breakpoint1
+                && eng.exon_cds_start[e] <= f.breakpoint2 + protrude_into_introns
+                && eng.exon_cds_end[e] + protrude_into_introns >= f.breakpoint2)
+                is_in_coding_region = true;
+        }
+        if (!is_in_coding_region) continue;
+
+        int64_t coverage1 = coverage_around(f, 1);
+        int64_t coverage2 = coverage_around(f, 2);
+        int64_t split_reads = 0;
+        for (int which = 0; which < 2; ++which) {
+            const std::vector<int64_t> &list =
+                which == 0 ? f.split_read1_list : f.split_read2_list;
+            for (int64_t index : list) {
+                int64_t frag_filter = c.fragments[index].filter;
+                if (frag_filter == 0 || frag_filter == hairpin_id
+                    || frag_filter == clipped_id || frag_filter == mismatches_id)
+                    split_reads += 1;
+            }
+        }
+
+        if (split_reads >= min_supporting_reads
+            && (1.0 * (double)split_reads
+                        / (double)std::max(coverage1, coverage2)
+                        / (1 - duplication_rate)
+                    > min_fraction_of_coverage
+                || split_reads >= subsampling_threshold)) {
+            f.filter = 0;
+            for (int64_t index : f.split_read1_list) {
+                int64_t &frag_filter = c.fragments[index].filter;
+                if (frag_filter == hairpin_id || frag_filter == clipped_id
+                    || frag_filter == mismatches_id) {
+                    frag_filter = 0;
+                    f.split_reads1 += 1;
+                }
+            }
+            for (int64_t index : f.split_read2_list) {
+                int64_t &frag_filter = c.fragments[index].filter;
+                if (frag_filter == hairpin_id || frag_filter == clipped_id
+                    || frag_filter == mismatches_id) {
+                    frag_filter = 0;
+                    f.split_reads2 += 1;
+                }
+            }
+        }
+    }
+    return PyLong_FromLongLong(count_remaining());
+}
+
+// ---------------------------------------------------------------------------
+// filter_both_intronic.cpp:8-35 (event_level.py:392-418)
+
+PyObject *ev_both_intronic(PyObject *, PyObject *args) {
+    const char *viral;
+    Py_ssize_t viral_len;
+    if (!PyArg_ParseTuple(args, "y#", &viral, &viral_len)) return nullptr;
+    if (!require_ready()) return nullptr;
+    Store &s = event_store::store();
+    cascade_store::Cascade &c = cascade_store::cascade();
+
+    auto list_contains_exonic_reads =
+        [&c](const std::vector<int64_t> &list) -> bool {
+        for (int64_t index : list) {
+            const Fragment &fragment = c.fragments[index];
+            if (fragment.filter != 0) continue;
+            for (int m = 0; m < fragment.n_mates; ++m)
+                if (fragment.mates[m].exonic) return true;
+        }
+        return false;
+    };
+
+    int64_t remaining = 0;
+    for (EventFusion &f : s.fusions) {
+        if (f.filter != 0) continue;
+        if ((f.contig1 < viral_len && viral[f.contig1])
+            || (f.contig2 < viral_len && viral[f.contig2]))
+            continue;  // the reference's `continue` also skips remaining++
+        if (!list_contains_exonic_reads(f.split_read1_list)
+            && !list_contains_exonic_reads(f.split_read2_list)
+            && !list_contains_exonic_reads(f.discordant_list))
+            f.filter = fid(event_store::F_INTRONIC);
+        else
+            remaining += 1;
+    }
+    return PyLong_FromLongLong(remaining);
+}
+
+// ---------------------------------------------------------------------------
+// filter_in_vitro.cpp + recover_both_spliced.cpp shared helpers
+// (in_vitro.py:28-64)
+
+namespace {
+
+// filter_in_vitro.cpp:48-83 — chimeric-read counts per gene and the
+// high-expression quantile threshold (deterministic tie-break on gene id)
+void find_top_expressed_genes(double high_expression_quantile,
+                              std::unordered_map<int64_t, int64_t> &counts,
+                              int64_t &threshold) {
+    const cascade_store::Cascade &c = cascade_store::cascade();
+    counts.clear();
+    for (const Fragment &fragment : c.fragments) {
+        const Mate &mate1 = fragment.mates[MATE1];
+        for (int64_t g = 0; g < mate1.n_genes; ++g)
+            counts[mate1.genes[g]] += 1;
+        const Mate &other =
+            fragment.mates[fragment.n_mates == 3 ? SUPPLEMENTARY : MATE2];
+        for (int64_t g = 0; g < other.n_genes; ++g)
+            counts[other.genes[g]] += 1;
+    }
+    threshold = 0;
+    if (!counts.empty()) {
+        std::vector<std::pair<int64_t, int64_t>> sorted_genes;  // (count, gene)
+        sorted_genes.reserve(counts.size());
+        for (const auto &entry : counts)
+            sorted_genes.emplace_back(entry.second, entry.first);
+        std::sort(sorted_genes.begin(), sorted_genes.end());
+        size_t quantile =
+            (size_t)std::floor(high_expression_quantile
+                               * (double)sorted_genes.size());
+        if (quantile >= sorted_genes.size()) quantile = sorted_genes.size() - 1;
+        threshold = sorted_genes[quantile].first;
+    }
+}
+
+int64_t expression_of(const std::unordered_map<int64_t, int64_t> &counts,
+                      int64_t gene) {
+    auto found = counts.find(gene);
+    return found == counts.end() ? 0 : found->second;
+}
+
+// filter_in_vitro.cpp:20-33 over the event store's gene interval index
+int64_t find_higher_expressed_gene(
+    int64_t contig, int64_t breakpoint,
+    const std::unordered_map<int64_t, int64_t> &counts,
+    int64_t highest_expressed_gene) {
+    const event_store::GeneIndex &index = event_store::store().gene_index;
+    int64_t highest_expression = expression_of(counts, highest_expressed_gene);
+    if (contig < index.n_contigs) {
+        const std::vector<int64_t> &bounds = index.boundaries[contig];
+        size_t idx = std::lower_bound(bounds.begin(), bounds.end(), breakpoint)
+                     - bounds.begin();
+        if (idx < bounds.size()) {
+            int64_t lo = index.offsets[contig][idx];
+            int64_t hi = index.offsets[contig][idx + 1];
+            for (int64_t i = lo; i < hi; ++i) {
+                int64_t gene = index.items[contig][i];
+                int64_t expression = expression_of(counts, gene);
+                if (expression > highest_expression) {
+                    highest_expression = expression;
+                    highest_expressed_gene = gene;
+                }
+            }
+        }
+    }
+    return highest_expressed_gene;
+}
+
+}  // namespace
+
+// filter_in_vitro.cpp:85-227 (in_vitro.py:67-162)
+PyObject *ev_in_vitro(PyObject *, PyObject *args) {
+    double high_expression_quantile;
+    if (!PyArg_ParseTuple(args, "d", &high_expression_quantile)) return nullptr;
+    if (!require_ready()) return nullptr;
+    Store &s = event_store::store();
+    cascade_store::Cascade &c = cascade_store::cascade();
+    const int64_t min_clipped_length = 3;
+    const int64_t max_exonic_breakpoints_by_gene_pair = 8;
+    const int64_t merge_adjacent_id = fid(event_store::F_MERGE_ADJACENT);
+    const int64_t uninteresting_id = fid(event_store::F_UNINTERESTING_CONTIGS);
+    const int64_t relative_id = fid(event_store::F_RELATIVE_SUPPORT);
+    const int64_t min_support_id = fid(event_store::F_MIN_SUPPORT);
+    const int64_t homopolymer_id = fid(event_store::F_HOMOPOLYMER);
+
+    std::map<std::pair<int64_t, int64_t>, int64_t> exonic_breakpoints_by_pair;
+    for (const EventFusion &f : s.fusions) {
+        if (f.gene1 != f.gene2 && !f.spliced1 && !f.spliced2 && f.exonic1
+            && f.exonic2
+            && f.split_read1_list.size() + f.split_read2_list.size() > 0
+            && f.filter != merge_adjacent_id && f.filter != uninteresting_id) {
+            exonic_breakpoints_by_pair[{f.gene1, f.gene2}] += 1;
+            exonic_breakpoints_by_pair[{f.gene2, f.gene1}] += 1;
+        }
+    }
+
+    std::unordered_map<int64_t, int64_t> read_count_by_gene;
+    int64_t high_expression_threshold;
+    find_top_expressed_genes(high_expression_quantile, read_count_by_gene,
+                             high_expression_threshold);
+
+    for (EventFusion &f : s.fusions) {
+        if (f.filter != 0
+            && !((f.spliced1 || f.spliced2)
+                 && (f.filter == relative_id || f.filter == min_support_id
+                     || f.filter == homopolymer_id)))
+            continue;
+
+        double potential_rt_breakpoints = 0.0;
+        if (!f.exonic1) potential_rt_breakpoints += 0.5;
+        else if (!f.spliced1) potential_rt_breakpoints += 1;
+        if (!f.exonic2) potential_rt_breakpoints += 0.5;
+        else if (!f.spliced2) potential_rt_breakpoints += 1;
+
+        int64_t clipped_discordant_mates1 = 0, clipped_discordant_mates2 = 0;
+        for (int64_t index : f.discordant_list) {
+            const Fragment &fragment = c.fragments[index];
+            if (fragment.filter != 0) continue;
+            for (int m = 0; m < fragment.n_mates; ++m) {
+                const Mate &mate = fragment.mates[m];
+                if (mate.strand == FORWARD
+                    && mate.postclipping() >= min_clipped_length) {
+                    if (mate.contig == f.contig1 && mate.end == f.breakpoint1)
+                        clipped_discordant_mates1 += 1;
+                    else if (mate.contig == f.contig2
+                             && mate.end == f.breakpoint2)
+                        clipped_discordant_mates2 += 1;
+                } else if (mate.strand == REVERSE
+                           && mate.preclipping() >= min_clipped_length) {
+                    if (mate.contig == f.contig1 && mate.start == f.breakpoint1)
+                        clipped_discordant_mates1 += 1;
+                    else if (mate.contig == f.contig2
+                             && mate.start == f.breakpoint2)
+                        clipped_discordant_mates2 += 1;
+                }
+            }
+        }
+
+        int64_t total_split_reads =
+            std::min(clipped_discordant_mates1, clipped_discordant_mates2)
+            + f.split_reads1 + f.split_reads2;
+
+        int64_t gene1 = find_higher_expressed_gene(f.contig1, f.breakpoint1,
+                                                   read_count_by_gene, f.gene1);
+        int64_t gene2 = find_higher_expressed_gene(f.contig2, f.breakpoint2,
+                                                   read_count_by_gene, f.gene2);
+        int64_t gene1_expression = expression_of(read_count_by_gene, gene1);
+        int64_t gene2_expression = expression_of(read_count_by_gene, gene2);
+
+        int64_t exonic_breakpoints = 0;
+        {
+            auto found = exonic_breakpoints_by_pair.find({gene1, gene2});
+            if (found != exonic_breakpoints_by_pair.end())
+                exonic_breakpoints = found->second;
+            found = exonic_breakpoints_by_pair.find({f.gene1, f.gene2});
+            if (found != exonic_breakpoints_by_pair.end())
+                exonic_breakpoints = std::max(exonic_breakpoints, found->second);
+        }
+
+        int64_t coverage1 = coverage_around(f, 1);
+        int64_t coverage2 = coverage_around(f, 2);
+        int64_t sup = f.supporting_reads();
+        if ((double)total_split_reads
+                <= 2 + 0.0001 * (double)(gene1_expression + gene2_expression)
+            && (total_split_reads * 2 <= f.discordant_mates
+                || total_split_reads <= 2)
+            && gene1_expression + gene2_expression > high_expression_threshold
+            && !(sup >= 10 && sup * 4 >= std::max(coverage1, coverage2)
+                 && coverage1 > sup && coverage2 > sup
+                 && (f.spliced1 || f.spliced2)
+                 && ((f.spliced1 || !f.exonic1) && (f.spliced2 || !f.exonic2)))
+            && (potential_rt_breakpoints > 1
+                || (potential_rt_breakpoints > 0
+                    && (gene1_expression > high_expression_threshold
+                        || gene2_expression > high_expression_threshold))
+                || gene1_expression > 2 * high_expression_threshold
+                || gene2_expression > 2 * high_expression_threshold
+                || (gene1_expression > high_expression_threshold
+                    && gene2_expression > high_expression_threshold)
+                || exonic_breakpoints > max_exonic_breakpoints_by_gene_pair
+                || sup <= 1))
+            f.filter = fid(event_store::F_IN_VITRO);
+    }
+    return PyLong_FromLongLong(count_remaining());
+}
+
+// ---------------------------------------------------------------------------
+// recover_both_spliced.cpp:17-182 (in_vitro.py:169-295)
+
+namespace {
+
+// recover_both_spliced.cpp:17-76
+int64_t count_supporting_reads_for_recovery(
+    const EventFusion &f, const std::unordered_map<int64_t, int64_t> &counts,
+    int64_t high_expression_threshold, int64_t max_exon_size,
+    int64_t max_coverage) {
+    const cascade_store::Cascade &c = cascade_store::cascade();
+    const annotate_engine::Engine &eng = annotate_engine::engine();
+
+    if (expression_of(counts, f.gene1) > high_expression_threshold
+        || expression_of(counts, f.gene2) > high_expression_threshold) {
+        if (both_breakpoints_spliced(f)
+            && f.discordant_mates <= f.split_reads1 + f.split_reads2)
+            return 1;
+        return 0;
+    }
+
+    if (!both_breakpoints_spliced(f)) {
+        int64_t coverage1 = coverage_around(f, 1);
+        int64_t coverage2 = coverage_around(f, 2);
+        if (coverage1 + coverage2 > f.supporting_reads() * max_coverage)
+            return 0;
+        std::vector<int64_t> exon_set;
+        annotate_engine::exon_point_query(f.contig1, f.breakpoint1, exon_set);
+        for (int64_t e : exon_set)
+            if (eng.exon_end[e] + 1 - eng.exon_start[e] > max_exon_size)
+                return 0;
+        annotate_engine::exon_point_query(f.contig2, f.breakpoint2, exon_set);
+        for (int64_t e : exon_set)
+            if (eng.exon_end[e] + 1 - eng.exon_start[e] > max_exon_size)
+                return 0;
+    }
+
+    int64_t multimappers = 0, unique_mappers = 0;
+    for (int which = 0; which < 3; ++which) {
+        const std::vector<int64_t> &list = which == 0 ? f.split_read1_list
+                                           : which == 1 ? f.split_read2_list
+                                                        : f.discordant_list;
+        for (int64_t index : list) {
+            const Fragment &fragment = c.fragments[index];
+            if (fragment.multimapper)
+                multimappers += 1;
+            else if (fragment.filter == 0)
+                unique_mappers += 1;
+        }
+    }
+    int64_t total_list_size = (int64_t)(f.split_read1_list.size()
+                                        + f.split_read2_list.size()
+                                        + f.discordant_list.size());
+    if ((double)multimappers >= 0.5 * (double)total_list_size) return 0;
+    if (unique_mappers == 0) return 1;
+    return unique_mappers;
+}
+
+}  // namespace
+
+// recover_both_spliced.cpp:77-182 — two-mode (dry-run counting, then recover)
+// with a dynamic min-supporting-reads threshold
+PyObject *ev_recover_both_spliced(PyObject *, PyObject *args) {
+    long long max_fusions_to_recover, max_exon_size, max_coverage;
+    double high_expression_quantile;
+    if (!PyArg_ParseTuple(args, "LdLL", &max_fusions_to_recover,
+                          &high_expression_quantile, &max_exon_size,
+                          &max_coverage))
+        return nullptr;
+    if (!require_ready()) return nullptr;
+    Store &s = event_store::store();
+    const int64_t merge_adjacent_id = fid(event_store::F_MERGE_ADJACENT);
+    const int64_t in_vitro_id = fid(event_store::F_IN_VITRO);
+    const int64_t intronic_id = fid(event_store::F_INTRONIC);
+    const int64_t relative_id = fid(event_store::F_RELATIVE_SUPPORT);
+    const int64_t min_support_id = fid(event_store::F_MIN_SUPPORT);
+    const int64_t clipped_id = fid(event_store::F_INCONSISTENTLY_CLIPPED);
+
+    std::unordered_map<int64_t, int64_t> read_count_by_gene;
+    int64_t high_expression_threshold;
+    find_top_expressed_genes(high_expression_quantile, read_count_by_gene,
+                             high_expression_threshold);
+
+    const size_t n = s.fusions.size();
+    std::vector<int64_t> cached_counts(n, -1);
+    auto count_reads = [&](size_t index) -> int64_t {
+        if (cached_counts[index] < 0)
+            cached_counts[index] = count_supporting_reads_for_recovery(
+                s.fusions[index], read_count_by_gene, high_expression_threshold,
+                max_exon_size, max_coverage);
+        return cached_counts[index];
+    };
+
+    std::map<std::array<int64_t, 4>, std::vector<size_t>> fusions_by_gene_pair;
+    for (size_t i = 0; i < n; ++i) {
+        const EventFusion &f = s.fusions[i];
+        if (f.filter == merge_adjacent_id) continue;
+        if (f.filter == 0 || f.filter == in_vitro_id || f.filter == intronic_id
+            || f.filter == relative_id || f.filter == min_support_id
+            || (f.filter == clipped_id && both_breakpoints_spliced(f))) {
+            if (count_reads(i) > 0)
+                fusions_by_gene_pair[{f.gene1, f.gene2, f.direction1,
+                                      f.direction2}]
+                    .push_back(i);
+        }
+    }
+
+    int64_t remaining = 0;
+    std::map<int64_t, int64_t> recovered_by_supporting_reads;
+    int64_t min_supporting_reads = 1;
+    for (int mode = 0; mode < 2; ++mode) {  // 0 = counting, 1 = recover
+        for (size_t i = 0; i < n; ++i) {
+            EventFusion &f = s.fusions[i];
+            if (f.filter == 0) {
+                if (mode == 1) remaining += 1;
+                continue;
+            }
+            if (!both_breakpoints_spliced(f)) continue;
+            if (f.gene1 == f.gene2 || breakpoint_overlaps_both_genes(f))
+                continue;
+            if (f.is_read_through()) continue;
+            if (f.filter != relative_id && f.filter != min_support_id
+                && f.filter != in_vitro_id)
+                continue;
+
+            int64_t sum_of_supporting_reads = 0;
+            {
+                auto found = fusions_by_gene_pair.find(
+                    {f.gene1, f.gene2, f.direction1, f.direction2});
+                if (found != fusions_by_gene_pair.end())
+                    for (size_t j : found->second)
+                        sum_of_supporting_reads += count_reads(j);
+            }
+            {
+                auto found = fusions_by_gene_pair.find(
+                    {f.gene1, f.gene2, !f.direction1, !f.direction2});
+                if (found != fusions_by_gene_pair.end()) {
+                    for (size_t j : found->second) {
+                        const EventFusion &other = s.fusions[j];
+                        if (other.is_read_through()) continue;
+                        if (both_breakpoints_spliced(other)
+                            || (((f.direction1 == DOWNSTREAM)
+                                 != (f.breakpoint1 > other.breakpoint1))
+                                && ((f.direction2 == DOWNSTREAM)
+                                    != (f.breakpoint2 > other.breakpoint2))))
+                            sum_of_supporting_reads += count_reads(j);
+                    }
+                }
+            }
+
+            if (sum_of_supporting_reads >= 2) {
+                if (mode == 1) {
+                    int64_t add_one =
+                        (f.contig1 == f.contig2
+                         && std::llabs(f.breakpoint1 - f.breakpoint2) < 1000000)
+                            ? 1
+                            : 0;
+                    if (f.supporting_reads() >= min_supporting_reads + add_one) {
+                        f.filter = 0;
+                        remaining += 1;
+                    }
+                } else {
+                    recovered_by_supporting_reads[f.supporting_reads()] += 1;
+                }
+            }
+        }
+
+        if (mode == 0) {
+            int64_t would_be_recovered = 0;
+            for (auto it = recovered_by_supporting_reads.rbegin();
+                 it != recovered_by_supporting_reads.rend(); ++it) {
+                would_be_recovered += it->second;
+                if (would_be_recovered >= max_fusions_to_recover) {
+                    min_supporting_reads = it->first + 1;
+                    break;
+                }
+            }
+        }
+    }
+    return PyLong_FromLongLong(remaining);
+}
+
+// ---------------------------------------------------------------------------
+// select_best.cpp:9-79 (event_level.py:500-549)
+
+namespace {
+
+// select_best.cpp:9-19
+int64_t rank_fusion(const EventFusion &f) {
+    if (f.split_reads1 != 0 && f.split_reads2 != 0) return 3;
+    if ((f.split_reads1 != 0 || f.split_reads2 != 0) && f.discordant_mates != 0)
+        return 2;
+    if (f.split_reads1 != 0 || f.split_reads2 != 0) return 1;
+    return 0;
+}
+
+}  // namespace
+
+PyObject *ev_select_best(PyObject *, PyObject *) {
+    if (!require_ready()) return nullptr;
+    Store &s = event_store::store();
+    std::map<std::array<int64_t, 4>, EventFusion *> best;
+    for (EventFusion &f : s.fusions) {
+        if (f.filter != 0) continue;
+        std::array<int64_t, 4> gene_pair{f.gene1, f.gene2, f.direction1,
+                                         f.direction2};
+        auto found = best.find(gene_pair);
+        if (found == best.end()) {
+            best.emplace(gene_pair, &f);
+            continue;
+        }
+        EventFusion *&current = found->second;
+        if (rank_fusion(f) > rank_fusion(*current)) {
+            current = &f;
+        } else if (rank_fusion(f) == rank_fusion(*current)) {
+            if (f.supporting_reads() > current->supporting_reads()) {
+                current = &f;
+            } else if (f.supporting_reads() == current->supporting_reads()) {
+                if ((f.exonic1 && !current->exonic1)
+                    || (f.exonic2 && !current->exonic2)) {
+                    current = &f;
+                } else if ((!current->exonic1 || f.exonic1 == current->exonic1)
+                           && (!current->exonic2
+                               || f.exonic2 == current->exonic2)) {
+                    if ((f.direction1 == DOWNSTREAM
+                         && f.breakpoint1 > current->breakpoint1)
+                        || (f.direction1 == UPSTREAM
+                            && f.breakpoint1 < current->breakpoint1)) {
+                        current = &f;
+                    } else if (f.breakpoint1 == current->breakpoint1) {
+                        if ((f.direction2 == DOWNSTREAM
+                             && f.breakpoint2 > current->breakpoint2)
+                            || (f.direction2 == UPSTREAM
+                                && f.breakpoint2 < current->breakpoint2))
+                            current = &f;
+                    }
+                }
+            }
+        }
+    }
+
+    int64_t remaining = 0;
+    for (EventFusion &f : s.fusions) {
+        if (f.filter != 0) continue;
+        if (best[{f.gene1, f.gene2, f.direction1, f.direction2}] == &f)
+            remaining += 1;
+        else
+            f.filter = fid(event_store::F_SELECT_BEST);
+    }
+    return PyLong_FromLongLong(remaining);
+}
+
+// ---------------------------------------------------------------------------
+// filter_marginal_read_through.cpp:7-45 (event_level.py:556-592)
+
+PyObject *ev_marginal_read_through(PyObject *, PyObject *) {
+    if (!require_ready()) return nullptr;
+    Store &s = event_store::store();
+    const cascade_store::Cascade &c = cascade_store::cascade();
+    const annotate_engine::Engine &eng = annotate_engine::engine();
+    const double margin = 0.01, min_vaf = 0.07;
+
+    int64_t remaining = 0;
+    for (EventFusion &f : s.fusions) {
+        if (f.filter == 0 && f.is_read_through()) {
+            double position_in_donor = 1.0, position_in_acceptor = 1.0;
+            int64_t g1 = f.gene1, g2 = f.gene2;
+            bool g1_dummy = c.gene_is_dummy[g1] != 0;
+            bool g2_dummy = c.gene_is_dummy[g2] != 0;
+            bool g1_strand = eng.gene_strand[g1] != 0;
+            bool g2_strand = eng.gene_strand[g2] != 0;
+            if (!g1_dummy && g1_strand == FORWARD && f.direction1 == DOWNSTREAM)
+                position_in_donor =
+                    1.0 * (double)(f.breakpoint1 - c.gene_start[g1])
+                    / (double)(c.gene_end[g1] - c.gene_start[g1]);
+            else if (!g2_dummy && g2_strand == REVERSE
+                     && f.direction2 == UPSTREAM)
+                position_in_donor =
+                    1.0 * (double)(c.gene_end[g2] - f.breakpoint2)
+                    / (double)(c.gene_end[g2] - c.gene_start[g2]);
+            else if (!g1_dummy && g1_strand == REVERSE
+                     && f.direction1 == DOWNSTREAM)
+                position_in_acceptor =
+                    1.0 * (double)(f.breakpoint1 - c.gene_start[g1])
+                    / (double)(c.gene_end[g1] - c.gene_start[g1]);
+            else if (!g2_dummy && g2_strand == FORWARD
+                     && f.direction2 == UPSTREAM)
+                position_in_acceptor =
+                    1.0 * (double)(c.gene_end[g2] - f.breakpoint2)
+                    / (double)(c.gene_end[g2] - c.gene_start[g2]);
+            else {  // both breakpoints intergenic => filter does not apply
+                remaining += 1;
+                continue;
+            }
+
+            int64_t coverage1 = coverage_around(f, 1);
+            int64_t coverage2 = coverage_around(f, 2);
+            if (position_in_donor > 1 - margin
+                && position_in_acceptor > 1 - margin
+                && (double)f.supporting_reads()
+                       < min_vaf * (double)std::max(coverage1, coverage2))
+                f.filter = fid(event_store::F_MARGINAL_READ_THROUGH);
+        }
+        if (f.filter == 0) remaining += 1;
+    }
+    return PyLong_FromLongLong(remaining);
+}
+
+// ---------------------------------------------------------------------------
+// recover_many_spliced.cpp:8-51 (event_level.py:599-626)
+
+PyObject *ev_recover_many_spliced(PyObject *, PyObject *args) {
+    long long min_spliced_events;
+    if (!PyArg_ParseTuple(args, "L", &min_spliced_events)) return nullptr;
+    if (!require_ready()) return nullptr;
+    Store &s = event_store::store();
+    const int64_t clipped_id = fid(event_store::F_INCONSISTENTLY_CLIPPED);
+    const int64_t relative_id = fid(event_store::F_RELATIVE_SUPPORT);
+    const int64_t min_support_id = fid(event_store::F_MIN_SUPPORT);
+    const int64_t select_best_id = fid(event_store::F_SELECT_BEST);
+
+    std::map<std::pair<int64_t, int64_t>, std::set<std::pair<int64_t, int64_t>>>
+        spliced_by_gene_pair;
+    for (const EventFusion &f : s.fusions) {
+        if (!f.is_read_through() && (f.spliced1 || f.spliced2)
+            && f.gene1 != f.gene2 && !breakpoint_overlaps_both_genes(f)
+            && (f.filter == 0 || f.filter == clipped_id
+                || f.filter == relative_id || f.filter == min_support_id
+                || f.filter == select_best_id))
+            spliced_by_gene_pair[{f.gene1, f.gene2}].emplace(
+                f.breakpoint1 / 10, f.breakpoint2 / 10);
+    }
+
+    int64_t remaining = 0;
+    for (EventFusion &f : s.fusions) {
+        if (f.filter == 0) {
+            remaining += 1;
+            continue;
+        }
+        if (f.is_read_through() || f.gene1 == f.gene2
+            || breakpoint_overlaps_both_genes(f))
+            continue;
+        if (f.filter == clipped_id || f.filter == relative_id
+            || f.filter == min_support_id || f.filter == select_best_id) {
+            if (f.spliced1 || f.spliced2) {
+                auto found = spliced_by_gene_pair.find({f.gene1, f.gene2});
+                if (found != spliced_by_gene_pair.end()
+                    && (int64_t)found->second.size() >= min_spliced_events) {
+                    f.filter = 0;
+                    remaining += 1;
+                }
+            }
+        }
+    }
+    return PyLong_FromLongLong(remaining);
+}
+
+// ---------------------------------------------------------------------------
+// filter_genomic_support.cpp:222-401 (genomic_support.py:219-338)
+
+PyObject *ev_assign_confidence(PyObject *, PyObject *) {
+    if (!require_ready()) return nullptr;
+    Store &s = event_store::store();
+
+    std::unordered_map<int64_t, std::vector<const EventFusion *>> fusions_by_gene;
+    for (const EventFusion &f : s.fusions) {
+        fusions_by_gene[f.gene1].push_back(&f);
+        fusions_by_gene[f.gene2].push_back(&f);
+    }
+
+    for (EventFusion &f : s.fusions) {
+        int64_t coverage1 = coverage_around(f, 1);
+        int64_t coverage2 = coverage_around(f, 2);
+        double coverage_fraction =
+            (double)(f.split_read1_list.size() + f.split_read2_list.size()
+                     + f.discordant_list.size())
+            / (double)std::max((int64_t)1, std::max(coverage1, coverage2));
+
+        if (f.filter != 0) {
+            f.confidence = CONFIDENCE_LOW;
+            continue;
+        }
+
+        f.confidence = CONFIDENCE_HIGH;
+
+        if (f.evalue > 0.3 || f.supporting_reads() < 2) {
+            f.confidence = CONFIDENCE_LOW;
+
+        } else if (f.is_read_through()) {
+            f.confidence = CONFIDENCE_LOW;
+            if (((f.split_reads1 > 0 && f.split_reads2 > 0)
+                 || (f.split_reads1 > 0 && f.discordant_mates > 0)
+                 || (f.split_reads2 > 0 && f.discordant_mates > 0))
+                && f.supporting_reads() >= 10) {
+                if (f.split_reads1 + f.split_reads2 >= 10
+                    && coverage_fraction > 0.07)
+                    f.confidence = CONFIDENCE_HIGH;
+                else
+                    f.confidence = CONFIDENCE_MEDIUM;
+            } else {
+                // look for multiple deletions involving the same gene
+                int64_t number_of_deletions = 0;
+                for (int which = 0; which < 2; ++which) {
+                    int64_t gene = which == 0 ? f.gene1 : f.gene2;
+                    for (const EventFusion *other : fusions_by_gene[gene]) {
+                        if (other->filter == 0
+                            && other->split_reads1 + other->split_reads2 > 0
+                            && other->direction1 == DOWNSTREAM
+                            && other->direction2 == UPSTREAM
+                            && ((other->gene1 == f.gene1
+                                 && other->gene2 != f.gene2)
+                                || (other->gene1 != f.gene1
+                                    && other->gene2 == f.gene2))
+                            && (other->breakpoint1 != f.breakpoint1
+                                || other->breakpoint2 != f.breakpoint2)
+                            && other->breakpoint2 > f.breakpoint1
+                            && other->breakpoint1 < f.breakpoint2)
+                            number_of_deletions += 1;
+                    }
+                }
+                if (number_of_deletions >= 1)
+                    f.confidence = CONFIDENCE_MEDIUM;
+            }
+
+        } else if (breakpoint_overlaps_both_genes(f) || f.gene1 == f.gene2) {
+            f.confidence = CONFIDENCE_LOW;
+            if (f.split_reads1 + f.split_reads2 > 0) {
+                if (!f.exonic1 && !f.exonic2) {
+                    if (f.split_reads1 > 0 && f.split_reads2 > 0)
+                        f.confidence = CONFIDENCE_HIGH;
+                    else
+                        f.confidence = CONFIDENCE_MEDIUM;
+                } else if (!f.exonic1 || !f.exonic2) {
+                    if (f.split_reads1 > 3 && f.split_reads2 > 3)
+                        f.confidence = CONFIDENCE_HIGH;
+                    else
+                        f.confidence = CONFIDENCE_MEDIUM;
+                }
+            }
+        }
+
+        // lift confidence of rescued internal tandem duplications
+        if (f.confidence == CONFIDENCE_LOW && f.gene1 == f.gene2 && f.exonic1
+            && f.exonic2 && !f.spliced1 && !f.spliced2
+            && f.breakpoint2 - f.breakpoint1 < 100 && f.split_reads1 > 0
+            && f.split_reads2 > 0 && f.split_reads1 + f.split_reads2 >= 10
+            && coverage_fraction > 0.15 && f.direction1 == UPSTREAM
+            && f.direction2 == DOWNSTREAM)
+            f.confidence = CONFIDENCE_MEDIUM;
+
+        // multiple spliced events between the same pair of genes
+        if (f.confidence < CONFIDENCE_HIGH && f.spliced1 && f.spliced2
+            && !f.is_read_through() && f.gene1 != f.gene2) {
+            int64_t number_of_spliced_breakpoints = 0;
+            for (int which = 0; which < 2; ++which) {
+                int64_t gene = which == 0 ? f.gene1 : f.gene2;
+                for (const EventFusion *other : fusions_by_gene[gene]) {
+                    if (other->gene1 == f.gene1 && other->gene2 == f.gene2
+                        && other->spliced1 && other->spliced2
+                        && (std::llabs(other->breakpoint1 - f.breakpoint1) > 2
+                            || std::llabs(other->breakpoint2 - f.breakpoint2)
+                                   > 2))
+                        number_of_spliced_breakpoints += 1;
+                }
+            }
+            if (number_of_spliced_breakpoints > 0) f.confidence += 1;
+        }
+
+        // penalize when no breakpoint is spliced (not for intragenic events)
+        if (f.gene1 != f.gene2 && f.confidence > CONFIDENCE_LOW && !f.spliced1
+            && !f.spliced2)
+            f.confidence -= 1;
+
+        // excellent support => high confidence regardless
+        if (f.split_reads1 > 20 && f.split_reads2 > 20
+            && f.supporting_reads() > 60)
+            f.confidence = CONFIDENCE_HIGH;
+
+        // suspicious read-count patterns
+        if (f.confidence > CONFIDENCE_LOW) {
+            if (f.split_reads1 + f.split_reads2 == 0
+                || f.split_reads1 + f.discordant_mates == 0
+                || f.split_reads2 + f.discordant_mates == 0)
+                f.confidence -= 1;
+            else if ((f.split_reads1 + f.split_reads2) * 20 < f.discordant_mates)
+                f.confidence -= 1;
+            else if (f.evalue > 0.2 || coverage_fraction < 0.01)
+                f.confidence = CONFIDENCE_MEDIUM;
+        }
+
+        // supporting SV raises confidence
+        if (f.confidence < CONFIDENCE_HIGH && f.closest_genomic_breakpoint1 >= 0
+            && ((f.evalue < 0.3 && f.supporting_reads() >= 2)
+                || (f.spliced1 && f.spliced2 && f.gene1 != f.gene2)
+                || (std::llabs(f.breakpoint1 - f.closest_genomic_breakpoint1)
+                        + std::llabs(f.breakpoint2
+                                     - f.closest_genomic_breakpoint2)
+                    < 20000)
+                || f.contig1 != f.contig2
+                || (std::llabs(f.breakpoint2 - f.breakpoint1) > 1000000
+                    && f.gene1 != f.gene2)))
+            f.confidence += 1;
+    }
+    Py_RETURN_NONE;
+}
+
+// filter_genomic_support.cpp:404-419 (genomic_support.py:341-351)
+PyObject *ev_no_genomic_support(PyObject *, PyObject *args) {
+    const char *viral;
+    Py_ssize_t viral_len;
+    if (!PyArg_ParseTuple(args, "y#", &viral, &viral_len)) return nullptr;
+    if (!require_ready()) return nullptr;
+    Store &s = event_store::store();
+    int64_t remaining = 0;
+    for (EventFusion &f : s.fusions) {
+        if (f.filter != 0) continue;
+        if (f.closest_genomic_breakpoint1 < 0 && f.confidence == CONFIDENCE_LOW
+            && !(f.contig1 < viral_len && viral[f.contig1])
+            && !(f.contig2 < viral_len && viral[f.contig2]))
+            f.filter = fid(event_store::F_NO_GENOMIC_SUPPORT);
+        else
+            remaining += 1;
+    }
+    return PyLong_FromLongLong(remaining);
+}
+
+// filter_genomic_support.cpp:421-444 (genomic_support.py:354-366)
+PyObject *ev_recover_genomic_support(PyObject *, PyObject *) {
+    if (!require_ready()) return nullptr;
+    Store &s = event_store::store();
+    const int64_t end_to_end_id = fid(event_store::F_END_TO_END);
+    const int64_t intronic_id = fid(event_store::F_INTRONIC);
+    const int64_t mismappers_id = fid(event_store::F_MISMAPPERS);
+    const int64_t no_coverage_id = fid(event_store::F_NO_COVERAGE);
+    const int64_t in_vitro_id = fid(event_store::F_IN_VITRO);
+    const int64_t relative_id = fid(event_store::F_RELATIVE_SUPPORT);
+    int64_t remaining = 0;
+    for (EventFusion &f : s.fusions) {
+        if (f.filter == 0) {
+            remaining += 1;
+            continue;
+        }
+        if (f.closest_genomic_breakpoint1 >= 0
+            && (f.filter == end_to_end_id || f.filter == intronic_id
+                || f.filter == mismappers_id || f.filter == no_coverage_id
+                || f.filter == in_vitro_id || f.filter == relative_id)) {
+            f.filter = 0;
+            remaining += 1;
+        }
+    }
+    return PyLong_FromLongLong(remaining);
+}
+
+// ---------------------------------------------------------------------------
+// filter_short_anchor.cpp:7-23 (event_level.py:633-645)
+
+PyObject *ev_short_anchor(PyObject *, PyObject *args) {
+    long long min_length;
+    if (!PyArg_ParseTuple(args, "L", &min_length)) return nullptr;
+    if (!require_ready()) return nullptr;
+    Store &s = event_store::store();
+    int64_t remaining = 0;
+    for (EventFusion &f : s.fusions) {
+        if (f.filter != 0) continue;
+        if (!(f.spliced1 && f.spliced2)
+            && (std::llabs(f.anchor_start1 - f.breakpoint1) < min_length
+                || std::llabs(f.anchor_start2 - f.breakpoint2) < min_length))
+            f.filter = fid(event_store::F_SHORT_ANCHOR);
+        else
+            remaining += 1;
+    }
+    return PyLong_FromLongLong(remaining);
+}
+
+// ---------------------------------------------------------------------------
+// filter_end_to_end.cpp:8-77 (event_level.py:652-715)
+
+namespace {
+
+// filter_end_to_end.cpp:8-23 — fraction of the gene not covered by its own
+// exons, walking interval-index regions
+double calculate_intronic_fraction(int64_t gene) {
+    const cascade_store::Cascade &c = cascade_store::cascade();
+    const annotate_engine::Engine &eng = annotate_engine::engine();
+    int64_t intronic_bases = 0;
+    int64_t gene_start = c.gene_start[gene];
+    int64_t gene_end = c.gene_end[gene];
+    int64_t contig = eng.gene_contig[gene];
+    int64_t previous_position = gene_start;
+    if (contig < eng.n_contigs) {
+        const annotate_engine::ContigIndex &index = eng.exon_index[contig];
+        const std::vector<int64_t> &bounds = index.boundaries;
+        size_t idx = std::lower_bound(bounds.begin(), bounds.end(), gene_start)
+                     - bounds.begin();
+        while (idx < bounds.size() && bounds[idx] <= gene_end) {
+            int64_t lo = index.offsets[idx], hi = index.offsets[idx + 1];
+            for (int64_t i = lo; i < hi; ++i) {
+                int64_t e = index.items[i];
+                if (eng.exon_gene[e] == gene) {
+                    if (previous_position < eng.exon_start[e])
+                        intronic_bases += eng.exon_start[e] - previous_position;
+                    if (previous_position < eng.exon_end[e])
+                        previous_position = eng.exon_end[e] + 1;
+                    break;
+                }
+            }
+            idx += 1;
+        }
+    }
+    return (double)intronic_bases / (double)(gene_end - gene_start + 1);
+}
+
+}  // namespace
+
+PyObject *ev_end_to_end(PyObject *, PyObject *args) {
+    const char *viral;
+    Py_ssize_t viral_len;
+    if (!PyArg_ParseTuple(args, "y#", &viral, &viral_len)) return nullptr;
+    if (!require_ready()) return nullptr;
+    Store &s = event_store::store();
+    const cascade_store::Cascade &c = cascade_store::cascade();
+    const annotate_engine::Engine &eng = annotate_engine::engine();
+    const int64_t many_discordant_mates = 10;
+    const int64_t min_breakpoint_distance = 1000000;
+    const double max_intronic_fraction = 0.66;
+
+    int64_t remaining = 0;
+    for (EventFusion &f : s.fusions) {
+        if (f.filter != 0) continue;
+        if ((f.contig1 < viral_len && viral[f.contig1])
+            || (f.contig2 < viral_len && viral[f.contig2]))
+            continue;  // the reference's `continue` skips remaining++
+        if (!f.is_read_through() && f.gene1 != f.gene2
+            && (f.spliced1 || f.spliced2)) {
+            remaining += 1;
+            continue;
+        }
+
+        if (f.discordant_mates + f.split_reads1 == 0
+            || f.discordant_mates + f.split_reads2 == 0
+            || f.split_reads1 + f.split_reads2 == 0
+            || (breakpoint_overlaps_both_genes(f)
+                && (f.split_reads1 == 0 || f.split_reads2 == 0))) {
+            bool g1_dummy = c.gene_is_dummy[f.gene1] != 0;
+            bool g2_dummy = c.gene_is_dummy[f.gene2] != 0;
+            bool g1_strand = eng.gene_strand[f.gene1] != 0;
+            bool g2_strand = eng.gene_strand[f.gene2] != 0;
+            if ((g1_dummy || (g1_strand == FORWARD && f.direction1 == UPSTREAM)
+                 || (g1_strand == REVERSE && f.direction1 == DOWNSTREAM))
+                && (g2_dummy
+                    || (g2_strand == FORWARD && f.direction2 == UPSTREAM)
+                    || (g2_strand == REVERSE && f.direction2 == DOWNSTREAM))) {
+                if (f.discordant_mates < many_discordant_mates
+                    || (f.contig1 == f.contig2
+                        && std::llabs(f.breakpoint1 - f.breakpoint2)
+                               < min_breakpoint_distance)
+                    || (f.exonic1 && f.exonic2
+                        && calculate_intronic_fraction(f.gene1)
+                               > max_intronic_fraction
+                        && calculate_intronic_fraction(f.gene2)
+                               > max_intronic_fraction)) {
+                    f.filter = fid(event_store::F_END_TO_END);
+                    continue;
+                }
+            }
+        }
+        remaining += 1;
+    }
+    return PyLong_FromLongLong(remaining);
+}
+
+// ---------------------------------------------------------------------------
+// filter_no_coverage.cpp:8-102 (event_level.py:722-780)
+
+namespace {
+
+// read_stats.cpp:269-279 — note the reference's trunc division and the
+// unsigned cast that turns a negative window into an immediate miss
+bool fragment_starts_here(int64_t contig, int64_t start, int64_t end) {
+    const Store &s = event_store::store();
+    if (contig >= (int64_t)s.frag_starts.size()
+        || s.frag_starts[contig] == nullptr)
+        return false;
+    for (int64_t w = start / COVERAGE_RESOLUTION + 1;
+         w <= end / COVERAGE_RESOLUTION; ++w) {
+        if ((uint64_t)w >= (uint64_t)s.frag_starts_len[contig]) return false;
+        if (s.frag_starts[contig][w]) return true;
+    }
+    return false;
+}
+
+// read_stats.cpp:282-292
+bool fragment_ends_here(int64_t contig, int64_t start, int64_t end) {
+    const Store &s = event_store::store();
+    if (contig >= (int64_t)s.frag_ends.size() || s.frag_ends[contig] == nullptr)
+        return false;
+    for (int64_t w = start / COVERAGE_RESOLUTION;
+         w < end / COVERAGE_RESOLUTION; ++w) {
+        if ((uint64_t)w >= (uint64_t)s.frag_ends_len[contig]) return false;
+        if (s.frag_ends[contig][w]) return true;
+    }
+    return false;
+}
+
+bool breakpoint_in_terminal_exon(int64_t contig, int64_t breakpoint,
+                                 int64_t gene) {
+    const annotate_engine::Engine &eng = annotate_engine::engine();
+    std::vector<int64_t> exon_set;
+    annotate_engine::exon_point_query(contig, breakpoint, exon_set);
+    for (int64_t e : exon_set)
+        if (eng.exon_gene[e] == gene
+            && (eng.exon_prev[e] < 0 || eng.exon_next[e] < 0))
+            return true;
+    return false;
+}
+
+}  // namespace
+
+PyObject *ev_no_coverage(PyObject *, PyObject *) {
+    if (!require_ready()) return nullptr;
+    Store &s = event_store::store();
+    const int64_t scan_range = 200;
+
+    int64_t remaining = 0;
+    for (EventFusion &f : s.fusions) {
+        if (f.filter != 0) continue;
+
+        if (!f.is_read_through()) {
+            if (f.split_reads1 + f.split_reads2 != 0
+                && f.split_reads1 + f.discordant_mates != 0
+                && f.split_reads2 + f.discordant_mates != 0) {
+                remaining += 1;
+                continue;
+            }
+            if (f.spliced1 || f.spliced2) {
+                remaining += 1;
+                continue;
+            }
+        } else {
+            if (f.spliced1 && f.spliced2) {
+                remaining += 1;
+                continue;
+            }
+        }
+
+        bool filtered = false;
+        for (int which = 1; which <= 2 && !filtered; ++which) {
+            int64_t contig = which == 1 ? f.contig1 : f.contig2;
+            int64_t breakpoint = which == 1 ? f.breakpoint1 : f.breakpoint2;
+            int64_t gene = which == 1 ? f.gene1 : f.gene2;
+            bool direction = which == 1 ? f.direction1 : f.direction2;
+            int64_t anchor_start = which == 1 ? f.anchor_start1 : f.anchor_start2;
+
+            if (breakpoint_in_terminal_exon(contig, breakpoint, gene)) continue;
+            int64_t start, end;
+            if (direction == UPSTREAM) {
+                start = breakpoint;
+                if (f.split_reads1 + f.split_reads2 == 0) start -= scan_range;
+                end = std::max(breakpoint + scan_range, anchor_start);
+            } else {
+                start = std::min(breakpoint - scan_range, anchor_start);
+                end = breakpoint;
+                if (f.split_reads1 + f.split_reads2 == 0) end += scan_range;
+            }
+            if ((direction == UPSTREAM
+                 && !fragment_starts_here(contig, start, end))
+                || (direction == DOWNSTREAM
+                    && !fragment_ends_here(contig, start, end))) {
+                f.filter = fid(event_store::F_NO_COVERAGE);
+                filtered = true;
+            }
+        }
+        if (!filtered) remaining += 1;
+    }
+    return PyLong_FromLongLong(remaining);
+}
+
+// ---------------------------------------------------------------------------
+// recover_isoforms.cpp:10-47 (event_level.py:787-810)
+
+PyObject *ev_recover_isoforms(PyObject *, PyObject *) {
+    if (!require_ready()) return nullptr;
+    Store &s = event_store::store();
+    const int64_t MAX_SPLICE_SITE_DISTANCE = 2;
+    const int64_t merge_adjacent_id = fid(event_store::F_MERGE_ADJACENT);
+    const int64_t blacklist_id = fid(event_store::F_BLACKLIST);
+    const int64_t end_to_end_id = fid(event_store::F_END_TO_END);
+    const int64_t duplicates_id = fid(event_store::F_DUPLICATES);
+
+    std::map<std::array<int64_t, 4>, const EventFusion *> fused_gene_pairs;
+    for (const EventFusion &f : s.fusions)
+        if (f.filter == 0)
+            fused_gene_pairs[{f.gene1, f.gene2, f.direction1, f.direction2}] =
+                &f;
+
+    int64_t remaining = 0;
+    for (EventFusion &f : s.fusions) {
+        if (f.filter == 0) {
+            remaining += 1;
+            continue;
+        }
+        if (f.filter == merge_adjacent_id || f.filter == blacklist_id
+            || f.filter == end_to_end_id || f.filter == duplicates_id
+            || f.gene1 == f.gene2)
+            continue;
+        if (f.spliced1 && f.spliced2) {
+            auto found = fused_gene_pairs.find(
+                {f.gene1, f.gene2, f.direction1, f.direction2});
+            if (found != fused_gene_pairs.end()
+                && (std::llabs(found->second->breakpoint1 - f.breakpoint1)
+                        > MAX_SPLICE_SITE_DISTANCE
+                    || std::llabs(found->second->breakpoint2 - f.breakpoint2)
+                        > MAX_SPLICE_SITE_DISTANCE)) {
+                f.filter = 0;
+                remaining += 1;
+            }
+        }
+    }
+    return PyLong_FromLongLong(remaining);
+}

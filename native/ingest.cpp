@@ -1974,6 +1974,20 @@ extern PyObject *ev_non_coding_neighbors(PyObject *, PyObject *);
 extern PyObject *ev_intragenic_exonic(PyObject *, PyObject *);
 extern PyObject *ev_min_support(PyObject *, PyObject *);
 extern PyObject *ev_relative_support(PyObject *, PyObject *);
+extern PyObject *ev_recover_itd(PyObject *, PyObject *);
+extern PyObject *ev_both_intronic(PyObject *, PyObject *);
+extern PyObject *ev_in_vitro(PyObject *, PyObject *);
+extern PyObject *ev_recover_both_spliced(PyObject *, PyObject *);
+extern PyObject *ev_select_best(PyObject *, PyObject *);
+extern PyObject *ev_marginal_read_through(PyObject *, PyObject *);
+extern PyObject *ev_recover_many_spliced(PyObject *, PyObject *);
+extern PyObject *ev_assign_confidence(PyObject *, PyObject *);
+extern PyObject *ev_no_genomic_support(PyObject *, PyObject *);
+extern PyObject *ev_recover_genomic_support(PyObject *, PyObject *);
+extern PyObject *ev_short_anchor(PyObject *, PyObject *);
+extern PyObject *ev_end_to_end(PyObject *, PyObject *);
+extern PyObject *ev_no_coverage(PyObject *, PyObject *);
+extern PyObject *ev_recover_isoforms(PyObject *, PyObject *);
 
 static PyMethodDef methods[] = {
     {"realign_reset", realign_reset, METH_NOARGS,
@@ -2030,6 +2044,34 @@ static PyMethodDef methods[] = {
      "Event stage: minimum supporting-read filter."},
     {"ev_relative_support", ev_relative_support, METH_VARARGS,
      "Event stage: e-value cutoff filter (filter_relative_support.cpp:209-224)."},
+    {"ev_recover_itd", ev_recover_itd, METH_VARARGS,
+     "Event stage: recover internal tandem duplications."},
+    {"ev_both_intronic", ev_both_intronic, METH_VARARGS,
+     "Event stage: filter fusions with only intronic/intergenic reads."},
+    {"ev_in_vitro", ev_in_vitro, METH_VARARGS,
+     "Event stage: filter in vitro-generated artifacts (filter_in_vitro.cpp)."},
+    {"ev_recover_both_spliced", ev_recover_both_spliced, METH_VARARGS,
+     "Event stage: recover fusions with spliced split reads."},
+    {"ev_select_best", ev_select_best, METH_NOARGS,
+     "Event stage: keep one breakpoint pair per gene pair (select_best.cpp)."},
+    {"ev_marginal_read_through", ev_marginal_read_through, METH_NOARGS,
+     "Event stage: filter read-through near the gene boundary."},
+    {"ev_recover_many_spliced", ev_recover_many_spliced, METH_VARARGS,
+     "Event stage: recover gene pairs with many spliced events."},
+    {"ev_assign_confidence", ev_assign_confidence, METH_NOARGS,
+     "Event stage: assign confidence scores (filter_genomic_support.cpp:222)."},
+    {"ev_no_genomic_support", ev_no_genomic_support, METH_VARARGS,
+     "Event stage: filter low-confidence events without WGS support."},
+    {"ev_recover_genomic_support", ev_recover_genomic_support, METH_NOARGS,
+     "Event stage: recover events with WGS support."},
+    {"ev_short_anchor", ev_short_anchor, METH_VARARGS,
+     "Event stage: filter fusions with short anchors."},
+    {"ev_end_to_end", ev_end_to_end, METH_VARARGS,
+     "Event stage: filter end-to-end fusions with low support."},
+    {"ev_no_coverage", ev_no_coverage, METH_NOARGS,
+     "Event stage: filter fusions with no coverage around the breakpoints."},
+    {"ev_recover_isoforms", ev_recover_isoforms, METH_NOARGS,
+     "Event stage: recover additional isoforms of called fusions."},
     {"coverage_bind", coverage_bind, METH_VARARGS,
      "Bind per-contig coverage arrays so coverage_add can update them."},
     {"coverage_add", coverage_add, METH_VARARGS,
