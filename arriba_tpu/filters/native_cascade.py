@@ -632,8 +632,43 @@ class EventCascade:
             filter_both_intronic,
             (self.fusions, self.ca, self.state.viral_contigs))
 
+    def _parse_item_pairs(self, path: str, allow_keyword2: bool):
+        """Parse a blacklist/known-fusions file into the native stages'
+        columnar item-pair encoding (7 int64 per item, 14 per pair); the
+        gene-name resolution and malformed-line warnings stay in
+        blacklist.py's parser."""
+        from .blacklist import _iter_item_pair_lines, parse_blacklist_item
+        rows = []
+        for range1, range2 in _iter_item_pair_lines(path):
+            item1 = parse_blacklist_item(range1, self.state.contigs,
+                                         self.annotation.gene_names,
+                                         self.genes, False)
+            if item1 is None and not allow_keyword2:
+                # known-fusions parses both before deciding (warnings fire)
+                parse_blacklist_item(range2, self.state.contigs,
+                                     self.annotation.gene_names, self.genes,
+                                     False)
+                continue
+            if item1 is None:
+                continue
+            item2 = parse_blacklist_item(range2, self.state.contigs,
+                                         self.annotation.gene_names,
+                                         self.genes, allow_keyword2)
+            if item2 is None:
+                continue
+            for item in (item1, item2):
+                rows.append((item.type, int(item.strand_defined),
+                             int(item.strand), item.contig, item.start,
+                             item.end, item.gene))
+        return np.asarray(rows, np.int64).tobytes()
+
     def known_fusions(self) -> int:
         from .blacklist import recover_known_fusions
+        if self._live and hasattr(self._native, "ev_known_fusions"):
+            items = self._parse_item_pairs(self.options.known_fusions_file,
+                                           allow_keyword2=False)
+            return self._native.ev_known_fusions(
+                items, int(self.state.max_mate_gap))
         self.materialize()
         return recover_known_fusions(
             self.fusions, self.options.known_fusions_file, self.state.contigs,
@@ -695,6 +730,12 @@ class EventCascade:
 
     def blacklist(self) -> int:
         from .blacklist import filter_blacklisted_ranges
+        if self._live and hasattr(self._native, "ev_blacklist"):
+            items = self._parse_item_pairs(self.options.blacklist_file,
+                                           allow_keyword2=True)
+            return self._native.ev_blacklist(
+                items, float(self.options.evalue_cutoff),
+                int(self.state.max_mate_gap))
         self.materialize()
         return filter_blacklisted_ranges(
             self.fusions, self.options.blacklist_file, self.state.contigs,

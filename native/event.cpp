@@ -2097,3 +2097,735 @@ PyObject *ev_recover_isoforms(PyObject *, PyObject *) {
     }
     return PyLong_FromLongLong(remaining);
 }
+
+// ---------------------------------------------------------------------------
+// filter_blacklisted_ranges.cpp:124-300 + recover_known_fusions.cpp:14-100
+// (blacklist.py). Python parses the item files (gene-name resolution and
+// warnings stay in blacklist.py); the native stages receive columnar item
+// pairs: 14 int64 per pair = (type, strand_defined, strand, contig, start,
+// end, gene) x 2.
+
+namespace {
+
+// filter_blacklisted_ranges.hpp:14
+enum BlacklistType {
+    BL_RANGE = 0, BL_POSITION, BL_GENE, BL_ANY, BL_SPLIT_READ_DONOR,
+    BL_SPLIT_READ_ACCEPTOR, BL_SPLIT_READ_ANY, BL_DISCORDANT_MATES,
+    BL_READ_THROUGH, BL_LOW_SUPPORT, BL_FILTER_SPLICED, BL_NOT_BOTH_SPLICED
+};
+
+constexpr int64_t GENOME_BIN_SIZE = 100000;  // filter_blacklisted_ranges.cpp:228
+
+struct BlacklistItem {
+    int64_t type, strand_defined, strand, contig, start, end, gene;
+};
+
+// filter_blacklisted_ranges.cpp:124-136 — fraction of range1 inside range2
+double overlapping_fraction(int64_t start1, int64_t end1, int64_t start2,
+                            int64_t end2) {
+    if (start1 >= start2 && end1 <= end2) return 1.0;
+    if (start1 < start2 && end1 > end2)
+        return 1.0 * (double)(end2 - start2) / (double)(end1 - start1 + 1);
+    if (start2 <= start1 && start1 <= end2)
+        return 1.0 * (double)(end2 - start1) / (double)(end1 - start1 + 1);
+    if (start2 <= end1 && end1 <= end2)
+        return 1.0 * (double)(end1 - start2) / (double)(end1 - start1 + 1);
+    return 0.0;
+}
+
+// filter_blacklisted_ranges.cpp:139-219
+bool matches_blacklist_item(const BlacklistItem &item, const EventFusion &f,
+                            int which_breakpoint, int64_t max_mate_gap,
+                            double evalue_cutoff) {
+    const cascade_store::Cascade &c = cascade_store::cascade();
+    switch (item.type) {
+        case BL_ANY:
+            return true;
+        case BL_SPLIT_READ_DONOR:
+            return (which_breakpoint == 1
+                    && f.discordant_mates + f.split_reads1 == 0)
+                   || (which_breakpoint == 2
+                       && f.discordant_mates + f.split_reads2 == 0);
+        case BL_SPLIT_READ_ACCEPTOR:
+            return (which_breakpoint == 1
+                    && f.discordant_mates + f.split_reads2 == 0)
+                   || (which_breakpoint == 2
+                       && f.discordant_mates + f.split_reads1 == 0);
+        case BL_SPLIT_READ_ANY:
+            return f.discordant_mates == 0;
+        case BL_DISCORDANT_MATES:
+            return f.split_reads1 + f.split_reads2 == 0;
+        case BL_READ_THROUGH:
+            return f.is_read_through();
+        case BL_LOW_SUPPORT:
+            return f.evalue > evalue_cutoff;
+        case BL_FILTER_SPLICED:
+            return f.evalue > evalue_cutoff && f.spliced1 && f.spliced2;
+        case BL_NOT_BOTH_SPLICED:
+            return !f.spliced1 || !f.spliced2;
+        case BL_GENE:
+            return (which_breakpoint == 1 && f.gene1 == item.gene)
+                   || (which_breakpoint == 2 && f.gene2 == item.gene);
+        default:
+            break;
+    }
+
+    int64_t contig = which_breakpoint == 1 ? f.contig1 : f.contig2;
+    if (contig != item.contig) return false;
+    if (item.strand_defined && !f.predicted_strands_ambiguous) {
+        bool strand = which_breakpoint == 1 ? f.predicted_strand1
+                                            : f.predicted_strand2;
+        if (strand != (item.strand != 0)) return false;
+    }
+
+    if (item.type == BL_POSITION) {
+        int64_t breakpoint = which_breakpoint == 1 ? f.breakpoint1
+                                                   : f.breakpoint2;
+        if (breakpoint == item.start) return true;
+        if (f.split_reads1 + f.split_reads2 == 0) {
+            bool direction = which_breakpoint == 1 ? f.direction1
+                                                   : f.direction2;
+            if ((direction == DOWNSTREAM && item.start - max_mate_gap <= breakpoint
+                 && breakpoint <= item.start)
+                || (direction == UPSTREAM && item.start <= breakpoint
+                    && breakpoint <= item.start + max_mate_gap))
+                return true;
+        }
+        return false;
+    }
+
+    // BL_RANGE
+    int64_t gene = which_breakpoint == 1 ? f.gene1 : f.gene2;
+    return overlapping_fraction(c.gene_start[gene], c.gene_end[gene],
+                                item.start, item.end)
+           > 0.5;
+}
+
+// filter_blacklisted_ranges.cpp:226-230
+void get_genome_bins_from_range(int64_t contig, int64_t start, int64_t end,
+                                std::vector<std::pair<int64_t, int64_t>> &out) {
+    int64_t position = start / GENOME_BIN_SIZE;
+    int64_t last = (end + GENOME_BIN_SIZE - 1) / GENOME_BIN_SIZE;
+    while (position <= last) {
+        out.emplace_back(contig, position * GENOME_BIN_SIZE);
+        position += 1;
+    }
+}
+
+bool parse_item_pairs(PyObject *items_obj, std::vector<BlacklistItem> &out) {
+    Py_buffer view;
+    if (PyObject_GetBuffer(items_obj, &view, PyBUF_SIMPLE) != 0) return false;
+    const int64_t *data = (const int64_t *)view.buf;
+    size_t n = (size_t)(view.len / 8) / 7;
+    out.resize(n);
+    for (size_t i = 0; i < n; ++i) {
+        const int64_t *row = data + i * 7;
+        out[i] = BlacklistItem{row[0], row[1], row[2], row[3],
+                               row[4], row[5], row[6]};
+    }
+    PyBuffer_Release(&view);
+    return true;
+}
+
+}  // namespace
+
+// filter_blacklisted_ranges.cpp:233-300 (blacklist.py:239-289)
+PyObject *ev_blacklist(PyObject *, PyObject *args) {
+    PyObject *items_obj;
+    double evalue_cutoff;
+    long long max_mate_gap;
+    if (!PyArg_ParseTuple(args, "OdL", &items_obj, &evalue_cutoff,
+                          &max_mate_gap))
+        return nullptr;
+    if (!require_ready()) return nullptr;
+    Store &s = event_store::store();
+    const cascade_store::Cascade &c = cascade_store::cascade();
+
+    std::vector<BlacklistItem> items;
+    if (!parse_item_pairs(items_obj, items)) return nullptr;
+    size_t n_pairs = items.size() / 2;
+
+    // index fusions by coordinate (100 kb genome bins); per bin, ascending
+    // fusion order with lazy removal — matches the reference's map semantics
+    std::map<std::pair<int64_t, int64_t>, std::vector<size_t>>
+        fusions_by_coordinate;
+    std::vector<std::pair<int64_t, int64_t>> genome_bins;
+    for (size_t order = 0; order < s.fusions.size(); ++order) {
+        const EventFusion &f = s.fusions[order];
+        if (f.filter != 0 && f.closest_genomic_breakpoint1 < 0)
+            continue;  // already filtered and not recoverable
+        genome_bins.clear();
+        get_genome_bins_from_range(f.contig1, f.breakpoint1, f.breakpoint1,
+                                   genome_bins);
+        get_genome_bins_from_range(f.contig2, f.breakpoint2, f.breakpoint2,
+                                   genome_bins);
+        get_genome_bins_from_range(f.contig1, c.gene_start[f.gene1],
+                                   c.gene_end[f.gene1], genome_bins);
+        get_genome_bins_from_range(f.contig2, c.gene_start[f.gene2],
+                                   c.gene_end[f.gene2], genome_bins);
+        std::sort(genome_bins.begin(), genome_bins.end());
+        genome_bins.erase(std::unique(genome_bins.begin(), genome_bins.end()),
+                          genome_bins.end());
+        for (const auto &genome_bin : genome_bins)
+            fusions_by_coordinate[genome_bin].push_back(order);
+    }
+
+    const int64_t blacklist_id = fid(event_store::F_BLACKLIST);
+    for (size_t p = 0; p < n_pairs; ++p) {
+        const BlacklistItem &item1 = items[p * 2];
+        const BlacklistItem &item2 = items[p * 2 + 1];
+        genome_bins.clear();
+        if (item1.type == BL_POSITION || item1.type == BL_RANGE
+            || item1.type == BL_GENE)
+            get_genome_bins_from_range(item1.contig,
+                                       item1.start - max_mate_gap,
+                                       item1.end + max_mate_gap, genome_bins);
+        if (item2.type == BL_POSITION || item2.type == BL_RANGE
+            || item2.type == BL_GENE)
+            get_genome_bins_from_range(item2.contig,
+                                       item2.start - max_mate_gap,
+                                       item2.end + max_mate_gap, genome_bins);
+        for (const auto &genome_bin : genome_bins) {
+            auto found = fusions_by_coordinate.find(genome_bin);
+            if (found == fusions_by_coordinate.end()) continue;
+            std::vector<size_t> &bin_fusions = found->second;
+            size_t kept = 0;
+            for (size_t i = 0; i < bin_fusions.size(); ++i) {
+                EventFusion &f = s.fusions[bin_fusions[i]];
+                if ((matches_blacklist_item(item1, f, 1, max_mate_gap,
+                                            evalue_cutoff)
+                     && matches_blacklist_item(item2, f, 2, max_mate_gap,
+                                               evalue_cutoff))
+                    || (matches_blacklist_item(item1, f, 2, max_mate_gap,
+                                               evalue_cutoff)
+                        && matches_blacklist_item(item2, f, 1, max_mate_gap,
+                                                  evalue_cutoff))) {
+                    f.filter = blacklist_id;
+                    // removed from this bin (not copied to `kept`)
+                } else {
+                    bin_fusions[kept++] = bin_fusions[i];
+                }
+            }
+            bin_fusions.resize(kept);
+        }
+    }
+    return PyLong_FromLongLong(count_remaining());
+}
+
+// recover_known_fusions.cpp:14-100 (blacklist.py:296-354)
+PyObject *ev_known_fusions(PyObject *, PyObject *args) {
+    PyObject *items_obj;
+    long long max_mate_gap;
+    if (!PyArg_ParseTuple(args, "OL", &items_obj, &max_mate_gap))
+        return nullptr;
+    if (!require_ready()) return nullptr;
+    Store &s = event_store::store();
+    const cascade_store::Cascade &c = cascade_store::cascade();
+
+    std::vector<BlacklistItem> items;
+    if (!parse_item_pairs(items_obj, items)) return nullptr;
+    size_t n_pairs = items.size() / 2;
+
+    std::map<std::pair<int64_t, int64_t>, std::vector<size_t>>
+        known_by_coordinate;
+    std::vector<std::pair<int64_t, int64_t>> genome_bins;
+    for (size_t p = 0; p < n_pairs; ++p) {
+        genome_bins.clear();
+        get_genome_bins_from_range(items[p * 2].contig, items[p * 2].start,
+                                   items[p * 2].end, genome_bins);
+        get_genome_bins_from_range(items[p * 2 + 1].contig,
+                                   items[p * 2 + 1].start,
+                                   items[p * 2 + 1].end, genome_bins);
+        for (const auto &genome_bin : genome_bins)
+            known_by_coordinate[genome_bin].push_back(p);
+    }
+
+    const int64_t relative_id = fid(event_store::F_RELATIVE_SUPPORT);
+    const int64_t min_support_id = fid(event_store::F_MIN_SUPPORT);
+    for (EventFusion &f : s.fusions) {
+        if (f.filter == 0) continue;
+        if (f.gene1 == f.gene2) continue;
+        if (f.filter != relative_id && f.filter != min_support_id) continue;
+
+        genome_bins.clear();
+        get_genome_bins_from_range(f.contig1, f.breakpoint1, f.breakpoint1,
+                                   genome_bins);
+        get_genome_bins_from_range(f.contig2, f.breakpoint2, f.breakpoint2,
+                                   genome_bins);
+        get_genome_bins_from_range(f.contig1, c.gene_start[f.gene1],
+                                   c.gene_end[f.gene1], genome_bins);
+        get_genome_bins_from_range(f.contig2, c.gene_start[f.gene2],
+                                   c.gene_end[f.gene2], genome_bins);
+        for (const auto &genome_bin : genome_bins) {
+            auto found = known_by_coordinate.find(genome_bin);
+            if (found == known_by_coordinate.end()) continue;
+            for (size_t p : found->second) {
+                const BlacklistItem &item1 = items[p * 2];
+                const BlacklistItem &item2 = items[p * 2 + 1];
+                int gene_5 = f.transcript_start ? 1 : 2;  // TRANSCRIPT_START_GENE1
+                int gene_3 = f.transcript_start ? 2 : 1;
+                bool match_found =
+                    matches_blacklist_item(item1, f, gene_5, max_mate_gap, 0.0)
+                    && matches_blacklist_item(item2, f, gene_3, max_mate_gap,
+                                              0.0);
+                if (!match_found && f.transcript_start_ambiguous
+                    && !(f.contig1 == f.contig2
+                         && std::llabs(f.breakpoint2 - f.breakpoint1)
+                                < 1000000))
+                    match_found = matches_blacklist_item(item1, f, gene_3,
+                                                         max_mate_gap, 0.0)
+                                  && matches_blacklist_item(item2, f, gene_5,
+                                                            max_mate_gap, 0.0);
+                if (match_found) {
+                    if ((item1.type == BL_POSITION && item2.type == BL_POSITION)
+                        || f.supporting_reads() >= 2
+                        || (both_breakpoints_spliced(f)
+                            && coverage_around(f, 1) + coverage_around(f, 2)
+                                   < 200
+                            && (f.contig1 != f.contig2
+                                || std::llabs(f.breakpoint2 - f.breakpoint1)
+                                       > 1000000)))
+                        f.filter = 0;
+                }
+            }
+        }
+    }
+    return PyLong_FromLongLong(count_remaining());
+}
+
+// ---------------------------------------------------------------------------
+// filter_mismappers.cpp:47-84 + filter_homologs.cpp + filter_mismappers.cpp:
+// 189-359 over the realignment engine (realign.h), fully native: the event
+// store picks the genes, the engine indexes k-mers over the cascade store's
+// pinned assembly buffers, and the recursion runs without a Python round-trip.
+
+#include "realign.h"
+
+// filter_mismappers.cpp:47-84 (mismappers.py make_kmer_index)
+PyObject *ev_make_kmer_index(PyObject *, PyObject *args) {
+    long long padding;
+    if (!PyArg_ParseTuple(args, "L", &padding)) return nullptr;
+    if (!require_ready()) return nullptr;
+    Store &s = event_store::store();
+    const cascade_store::Cascade &c = cascade_store::cascade();
+    const annotate_engine::Engine &eng = annotate_engine::engine();
+    if (padding < 0) padding = 0;
+
+    std::set<int64_t> genes_to_filter;
+    for (const EventFusion &f : s.fusions) {
+        if (f.filter != 0 || f.gene1 == f.gene2) continue;
+        genes_to_filter.insert(f.gene1);
+        genes_to_filter.insert(f.gene2);
+    }
+
+    realign_engine::reset_engine();
+    std::set<int64_t> contigs;
+    for (int64_t gene : genes_to_filter)
+        contigs.insert(eng.gene_contig[gene]);
+    for (int64_t contig : contigs)
+        if (contig < (int64_t)c.assembly.size() && c.assembly[contig] != nullptr)
+            realign_engine::set_contig_raw((int)contig, c.assembly[contig],
+                                           (Py_ssize_t)c.assembly_len[contig]);
+    for (int64_t gene : genes_to_filter) {
+        int64_t contig = eng.gene_contig[gene];
+        auto found = realign_engine::engine().contigs.find((int)contig);
+        if (found == realign_engine::engine().contigs.end()) continue;
+        realign_engine::Contig &engine_contig = found->second;
+        int64_t gene_start =
+            std::max(c.gene_start[gene] - (int64_t)padding, (int64_t)0);
+        int64_t gene_end = std::min(c.gene_end[gene] + (int64_t)padding,
+                                    (int64_t)engine_contig.length - 1);
+        for (int64_t pos = gene_start;
+             pos + realign_engine::REALIGN_KMER_LENGTH < gene_end; ++pos)
+            if (engine_contig.data[pos] != 'N')
+                engine_contig
+                    .kmer_index[realign_engine::kmer_at(engine_contig.data, pos)]
+                    .push_back(pos);
+    }
+    for (auto &entry : realign_engine::engine().contigs)
+        for (auto &kmer : entry.second.kmer_index) {
+            std::vector<int64_t> &positions = kmer.second;
+            std::sort(positions.begin(), positions.end());
+            positions.erase(std::unique(positions.begin(), positions.end()),
+                            positions.end());
+        }
+    Py_RETURN_NONE;
+}
+
+// ---------------------------------------------------------------------------
+// filter_homologs.cpp:13-140 (homologs.py)
+
+namespace {
+
+// filter_homologs.cpp:13-63 with the caller-side small/big selection and
+// reverse complement of homologs.py:23-56
+bool ev_is_homolog(int64_t gene1, int64_t gene2, double max_identity_fraction,
+                   std::vector<uint8_t> &scratch) {
+    if (gene1 == gene2) return false;
+    const cascade_store::Cascade &c = cascade_store::cascade();
+    const annotate_engine::Engine &eng = annotate_engine::engine();
+    auto gene_length = [&c](int64_t g) { return c.gene_end[g] - c.gene_start[g]; };
+
+    int64_t small_gene = gene1, big_gene = gene2;
+    if (gene_length(small_gene) > gene_length(big_gene))
+        std::swap(small_gene, big_gene);
+
+    // overlapping genes trivially share sequence
+    if (eng.gene_contig[small_gene] == eng.gene_contig[big_gene]
+        && ((c.gene_start[big_gene] <= c.gene_start[small_gene]
+             && c.gene_start[small_gene] <= c.gene_end[big_gene])
+            || (c.gene_start[big_gene] <= c.gene_end[small_gene]
+                && c.gene_end[small_gene] <= c.gene_end[big_gene])))
+        return false;
+
+    int64_t small_contig = eng.gene_contig[small_gene];
+    int64_t big_contig = eng.gene_contig[big_gene];
+    int64_t small_start = c.gene_start[small_gene];
+    int64_t small_end = c.gene_end[small_gene];
+    int64_t small_length = gene_length(small_gene);
+    if (small_contig >= (int64_t)c.assembly.size()
+        || c.assembly[small_contig] == nullptr)
+        return false;
+
+    const uint8_t *small_seq = c.assembly[small_contig] + small_start;
+    if ((eng.gene_strand[small_gene] != 0) != (eng.gene_strand[big_gene] != 0)) {
+        scratch.resize(small_length);
+        for (int64_t i = 0; i < small_length; ++i)
+            scratch[i] = complement_base(small_seq[small_length - 1 - i]);
+        small_seq = scratch.data();
+    }
+
+    return realign_engine::is_homolog_core(
+        small_seq, (Py_ssize_t)small_length, (int)small_contig, small_start,
+        small_end, (int)big_contig, c.gene_start[big_gene],
+        c.gene_end[big_gene], small_length, max_identity_fraction);
+}
+
+}  // namespace
+
+// filter_homologs.cpp:65-140 (homologs.py:96-147)
+PyObject *ev_homologs(PyObject *, PyObject *args) {
+    double max_identity_fraction;
+    if (!PyArg_ParseTuple(args, "d", &max_identity_fraction)) return nullptr;
+    if (!require_ready()) return nullptr;
+    Store &s = event_store::store();
+    const int64_t homologs_id = fid(event_store::F_HOMOLOGS);
+
+    // the reference collects unfiltered fusions with list::push_front,
+    // i.e. reverse iteration order
+    std::vector<EventFusion *> remaining_fusions;
+    for (EventFusion &f : s.fusions)
+        if (f.filter == 0) remaining_fusions.push_back(&f);
+    std::reverse(remaining_fusions.begin(), remaining_fusions.end());
+
+    std::vector<uint8_t> scratch;
+    for (size_t i = 0; i < remaining_fusions.size(); ++i) {
+        EventFusion &fusion = *remaining_fusions[i];
+        if (fusion.filter != 0) continue;
+
+        if (ev_is_homolog(fusion.gene1, fusion.gene2, max_identity_fraction,
+                          scratch)) {
+            fusion.filter = homologs_id;
+            continue;
+        }
+
+        // cross-fusion homolog arbitration
+        for (size_t j = i + 1; j < remaining_fusions.size(); ++j) {
+            EventFusion &other = *remaining_fusions[j];
+            if (other.filter != 0) continue;
+            int64_t homolog1, homolog2;
+            if (fusion.gene1 == other.gene1
+                && fusion.breakpoint2 != other.breakpoint2) {
+                homolog1 = fusion.gene2;
+                homolog2 = other.gene2;
+            } else if (fusion.gene1 == other.gene2
+                       && fusion.breakpoint2 != other.breakpoint1) {
+                homolog1 = fusion.gene2;
+                homolog2 = other.gene1;
+            } else if (fusion.gene2 == other.gene1
+                       && fusion.breakpoint1 != other.breakpoint2) {
+                homolog1 = fusion.gene1;
+                homolog2 = other.gene2;
+            } else if (fusion.gene2 == other.gene2
+                       && fusion.breakpoint1 != other.breakpoint1) {
+                homolog1 = fusion.gene1;
+                homolog2 = other.gene1;
+            } else {
+                continue;
+            }
+
+            int anchor1 = (fusion.split_reads1 > 0) + (fusion.split_reads2 > 0)
+                          + (fusion.discordant_mates > 0);
+            int anchor2 = (other.split_reads1 > 0) + (other.split_reads2 > 0)
+                          + (other.discordant_mates > 0);
+
+            if (ev_is_homolog(homolog1, homolog2, max_identity_fraction,
+                              scratch)) {
+                if (anchor1 > anchor2
+                    || (anchor1 == anchor2
+                        && fusion.supporting_reads() > other.supporting_reads())
+                    || (anchor1 == anchor2
+                        && fusion.supporting_reads() == other.supporting_reads()
+                        && fusion.evalue <= other.evalue)) {
+                    other.filter = homologs_id;
+                } else {
+                    fusion.filter = homologs_id;
+                    break;
+                }
+            }
+        }
+    }
+
+    int64_t remaining = 0;
+    for (const EventFusion *f : remaining_fusions)
+        if (f->filter == 0) remaining += 1;
+    return PyLong_FromLongLong(remaining);
+}
+
+// ---------------------------------------------------------------------------
+// filter_mismappers.cpp:189-359 (mismappers.py:145-437)
+
+namespace {
+
+// filter_mismappers.cpp:16-31 — sorted downstream splice sites of a gene
+const std::vector<int64_t> &downstream_splice_sites(int64_t gene) {
+    auto &cache = realign_engine::engine().splice_sites;
+    auto found = cache.find((long)gene);
+    if (found != cache.end()) return found->second;
+    std::vector<int64_t> &sites = cache[(long)gene];
+    const cascade_store::Cascade &c = cascade_store::cascade();
+    const annotate_engine::Engine &eng = annotate_engine::engine();
+    int64_t contig = eng.gene_contig[gene];
+    if (contig < eng.n_contigs && !eng.exon_index[contig].boundaries.empty()) {
+        const std::vector<int64_t> &bounds = eng.exon_index[contig].boundaries;
+        int64_t gene_start = c.gene_start[gene];
+        int64_t gene_end = c.gene_end[gene];
+        size_t idx = std::lower_bound(bounds.begin(), bounds.end(), gene_start)
+                     - bounds.begin();
+        while (idx < bounds.size() && bounds[idx] <= gene_end) {
+            int64_t position = bounds[idx];
+            if (annotate_engine::is_breakpoint_spliced(gene, DOWNSTREAM,
+                                                       position))
+                sites.push_back(position);
+            idx += 1;
+        }
+    }
+    return sites;
+}
+
+// filter_mismappers.cpp:189-230
+bool align_both_strands_native(const uint8_t *read_seq, Py_ssize_t seq_len,
+                               int64_t read_length, int64_t max_mate_gap,
+                               bool same_contig, int64_t alignment_start,
+                               int64_t alignment_end, const int64_t *gene_set,
+                               int64_t n_genes, double min_align_fraction,
+                               std::vector<uint8_t> &rc_scratch) {
+    if (seq_len >= 300) return false;
+    const cascade_store::Cascade &c = cascade_store::cascade();
+    const annotate_engine::Engine &eng = annotate_engine::engine();
+    int min_score = (int)(min_align_fraction * (double)seq_len + 0.5);
+
+    for (int64_t g = 0; g < n_genes; ++g) {
+        int64_t gene = gene_set[g];
+        int64_t contig = eng.gene_contig[gene];
+        auto found = realign_engine::engine().contigs.find((int)contig);
+        if (found == realign_engine::engine().contigs.end())
+            continue;  // contig not indexed (assembly absent / no fusion gene)
+        const realign_engine::Contig &engine_contig = found->second;
+
+        int64_t gene_start = std::max(
+            c.gene_start[gene] - max_mate_gap - read_length, (int64_t)0);
+        int64_t gene_end = std::min(c.gene_end[gene] + max_mate_gap + read_length,
+                                    (int64_t)engine_contig.length - 1);
+
+        // for intragenic events, both genes overlap the breakpoint => skip
+        if (same_contig
+            && ((gene_start <= alignment_start && alignment_start <= gene_end)
+                || (gene_start <= alignment_end && alignment_end <= gene_end)))
+            continue;
+
+        const std::vector<int64_t> &splice_sites = downstream_splice_sites(gene);
+        if (realign_engine::align_recursive(0, read_seq, seq_len, 0,
+                                            engine_contig, gene_start,
+                                            gene_start, gene_end, splice_sites,
+                                            min_score, 1))
+            return true;
+        rc_scratch.resize(seq_len);
+        for (Py_ssize_t i = 0; i < seq_len; ++i)
+            rc_scratch[i] = complement_base(read_seq[seq_len - 1 - i]);
+        if (realign_engine::align_recursive(0, rc_scratch.data(), seq_len, 0,
+                                            engine_contig, gene_start,
+                                            gene_start, gene_end, splice_sites,
+                                            min_score, 1))
+            return true;
+    }
+    return false;
+}
+
+// filter_mismappers.cpp:247-270 — check whether STAR clipped prematurely
+bool extend_split_read_native(const Mate &split_read, double min_fraction) {
+    const cascade_store::Cascade &c = cascade_store::cascade();
+    if (split_read.contig >= (int64_t)c.assembly.size()
+        || c.assembly[split_read.contig] == nullptr)
+        return false;
+    const uint8_t *contig_seq = c.assembly[split_read.contig];
+    int64_t contig_len = c.assembly_len[split_read.contig];
+
+    const uint8_t *clipped;
+    const uint8_t *reference;
+    int64_t clipped_count;
+    if (split_read.strand == FORWARD) {
+        clipped_count = std::min(split_read.preclipping(), split_read.start);
+        clipped = (const uint8_t *)split_read.seq
+                  + (split_read.preclipping() - clipped_count);
+        reference = contig_seq + (split_read.start - clipped_count);
+    } else {
+        clipped_count = std::min(split_read.postclipping(),
+                                 contig_len - split_read.end - 2);
+        clipped = (const uint8_t *)split_read.seq
+                  + (split_read.seq_len - split_read.postclipping());
+        reference = contig_seq + split_read.end + 1;
+    }
+    int64_t n = std::max(clipped_count, (int64_t)0);
+    int64_t matching_bases = 0;
+    for (int64_t i = 0; i < n; ++i)
+        if (clipped[i] == reference[i]) matching_bases += 1;
+    return matching_bases >= (int64_t)std::floor((double)n * min_fraction);
+}
+
+// filter_mismappers.cpp:232-244; counters = {mismappers, total_reads}
+int64_t count_mismappers_native(const std::vector<int64_t> &read_list,
+                                int64_t mismappers_id, int64_t counters[2],
+                                int64_t supporting_reads) {
+    const cascade_store::Cascade &c = cascade_store::cascade();
+    for (int64_t index : read_list) {
+        int64_t frag_filter = c.fragments[index].filter;
+        if (frag_filter == 0) {
+            counters[1] += 1;
+        } else if (frag_filter == mismappers_id) {
+            counters[1] += 1;
+            counters[0] += 1;
+            if (supporting_reads > 0) supporting_reads -= 1;
+        }
+    }
+    return supporting_reads;
+}
+
+}  // namespace
+
+// filter_mismappers.cpp:272-359 (mismappers.py:353-437)
+PyObject *ev_mismappers(PyObject *, PyObject *args) {
+    double max_mismapper_fraction;
+    long long max_mate_gap;
+    if (!PyArg_ParseTuple(args, "dL", &max_mismapper_fraction, &max_mate_gap))
+        return nullptr;
+    if (!require_ready()) return nullptr;
+    Store &s = event_store::store();
+    cascade_store::Cascade &c = cascade_store::cascade();
+    const double min_align_fraction = 0.8;
+    const double min_extended_align_fraction = 0.7;
+    const int64_t mismappers_id = fid(event_store::F_MISMAPPERS);
+
+    std::vector<uint8_t> rc_scratch;
+    for (const EventFusion &f : s.fusions) {
+        if (f.filter != 0) continue;
+        bool same_contig = f.contig1 == f.contig2;
+
+        // re-align split reads
+        for (int which = 0; which < 2; ++which) {
+            const std::vector<int64_t> &list =
+                which == 0 ? f.split_read1_list : f.split_read2_list;
+            for (int64_t index : list) {
+                Fragment &fragment = c.fragments[index];
+                if (fragment.filter != 0) continue;
+                const Mate &split_read = fragment.mates[SPLIT_READ];
+                const Mate &supplementary = fragment.mates[SUPPLEMENTARY];
+                const Mate &mate1 = fragment.mates[MATE1];
+
+                const uint8_t *clipped_seq;
+                Py_ssize_t clipped_len;
+                const uint8_t *mate1_seq;
+                Py_ssize_t mate1_len;
+                if (split_read.strand == FORWARD) {
+                    clipped_seq = (const uint8_t *)split_read.seq;
+                    clipped_len = split_read.preclipping();
+                    mate1_seq = (const uint8_t *)mate1.seq + mate1.preclipping();
+                    mate1_len = mate1.seq_len - mate1.preclipping();
+                } else {
+                    clipped_seq = (const uint8_t *)split_read.seq
+                                  + (split_read.seq_len
+                                     - split_read.postclipping());
+                    clipped_len = split_read.postclipping();
+                    mate1_seq = (const uint8_t *)mate1.seq;
+                    mate1_len = mate1.seq_len - mate1.postclipping();
+                }
+
+                if (extend_split_read_native(split_read,
+                                             min_extended_align_fraction)
+                    || align_both_strands_native(
+                           clipped_seq, clipped_len, split_read.seq_len,
+                           max_mate_gap, same_contig, supplementary.start,
+                           supplementary.end, split_read.genes,
+                           split_read.n_genes, min_align_fraction, rc_scratch)
+                    || align_both_strands_native(
+                           mate1_seq, mate1_len, mate1.seq_len, max_mate_gap,
+                           same_contig, mate1.start, mate1.end,
+                           supplementary.genes, supplementary.n_genes,
+                           min_align_fraction, rc_scratch))
+                    fragment.filter = mismappers_id;
+            }
+        }
+
+        // re-align discordant mates
+        for (int64_t index : f.discordant_list) {
+            Fragment &fragment = c.fragments[index];
+            if (fragment.filter != 0) continue;
+            const Mate &mate1 = fragment.mates[MATE1];
+            const Mate &mate2 = fragment.mates[MATE2];
+            double clipped_fraction1 =
+                (double)(mate1.preclipping() + mate1.postclipping())
+                / (double)mate1.seq_len;
+            double clipped_fraction2 =
+                (double)(mate2.preclipping() + mate2.postclipping())
+                / (double)mate2.seq_len;
+            if (align_both_strands_native(
+                    (const uint8_t *)mate1.seq, mate1.seq_len, mate1.seq_len,
+                    max_mate_gap, same_contig, mate1.start, mate1.end,
+                    mate2.genes, mate2.n_genes,
+                    std::min(min_align_fraction,
+                             min_align_fraction * (1 - clipped_fraction1)),
+                    rc_scratch)
+                || align_both_strands_native(
+                       (const uint8_t *)mate2.seq, mate2.seq_len, mate2.seq_len,
+                       max_mate_gap, same_contig, mate2.start, mate2.end,
+                       mate1.genes, mate1.n_genes,
+                       std::min(min_align_fraction,
+                                min_align_fraction * (1 - clipped_fraction2)),
+                       rc_scratch))
+                fragment.filter = mismappers_id;
+        }
+    }
+
+    // discard all fusions with more than max_mismapper_fraction mismappers
+    int64_t remaining = 0;
+    for (EventFusion &f : s.fusions) {
+        if (f.filter != 0) continue;
+        int64_t counters[2] = {0, 0};  // {mismappers, total_reads}
+        f.split_reads1 = count_mismappers_native(f.split_read1_list,
+                                                 mismappers_id, counters,
+                                                 f.split_reads1);
+        f.split_reads2 = count_mismappers_native(f.split_read2_list,
+                                                 mismappers_id, counters,
+                                                 f.split_reads2);
+        f.discordant_mates = count_mismappers_native(f.discordant_list,
+                                                     mismappers_id, counters,
+                                                     f.discordant_mates);
+        if (counters[0] > 0
+            && counters[0] >= (int64_t)std::floor(max_mismapper_fraction
+                                                  * (double)counters[1]))
+            f.filter = mismappers_id;
+        else
+            remaining += 1;
+    }
+    return PyLong_FromLongLong(remaining);
+}

@@ -1988,6 +1988,11 @@ extern PyObject *ev_short_anchor(PyObject *, PyObject *);
 extern PyObject *ev_end_to_end(PyObject *, PyObject *);
 extern PyObject *ev_no_coverage(PyObject *, PyObject *);
 extern PyObject *ev_recover_isoforms(PyObject *, PyObject *);
+extern PyObject *ev_blacklist(PyObject *, PyObject *);
+extern PyObject *ev_known_fusions(PyObject *, PyObject *);
+extern PyObject *ev_make_kmer_index(PyObject *, PyObject *);
+extern PyObject *ev_homologs(PyObject *, PyObject *);
+extern PyObject *ev_mismappers(PyObject *, PyObject *);
 
 static PyMethodDef methods[] = {
     {"realign_reset", realign_reset, METH_NOARGS,
@@ -2072,6 +2077,16 @@ static PyMethodDef methods[] = {
      "Event stage: filter fusions with no coverage around the breakpoints."},
     {"ev_recover_isoforms", ev_recover_isoforms, METH_NOARGS,
      "Event stage: recover additional isoforms of called fusions."},
+    {"ev_blacklist", ev_blacklist, METH_VARARGS,
+     "Event stage: blacklist matching over pre-parsed item pairs."},
+    {"ev_known_fusions", ev_known_fusions, METH_VARARGS,
+     "Event stage: known-fusions recovery over pre-parsed item pairs."},
+    {"ev_make_kmer_index", ev_make_kmer_index, METH_VARARGS,
+     "Event stage: index fusion-gene k-mers into the realignment engine."},
+    {"ev_homologs", ev_homologs, METH_VARARGS,
+     "Event stage: filter fusions between homologous genes."},
+    {"ev_mismappers", ev_mismappers, METH_VARARGS,
+     "Event stage: re-align chimeric reads to filter mis-mappers."},
     {"coverage_bind", coverage_bind, METH_VARARGS,
      "Bind per-contig coverage arrays so coverage_add can update them."},
     {"coverage_add", coverage_add, METH_VARARGS,

@@ -15,28 +15,18 @@
 #include <unordered_map>
 #include <vector>
 
+#include "realign.h"
+
 namespace realign_engine {
 
-constexpr int KMER_LENGTH = 8;
-
-struct Contig {
-    PyObject *owner = nullptr;   /* keeps the buffer alive */
-    const uint8_t *data = nullptr;
-    Py_ssize_t length = 0;
-    std::unordered_map<uint32_t, std::vector<int64_t>> kmer_index;
-};
-
-struct Engine {
-    std::unordered_map<int, Contig> contigs;
-    std::unordered_map<long, std::vector<int64_t>> splice_sites;  /* per gene */
-};
+constexpr int KMER_LENGTH = REALIGN_KMER_LENGTH;
 
 Engine &engine() {
     static Engine instance;
     return instance;
 }
 
-inline uint32_t kmer_code(uint8_t base) {
+static inline uint32_t kmer_code(uint8_t base) {
     switch (base) {
         case 'T': return 0;
         case 'G': return 1;
@@ -45,11 +35,74 @@ inline uint32_t kmer_code(uint8_t base) {
     }
 }
 
-inline uint32_t kmer_at(const uint8_t *sequence, Py_ssize_t position) {
+uint32_t kmer_at(const uint8_t *sequence, Py_ssize_t position) {
     uint32_t value = 0;
     for (int j = 0; j < KMER_LENGTH; ++j)
         value = (value << 2) | kmer_code(sequence[position + j]);
     return value;
+}
+
+void set_contig_raw(int cid, const uint8_t *data, Py_ssize_t length) {
+    Contig &contig = engine().contigs[cid];
+    Py_XDECREF(contig.owner);
+    contig.owner = nullptr;
+    contig.data = data;
+    contig.length = length;
+    contig.kmer_index.clear();
+}
+
+void reset_engine() {
+    for (auto &entry : engine().contigs)
+        Py_XDECREF(entry.second.owner);
+    engine().contigs.clear();
+    engine().splice_sites.clear();
+}
+
+// filter_homologs.cpp:13-63 core 8+8-mer identity scan
+bool is_homolog_core(const uint8_t *small_seq, Py_ssize_t small_size,
+                     int small_contig, int64_t small_start, int64_t small_end,
+                     int big_contig, int64_t big_start, int64_t big_end,
+                     int64_t small_length, double max_identity_fraction) {
+    auto found = engine().contigs.find(big_contig);
+    if (found == engine().contigs.end())
+        return false;
+    const Contig &contig = found->second;
+    const int k = KMER_LENGTH;
+    const int ext = 8;
+
+    long long matching_kmers = 0;
+    double threshold = (double)small_length * max_identity_fraction;
+    for (Py_ssize_t pos = 0; pos + 2 * k < small_size; pos += k) {
+        if (matching_kmers * k + (double)(small_size - pos) < threshold)
+            return false;
+        auto hits = contig.kmer_index.find(kmer_at(small_seq, pos));
+        if (hits == contig.kmer_index.end())
+            continue;
+        const std::vector<int64_t> &positions = hits->second;
+        for (auto it = std::lower_bound(positions.begin(), positions.end(), big_start);
+             it != positions.end() && *it <= big_end; ++it) {
+            int64_t hit = *it;
+            if (small_contig == big_contig && hit >= small_start && hit <= small_end)
+                continue;
+            /* strncmp semantics with NUL padding at sequence ends */
+            bool equal = true;
+            for (int j = 0; j < ext; ++j) {
+                uint8_t big_char = (hit + k + j < contig.length)
+                                   ? contig.data[hit + k + j] : 0;
+                uint8_t small_char = (pos + k + j < small_size)
+                                     ? (uint8_t)small_seq[pos + k + j] : 0;
+                if (big_char != small_char) { equal = false; break; }
+                if (big_char == 0) break;  /* both ended */
+            }
+            if (equal) {
+                matching_kmers += 1;
+                if ((double)(matching_kmers * k) >= threshold)
+                    return true;
+                break;
+            }
+        }
+    }
+    return false;
 }
 
 /* the recursive seed-and-extend (filter_mismappers.cpp:86-187 semantics as
@@ -160,10 +213,7 @@ bool align_recursive(int score, const uint8_t *read, Py_ssize_t read_length,
 using realign_engine::engine;
 
 PyObject *realign_reset(PyObject *, PyObject *) {
-    for (auto &entry : engine().contigs)
-        Py_XDECREF(entry.second.owner);
-    engine().contigs.clear();
-    engine().splice_sites.clear();
+    realign_engine::reset_engine();
     Py_RETURN_NONE;
 }
 
@@ -382,46 +432,11 @@ PyObject *realign_is_homolog(PyObject *, PyObject *args) {
                           &big_start, &big_end, &small_length,
                           &max_identity_fraction))
         return nullptr;
-    auto found = engine().contigs.find(big_contig);
-    if (found == engine().contigs.end())
-        Py_RETURN_FALSE;
-    const realign_engine::Contig &contig = found->second;
-    const int k = realign_engine::KMER_LENGTH;
-    const int ext = 8;
-
-    long long matching_kmers = 0;
-    double threshold = small_length * max_identity_fraction;
-    for (Py_ssize_t pos = 0; pos + 2 * k < small_size; pos += k) {
-        if (matching_kmers * k + (double)(small_size - pos) < threshold)
-            Py_RETURN_FALSE;
-        auto hits = contig.kmer_index.find(
-            realign_engine::kmer_at((const uint8_t *)small_seq, pos));
-        if (hits == contig.kmer_index.end())
-            continue;
-        const std::vector<int64_t> &positions = hits->second;
-        for (auto it = std::lower_bound(positions.begin(), positions.end(), big_start);
-             it != positions.end() && *it <= big_end; ++it) {
-            int64_t hit = *it;
-            if (small_contig == big_contig && hit >= small_start && hit <= small_end)
-                continue;
-            /* strncmp semantics with NUL padding at sequence ends */
-            bool equal = true;
-            for (int j = 0; j < ext; ++j) {
-                uint8_t big_char = (hit + k + j < contig.length)
-                                   ? contig.data[hit + k + j] : 0;
-                uint8_t small_char = (pos + k + j < small_size)
-                                     ? (uint8_t)small_seq[pos + k + j] : 0;
-                if (big_char != small_char) { equal = false; break; }
-                if (big_char == 0) break;  /* both ended */
-            }
-            if (equal) {
-                matching_kmers += 1;
-                if ((double)(matching_kmers * k) >= threshold)
-                    Py_RETURN_TRUE;
-                break;
-            }
-        }
-    }
+    if (realign_engine::is_homolog_core(
+            (const uint8_t *)small_seq, small_size, small_contig, small_start,
+            small_end, big_contig, big_start, big_end, small_length,
+            max_identity_fraction))
+        Py_RETURN_TRUE;
     Py_RETURN_FALSE;
 }
 

@@ -1,0 +1,54 @@
+// Shared view of the realignment engine (contig k-mer indices + per-gene
+// splice sites) so the native event stages (event.cpp) can drive the exact
+// recursive aligner of filter_mismappers.cpp without the Python round-trip.
+// realign.cpp owns the data.
+#pragma once
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <cstdint>
+#include <unordered_map>
+#include <vector>
+
+namespace realign_engine {
+
+constexpr int REALIGN_KMER_LENGTH = 8;
+
+struct Contig {
+    PyObject *owner = nullptr; /* keeps the buffer alive (null for raw) */
+    const uint8_t *data = nullptr;
+    Py_ssize_t length = 0;
+    std::unordered_map<uint32_t, std::vector<int64_t>> kmer_index;
+};
+
+struct Engine {
+    std::unordered_map<int, Contig> contigs;
+    std::unordered_map<long, std::vector<int64_t>> splice_sites; /* per gene */
+};
+
+Engine &engine();
+
+uint32_t kmer_at(const uint8_t *sequence, Py_ssize_t position);
+
+// filter_mismappers.cpp:86-187
+bool align_recursive(int score, const uint8_t *read, Py_ssize_t read_length,
+                     Py_ssize_t read_pos, const Contig &contig,
+                     int64_t gene_pos, int64_t gene_start, int64_t gene_end,
+                     const std::vector<int64_t> &splice_sites, int min_score,
+                     int max_deletions);
+
+// filter_homologs.cpp:13-63 core (the caller prepares small_seq, possibly
+// reverse-complemented)
+bool is_homolog_core(const uint8_t *small_seq, Py_ssize_t small_size,
+                     int small_contig, int64_t small_start, int64_t small_end,
+                     int big_contig, int64_t big_start, int64_t big_end,
+                     int64_t small_length, double max_identity_fraction);
+
+// Register a contig from a raw borrowed pointer (the cascade store pins the
+// underlying buffers for the run's lifetime).
+void set_contig_raw(int cid, const uint8_t *data, Py_ssize_t length);
+
+void reset_engine();
+
+}  // namespace realign_engine
