@@ -367,15 +367,20 @@ class ReadLevelCascade:
                   f"reads", file=sys.stderr)
         return remaining
 
-    def materialize_fusions(self, fusions) -> None:
+    def materialize_fusions(self, fusions, passing_only: bool = False,
+                            release: bool = True) -> None:
         """One-time materialization of the native fusion table into Python
         Fusion objects (event_export), syncing per-fragment filter ids that
-        event stages may have updated. Releases both native stores."""
+        event stages may have updated. Releases both native stores unless the
+        native discarded-fusions writer still needs them (release=False);
+        passing_only skips Fusion objects for filtered rows when the
+        discarded file is written natively (or not at all)."""
         from ..fusion import Fusion
 
         (columns_b, evalue_b, confidence_b, closest_b, offsets_b, items_b,
          frag_filters_b) = self._native.event_export()
-        self._native.event_release()
+        if release:
+            self._native.event_release()
         columns = np.frombuffer(columns_b or b"", np.int64).reshape(-1, 17)
         n = len(columns)
         evalues = np.frombuffer(evalue_b or b"", np.float32).tolist()
@@ -393,8 +398,13 @@ class ReadLevelCascade:
         off1 = offsets[:n + 1]
         off2 = offsets[n + 1:2 * (n + 1)]
         off3 = offsets[2 * (n + 1):]
+        if passing_only:
+            keep = np.nonzero(columns[:, 8] == 0)[0].tolist()
+            rows = [(int(i), columns[i].tolist()) for i in keep]
+        else:
+            rows = list(enumerate(columns.tolist()))
         new_fusion = Fusion.__new__
-        for i, row in enumerate(columns.tolist()):
+        for i, row in rows:
             (gene1, gene2, contig1, contig2, breakpoint1, breakpoint2,
              direction1, direction2, filter_id, split_reads1, split_reads2,
              discordant_mates, anchor_start1, anchor_start2, flags, _r1,
@@ -808,5 +818,41 @@ class EventCascade:
 
     def finish(self) -> None:
         """Materialize (if still native) so the output writer sees Python
-        Fusion objects; always called before writing."""
-        self.materialize()
+        Fusion objects; always called before writing. When the discarded
+        file can be serialized natively (default options: no -X, no tags,
+        no protein domains), only passing fusions materialize and the native
+        stores stay alive until write_discarded()."""
+        self._native_writer = False
+        if not self._live:
+            return
+        self._native_writer = (
+            bool(self.options.discarded_output_file)
+            and hasattr(self._native, "ev_write_discarded")
+            and not self.options.print_extra_info_for_discarded_fusions
+            and not self.options.tags_file
+            and not self.options.protein_domains_file)
+        passing_only = (self._native_writer
+                        or not self.options.discarded_output_file)
+        self._live = False
+        self.rc.materialize_fusions(self.fusions, passing_only=passing_only,
+                                    release=not self._native_writer)
+
+    def write_discarded(self, path: str) -> bool:
+        """Serialize the discarded-fusions file natively from the still-live
+        fusion table (output_fusions.cpp:820-1060 discarded rows). Returns
+        False when finish() fell back to full materialization."""
+        if not getattr(self, "_native_writer", False):
+            return False
+        from ..constants import FILTER_NAMES
+        from ..output.writer import HEADER
+        genes = self.genes
+        self._native.ev_write_discarded(
+            path, HEADER.encode(),
+            [n.encode() for n in self.state.contigs.original],
+            [n.encode() for n in genes.name],
+            [n.encode() for n in genes.gene_id],
+            [n.encode() for n in FILTER_NAMES],
+            int(self.options.max_itd_length))
+        self._native.event_release()
+        self._native_writer = False
+        return True

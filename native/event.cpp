@@ -2829,3 +2829,371 @@ PyObject *ev_mismappers(PyObject *, PyObject *args) {
     }
     return PyLong_FromLongLong(remaining);
 }
+
+// ---------------------------------------------------------------------------
+// output_fusions.cpp:498-717 + the discarded-row serialization of
+// output_fusions.cpp:820-1060 (output/writer.py write_fusions_to_file for
+// write_discarded_fusions=True, print_extra_info=False, no tags/domains).
+// The passing rows (with fusion transcript/peptide assembly) stay in Python;
+// discarded rows are pure per-row field math over native data, serialized
+// here without materializing 100k+ Python Fusion objects.
+
+namespace {
+
+// output_fusions.cpp:637-709 (writer.py get_fusion_site)
+std::string native_fusion_site(int64_t gene, bool spliced, bool exonic,
+                               int64_t contig, int64_t breakpoint) {
+    const cascade_store::Cascade &c = cascade_store::cascade();
+    const annotate_engine::Engine &eng = annotate_engine::engine();
+    const Store &s = event_store::store();
+    if (c.gene_is_dummy[gene] || breakpoint < c.gene_start[gene]
+        || breakpoint > c.gene_end[gene])
+        return "intergenic";
+    if (!exonic) return "intron";
+
+    std::vector<int64_t> exon_set;
+    annotate_engine::exon_point_query(contig, breakpoint, exon_set);
+    bool has_overlapping_exon = false;
+    bool is_utr = true;
+    int64_t is_3_end = 0, is_5_end = 0;
+    bool gene_protein_coding = s.gene_is_protein_coding[gene] != 0;
+    bool gene_forward = (eng.gene_strand[gene] != 0) == FORWARD;
+    for (int64_t e : exon_set) {
+        if (eng.exon_gene[e] != gene) continue;
+        has_overlapping_exon = true;
+        if (eng.exon_cds_start[e] <= breakpoint
+            && breakpoint <= eng.exon_cds_end[e])
+            is_utr = false;
+        if (is_utr && gene_protein_coding) {
+            if (eng.exon_cds_start[e] != -1 && eng.exon_cds_start[e] > breakpoint) {
+                if (gene_forward) is_5_end += 1;
+                else is_3_end += 1;
+            } else if (eng.exon_cds_end[e] != -1
+                       && eng.exon_cds_end[e] < breakpoint) {
+                if (!gene_forward) is_5_end += 1;
+                else is_3_end += 1;
+            } else {
+                int64_t next_exon = eng.exon_next[e];
+                while (next_exon >= 0 && eng.exon_cds_start[next_exon] == -1)
+                    next_exon = eng.exon_next[next_exon];
+                int64_t previous_exon = eng.exon_prev[e];
+                while (previous_exon >= 0
+                       && eng.exon_cds_start[previous_exon] == -1)
+                    previous_exon = eng.exon_prev[previous_exon];
+                if (previous_exon >= 0 || next_exon >= 0) {
+                    if ((next_exon < 0) != (!gene_forward)) is_3_end += 1;
+                    else is_5_end += 1;
+                }
+            }
+        }
+    }
+
+    std::string site;
+    if (!has_overlapping_exon) {
+        site = "intron";
+    } else if (gene_protein_coding) {
+        if (is_utr) {
+            if (is_3_end > is_5_end) site = "3'UTR";
+            else if (is_3_end < is_5_end) site = "5'UTR";
+            else if (is_3_end + is_5_end == 0) site = "exon";
+            else site = "UTR";
+        } else {
+            site = "CDS";
+        }
+    } else {
+        site = "exon";
+    }
+    if (spliced && site != "intron") site += "/splice-site";
+    return site;
+}
+
+// output_fusions.cpp:498-545 (writer.py gene_to_name)
+std::string native_gene_to_name(int64_t gene, int64_t contig,
+                                int64_t breakpoint,
+                                const std::vector<std::string> &gene_names) {
+    const cascade_store::Cascade &c = cascade_store::cascade();
+    const event_store::GeneIndex &index = event_store::store().gene_index;
+    if (!c.gene_is_dummy[gene]) return gene_names[gene];
+
+    std::string result;
+    if (contig < index.n_contigs) {
+        const std::vector<int64_t> &bounds = index.boundaries[contig];
+        const std::vector<int64_t> &offsets = index.offsets[contig];
+        const std::vector<int64_t> &items = index.items[contig];
+        int64_t n = (int64_t)bounds.size();
+        int64_t idx2 = std::lower_bound(bounds.begin(), bounds.end(), breakpoint)
+                       - bounds.begin();
+        int64_t idx1 = idx2 - 1;
+        while (idx1 >= 0) {
+            int64_t lo = offsets[idx1], hi = offsets[idx1 + 1];
+            if (hi > lo && !c.gene_is_dummy[items[lo]]) break;
+            idx1 -= 1;
+        }
+        if (idx1 >= 0) {
+            int64_t lo = offsets[idx1], hi = offsets[idx1 + 1];
+            for (int64_t i = lo; i < hi; ++i) {
+                int64_t g = items[i];
+                if (!c.gene_is_dummy[g]) {
+                    if (!result.empty()) result += ",";
+                    result += gene_names[g] + "("
+                              + std::to_string(breakpoint - c.gene_end[g]) + ")";
+                }
+            }
+        }
+        while (idx2 < n) {
+            int64_t lo = offsets[idx2], hi = offsets[idx2 + 1];
+            if (hi > lo && !c.gene_is_dummy[items[lo]]) break;
+            idx2 += 1;
+        }
+        if (idx2 < n) {
+            int64_t lo = offsets[idx2], hi = offsets[idx2 + 1];
+            for (int64_t i = lo; i < hi; ++i) {
+                int64_t g = items[i];
+                if (!c.gene_is_dummy[g]) {
+                    if (!result.empty()) result += ",";
+                    result += gene_names[g] + "("
+                              + std::to_string(c.gene_start[g] - breakpoint)
+                              + ")";
+                }
+            }
+        }
+    }
+    return result.empty() ? "." : result;
+}
+
+// output_fusions.cpp:547-614 (writer.py get_fusion_type)
+std::string native_fusion_type(const EventFusion &f, int64_t max_itd_length) {
+    const cascade_store::Cascade &c = cascade_store::cascade();
+    const annotate_engine::Engine &eng = annotate_engine::engine();
+    bool g1_dummy = c.gene_is_dummy[f.gene1] != 0;
+    bool g2_dummy = c.gene_is_dummy[f.gene2] != 0;
+    bool g1_strand = eng.gene_strand[f.gene1] != 0;
+    bool g2_strand = eng.gene_strand[f.gene2] != 0;
+    if (f.contig1 != f.contig2) {
+        if (g1_dummy || g2_dummy
+            || (f.direction1 == f.direction2 && g1_strand != g2_strand)
+            || (f.direction1 != f.direction2 && g1_strand == g2_strand))
+            return "translocation";
+        if (((f.direction1 == UPSTREAM && g1_strand == FORWARD)
+             || (f.direction1 == DOWNSTREAM && g1_strand == REVERSE))
+            && ((f.direction2 == UPSTREAM && g2_strand == FORWARD)
+                || (f.direction2 == DOWNSTREAM && g2_strand == REVERSE)))
+            return "translocation/3'-3'";
+        return "translocation/5'-5'";
+    }
+    if (f.direction1 == DOWNSTREAM && f.direction2 == UPSTREAM) {
+        if (g1_dummy || g2_dummy || g1_strand == g2_strand)
+            return f.is_read_through() ? "deletion/read-through" : "deletion";
+        if (g1_strand == FORWARD || g2_strand == REVERSE)
+            return f.is_read_through() ? "deletion/read-through/5'-5'"
+                                       : "deletion/5'-5'";
+        return f.is_read_through() ? "deletion/read-through/3'-3'"
+                                   : "deletion/3'-3'";
+    }
+    if (f.direction1 == f.direction2) {
+        if (g1_dummy || g2_dummy || g1_strand != g2_strand) return "inversion";
+        if (f.direction1 == UPSTREAM && g1_strand == REVERSE)
+            return "inversion/5'-5'";
+        return "inversion/3'-3'";
+    }
+    if (g1_dummy || g2_dummy || g1_strand == g2_strand) {
+        if (f.gene1 == f.gene2 && f.spliced1 && f.spliced2)
+            return "duplication/non-canonical_splicing";
+        if (f.is_internal_tandem_duplication(max_itd_length))
+            return "duplication/ITD";
+        return "duplication";
+    }
+    if (g1_strand == REVERSE) return "duplication/5'-5'";
+    return "duplication/3'-3'";
+}
+
+// output_fusions.cpp:616-635 (writer.py get_fusion_strand)
+std::string native_fusion_strand(bool strand, int64_t gene,
+                                 bool predicted_strands_ambiguous) {
+    const cascade_store::Cascade &c = cascade_store::cascade();
+    const annotate_engine::Engine &eng = annotate_engine::engine();
+    std::string result;
+    if (c.gene_is_dummy[gene]) result = ".";
+    else result = ((eng.gene_strand[gene] != 0) == FORWARD) ? "+" : "-";
+    result += "/";
+    if (predicted_strands_ambiguous) result += ".";
+    else result += (strand == FORWARD) ? "+" : "-";
+    return result;
+}
+
+bool parse_string_list(PyObject *list, std::vector<std::string> &out) {
+    if (!PyList_Check(list)) {
+        PyErr_SetString(PyExc_TypeError, "expected a list of bytes");
+        return false;
+    }
+    Py_ssize_t n = PyList_Size(list);
+    out.resize(n);
+    for (Py_ssize_t i = 0; i < n; ++i) {
+        PyObject *item = PyList_GET_ITEM(list, i);
+        char *data;
+        Py_ssize_t size;
+        if (PyBytes_AsStringAndSize(item, &data, &size) != 0) return false;
+        out[i].assign(data, size);
+    }
+    return true;
+}
+
+}  // namespace
+
+PyObject *ev_write_discarded(PyObject *, PyObject *args) {
+    const char *path, *header;
+    Py_ssize_t path_len, header_len;
+    PyObject *contig_names_obj, *gene_names_obj, *gene_ids_obj,
+        *filter_names_obj;
+    long long max_itd_length;
+    if (!PyArg_ParseTuple(args, "s#y#OOOOL", &path, &path_len, &header,
+                          &header_len, &contig_names_obj, &gene_names_obj,
+                          &gene_ids_obj, &filter_names_obj, &max_itd_length))
+        return nullptr;
+    if (!require_ready()) return nullptr;
+    Store &s = event_store::store();
+    const cascade_store::Cascade &c = cascade_store::cascade();
+
+    std::vector<std::string> contig_names, gene_names, gene_ids, filter_names;
+    if (!parse_string_list(contig_names_obj, contig_names)
+        || !parse_string_list(gene_names_obj, gene_names)
+        || !parse_string_list(gene_ids_obj, gene_ids)
+        || !parse_string_list(filter_names_obj, filter_names))
+        return nullptr;
+
+    std::string out;
+    out.reserve(1 << 20);
+    out.append(header, header_len);
+    std::vector<std::pair<std::string, int64_t>> filter_counts;
+    for (const EventFusion &f : s.fusions) {
+        if (f.filter == 0) continue;
+
+        std::string site_5 = native_fusion_site(f.gene1, f.spliced1, f.exonic1,
+                                                f.contig1, f.breakpoint1);
+        std::string site_3 = native_fusion_site(f.gene2, f.spliced2, f.exonic2,
+                                                f.contig2, f.breakpoint2);
+        const char *confidence = f.confidence == 2   ? "high"
+                                 : f.confidence == 1 ? "medium"
+                                                     : "low";
+
+        int64_t gene_5 = f.gene1, gene_3 = f.gene2;
+        int64_t contig_5 = f.contig1, contig_3 = f.contig2;
+        int64_t breakpoint_5 = f.breakpoint1, breakpoint_3 = f.breakpoint2;
+        bool direction_5 = f.direction1, direction_3 = f.direction2;
+        int64_t split_reads_5 = f.split_reads1, split_reads_3 = f.split_reads2;
+        bool strand_5 = f.predicted_strand1, strand_3 = f.predicted_strand2;
+        int64_t closest_5 = f.closest_genomic_breakpoint1;
+        int64_t closest_3 = f.closest_genomic_breakpoint2;
+        if (!f.transcript_start) {  // TRANSCRIPT_START_GENE2
+            std::swap(gene_5, gene_3);
+            std::swap(direction_5, direction_3);
+            std::swap(contig_5, contig_3);
+            std::swap(breakpoint_5, breakpoint_3);
+            std::swap(site_5, site_3);
+            std::swap(split_reads_5, split_reads_3);
+            std::swap(strand_5, strand_3);
+            std::swap(closest_5, closest_3);
+        }
+
+        int64_t coverage_5 = get_coverage(contig_5, breakpoint_5,
+                                          direction_5 == UPSTREAM ? DOWNSTREAM
+                                                                  : UPSTREAM);
+        int64_t coverage_3 = get_coverage(contig_3, breakpoint_3,
+                                          direction_3 == UPSTREAM ? DOWNSTREAM
+                                                                  : UPSTREAM);
+
+        out += "\n";
+        out += native_gene_to_name(gene_5, contig_5, breakpoint_5, gene_names);
+        out += "\t";
+        out += native_gene_to_name(gene_3, contig_3, breakpoint_3, gene_names);
+        out += "\t";
+        out += native_fusion_strand(strand_5, gene_5,
+                                    f.predicted_strands_ambiguous);
+        out += "\t";
+        out += native_fusion_strand(strand_3, gene_3,
+                                    f.predicted_strands_ambiguous);
+        out += "\t";
+        out += contig_names[contig_5] + ":" + std::to_string(breakpoint_5 + 1);
+        out += "\t";
+        out += contig_names[contig_3] + ":" + std::to_string(breakpoint_3 + 1);
+        out += "\t" + site_5 + "\t" + site_3 + "\t";
+        out += native_fusion_type(f, max_itd_length);
+        out += "\t" + std::to_string(split_reads_5);
+        out += "\t" + std::to_string(split_reads_3);
+        out += "\t" + std::to_string(f.discordant_mates);
+        out += "\t";
+        out += coverage_5 >= 0 ? std::to_string(coverage_5) : ".";
+        out += "\t";
+        out += coverage_3 >= 0 ? std::to_string(coverage_3) : ".";
+        out += "\t";
+        out += confidence;
+        out += "\t.\t.\t.";  // reading_frame, tags, protein domains
+
+        if (closest_5 >= 0)
+            out += "\t" + contig_names[contig_5] + ":"
+                   + std::to_string(closest_5 + 1) + "("
+                   + std::to_string(std::llabs(breakpoint_5 - closest_5)) + ")";
+        else
+            out += "\t.";
+        if (closest_3 >= 0)
+            out += "\t" + contig_names[contig_3] + ":"
+                   + std::to_string(closest_3 + 1) + "("
+                   + std::to_string(std::llabs(breakpoint_3 - closest_3)) + ")";
+        else
+            out += "\t.";
+
+        // count reads discarded per filter (name-sorted like Python's
+        // sorted(dict))
+        filter_counts.clear();
+        auto bump = [&filter_counts](const std::string &name, int64_t delta) {
+            for (auto &entry : filter_counts)
+                if (entry.first == name) {
+                    entry.second += delta;
+                    return;
+                }
+            filter_counts.emplace_back(name, delta);
+        };
+        bump(filter_names[f.filter], 0);
+        for (int which = 0; which < 3; ++which) {
+            const std::vector<int64_t> &list = which == 0 ? f.split_read1_list
+                                               : which == 1 ? f.split_read2_list
+                                                            : f.discordant_list;
+            for (int64_t index : list) {
+                int64_t read_filter = c.fragments[index].filter;
+                if (read_filter != 0) bump(filter_names[read_filter], 1);
+            }
+        }
+        std::sort(filter_counts.begin(), filter_counts.end());
+
+        out += "\t";
+        out += c.gene_is_dummy[gene_5] ? "." : gene_ids[gene_5];
+        out += "\t";
+        out += c.gene_is_dummy[gene_3] ? "." : gene_ids[gene_3];
+        out += "\t.\t.\t";  // transcript ids
+        out += direction_5 == UPSTREAM ? "upstream" : "downstream";
+        out += "\t";
+        out += direction_3 == UPSTREAM ? "upstream" : "downstream";
+        out += "\t";
+        if (filter_counts.empty()) {
+            out += ".";
+        } else {
+            for (size_t i = 0; i < filter_counts.size(); ++i) {
+                if (i) out += ",";
+                out += filter_counts[i].first;
+                if (filter_counts[i].second != 0)
+                    out += "(" + std::to_string(filter_counts[i].second) + ")";
+            }
+        }
+        out += "\t.\t.\t.";  // transcript sequence, peptide, read ids
+    }
+    out += "\n";
+
+    FILE *file = fopen(path, "w");
+    if (file == nullptr) {
+        PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+        return nullptr;
+    }
+    fwrite(out.data(), 1, out.size(), file);
+    fclose(file);
+    Py_RETURN_NONE;
+}

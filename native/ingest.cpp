@@ -1993,6 +1993,7 @@ extern PyObject *ev_known_fusions(PyObject *, PyObject *);
 extern PyObject *ev_make_kmer_index(PyObject *, PyObject *);
 extern PyObject *ev_homologs(PyObject *, PyObject *);
 extern PyObject *ev_mismappers(PyObject *, PyObject *);
+extern PyObject *ev_write_discarded(PyObject *, PyObject *);
 
 static PyMethodDef methods[] = {
     {"realign_reset", realign_reset, METH_NOARGS,
@@ -2087,6 +2088,8 @@ static PyMethodDef methods[] = {
      "Event stage: filter fusions between homologous genes."},
     {"ev_mismappers", ev_mismappers, METH_VARARGS,
      "Event stage: re-align chimeric reads to filter mis-mappers."},
+    {"ev_write_discarded", ev_write_discarded, METH_VARARGS,
+     "Serialize the discarded-fusions TSV natively from the fusion table."},
     {"coverage_bind", coverage_bind, METH_VARARGS,
      "Bind per-contig coverage arrays so coverage_add can update them."},
     {"coverage_add", coverage_add, METH_VARARGS,
