@@ -50,6 +50,23 @@ def bind_annotation_engine(native, exon_index: IntervalIndex,
         int64_bytes(genes.contig), int64_bytes(genes.strand))
 
 
+def bind_gene_index(native, gene_index: IntervalIndex,
+                    genes: GeneTable) -> None:
+    """Register the gene interval index + gene tables for the retained-store
+    annotation chain (gene-level fallback, dummy genes, strandedness).
+    Must follow every bind_annotation_engine call (which resets the engine)."""
+
+    def int64_bytes(values) -> bytes:
+        return np.ascontiguousarray(values, np.int64).tobytes()
+
+    native.gene_index_bind(
+        [int64_bytes(b) for b in gene_index.boundaries],
+        [int64_bytes(o) for o in gene_index.offsets],
+        [int64_bytes(i) for i in gene_index.items],
+        int64_bytes(genes.start), int64_bytes(genes.end),
+        np.ascontiguousarray(genes.is_dummy, np.uint8).tobytes())
+
+
 # marshal reuse: the read-level cascade runs on the same fragments right
 # after annotation (only gene sets change in between), so the geometry/CIGAR
 # columns marshalled here are stashed for native_cascade to consume

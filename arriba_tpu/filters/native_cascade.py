@@ -100,6 +100,40 @@ class ReadLevelCascade:
                 mask |= 1 << bit
         return mask
 
+    def _context_args(self):
+        """The per-run context (contig masks, gene tables, assembly,
+        coverage, params) shared by cascade_begin and
+        cascade_begin_retained."""
+        state = self.state
+        options = self.options
+        genes = self.genes
+        n_contigs = len(state.interesting_contigs)
+        interesting = bytes(bytearray(
+            1 if state.interesting_contigs[i] else 0 for i in range(n_contigs)))
+        viral = bytes(bytearray(
+            1 if state.viral_contigs[i] else 0 for i in range(n_contigs)))
+        mapped_viral = np.zeros(n_contigs, np.int64)
+        for i, count in enumerate(state.mapped_viral_reads_by_contig[:n_contigs]):
+            mapped_viral[i] = count
+        assembly_list = [state.assembly.get(i) for i in range(n_contigs)]
+        coverage_list = []
+        for i in range(n_contigs):
+            planes = state.coverage.coverage
+            coverage_list.append(planes[i] if i < len(planes) and len(planes[i])
+                                 else None)
+        params = (1 if options.external_duplicate_marking else 0,
+                  int(options.top_viral_contigs),
+                  float(options.viral_contig_min_covered_fraction),
+                  int(options.min_read_through_distance),
+                  int(options.homopolymer_length),
+                  self._enabled_mask())
+        genes_start_b = np.ascontiguousarray(genes.start, np.int64).tobytes()
+        genes_end_b = np.ascontiguousarray(genes.end, np.int64).tobytes()
+        genes_dummy_b = np.ascontiguousarray(genes.is_dummy, np.uint8).tobytes()
+        return (interesting, viral, mapped_viral.tobytes(), genes_start_b,
+                genes_end_b, genes_dummy_b, assembly_list, coverage_list,
+                params)
+
     def _begin(self) -> None:
         ca = self.ca
         state = self.state
@@ -110,6 +144,21 @@ class ReadLevelCascade:
         # homopolymer filter and find_fusions index genes by row id)
         from ..annotation.native_annotate import bind_annotation_engine
         bind_annotation_engine(self._native, self.exon_index, self.exons, genes)
+
+        if getattr(ca, "is_lazy_native", False):
+            # retained mode: the fragments already live in the native
+            # extraction store — bind context only, no marshal
+            counts_b, gaps_b, read_length_sum, read_length_count = \
+                self._native.cascade_begin_retained(*self._context_args(),
+                                                    _STAGE_FILTER_IDS)
+            counts = np.frombuffer(counts_b, np.int64)
+            for bit, name in enumerate(_STAGES[:5]):
+                self._counts[name] = int(counts[bit])
+            self._gaps = np.frombuffer(gaps_b or b"", np.int64)
+            self._read_length_sum = read_length_sum
+            self._read_length_count = read_length_count
+            self._fragments = None
+            return
 
         fragments = list(ca.values())
         self._fragments = fragments
@@ -241,9 +290,10 @@ class ReadLevelCascade:
         counts = np.frombuffer(counts_b, np.int64)
         for bit, name in enumerate(_STAGES[5:]):
             self._counts[name] = int(counts[bit])
-        filters = np.frombuffer(filters_b, np.int64).tolist()
-        for mates, filter_id in zip(self._fragments, filters):
-            mates.filter = filter_id
+        if self._fragments is not None:
+            filters = np.frombuffer(filters_b, np.int64).tolist()
+            for mates, filter_id in zip(self._fragments, filters):
+                mates.filter = filter_id
 
     # -- stage accessors (pipeline call order) ------------------------------
 
@@ -357,10 +407,13 @@ class ReadLevelCascade:
             int(self.state.max_mate_gap),
             int(self.options.subsampling_threshold), 1)
         # pass-2 canonicalization: MATE1 = lower coordinate (mirrors the
-        # in-place swap the Python implementation performs)
-        for index in np.frombuffer(swapped_b or b"", np.int64).tolist():
-            mates = self._fragments[index]
-            mates[0], mates[1] = mates[1], mates[0]
+        # in-place swap the Python implementation performs); in retained mode
+        # the native store swapped its own mates and the lazy export already
+        # reflects it
+        if self._fragments is not None:
+            for index in np.frombuffer(swapped_b or b"", np.int64).tolist():
+                mates = self._fragments[index]
+                mates[0], mates[1] = mates[1], mates[0]
         if subsampled:
             print(f"WARNING: some fusions were subsampled, because they have "
                   f"more than {self.options.subsampling_threshold} supporting "
@@ -380,6 +433,10 @@ class ReadLevelCascade:
         (columns_b, evalue_b, confidence_b, closest_b, offsets_b, items_b,
          frag_filters_b) = self._native.event_export()
         if release:
+            if getattr(self.ca, "is_lazy_native", False):
+                # the lazy view resolves per-fragment state from the native
+                # stores — capture it before they go away
+                self.ca.ensure_materialized()
             self._native.event_release()
         columns = np.frombuffer(columns_b or b"", np.int64).reshape(-1, 17)
         n = len(columns)
@@ -390,10 +447,11 @@ class ReadLevelCascade:
         items = np.frombuffer(items_b or b"", np.int64).tolist()
         names = list(self.ca.keys())
 
-        for mates, filter_id in zip(
-                self._fragments,
-                np.frombuffer(frag_filters_b or b"", np.int64).tolist()):
-            mates.filter = filter_id
+        if self._fragments is not None:
+            for mates, filter_id in zip(
+                    self._fragments,
+                    np.frombuffer(frag_filters_b or b"", np.int64).tolist()):
+                mates.filter = filter_id
 
         off1 = offsets[:n + 1]
         off2 = offsets[n + 1:2 * (n + 1)]
@@ -501,6 +559,9 @@ class EventCascade:
         """Multimapper cluster ids: adjacent fragments (sorted-name order)
         with equal HI-stripped names share an id (read_chimeric_alignments
         .cpp:792-802 key adjacency)."""
+        if (getattr(self.ca, "is_lazy_native", False)
+                and hasattr(self._native, "extract_cluster_ids")):
+            return np.frombuffer(self._native.extract_cluster_ids(), np.int64)
         from ..model import strip_hi_tag_from_read_name
         ids = np.empty(len(self.ca), np.int64)
         previous = None
@@ -834,8 +895,13 @@ class EventCascade:
         passing_only = (self._native_writer
                         or not self.options.discarded_output_file)
         self._live = False
-        self.rc.materialize_fusions(self.fusions, passing_only=passing_only,
-                                    release=not self._native_writer)
+        # keep the native stores alive while a lazy chimeric-alignment view
+        # still resolves fragments from them (the writer reads per-read
+        # filters and sequences after this point); release() frees them
+        lazy_ca = getattr(self.ca, "is_lazy_native", False)
+        self.rc.materialize_fusions(
+            self.fusions, passing_only=passing_only,
+            release=not self._native_writer and not lazy_ca)
 
     def write_discarded(self, path: str) -> bool:
         """Serialize the discarded-fusions file natively from the still-live
@@ -853,6 +919,19 @@ class EventCascade:
             [n.encode() for n in genes.gene_id],
             [n.encode() for n in FILTER_NAMES],
             int(self.options.max_itd_length))
-        self._native.event_release()
         self._native_writer = False
+        if not getattr(self.ca, "is_lazy_native", False):
+            self._native.event_release()
         return True
+
+    def release(self) -> None:
+        """Free the native stores once the writers are done. A lazy chimeric
+        view materializes everything first so post-pipeline introspection
+        still sees the final per-fragment state."""
+        if self._native is None:
+            return
+        if getattr(self.ca, "is_lazy_native", False):
+            self.ca.ensure_materialized()
+        self._native.event_release()
+        if hasattr(self._native, "extract_release"):
+            self._native.extract_release()

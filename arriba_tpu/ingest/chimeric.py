@@ -527,6 +527,138 @@ def is_pristine_alignment(record: BamRecord) -> bool:
     return True
 
 
+def _build_fragment(frag_flags: int, filter_id: int, mate_rows) -> Fragment:
+    """One Fragment from the retained store's per-mate export rows
+    (native/extract.cpp extract_export_fragment)."""
+    mates = Fragment.__new__(Fragment)
+    mates.single_end = bool(frag_flags & 1)
+    mates.duplicate = bool(frag_flags & 2)
+    mates.multimapper = bool(frag_flags & 4)
+    mates.filter = filter_id
+    new_alignment = Alignment.__new__
+    from ..model import EMPTY_GENES
+    for flags, contig, start, end, cigar_b, seq_b, genes_b in mate_rows:
+        alignment = new_alignment(Alignment)
+        alignment.__dict__ = {
+            "supplementary": bool(flags & 1),
+            "first_in_pair": bool(flags & 2),
+            "strand": bool(flags & 4),
+            "predicted_strand": bool(flags & 8),
+            "predicted_strand_ambiguous": bool(flags & 16),
+            "exonic": bool(flags & 32),
+            "contig": contig,
+            "start": start,
+            "end": end,
+            "cigar": np.frombuffer(bytearray(cigar_b), np.uint32),
+            "sequence": seq_b.decode("latin-1"),
+            "genes": (np.frombuffer(genes_b, np.int64) if genes_b
+                      else EMPTY_GENES),
+        }
+        mates.append(alignment)
+    return mates
+
+
+class LazyChimericAlignments(dict):
+    """Read-name -> Fragment mapping over the retained native extraction
+    store (native/extract.cpp). Keys are in store (byte-sorted) order;
+    Fragment values materialize on demand, so the default native pipeline
+    builds Python objects only for the reads the output writer touches.
+    Fallback paths that iterate every fragment (values()/items()) trigger a
+    one-shot bulk materialization."""
+
+    is_lazy_native = True
+
+    def __init__(self, native, names, multimapper_count: int) -> None:
+        super().__init__()
+        self.native = native
+        self.multimapper_count = multimapper_count
+        self._index: Dict[str, int] = {}
+        for i, name in enumerate(names):
+            self._index[name] = i
+            dict.__setitem__(self, name, None)
+        self._materialized = False
+
+    def __getitem__(self, name: str) -> Fragment:
+        value = dict.__getitem__(self, name)
+        if value is None:
+            frag_flags, filter_id, mate_rows = \
+                self.native.extract_export_fragment(self._index[name])
+            value = _build_fragment(frag_flags, filter_id, mate_rows)
+            dict.__setitem__(self, name, value)
+        return value
+
+    def get(self, name, default=None):
+        if dict.__contains__(self, name):
+            return self[name]
+        return default
+
+    def values(self):
+        self.ensure_materialized()
+        return dict.values(self)
+
+    def items(self):
+        self.ensure_materialized()
+        return dict.items(self)
+
+    def ensure_materialized(self) -> None:
+        """Bulk-materialize every fragment (fallback paths only)."""
+        if self._materialized:
+            return
+        self._materialized = True
+        (names_blob, name_offsets_b, frag_offsets_b, frag_flags_b,
+         frag_filter_b, contig_b, start_b, end_b, flags_b, cigar_offsets_b,
+         cigar_words_b, (seq_offsets_b, seq_blob, genes_offsets_b,
+                         genes_items_b), _n) = self.native.extract_export_all()
+        names = names_blob.decode("latin-1")
+        name_offsets = np.frombuffer(name_offsets_b, np.int64).tolist()
+        frag_offsets = np.frombuffer(frag_offsets_b, np.int64).tolist()
+        frag_flags = np.frombuffer(frag_flags_b, np.int64).tolist()
+        frag_filter = np.frombuffer(frag_filter_b, np.int64).tolist()
+        contig = np.frombuffer(contig_b, np.int64).tolist()
+        start = np.frombuffer(start_b, np.int64).tolist()
+        end = np.frombuffer(end_b, np.int64).tolist()
+        flags = np.frombuffer(flags_b, np.int64).tolist()
+        cigar_offsets = np.frombuffer(cigar_offsets_b, np.int64).tolist()
+        cigar_words = np.frombuffer(bytearray(cigar_words_b), np.uint32)
+        seq_offsets = np.frombuffer(seq_offsets_b, np.int64).tolist()
+        sequences = seq_blob.decode("latin-1")
+        genes_offsets = np.frombuffer(genes_offsets_b, np.int64).tolist()
+        genes_items = np.frombuffer(genes_items_b, np.int64)
+
+        from ..model import EMPTY_GENES
+        new_alignment = Alignment.__new__
+        new_fragment = Fragment.__new__
+        for f in range(len(frag_flags)):
+            name = names[name_offsets[f]:name_offsets[f + 1]]
+            if dict.__getitem__(self, name) is not None:
+                continue  # keep the already-materialized object (identity)
+            mates = new_fragment(Fragment)
+            mates.single_end = bool(frag_flags[f] & 1)
+            mates.duplicate = bool(frag_flags[f] & 2)
+            mates.multimapper = bool(frag_flags[f] & 4)
+            mates.filter = frag_filter[f]
+            for row in range(frag_offsets[f], frag_offsets[f + 1]):
+                alignment = new_alignment(Alignment)
+                row_flags = flags[row]
+                genes = genes_items[genes_offsets[row]:genes_offsets[row + 1]]
+                alignment.__dict__ = {
+                    "supplementary": bool(row_flags & 1),
+                    "first_in_pair": bool(row_flags & 2),
+                    "strand": bool(row_flags & 4),
+                    "predicted_strand": bool(row_flags & 8),
+                    "predicted_strand_ambiguous": bool(row_flags & 16),
+                    "exonic": bool(row_flags & 32),
+                    "contig": contig[row],
+                    "start": start[row],
+                    "end": end[row],
+                    "cigar": cigar_words[cigar_offsets[row]:cigar_offsets[row + 1]],
+                    "sequence": sequences[seq_offsets[row]:seq_offsets[row + 1]],
+                    "genes": genes if len(genes) else EMPTY_GENES,
+                }
+                mates.append(alignment)
+            dict.__setitem__(self, name, mates)
+
+
 def _materialize_fragments(chimeric_alignments: ChimericAlignments,
                            arrays: tuple, seq_part: tuple) -> None:
     """Build Fragment/Alignment objects from the columnar output of the
@@ -595,7 +727,8 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
                              is_rna_bam_file: bool,
                              external_duplicate_marking: bool,
                              max_itd_length: int,
-                             threads: int = 1) -> Tuple[int, int]:
+                             threads: int = 1,
+                             retain_native: bool = False) -> Tuple[int, int]:
     """read_chimeric_alignments.cpp:560-773 — returns (n_fragments,
     mapped_reads delta)."""
     global _GENES
@@ -675,23 +808,44 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
                     gene_offsets.append(np.zeros(1, np.int64).tobytes())
                     gene_items.append(b"")
             assembly_list = [assembly.get(cid) for cid in tid_to_contig]
+            # retained mode: the native store keeps the fragments (sorted,
+            # multimappers marked); Python receives names only and fragments
+            # materialize lazily. Only usable when this call owns the whole
+            # dict (no prior chimeric file merged in).
+            retain = (retain_native
+                      and hasattr(_native, "extract_export_fragment")
+                      and not chimeric_alignments
+                      and _os.environ.get("ARRIBA_TPU_NO_NATIVE_RETAIN") != "1")
             extract_tables = (
                 gene_offsets, gene_items,
                 np.ascontiguousarray(genes.start, np.int64).tobytes(),
                 np.ascontiguousarray(genes.end, np.int64).tobytes(),
                 assembly_list,
                 np.array(tid_to_contig, np.int64).tobytes(),
-                int(max_itd_length))
-            main, seq_part = _native.scan_sam(
+                int(max_itd_length), 1 if retain else 0)
+            result = _native.scan_sam(
                 path, name_to_tid, boundaries, bytes(interesting_per_tid),
                 bytes(viral_per_tid), planes, external_duplicate_marking,
                 threads, extract_tables)
-            (_header_bytes, total_mapped, viral_counts, _n_records,
-             (missing_hi_tag, malformed_count, no_chimeric_flag),
-             arrays) = main
+            if retain:
+                (_header_bytes, total_mapped, viral_counts, _n_records,
+                 (missing_hi_tag, malformed_count, no_chimeric_flag),
+                 names_blob, name_offsets_b, multimapper_count) = result
+                names_text = names_blob.decode("latin-1")
+                name_offsets = np.frombuffer(name_offsets_b, np.int64).tolist()
+                names = [names_text[name_offsets[i]:name_offsets[i + 1]]
+                         for i in range(len(name_offsets) - 1)]
+                lazy = LazyChimericAlignments(_native, names, multimapper_count)
+                retained_result = lazy
+            else:
+                main, seq_part = result
+                (_header_bytes, total_mapped, viral_counts, _n_records,
+                 (missing_hi_tag, malformed_count, no_chimeric_flag),
+                 arrays) = main
             for tid, count in enumerate(viral_counts):
                 mapped_viral_reads_by_contig[tid_to_contig[tid]] += count
-            _materialize_fragments(chimeric_alignments, arrays, seq_part)
+            if not retain:
+                _materialize_fragments(chimeric_alignments, arrays, seq_part)
 
             if is_rna_bam_file and total_mapped == 0:
                 raise RuntimeError("no normal reads found")
@@ -706,6 +860,8 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
             if missing_hi_tag > 0:
                 print(f"WARNING: {missing_hi_tag} secondary alignments lack the 'HI' tag and were ignored",
                       file=sys.stderr)
+            if retain:
+                return retained_result, total_mapped
             return len(chimeric_alignments), total_mapped
 
         _, forwarded, native_boring_mapped, viral_counts, _n_records = \

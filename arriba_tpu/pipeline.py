@@ -134,19 +134,29 @@ def run(options: Options) -> PipelineState:
         options.interesting_contigs, options.viral_contigs, genes,
         state.gene_index, state.coverage, state.mapped_viral_reads_by_contig,
         bool(options.chimeric_bam_file), True, options.external_duplicate_marking,
-        options.max_itd_length, options.threads)
+        options.max_itd_length, options.threads, retain_native=True)
     state.mapped_reads += mapped
+    retained = not isinstance(total, int)
+    if retained:
+        # native retained mode: the fragments live in the extraction store
+        # (sorted, multimappers marked); `ca` is a lazy name->Fragment view
+        state.chimeric_alignments = ca = total
+        total = len(ca)
     print(f"(total={total})")
 
-    # restore ordered-map iteration order
-    state.chimeric_alignments = ca = sort_chimeric_alignments(ca)
+    if not retained:
+        # restore ordered-map iteration order
+        state.chimeric_alignments = ca = sort_chimeric_alignments(ca)
 
     # contig lookup tables (arriba.cpp:132-139)
     state.viral_contigs = state.contigs.interesting_mask(options.viral_contigs)
     state.interesting_contigs = state.contigs.interesting_mask(options.interesting_contigs)
 
     log("Marking multi-mapping alignments ", end="")
-    print(f"(marked={mark_multimappers(ca)})")
+    if retained:
+        print(f"(marked={ca.multimapper_count})")
+    else:
+        print(f"(marked={mark_multimappers(ca)})")
 
     # BAM files may add contigs unknown to the GTF; the indices already cover
     # all contigs because they were built with len(contigs) after registration
@@ -156,17 +166,31 @@ def run(options: Options) -> PipelineState:
         state.gene_index = IntervalIndex(genes.contig, genes.start, genes.end,
                                          len(state.contigs))
 
+    if retained:
+        # bind the annotation engine + gene index for the native chain
+        from .annotation.native_annotate import (bind_annotation_engine,
+                                                 bind_gene_index)
+        bind_annotation_engine(ca.native, state.exon_index, exons, genes)
+        bind_gene_index(ca.native, state.gene_index, genes)
+
     # strandedness (arriba.cpp:146-160)
     strandedness = options.strandedness
     if strandedness == STRANDEDNESS_AUTO:
         log("Detecting strandedness ", end="")
-        strandedness = detect_strandedness(ca, genes, exons, state.gene_index,
-                                           state.exon_index)
+        if retained:
+            strandedness = ca.native.detect_strandedness_native()
+        else:
+            strandedness = detect_strandedness(ca, genes, exons,
+                                               state.gene_index,
+                                               state.exon_index)
         print({STRANDEDNESS_YES: "(yes)", STRANDEDNESS_REVERSE: "(reverse)"}
               .get(strandedness, "(no)"))
     if strandedness != STRANDEDNESS_NO:
         log("Assigning strands to alignments ")
-        assign_strands_from_strandedness(ca, strandedness)
+        if retained:
+            ca.native.assign_strands_native(int(strandedness))
+        else:
+            assign_strands_from_strandedness(ca, strandedness)
 
     log("Annotating alignments ")
     # exonic lengths (arriba.cpp:166-184)
@@ -174,9 +198,33 @@ def run(options: Options) -> PipelineState:
 
     # annotate with exons (arriba.cpp:186-188); bulk native path when built
     from .annotation.native_annotate import annotate_all_native
-    if not annotate_all_native(ca, exons, genes, state.exon_index):
+    if retained:
+        pass  # the native chain annotates in place below
+    elif not annotate_all_native(ca, exons, genes, state.exon_index):
         for mates in ca.values():
             annotate_alignments(mates, exons, genes, state.exon_index)
+
+    if retained:
+        # native annotation chain: exon annotation + gene fallback + dummy
+        # ranges (phase 1), then append the dummies to the Python gene table,
+        # re-index/re-bind, and re-annotate + disambiguate (phase 2)
+        from .annotation.native_annotate import (bind_annotation_engine,
+                                                 bind_gene_index)
+        dummy_contig_b, dummy_start_b, dummy_end_b = \
+            ca.native.annotate_store_phase1()
+        for dummy_contig, dummy_start, dummy_end in zip(
+                np.frombuffer(dummy_contig_b, np.int64).tolist(),
+                np.frombuffer(dummy_start_b, np.int64).tolist(),
+                np.frombuffer(dummy_end_b, np.int64).tolist()):
+            genes.append_dummy(dummy_contig, dummy_start, dummy_end)
+        state.gene_index = IntervalIndex(genes.contig, genes.start, genes.end,
+                                         len(state.contigs))
+        gene_index = state.gene_index
+        bind_annotation_engine(ca.native, state.exon_index, exons, genes)
+        bind_gene_index(ca.native, gene_index, genes)
+        ca.native.annotate_store_phase2()
+        return _run_cascades(state, options, enabled, ca, annotation, genes,
+                             exons, gene_index)
 
     # fall back to gene-level annotation (arriba.cpp:190-205)
     for mates in ca.values():
@@ -282,7 +330,14 @@ def run(options: Options) -> PipelineState:
                 split.genes = np.array([encompassing], np.int64)
 
     # gene ids are row indices already (arriba.cpp:321-325)
+    return _run_cascades(state, options, enabled, ca, annotation, genes,
+                         exons, gene_index)
 
+
+def _run_cascades(state, options, enabled, ca, annotation, genes, exons,
+                  gene_index):
+    """Read-level cascade through output (arriba.cpp:327-612); shared by
+    the retained-native and materialized paths."""
     # --- read-level cascade (arriba.cpp:327-409) -----------------------------
     # one facade: native (single bulk marshal, C++ stages) or Python per stage
     from .filters.native_cascade import ReadLevelCascade

@@ -60,11 +60,12 @@ static size_t lower_bound_index(const std::vector<int64_t> &values, int64_t key)
 }
 
 // Features overlapping the region containing pos (annotation.t.hpp:61-68).
-static void point_query(int64_t contig, int64_t pos, Set &out) {
+static void point_query_in(const std::vector<ContigIndex> &indices,
+                           int64_t contig, int64_t pos, Set &out) {
     out.clear();
-    if (contig >= engine().n_contigs)
+    if (contig >= (int64_t)indices.size())
         return;
-    const ContigIndex &index = engine().exon_index[contig];
+    const ContigIndex &index = indices[contig];
     size_t idx = lower_bound_index(index.boundaries, pos);
     if (idx >= index.boundaries.size())
         return;
@@ -73,18 +74,20 @@ static void point_query(int64_t contig, int64_t pos, Set &out) {
 
 // Features overlapping [start, end] with 2 bp slack at each end; intersection
 // of the start/end result sets, union if disjoint (annotation.t.hpp:70-99).
-static void range_query(int64_t contig, int64_t start, int64_t end, Set &out) {
-    if (contig >= engine().n_contigs) {
+static void range_query_in(const std::vector<ContigIndex> &indices,
+                           int64_t contig, int64_t start, int64_t end,
+                           Set &out) {
+    if (contig >= (int64_t)indices.size()) {
         out.clear();
         return;
     }
     if (start == end) {
-        point_query(contig, start, out);
+        point_query_in(indices, contig, start, out);
         return;
     }
     if (start > end)
         std::swap(start, end);
-    const ContigIndex &index = engine().exon_index[contig];
+    const ContigIndex &index = indices[contig];
     size_t n = index.boundaries.size();
 
     Set result_start, result_end, scratch;
@@ -113,6 +116,14 @@ static void range_query(int64_t contig, int64_t start, int64_t end, Set &out) {
     }
 
     combine_annotations(result_start, result_end, out);
+}
+
+static void point_query(int64_t contig, int64_t pos, Set &out) {
+    point_query_in(engine().exon_index, contig, pos, out);
+}
+
+static void range_query(int64_t contig, int64_t start, int64_t end, Set &out) {
+    range_query_in(engine().exon_index, contig, start, end, out);
 }
 
 void exon_point_query(int64_t contig, int64_t pos, std::vector<int64_t> &out) {
@@ -458,4 +469,367 @@ PyObject *annotate_bulk(PyObject *, PyObject *args) {
         reinterpret_cast<const char *>(out_exonic.data()),
         (Py_ssize_t)(out_exonic.size() * 8));
     return result;
+}
+
+// ---------------------------------------------------------------------------
+// Retained-store annotation chain (pipeline.py:159-282 over extract.h's
+// fragments, no Python materialization): strandedness detection/assignment
+// (read_stats.cpp:94-143, read_chimeric_alignments.cpp:775-790), exon
+// annotation + gene-level fallback (arriba.cpp:186-205), dummy-gene range
+// construction (arriba.cpp:207-260; the Python side appends the rows and
+// re-binds), re-annotation and dummy disambiguation (arriba.cpp:262-319).
+
+#include "extract.h"
+
+namespace annotate_engine {
+
+// gene_index_bind(boundaries_list, offsets_list, items_list, gene_start,
+//                 gene_end, gene_is_dummy)
+PyObject *gene_index_bind_impl(PyObject *args) {
+    PyObject *boundaries_list, *offsets_list, *items_list;
+    PyObject *gene_start, *gene_end, *gene_is_dummy;
+    if (!PyArg_ParseTuple(args, "OOOSSS", &boundaries_list, &offsets_list,
+                          &items_list, &gene_start, &gene_end, &gene_is_dummy))
+        return nullptr;
+    Engine &eng = engine();
+    Py_ssize_t n = PyList_Size(boundaries_list);
+    eng.gene_index.assign(n, ContigIndex());
+    for (Py_ssize_t c = 0; c < n; ++c) {
+        if (!bytes_to_vector(PyList_GET_ITEM(boundaries_list, c),
+                             eng.gene_index[c].boundaries)
+            || !bytes_to_vector(PyList_GET_ITEM(offsets_list, c),
+                                eng.gene_index[c].offsets)
+            || !bytes_to_vector(PyList_GET_ITEM(items_list, c),
+                                eng.gene_index[c].items))
+            return nullptr;
+    }
+    if (!bytes_to_vector(gene_start, eng.gene_start)
+        || !bytes_to_vector(gene_end, eng.gene_end))
+        return nullptr;
+    {
+        char *data;
+        Py_ssize_t size;
+        if (PyBytes_AsStringAndSize(gene_is_dummy, &data, &size) < 0)
+            return nullptr;
+        eng.gene_is_dummy.assign((const uint8_t *)data,
+                                 (const uint8_t *)data + size);
+    }
+    eng.gene_index_ready = true;
+    Py_RETURN_NONE;
+}
+
+}  // namespace annotate_engine
+
+using annotate_engine::engine;
+using extract_store::ExtractFragment;
+using extract_store::ExtractMate;
+
+PyObject *gene_index_bind(PyObject *, PyObject *args) {
+    return annotate_engine::gene_index_bind_impl(args);
+}
+
+namespace {
+
+bool require_stores() {
+    if (!extract_store::store().ready || !engine().ready
+        || !engine().gene_index_ready) {
+        PyErr_SetString(PyExc_RuntimeError,
+                        "extract store / annotation engine not ready");
+        return false;
+    }
+    return true;
+}
+
+constexpr bool EXT_FORWARD = true;
+constexpr bool EXT_UPSTREAM = true, EXT_DOWNSTREAM = false;
+constexpr int EXT_MATE1 = 0, EXT_MATE2 = 1, EXT_SPLIT = 1, EXT_SUPP = 2;
+
+}  // namespace
+
+// read_stats.cpp:94-143 (stats.py detect_strandedness); runs before
+// annotation on the initial gene index
+PyObject *detect_strandedness_native(PyObject *, PyObject *) {
+    if (!require_stores()) return nullptr;
+    const extract_store::ExtractStore &s = extract_store::store();
+    const annotate_engine::Engine &eng = engine();
+    const int64_t sample_size = 100;
+    const double threshold = 0.95;
+    int64_t count = 0, matching_strand = 0;
+    std::vector<int64_t> gene_set;
+    for (const ExtractFragment &fragment : s.fragments) {
+        if (fragment.mates.size() != 3) continue;
+        const ExtractMate &split = fragment.mates[EXT_SPLIT];
+        const ExtractMate &supp = fragment.mates[EXT_SUPP];
+        if (split.contig == supp.contig && split.strand == supp.strand
+            && std::llabs(split.start - supp.start) < 400000) {
+            annotate_engine::range_query_in(eng.gene_index, split.contig,
+                                            split.start, split.end, gene_set);
+            if (gene_set.size() == 1) {
+                bool direction = split.strand == EXT_FORWARD ? EXT_UPSTREAM
+                                                             : EXT_DOWNSTREAM;
+                int64_t position =
+                    split.strand == EXT_FORWARD ? split.start : split.end;
+                int64_t g = gene_set[0];
+                if (annotate_engine::is_breakpoint_spliced(g, direction,
+                                                           position)) {
+                    bool gene_strand = eng.gene_strand[g] != 0;
+                    if ((split.first_in_pair && split.strand == gene_strand)
+                        || (fragment.mates[EXT_MATE1].first_in_pair
+                            && fragment.mates[EXT_MATE1].strand == gene_strand))
+                        matching_strand += 1;
+                    count += 1;
+                    if (count >= sample_size) break;
+                }
+            }
+        }
+    }
+    long long result = 0;  // STRANDEDNESS_NO
+    if (count >= sample_size) {
+        if ((double)matching_strand < (1 - threshold) * (double)count)
+            result = 2;  // STRANDEDNESS_REVERSE
+        else if ((double)matching_strand > threshold * (double)count)
+            result = 1;  // STRANDEDNESS_YES
+    }
+    return PyLong_FromLongLong(result);
+}
+
+// read_chimeric_alignments.cpp:775-790 (chimeric.py
+// assign_strands_from_strandedness)
+PyObject *assign_strands_native(PyObject *, PyObject *args) {
+    long long strandedness;
+    if (!PyArg_ParseTuple(args, "L", &strandedness)) return nullptr;
+    if (strandedness == 0) Py_RETURN_NONE;
+    if (!extract_store::store().ready) {
+        PyErr_SetString(PyExc_RuntimeError, "extract store not populated");
+        return nullptr;
+    }
+    auto complement_if = [](bool strand, bool condition) {
+        return condition ? !strand : strand;
+    };
+    for (ExtractFragment &fragment : extract_store::store().fragments) {
+        if (fragment.mates.size() < 2) continue;
+        int first = fragment.mates[EXT_MATE1].first_in_pair ? EXT_MATE1
+                                                            : EXT_MATE2;
+        int second = fragment.mates[EXT_MATE1].first_in_pair ? EXT_MATE2
+                                                             : EXT_MATE1;
+        ExtractMate &first_mate = fragment.mates[first];
+        ExtractMate &second_mate = fragment.mates[second];
+        first_mate.predicted_strand =
+            complement_if(first_mate.strand, strandedness == 2);
+        first_mate.predicted_strand_ambiguous = false;
+        second_mate.predicted_strand = complement_if(
+            first_mate.predicted_strand,
+            first_mate.strand == second_mate.strand);
+        second_mate.predicted_strand_ambiguous = false;
+        if (fragment.mates.size() == 3) {
+            ExtractMate &supp = fragment.mates[EXT_SUPP];
+            supp.predicted_strand = complement_if(
+                fragment.mates[EXT_SPLIT].predicted_strand,
+                supp.strand != fragment.mates[EXT_SPLIT].strand);
+            supp.predicted_strand_ambiguous = false;
+        }
+    }
+    Py_RETURN_NONE;
+}
+
+// arriba.cpp:186-260: exon annotation, gene-level fallback, and dummy-gene
+// range construction. Returns (dummy_contig_b, dummy_start_b, dummy_end_b).
+PyObject *annotate_store_phase1(PyObject *, PyObject *) {
+    if (!require_stores()) return nullptr;
+    extract_store::ExtractStore &s = extract_store::store();
+    const annotate_engine::Engine &eng = engine();
+
+    std::vector<int64_t> scratch;
+    for (ExtractFragment &fragment : s.fragments) {
+        // exon-level annotation via the shared core (annotation.cpp:505-555)
+        annotate_engine::MateState states[3];
+        int n_mates = (int)fragment.mates.size();
+        for (int m = 0; m < n_mates; ++m) {
+            const ExtractMate &mate = fragment.mates[m];
+            states[m].contig = mate.contig;
+            states[m].start = mate.start;
+            states[m].end = mate.end;
+            states[m].strand = mate.strand;
+            states[m].predicted_strand = mate.predicted_strand;
+            states[m].predicted_strand_ambiguous =
+                mate.predicted_strand_ambiguous;
+            states[m].cigar = mate.cigar.data();
+            states[m].n_cigar = (int64_t)mate.cigar.size();
+        }
+        annotate_engine::annotate_fragment(states, n_mates);
+        for (int m = 0; m < n_mates; ++m) {
+            ExtractMate &mate = fragment.mates[m];
+            mate.genes = std::move(states[m].genes);
+            mate.exonic = states[m].exonic;
+            mate.predicted_strand = states[m].predicted_strand;
+            mate.predicted_strand_ambiguous =
+                states[m].predicted_strand_ambiguous;
+        }
+
+        // gene-level fallback (arriba.cpp:190-205)
+        for (ExtractMate &mate : fragment.mates)
+            if (mate.genes.empty())
+                annotate_engine::range_query_in(eng.gene_index, mate.contig,
+                                                mate.start, mate.end,
+                                                mate.genes);
+        if (n_mates == 3) {
+            ExtractMate &split = fragment.mates[EXT_SPLIT];
+            ExtractMate &m1 = fragment.mates[EXT_MATE1];
+            annotate_engine::combine_annotations(split.genes, m1.genes, scratch);
+            if (m1.genes.empty() || scratch.size() < m1.genes.size())
+                m1.genes = scratch;
+            if (split.genes.empty() || scratch.size() < split.genes.size())
+                split.genes = scratch;
+        }
+    }
+
+    // unmapped alignment positions (arriba.cpp:207-226)
+    std::vector<std::pair<int64_t, int64_t>> unmapped;
+    for (const ExtractFragment &fragment : s.fragments) {
+        if (fragment.mates.size() == 3) {
+            const ExtractMate &split = fragment.mates[EXT_SPLIT];
+            const ExtractMate &supp = fragment.mates[EXT_SUPP];
+            if (split.genes.empty())
+                unmapped.emplace_back(split.contig,
+                                      split.strand == EXT_FORWARD ? split.start
+                                                                  : split.end);
+            if (supp.genes.empty())
+                unmapped.emplace_back(supp.contig,
+                                      supp.strand == EXT_FORWARD ? supp.end
+                                                                 : supp.start);
+        } else {
+            for (const ExtractMate &mate : fragment.mates)
+                if (mate.genes.empty())
+                    unmapped.emplace_back(mate.contig,
+                                          mate.strand == EXT_FORWARD
+                                              ? mate.end
+                                              : mate.start);
+        }
+    }
+
+    std::vector<int64_t> dummy_contig, dummy_start, dummy_end;
+    if (!unmapped.empty()) {
+        std::sort(unmapped.begin(), unmapped.end());
+        auto next_known_gene = [&eng](int64_t contig,
+                                      int64_t position) -> int64_t {
+            if (contig >= (int64_t)eng.gene_index.size()) return -1;
+            const std::vector<int64_t> &bounds =
+                eng.gene_index[contig].boundaries;
+            auto it = std::lower_bound(bounds.begin(), bounds.end(), position);
+            return it == bounds.end() ? -1 : *it;
+        };
+
+        int64_t record_contig = unmapped[0].first;
+        int64_t record_start = unmapped[0].second;
+        int64_t record_end = record_start;
+        int64_t nkg = next_known_gene(record_contig, record_start);
+        size_t i = 1;
+        while (true) {
+            bool at_end = i >= unmapped.size();
+            int64_t contig = 0, pos = 0;
+            if (!at_end) {
+                contig = unmapped[i].first;
+                pos = unmapped[i].second;
+            }
+            if (at_end || record_end + 10000 < pos
+                || (nkg >= 0 && nkg <= pos) || contig != record_contig) {
+                dummy_contig.push_back(record_contig);
+                dummy_start.push_back(record_start);
+                dummy_end.push_back(record_end);
+                if (at_end) break;
+                record_contig = contig;
+                record_start = pos;
+                nkg = next_known_gene(contig, pos);
+            }
+            record_end = unmapped[i].second;
+            i += 1;
+        }
+    }
+
+    return Py_BuildValue(
+        "(y#y#y#)",
+        dummy_contig.empty() ? "" : (const char *)dummy_contig.data(),
+        (Py_ssize_t)(dummy_contig.size() * 8),
+        dummy_start.empty() ? "" : (const char *)dummy_start.data(),
+        (Py_ssize_t)(dummy_start.size() * 8),
+        dummy_end.empty() ? "" : (const char *)dummy_end.data(),
+        (Py_ssize_t)(dummy_end.size() * 8));
+}
+
+// arriba.cpp:262-319: re-annotate unmapped alignments against the grown gene
+// index (dummy genes included) and disambiguate multiple dummy genes. The
+// Python side re-binds the engine + gene index before calling this.
+PyObject *annotate_store_phase2(PyObject *, PyObject *) {
+    if (!require_stores()) return nullptr;
+    extract_store::ExtractStore &s = extract_store::store();
+    const annotate_engine::Engine &eng = engine();
+
+    for (ExtractFragment &fragment : s.fragments) {
+        if (fragment.mates.size() == 3) {
+            ExtractMate &split = fragment.mates[EXT_SPLIT];
+            ExtractMate &supp = fragment.mates[EXT_SUPP];
+            ExtractMate &m1 = fragment.mates[EXT_MATE1];
+            if (m1.genes.empty() || split.genes.empty()) {
+                int64_t breakpoint =
+                    split.strand == EXT_FORWARD ? split.start : split.end;
+                annotate_engine::point_query_in(eng.gene_index, split.contig,
+                                                breakpoint, split.genes);
+                m1.genes = split.genes;
+            }
+            if (supp.genes.empty()) {
+                int64_t breakpoint =
+                    supp.strand == EXT_FORWARD ? supp.end : supp.start;
+                annotate_engine::point_query_in(eng.gene_index, supp.contig,
+                                                breakpoint, supp.genes);
+            }
+        } else {
+            for (ExtractMate &mate : fragment.mates) {
+                if (mate.genes.empty()) {
+                    int64_t breakpoint =
+                        mate.strand == EXT_FORWARD ? mate.end : mate.start;
+                    annotate_engine::point_query_in(eng.gene_index, mate.contig,
+                                                    breakpoint, mate.genes);
+                }
+            }
+        }
+    }
+
+    // disambiguate multiple dummy genes (arriba.cpp:286-319)
+    for (ExtractFragment &fragment : s.fragments) {
+        for (ExtractMate &mate : fragment.mates) {
+            if (mate.genes.size() > 1 && eng.gene_is_dummy[mate.genes[0]]) {
+                int64_t breakpoint =
+                    mate.strand == EXT_FORWARD ? mate.start : mate.end;
+                int64_t encompassing =
+                    fragment.mates[EXT_MATE1].genes.empty()
+                        ? mate.genes[0]
+                        : fragment.mates[EXT_MATE1].genes[0];
+                for (int64_t dummy_gene : mate.genes)
+                    if (eng.gene_start[dummy_gene] <= breakpoint
+                        && breakpoint <= eng.gene_end[dummy_gene])
+                        encompassing = dummy_gene;
+                mate.genes.assign(1, encompassing);
+            }
+        }
+        if (fragment.mates.size() == 3) {
+            ExtractMate &split = fragment.mates[EXT_SPLIT];
+            ExtractMate &m1 = fragment.mates[EXT_MATE1];
+            if (!m1.genes.empty() && !split.genes.empty()
+                && m1.genes[0] != split.genes[0]
+                && eng.gene_is_dummy[m1.genes[0]]
+                && eng.gene_is_dummy[split.genes[0]]) {
+                int64_t breakpoint =
+                    split.strand == EXT_FORWARD ? split.start : split.end;
+                int64_t encompassing = m1.genes[0];
+                for (const ExtractMate *source : {&m1, &split})
+                    for (int64_t dummy_gene : source->genes)
+                        if (eng.gene_start[dummy_gene] <= breakpoint
+                            && breakpoint <= eng.gene_end[dummy_gene])
+                            encompassing = dummy_gene;
+                m1.genes.assign(1, encompassing);
+                split.genes.assign(1, encompassing);
+            }
+        }
+    }
+    Py_RETURN_NONE;
 }

@@ -21,6 +21,13 @@ struct Engine {
         exon_cds_start, exon_cds_end;
     std::vector<int64_t> gene_contig, gene_strand;
     bool ready = false;
+
+    // gene interval index + tables (gene_index_bind) for the retained-store
+    // annotation chain and native strandedness detection
+    std::vector<ContigIndex> gene_index;
+    std::vector<int64_t> gene_start, gene_end;
+    std::vector<uint8_t> gene_is_dummy;
+    bool gene_index_ready = false;
 };
 
 Engine &engine();

@@ -31,6 +31,7 @@
 
 #include "annotate.h"
 #include "cascade.h"
+#include "extract.h"
 
 namespace cascade_store {
 Cascade &cascade() {
@@ -1123,6 +1124,129 @@ PyObject *cascade_begin(PyObject *, PyObject *args) {
             mate.seq_len = seq_offsets[row + 1] - seq_offsets[row];
             mate.genes = c.genes_items.data() + genes_offsets[row];
             mate.n_genes = genes_offsets[row + 1] - genes_offsets[row];
+        }
+    }
+    c.ready = true;
+
+    int64_t counts[5] = {-1, -1, -1, -1, -1};
+    if (stage_enabled(0)) counts[0] = filter_duplicates();
+    if (stage_enabled(1)) counts[1] = filter_uninteresting_contigs();
+    if (stage_enabled(2)) counts[2] = filter_viral_contigs();
+    if (stage_enabled(3)) counts[3] = filter_top_expressed_viral_contigs();
+    if (stage_enabled(4)) counts[4] = filter_low_coverage_viral_contigs();
+
+    std::vector<int64_t> gaps;
+    double read_length_sum;
+    int64_t read_length_count;
+    collect_mate_gaps(gaps, read_length_sum, read_length_count);
+
+    return Py_BuildValue(
+        "(y#y#dL)", (const char *)counts, (Py_ssize_t)sizeof(counts),
+        gaps.empty() ? "" : (const char *)gaps.data(),
+        (Py_ssize_t)(gaps.size() * 8), read_length_sum,
+        (long long)read_length_count);
+}
+
+// cascade_begin_retained(interesting, viral, mapped_viral, gene_start,
+//   gene_end, gene_is_dummy, assembly_list, coverage_list, params, ids)
+// Same contract as cascade_begin, but the fragments come from the retained
+// extraction store (extract.h) in place of marshalled arrays: Mate payloads
+// point into the store's vectors, so no per-fragment data crosses Python.
+PyObject *cascade_begin_retained(PyObject *, PyObject *args) {
+    PyObject *interesting_b, *viral_b, *mapped_viral_b, *gene_start_b,
+        *gene_end_b, *gene_is_dummy_b, *assembly_obj, *coverage_obj,
+        *params_obj, *ids_obj;
+    if (!PyArg_ParseTuple(args, "SSSSSSOOOO", &interesting_b, &viral_b,
+                          &mapped_viral_b, &gene_start_b, &gene_end_b,
+                          &gene_is_dummy_b, &assembly_obj, &coverage_obj,
+                          &params_obj, &ids_obj))
+        return nullptr;
+    extract_store::ExtractStore &retained = extract_store::store();
+    if (!retained.ready) {
+        PyErr_SetString(PyExc_RuntimeError, "extract store not populated");
+        return nullptr;
+    }
+
+    release_cascade();
+    Cascade &c = cascade();
+
+    if (!bytes_to_u8(interesting_b, c.interesting)
+        || !bytes_to_u8(viral_b, c.viral)
+        || !bytes_to_i64(mapped_viral_b, c.mapped_viral)
+        || !bytes_to_i64(gene_start_b, c.gene_start)
+        || !bytes_to_i64(gene_end_b, c.gene_end)
+        || !bytes_to_u8(gene_is_dummy_b, c.gene_is_dummy))
+        return nullptr;
+
+    Py_ssize_t n_contigs = PyList_Size(assembly_obj);
+    c.assembly.assign(n_contigs, nullptr);
+    c.assembly_len.assign(n_contigs, 0);
+    c.coverage.assign(n_contigs, nullptr);
+    c.coverage_len.assign(n_contigs, 0);
+    for (Py_ssize_t i = 0; i < n_contigs; ++i) {
+        PyObject *plane = PyList_GetItem(assembly_obj, i);
+        if (plane != Py_None) {
+            Py_buffer view;
+            if (PyObject_GetBuffer(plane, &view, PyBUF_SIMPLE) != 0) return nullptr;
+            c.held.push_back(view);
+            c.assembly[i] = (const uint8_t *)view.buf;
+            c.assembly_len[i] = view.len;
+        }
+        PyObject *cov = PyList_GetItem(coverage_obj, i);
+        if (cov != Py_None) {
+            Py_buffer view;
+            if (PyObject_GetBuffer(cov, &view, PyBUF_SIMPLE) != 0) return nullptr;
+            c.held.push_back(view);
+            c.coverage[i] = (const uint16_t *)view.buf;
+            c.coverage_len[i] = view.len / 2;
+        }
+    }
+
+    int external_dup;
+    long long top_viral, min_rt_distance, homopolymer_length;
+    double min_covered_fraction;
+    unsigned long enabled;
+    if (!PyArg_ParseTuple(params_obj, "iLdLLk", &external_dup, &top_viral,
+                          &min_covered_fraction, &min_rt_distance,
+                          &homopolymer_length, &enabled))
+        return nullptr;
+    c.params.external_duplicate_marking = external_dup != 0;
+    c.params.top_viral_contigs = top_viral;
+    c.params.viral_min_covered_fraction = min_covered_fraction;
+    c.params.min_read_through_distance = min_rt_distance;
+    c.params.homopolymer_length = homopolymer_length;
+    c.params.enabled = (uint32_t)enabled;
+    for (int i = 0; i < 14; ++i)
+        c.params.filter_ids[i] = PyLong_AsLongLong(PyTuple_GetItem(ids_obj, i));
+
+    // adopt the retained fragments in place
+    size_t n_frags = retained.fragments.size();
+    c.fragments.resize(n_frags);
+    for (size_t f = 0; f < n_frags; ++f) {
+        const extract_store::ExtractFragment &source = retained.fragments[f];
+        Fragment &fragment = c.fragments[f];
+        fragment.filter = 0;
+        fragment.single_end = source.single_end;
+        fragment.duplicate = source.duplicate;
+        fragment.multimapper = source.multimapper;
+        fragment.n_mates = (int)source.mates.size();
+        for (int m = 0; m < fragment.n_mates; ++m) {
+            const extract_store::ExtractMate &source_mate = source.mates[m];
+            Mate &mate = fragment.mates[m];
+            mate.contig = source_mate.contig;
+            mate.start = source_mate.start;
+            mate.end = source_mate.end;
+            mate.strand = source_mate.strand;
+            mate.predicted_strand = source_mate.predicted_strand;
+            mate.predicted_strand_ambiguous =
+                source_mate.predicted_strand_ambiguous;
+            mate.exonic = source_mate.exonic;
+            mate.cigar = source_mate.cigar.data();
+            mate.n_cigar = (int64_t)source_mate.cigar.size();
+            mate.seq = source_mate.seq.data();
+            mate.seq_len = (int64_t)source_mate.seq.size();
+            mate.genes = source_mate.genes.data();
+            mate.n_genes = (int64_t)source_mate.genes.size();
         }
     }
     c.ready = true;

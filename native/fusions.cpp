@@ -19,6 +19,7 @@
 
 #include "annotate.h"
 #include "cascade.h"
+#include "extract.h"
 #include "event.h"
 
 namespace {
@@ -460,6 +461,30 @@ PyObject *find_fusions_native(PyObject *, PyObject *args) {
             if (mate1.contig > mate2.contig
                 || (mate1.contig == mate2.contig && mate1_bp > mate2_bp)) {
                 std::swap(fragment.mates[MATE1], fragment.mates[MATE2]);
+                // keep the retained extraction store consistent so the lazy
+                // Python materialization sees the canonicalized order; then
+                // re-anchor the cascade Mate payload pointers (a short
+                // std::string swap copies SSO bytes instead of heap pointers,
+                // so pointer identity cannot be relied on)
+                extract_store::ExtractStore &retained = extract_store::store();
+                if (retained.ready
+                    && (size_t)fragment_index < retained.fragments.size()) {
+                    std::vector<extract_store::ExtractMate> &mates =
+                        retained.fragments[fragment_index].mates;
+                    if (mates.size() > 1) {
+                        std::swap(mates[MATE1], mates[MATE2]);
+                        for (int m = 0; m < 2; ++m) {
+                            Mate &cascade_mate = fragment.mates[m];
+                            const extract_store::ExtractMate &source = mates[m];
+                            cascade_mate.cigar = source.cigar.data();
+                            cascade_mate.n_cigar = (int64_t)source.cigar.size();
+                            cascade_mate.seq = source.seq.data();
+                            cascade_mate.seq_len = (int64_t)source.seq.size();
+                            cascade_mate.genes = source.genes.data();
+                            cascade_mate.n_genes = (int64_t)source.genes.size();
+                        }
+                    }
+                }
                 swapped.push_back(fragment_index);
             }
             Mate &swapped_mate1 = fragment.mates[MATE1];

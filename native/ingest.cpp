@@ -33,6 +33,8 @@
 #include <unordered_map>
 #include <vector>
 
+#include "extract.h"
+
 namespace {
 
 constexpr int FPAIRED = 1, FPROPER_PAIR = 2, FUNMAP = 4, FMUNMAP = 8,
@@ -276,36 +278,10 @@ void handle_boring_pair(Scanner &scanner, const Record &record, const Record &ma
 constexpr int FREAD1 = 0x40;
 constexpr int CLIP_NONE = 0, CLIP_START = 1, CLIP_END = 2;
 
-struct AlignmentData {
-    bool supplementary = false, first_in_pair = false;
-    bool strand_forward = true;  /* FORWARD = true */
-    int64_t contig = 0;
-    int64_t start = 0, end = 0;
-    std::vector<uint32_t> cigar;
-    std::string seq;
-
-    int64_t preclipping() const {
-        if (!cigar.empty()) {
-            uint32_t op = cigar.front() & 0xf;
-            if (op == CSOFT_CLIP || op == CHARD_CLIP) return cigar.front() >> 4;
-        }
-        return 0;
-    }
-    int64_t postclipping() const {
-        if (!cigar.empty()) {
-            uint32_t op = cigar.back() & 0xf;
-            if (op == CSOFT_CLIP || op == CHARD_CLIP) return cigar.back() >> 4;
-        }
-        return 0;
-    }
-};
-
-struct FragmentData {
-    std::string name;
-    bool single_end = false, duplicate = false;
-    std::vector<AlignmentData> mates;
-    bool dead = false;
-};
+/* the extractor works directly on the shared retained-store types so the
+ * retain mode can adopt the fragment vector without a copy (extract.h) */
+typedef extract_store::ExtractMate AlignmentData;
+typedef extract_store::ExtractFragment FragmentData;
 
 struct GeneSetsTid {  /* CSR sets aligned with scanner.boundaries[tid] */
     std::vector<int64_t> offsets, items;
@@ -328,6 +304,7 @@ struct Extractor {
     std::unordered_map<std::string, size_t> by_name;
     long mapped_reads = 0, missing_hi = 0, malformed = 0;
     bool no_chimeric = true;
+    bool retain = false;
 };
 
 bool strand_fwd(const Record &record) { return !(record.flag & FREVERSE); }
@@ -373,7 +350,7 @@ void add_chimeric_alignment(const Extractor &ext, FragmentData &mates,
     mates.duplicate = mates.duplicate || (record.flag & FDUP);
     mates.mates.emplace_back();
     AlignmentData &alignment = mates.mates.back();
-    alignment.strand_forward = strand_fwd(record);
+    alignment.strand = strand_fwd(record);
     alignment.first_in_pair = (record.flag & FREAD1) != 0;
     alignment.contig = (record.tid >= 0 && record.tid < (int)ext.tid_to_contig.size())
                            ? ext.tid_to_contig[record.tid] : record.tid;
@@ -682,7 +659,7 @@ bool is_tandem_duplication(const Extractor &ext, const Record *record,
     tandem = AlignmentData();
     tandem.start = aln_start;
     tandem.end = aln_end;
-    tandem.strand_forward = strand_fwd(*record);
+    tandem.strand = strand_fwd(*record);
     tandem.first_in_pair = (record->flag & FREAD1) != 0;
     tandem.contig = (record->tid >= 0 && record->tid < (int)ext.tid_to_contig.size())
                         ? ext.tid_to_contig[record->tid] : record->tid;
@@ -721,12 +698,12 @@ void handle_extract_pair(Scanner &scanner, Extractor &ext,
     if (have_tandem) {
         FragmentData &mates = fragment_for(ext, read_name + "ITD");
         add_chimeric_alignment(ext, mates, record,
-                               strand_fwd(record) == tandem.strand_forward &&
+                               strand_fwd(record) == tandem.strand &&
                                    !tandem.supplementary,
                                0, CLIP_NONE);
         if (previously_seen_mate != nullptr)
             add_chimeric_alignment(ext, mates, *previously_seen_mate,
-                                   strand_fwd(*previously_seen_mate) == tandem.strand_forward &&
+                                   strand_fwd(*previously_seen_mate) == tandem.strand &&
                                        !tandem.supplementary,
                                    0, CLIP_NONE);
         mates.single_end = !(record.flag & FPAIRED);
@@ -764,17 +741,17 @@ void handle_extract_pair(Scanner &scanner, Extractor &ext,
 /* read_chimeric_alignments.cpp:340-373 (chimeric.py disjoin_split_read_segments) */
 bool disjoin_split_read_segments(AlignmentData &split_read, AlignmentData &supplementary) {
     const int64_t min_remaining = 10;
-    int64_t clipped_split = split_read.strand_forward ? split_read.preclipping()
+    int64_t clipped_split = split_read.strand ? split_read.preclipping()
                                                       : split_read.postclipping();
-    int64_t clipped_supp = supplementary.strand_forward ? supplementary.postclipping()
+    int64_t clipped_supp = supplementary.strand ? supplementary.postclipping()
                                                         : supplementary.preclipping();
     int64_t overlap = (int64_t)split_read.seq.size() - clipped_split - clipped_supp;
     if (overlap <= 0)
         return true;
 
-    int64_t clipped_idx = supplementary.strand_forward
+    int64_t clipped_idx = supplementary.strand
                               ? (int64_t)supplementary.cigar.size() - 1 : 0;
-    int64_t matching_idx = supplementary.strand_forward ? clipped_idx - 1 : 1;
+    int64_t matching_idx = supplementary.strand ? clipped_idx - 1 : 1;
     if (supplementary.cigar.size() < 2 ||
         (supplementary.cigar[matching_idx] & 0xf) != CMATCH ||
         (int64_t)(supplementary.cigar[matching_idx] >> 4) < overlap + min_remaining)
@@ -786,7 +763,7 @@ bool disjoin_split_read_segments(AlignmentData &split_read, AlignmentData &suppl
     supplementary.cigar[matching_idx] =
         (uint32_t)(((supplementary.cigar[matching_idx] >> 4) - overlap) << 4) |
         (supplementary.cigar[matching_idx] & 0xf);
-    if (supplementary.strand_forward)
+    if (supplementary.strand)
         supplementary.end -= overlap;
     else
         supplementary.start += overlap;
@@ -846,19 +823,19 @@ bool normalize_fragment(FragmentData &fragment) {
 
         AlignmentData &split = mates[SPLIT];
         AlignmentData &supp = mates[SUPP];
-        bool same_strand = split.strand_forward == supp.strand_forward;
+        bool same_strand = split.strand == supp.strand;
         int64_t left_anchor = (int64_t)split.seq.size() - split.preclipping() -
                               (same_strand ? supp.postclipping() : supp.preclipping());
         int64_t right_anchor = (int64_t)split.seq.size() - split.postclipping() -
                                (same_strand ? supp.preclipping() : supp.postclipping());
-        bool flip_mate1_strand = left_anchor < right_anchor ? split.strand_forward
-                                                            : !split.strand_forward;
-        mates[MATE1].strand_forward =
-            complement_strand_if(mates[MATE1].strand_forward, flip_mate1_strand);
-        mates[SPLIT].strand_forward =
-            complement_strand_if(mates[SPLIT].strand_forward, !flip_mate1_strand);
-        mates[SUPP].strand_forward =
-            complement_strand_if(mates[SUPP].strand_forward, !flip_mate1_strand);
+        bool flip_mate1_strand = left_anchor < right_anchor ? split.strand
+                                                            : !split.strand;
+        mates[MATE1].strand =
+            complement_strand_if(mates[MATE1].strand, flip_mate1_strand);
+        mates[SPLIT].strand =
+            complement_strand_if(mates[SPLIT].strand, !flip_mate1_strand);
+        mates[SUPP].strand =
+            complement_strand_if(mates[SUPP].strand, !flip_mate1_strand);
 
         mates[MATE1].first_in_pair = !flip_mate1_strand;
         mates[SPLIT].first_in_pair = flip_mate1_strand;
@@ -878,7 +855,7 @@ bool normalize_fragment(FragmentData &fragment) {
                 !mates[SUPP].supplementary)
                 return false;
             if (mates[MATE1].contig != mates[SPLIT].contig ||
-                mates[MATE1].strand_forward == mates[SPLIT].strand_forward)
+                mates[MATE1].strand == mates[SPLIT].strand)
                 return false;
             if (!disjoin_split_read_segments(mates[SPLIT], mates[SUPP]))
                 return false;
@@ -1425,6 +1402,10 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         }
         extractor.max_itd_length = PyLong_AsLongLong(max_itd_obj);
         extractor.enabled = true;
+        if (PyTuple_Size(extract_obj) >= 8) {
+            PyObject *retain_obj = PyTuple_GetItem(extract_obj, 7);
+            extractor.retain = PyObject_IsTrue(retain_obj) == 1;
+        }
     }
     scanner.planes.resize(n_tids);
     bool buffer_error = false;
@@ -1803,6 +1784,62 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
             }
         }
 
+        if (extractor.retain) {
+            /* retained mode: sort by name (the reference's std::map order),
+             * mark multimappers (read_chimeric_alignments.cpp:792-802), and
+             * keep the fragments native; Python gets names + counters only */
+            extract_store::release_store();
+            extract_store::ExtractStore &retained = extract_store::store();
+            std::vector<size_t> order;
+            order.reserve(extractor.fragments.size());
+            for (size_t i = 0; i < extractor.fragments.size(); ++i)
+                if (!extractor.fragments[i].dead) order.push_back(i);
+            std::sort(order.begin(), order.end(), [&](size_t a, size_t b) {
+                return extractor.fragments[a].name < extractor.fragments[b].name;
+            });
+            retained.fragments.reserve(order.size());
+            for (size_t i : order)
+                retained.fragments.push_back(std::move(extractor.fragments[i]));
+
+            long multimapper_count = 0;
+            auto stripped = [](const std::string &name) {
+                size_t comma = name.rfind(',');
+                return comma == std::string::npos ? name
+                                                  : name.substr(0, comma);
+            };
+            for (size_t i = 0; i + 1 < retained.fragments.size(); ++i) {
+                if (stripped(retained.fragments[i].name)
+                    == stripped(retained.fragments[i + 1].name)) {
+                    retained.fragments[i].multimapper = true;
+                    retained.fragments[i + 1].multimapper = true;
+                    multimapper_count += 1;
+                }
+            }
+            retained.ready = true;
+
+            std::string names_blob;
+            std::vector<int64_t> name_offsets(retained.fragments.size() + 1, 0);
+            for (size_t i = 0; i < retained.fragments.size(); ++i) {
+                names_blob += retained.fragments[i].name;
+                name_offsets[i + 1] = (int64_t)names_blob.size();
+            }
+            PyObject *result = Py_BuildValue(
+                "y#lNl(lli)y#y#l",
+                header_text.data(), (Py_ssize_t)header_text.size(),
+                extractor.mapped_reads + scanner.boring_mapped_reads,
+                viral_list,
+                scanner.n_records,
+                extractor.missing_hi, extractor.malformed,
+                extractor.no_chimeric ? 1 : 0,
+                names_blob.data(), (Py_ssize_t)names_blob.size(),
+                (const char *)name_offsets.data(),
+                (Py_ssize_t)(name_offsets.size() * 8),
+                multimapper_count);
+            for (Py_buffer &view : buffers)
+                PyBuffer_Release(&view);
+            return result;
+        }
+
         /* serialize fragments to columnar arrays */
         size_t n_frags = 0, n_alignments = 0, names_size = 0, cigar_size = 0,
                seq_size = 0;
@@ -1838,7 +1875,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                 aln_end[row] = mate.end;
                 aln_flags[row] = (mate.supplementary ? 1 : 0) |
                                  (mate.first_in_pair ? 2 : 0) |
-                                 (mate.strand_forward ? 4 : 0);
+                                 (mate.strand ? 4 : 0);
                 cigar_words.insert(cigar_words.end(), mate.cigar.begin(), mate.cigar.end());
                 cigar_offsets[row + 1] = (int64_t)cigar_words.size();
                 seq_blob += mate.seq;
@@ -1994,6 +2031,16 @@ extern PyObject *ev_make_kmer_index(PyObject *, PyObject *);
 extern PyObject *ev_homologs(PyObject *, PyObject *);
 extern PyObject *ev_mismappers(PyObject *, PyObject *);
 extern PyObject *ev_write_discarded(PyObject *, PyObject *);
+extern PyObject *cascade_begin_retained(PyObject *, PyObject *);
+extern PyObject *gene_index_bind(PyObject *, PyObject *);
+extern PyObject *detect_strandedness_native(PyObject *, PyObject *);
+extern PyObject *assign_strands_native(PyObject *, PyObject *);
+extern PyObject *annotate_store_phase1(PyObject *, PyObject *);
+extern PyObject *annotate_store_phase2(PyObject *, PyObject *);
+extern PyObject *extract_export_fragment(PyObject *, PyObject *);
+extern PyObject *extract_export_all(PyObject *, PyObject *);
+extern PyObject *extract_cluster_ids(PyObject *, PyObject *);
+extern PyObject *extract_release(PyObject *, PyObject *);
 
 static PyMethodDef methods[] = {
     {"realign_reset", realign_reset, METH_NOARGS,
@@ -2090,6 +2137,28 @@ static PyMethodDef methods[] = {
      "Event stage: re-align chimeric reads to filter mis-mappers."},
     {"ev_write_discarded", ev_write_discarded, METH_VARARGS,
      "Serialize the discarded-fusions TSV natively from the fusion table."},
+    {"cascade_begin_retained", cascade_begin_retained, METH_VARARGS,
+     "Read-level cascade stages 1-5 over the retained extraction store."},
+    {"gene_index_bind", gene_index_bind, METH_VARARGS,
+     "Register the gene interval index + gene tables with the annotation "
+     "engine (for the retained-store annotation chain)."},
+    {"detect_strandedness_native", detect_strandedness_native, METH_NOARGS,
+     "Detect strandedness over the retained store (read_stats.cpp:94-143)."},
+    {"assign_strands_native", assign_strands_native, METH_VARARGS,
+     "Assign predicted strands from strandedness over the retained store."},
+    {"annotate_store_phase1", annotate_store_phase1, METH_NOARGS,
+     "Exon + gene-fallback annotation of the retained store; returns dummy "
+     "gene ranges."},
+    {"annotate_store_phase2", annotate_store_phase2, METH_NOARGS,
+     "Re-annotate unmapped alignments and disambiguate dummy genes."},
+    {"extract_export_fragment", extract_export_fragment, METH_VARARGS,
+     "Lazily export one retained fragment for Python materialization."},
+    {"extract_export_all", extract_export_all, METH_NOARGS,
+     "Bulk columnar export of the retained extraction store."},
+    {"extract_cluster_ids", extract_cluster_ids, METH_NOARGS,
+     "Multimapper cluster ids over the retained (sorted) fragment store."},
+    {"extract_release", extract_release, METH_NOARGS,
+     "Release the retained extraction store."},
     {"coverage_bind", coverage_bind, METH_VARARGS,
      "Bind per-contig coverage arrays so coverage_add can update them."},
     {"coverage_add", coverage_add, METH_VARARGS,
