@@ -260,6 +260,25 @@ def get_fusion_transcript_sequence(fusion: Fusion,
     if fusion.predicted_strands_ambiguous or fusion.transcript_start_ambiguous:
         return ".", [-1]
 
+    native = getattr(chimeric_alignments, "native", None)
+    if (native is not None and hasattr(native, "ev_transcript_pileups")
+            and not getattr(chimeric_alignments, "_materialized", True)):
+        # the fragments still live in the native store: run all ten pileup
+        # passes + the non-template-base scan there (event.cpp)
+        index = chimeric_alignments._index
+        pileup1, pileup2, non_template_bases = native.ev_transcript_pileups(
+            np.array([index[n] for n in fusion.split_read1_list],
+                     np.int64).tobytes(),
+            np.array([index[n] for n in fusion.split_read2_list],
+                     np.int64).tobytes(),
+            np.array([index[n] for n in fusion.discordant_mate_list],
+                     np.int64).tobytes(),
+            1 if fusion.direction1 else 0, 1 if fusion.direction2 else 0,
+            int(fusion.breakpoint1), int(fusion.breakpoint2))
+        return _assemble_transcript_sequence(fusion, pileup1, pileup2,
+                                             non_template_bases, genes,
+                                             assembly)
+
     pileup1: Pileup = {}
     pileup2: Pileup = {}
     ca = chimeric_alignments
@@ -303,6 +322,15 @@ def get_fusion_transcript_sequence(fusion: Fusion,
             if non_template_bases_count[unmapped_bases] > non_template_bases_count[non_template_bases]:
                 non_template_bases = unmapped_bases
 
+    return _assemble_transcript_sequence(fusion, pileup1, pileup2,
+                                         non_template_bases, genes, assembly)
+
+
+def _assemble_transcript_sequence(fusion, pileup1, pileup2,
+                                  non_template_bases, genes, assembly):
+    """output_fusions.cpp:242-466 tail: consensus, ellipses, breakpoint
+    markers, strand orientation (shared by the native and Python pileup
+    paths)."""
     sequence1, positions1, clipped_sequence1 = get_sequence_from_pileup(
         pileup1, fusion.breakpoint1, fusion.direction1, fusion.gene1, genes, assembly)
     sequence2, positions2, clipped_sequence2 = get_sequence_from_pileup(
@@ -1067,6 +1095,25 @@ def write_fusions_to_file(fusions: Fusions, output_file: str,
 
         sorted_fusions.sort(key=functools.cmp_to_key(cmp_by_rank_of_best))
 
+    # per-read filter ids without materializing lazy fragments: one native
+    # array lookup instead of a Fragment build per supporting read
+    native_filters = None
+    name_to_index = None
+    native = getattr(chimeric_alignments, "native", None)
+    if (native is not None and hasattr(native, "extract_fragment_filters")
+            and not getattr(chimeric_alignments, "_materialized", True)):
+        try:
+            native_filters = np.frombuffer(native.extract_fragment_filters(),
+                                           np.int64)
+            name_to_index = chimeric_alignments._index
+        except RuntimeError:
+            native_filters = None
+
+    def read_filter_of(name: str) -> int:
+        if native_filters is not None:
+            return int(native_filters[name_to_index[name]])
+        return chimeric_alignments[name].filter
+
     lines = [HEADER]
     for f in sorted_fusions:
         site_5 = get_fusion_site(f.gene1, f.spliced1, f.exonic1, f.contig1,
@@ -1194,7 +1241,7 @@ def write_fusions_to_file(fusions: Fusions, output_file: str,
         all_supporting_reads = (f.split_read1_list + f.split_read2_list
                                 + f.discordant_mate_list)
         for name in all_supporting_reads:
-            read_filter = chimeric_alignments[name].filter
+            read_filter = read_filter_of(name)
             if read_filter != FILTER_NONE:
                 filters[FILTER_NAMES[read_filter]] = \
                     filters.get(FILTER_NAMES[read_filter], 0) + 1

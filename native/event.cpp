@@ -3197,3 +3197,232 @@ PyObject *ev_write_discarded(PyObject *, PyObject *args) {
     fclose(file);
     Py_RETURN_NONE;
 }
+
+// ---------------------------------------------------------------------------
+// output_fusions.cpp:25-107 — the transcript-sequence pileup over the
+// native fragment store (writer.py pileup_chimeric_alignments /
+// get_fusion_transcript_sequence's ten pileup passes + the non-template
+// base scan), so the output writer never materializes Python fragments.
+
+namespace {
+
+using PileupMap = std::map<int64_t, std::map<std::string, int64_t>>;
+
+void pileup_one_list(const std::vector<int64_t> &indices, int mate,
+                     bool reverse_complement, bool direction,
+                     int64_t breakpoint, int64_t duplicates_id,
+                     PileupMap &pileup) {
+    const cascade_store::Cascade &c = cascade_store::cascade();
+    std::map<std::pair<int64_t, int64_t>, int64_t> introns;
+    std::vector<uint8_t> rc_scratch;
+
+    for (int64_t index : indices) {
+        const Fragment &fragment = c.fragments[index];
+        if (fragment.filter == duplicates_id) continue;
+        const Mate &read = fragment.mates[mate];
+
+        if (fragment.n_mates == 2) {  // discordant mate
+            if (!((direction == DOWNSTREAM && read.strand == FORWARD
+                   && breakpoint - 200 <= read.end && read.end <= breakpoint + 2)
+                  || (direction == UPSTREAM && read.strand == REVERSE
+                      && breakpoint - 2 <= read.start
+                      && read.start <= breakpoint + 200)))
+                continue;
+        }
+        if (fragment.n_mates == 3
+            && (mate == SPLIT_READ || mate == SUPPLEMENTARY)) {
+            if (read.start != breakpoint && read.end != breakpoint) continue;
+        }
+
+        const Mate &sequence_source =
+            mate == SUPPLEMENTARY ? fragment.mates[SPLIT_READ] : read;
+        const uint8_t *read_sequence = (const uint8_t *)sequence_source.seq;
+        int64_t seq_len = sequence_source.seq_len;
+        if (reverse_complement) {
+            rc_scratch.resize(seq_len);
+            for (int64_t i = 0; i < seq_len; ++i)
+                rc_scratch[i] =
+                    complement_base(read_sequence[seq_len - 1 - i]);
+            read_sequence = rc_scratch.data();
+        }
+
+        int64_t read_offset = 0;
+        int64_t reference_offset = read.start;
+        int64_t subtract_from_next_element = 0;
+        int64_t n_cigar = read.n_cigar;
+        for (int64_t cigar_element = 0; cigar_element < n_cigar;
+             ++cigar_element) {
+            uint32_t word = read.cigar[cigar_element];
+            uint32_t op = word & 0xf;
+            int64_t op_length = word >> 4;
+            if (op == 1) {  // I
+                int64_t from = std::min(read_offset, seq_len);
+                int64_t to = std::min(read_offset + op_length + 1, seq_len);
+                std::string key((const char *)read_sequence + from, to - from);
+                pileup[reference_offset][key] += 1;
+                read_offset += op_length + 1;  // one base from the next element
+                reference_offset += 1;
+                subtract_from_next_element = 1;
+            } else if (op == 3) {  // N
+                int64_t intron_start = reference_offset;
+                reference_offset += op_length - subtract_from_next_element;
+                introns[{intron_start, reference_offset - 1}] += 1;
+                subtract_from_next_element = 0;
+            } else if (op == 2) {  // D
+                for (int64_t i = 0; i < op_length - subtract_from_next_element;
+                     ++i)
+                    pileup[reference_offset++]["-"] += 1;
+                subtract_from_next_element = 0;
+            } else if (op == 5) {  // H
+                if (mate == SUPPLEMENTARY) read_offset += op_length;
+            } else if (op == 4 || op == 0 || op == 7 || op == 8) {  // S/M/=/X
+                if (op == 4) {
+                    bool keep_clip =
+                        fragment.n_mates == 3 && mate == SPLIT_READ
+                        && ((cigar_element == 0 && read.strand == FORWARD)
+                            || (cigar_element == n_cigar - 1
+                                && read.strand == REVERSE));
+                    if (keep_clip) {
+                        if (cigar_element == 0 && read.strand == FORWARD)
+                            reference_offset -= op_length;
+                        // fall through: the clipped segment joins the pileup
+                    } else {
+                        read_offset += op_length - subtract_from_next_element;
+                        continue;
+                    }
+                }
+                for (int64_t i = 0; i < op_length - subtract_from_next_element;
+                     ++i) {
+                    int64_t from = std::min(read_offset, seq_len);
+                    int64_t to = std::min(read_offset + 1, seq_len);
+                    std::string key((const char *)read_sequence + from,
+                                    to - from);
+                    pileup[reference_offset][key] += 1;
+                    read_offset += 1;
+                    reference_offset += 1;
+                }
+                subtract_from_next_element = 0;
+            }
+        }
+    }
+
+    for (const auto &entry : introns) {
+        int64_t intron_start = entry.first.first;
+        int64_t intron_end = entry.first.second;
+        int64_t frequency = entry.second;
+        pileup[intron_start][">"] += frequency;
+        pileup[intron_end]["<"] += frequency;
+        for (int64_t i = intron_start + 1; i < intron_end; ++i)
+            pileup[i]["_"] += frequency;
+    }
+}
+
+PyObject *pileup_to_dict(const PileupMap &pileup) {
+    PyObject *result = PyDict_New();
+    if (result == nullptr) return nullptr;
+    for (const auto &entry : pileup) {
+        PyObject *bucket = PyDict_New();
+        if (bucket == nullptr) { Py_DECREF(result); return nullptr; }
+        for (const auto &base : entry.second) {
+            PyObject *count = PyLong_FromLongLong(base.second);
+            PyDict_SetItemString(bucket, base.first.c_str(), count);
+            Py_DECREF(count);
+        }
+        PyObject *key = PyLong_FromLongLong(entry.first);
+        PyDict_SetItem(result, key, bucket);
+        Py_DECREF(key);
+        Py_DECREF(bucket);
+    }
+    return result;
+}
+
+bool indices_from_bytes(PyObject *obj, std::vector<int64_t> &out) {
+    char *data;
+    Py_ssize_t size;
+    if (PyBytes_AsStringAndSize(obj, &data, &size) < 0) return false;
+    out.assign((const int64_t *)data, (const int64_t *)data + size / 8);
+    return true;
+}
+
+}  // namespace
+
+// writer.py get_fusion_transcript_sequence:263-304 — the ten pileup passes
+// plus the non-template-base scan, all over the native store. Returns
+// (pileup1 dict, pileup2 dict, non_template_bases).
+PyObject *ev_transcript_pileups(PyObject *, PyObject *args) {
+    PyObject *split1_obj, *split2_obj, *discordant_obj;
+    int direction1, direction2;
+    long long breakpoint1, breakpoint2;
+    if (!PyArg_ParseTuple(args, "SSSiiLL", &split1_obj, &split2_obj,
+                          &discordant_obj, &direction1, &direction2,
+                          &breakpoint1, &breakpoint2))
+        return nullptr;
+    if (!cascade_store::cascade().ready) {
+        PyErr_SetString(PyExc_RuntimeError, "fragment store not populated");
+        return nullptr;
+    }
+    const cascade_store::Cascade &c = cascade_store::cascade();
+    std::vector<int64_t> split1, split2, discordant;
+    if (!indices_from_bytes(split1_obj, split1)
+        || !indices_from_bytes(split2_obj, split2)
+        || !indices_from_bytes(discordant_obj, discordant))
+        return nullptr;
+    const int64_t duplicates_id = fid(event_store::F_DUPLICATES);
+    bool d1 = direction1 != 0, d2 = direction2 != 0;
+
+    PileupMap pileup1, pileup2;
+    bool rc = d1 == d2;
+    pileup_one_list(split1, SPLIT_READ, false, d1, breakpoint1, duplicates_id,
+                    pileup1);
+    pileup_one_list(split1, MATE1, false, d1, breakpoint1, duplicates_id,
+                    pileup1);
+    pileup_one_list(split1, SUPPLEMENTARY, rc, d2, breakpoint2, duplicates_id,
+                    pileup2);
+    pileup_one_list(split2, SPLIT_READ, false, d2, breakpoint2, duplicates_id,
+                    pileup2);
+    pileup_one_list(split2, MATE1, false, d2, breakpoint2, duplicates_id,
+                    pileup2);
+    pileup_one_list(split2, SUPPLEMENTARY, rc, d1, breakpoint1, duplicates_id,
+                    pileup1);
+    pileup_one_list(discordant, MATE1, false, d1, breakpoint1, duplicates_id,
+                    pileup1);
+    pileup_one_list(discordant, MATE2, false, d1, breakpoint1, duplicates_id,
+                    pileup1);
+    pileup_one_list(discordant, MATE1, false, d2, breakpoint2, duplicates_id,
+                    pileup2);
+    pileup_one_list(discordant, MATE2, false, d2, breakpoint2, duplicates_id,
+                    pileup2);
+
+    // non-template bases inserted between the fused genes (writer.py:290-304)
+    int64_t non_template_bases = 0;
+    std::map<int64_t, int64_t> non_template_count;
+    for (int which = 0; which < 2; ++which) {
+        const std::vector<int64_t> &list = which == 0 ? split1 : split2;
+        for (int64_t index : list) {
+            const Fragment &fragment = c.fragments[index];
+            const Mate &split = fragment.mates[SPLIT_READ];
+            const Mate &supp = fragment.mates[SUPPLEMENTARY];
+            int64_t clipped_split_read = split.strand == FORWARD
+                                             ? split.preclipping()
+                                             : split.postclipping();
+            int64_t clipped_supplementary = supp.strand == FORWARD
+                                                ? supp.postclipping()
+                                                : supp.preclipping();
+            if (clipped_split_read + clipped_supplementary >= split.seq_len) {
+                int64_t unmapped = clipped_split_read + clipped_supplementary
+                                   - split.seq_len;
+                non_template_count[unmapped] += 1;
+                if (non_template_count[unmapped]
+                    > non_template_count[non_template_bases])
+                    non_template_bases = unmapped;
+            }
+        }
+    }
+
+    PyObject *dict1 = pileup_to_dict(pileup1);
+    if (dict1 == nullptr) return nullptr;
+    PyObject *dict2 = pileup_to_dict(pileup2);
+    if (dict2 == nullptr) { Py_DECREF(dict1); return nullptr; }
+    return Py_BuildValue("(NNL)", dict1, dict2,
+                         (long long)non_template_bases);
+}

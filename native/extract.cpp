@@ -213,3 +213,19 @@ PyObject *extract_release(PyObject *, PyObject *) {
     extract_store::release_store();
     Py_RETURN_NONE;
 }
+
+// Per-fragment filter ids (from the adopted cascade store when ready) in one
+// array, so the writer's per-read filter counts never materialize fragments.
+PyObject *extract_fragment_filters(PyObject *, PyObject *) {
+    extract_store::ExtractStore &s = extract_store::store();
+    if (!s.ready) {
+        PyErr_SetString(PyExc_RuntimeError, "extract store not populated");
+        return nullptr;
+    }
+    std::vector<int64_t> filters(s.fragments.size());
+    for (size_t i = 0; i < s.fragments.size(); ++i)
+        filters[i] = fragment_filter(i);
+    return PyBytes_FromStringAndSize(
+        filters.empty() ? "" : (const char *)filters.data(),
+        (Py_ssize_t)(filters.size() * 8));
+}

@@ -879,8 +879,12 @@ bool normalize_fragment(FragmentData &fragment) {
 
 /* ---- SAM text parsing --------------------------------------------------- */
 
-bool parse_sam_line(const std::string &line, Record &record) {
-    record.line = line;
+bool parse_sam_line(const std::string &line, Record &record,
+                    bool keep_line = true) {
+    /* the raw line is only needed when records may be forwarded as text
+     * (non-extract mode); the extraction path skips the 100-byte copy */
+    if (keep_line) record.line = line;
+    else record.line.clear();
     record.cigar.clear();
     record.has_sa = false;
     record.hi_present = false;
@@ -1338,6 +1342,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
 
     Scanner scanner;
     scanner.external_duplicate_marking = external_duplicate_marking != 0;
+    scanner.collated.reserve(1 << 20);  /* avoid rehash churn on big runs */
 
     /* per-tid tables */
     Py_ssize_t n_tids = PyList_Size(boundaries_obj);
@@ -1722,7 +1727,8 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                 for (int w = 0; w < n_workers; ++w)
                     pool.emplace_back([&, w]() {
                         for (size_t i = w; i < count; i += n_workers) {
-                            ok[i] = parse_sam_line(lines[i], decoded[i]) ? 1 : 0;
+                            ok[i] = parse_sam_line(lines[i], decoded[i],
+                                                   !extractor.enabled) ? 1 : 0;
                             if (ok[i])
                                 decoded[i].tid = resolve_tid(lines[i], 2);
                         }
@@ -1742,9 +1748,22 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                 }
             }
         } else {
+            /* optional stage timing (ARRIBA_TPU_SCAN_TIMING=1): read / parse
+             * / handle breakdown to stderr for tuning */
+            const bool timing = getenv("ARRIBA_TPU_SCAN_TIMING") != nullptr;
+            double t_read = 0, t_parse = 0, t_handle = 0;
+            auto now = []() {
+                struct timespec ts;
+                clock_gettime(CLOCK_MONOTONIC, &ts);
+                return ts.tv_sec + ts.tv_nsec * 1e-9;
+            };
             std::string line;
             Record record;
-            while (reader.next_line(line)) {
+            for (;;) {
+                double t0 = timing ? now() : 0;
+                bool more = reader.next_line(line);
+                if (timing) t_read += now() - t0;
+                if (!more) break;
                 if (!line.empty() && line[0] == '@') {
                     header_text += line;
                     header_text += '\n';
@@ -1752,7 +1771,10 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                 }
                 if (line.empty())
                     continue;
-                if (!parse_sam_line(line, record)) {
+                double t1 = timing ? now() : 0;
+                bool parsed = parse_sam_line(line, record, !extractor.enabled);
+                if (timing) t_parse += now() - t1;
+                if (!parsed) {
                     /* malformed: forward so Python reports it consistently */
                     scanner.forwarded += line;
                     scanner.forwarded += '\n';
@@ -1762,8 +1784,13 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                 }
                 record.tid = resolve_tid(line, 2);
                 size_t name_end = line.find('\t');
+                double t2 = timing ? now() : 0;
                 handle_record(record, line.substr(0, name_end));
+                if (timing) t_handle += now() - t2;
             }
+            if (timing)
+                fprintf(stderr, "scan_sam timing: read=%.2fs parse=%.2fs handle=%.2fs\n",
+                        t_read, t_parse, t_handle);
         }
         gzclose(gz);
     }
@@ -2041,6 +2068,8 @@ extern PyObject *extract_export_fragment(PyObject *, PyObject *);
 extern PyObject *extract_export_all(PyObject *, PyObject *);
 extern PyObject *extract_cluster_ids(PyObject *, PyObject *);
 extern PyObject *extract_release(PyObject *, PyObject *);
+extern PyObject *extract_fragment_filters(PyObject *, PyObject *);
+extern PyObject *ev_transcript_pileups(PyObject *, PyObject *);
 
 static PyMethodDef methods[] = {
     {"realign_reset", realign_reset, METH_NOARGS,
@@ -2159,6 +2188,10 @@ static PyMethodDef methods[] = {
      "Multimapper cluster ids over the retained (sorted) fragment store."},
     {"extract_release", extract_release, METH_NOARGS,
      "Release the retained extraction store."},
+    {"extract_fragment_filters", extract_fragment_filters, METH_NOARGS,
+     "Per-fragment filter ids of the retained store as int64 bytes."},
+    {"ev_transcript_pileups", ev_transcript_pileups, METH_VARARGS,
+     "Fusion-transcript pileups + non-template bases over the native store."},
     {"coverage_bind", coverage_bind, METH_VARARGS,
      "Bind per-contig coverage arrays so coverage_add can update them."},
     {"coverage_add", coverage_add, METH_VARARGS,
