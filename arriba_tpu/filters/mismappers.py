@@ -3,15 +3,17 @@
 Reference parity: source/filter_mismappers.cpp. The 8-mer index over padded
 fusion genes is built vectorized (numpy rolling 2-bit encoding); align() is
 the reference's bounded recursive seed-and-extend with splice-site and
-single-deletion recursion and early exit at 80 % identity. This host
-implementation is the semantic oracle; ops/realign.py provides the batched
-device path for large read sets.
+single-deletion recursion and early exit at 80 % identity. Under
+ARRIBA_TPU_DEVICE=1, filter_mismappers first batches every (read sequence,
+padded gene window) pair it would realign and screens them on the jax
+device (ops/realign.screen_pairs, a sound shared-8-mer prefilter); only
+surviving pairs reach the exact recursion.
 """
 
 from __future__ import annotations
 
 from bisect import bisect_left
-from typing import Dict, List, Set, Tuple
+from typing import Callable, Dict, List, Optional, Set, Tuple
 
 import numpy as np
 
@@ -255,14 +257,18 @@ def align_both_strands(read_sequence: str, read_length: int, max_mate_gap: int,
                        exon_index: IntervalIndex,
                        splice_sites_by_gene: Dict[int, List[int]],
                        gene_set: np.ndarray, kmer_length: int,
-                       min_align_fraction: float) -> bool:
-    """filter_mismappers.cpp:189-230."""
+                       min_align_fraction: float,
+                       screen: Optional[Callable[[int], bool]] = None) -> bool:
+    """filter_mismappers.cpp:189-230. `screen(gene)` (when given) returns
+    False only for genes the device prefilter proved cannot align."""
     if len(read_sequence) >= 300:
         return False
 
     min_score = int(min_align_fraction * len(read_sequence) + 0.5)
     for gene in gene_set:
         gene = int(gene)
+        if screen is not None and not screen(gene):
+            continue
         if gene not in splice_sites_by_gene:
             splice_sites_by_gene[gene] = get_downstream_splice_sites(gene, genes, exons,
                                                                      exon_index)
@@ -350,6 +356,87 @@ def _count_mismappers(read_list: List[str], chimeric_alignments: ChimericAlignme
     return supporting_reads
 
 
+def collect_screen_tasks(fusions: Fusions,
+                         chimeric_alignments: ChimericAlignments,
+                         assembly: Assembly, genes: GeneTable,
+                         max_mate_gap: int):
+    """Enumerate every (read sequence, padded gene window) pair that
+    filter_mismappers may hand to align_both_strands, deduplicated by
+    (read name, sequence kind, gene). Kinds: 0 = clipped segment vs the
+    split read's genes, 1 = mate1 segment vs the supplementary's genes,
+    2/3 = discordant mate1/mate2 vs the partner's genes
+    (filter_mismappers.cpp:282-341)."""
+    seen: Set[Tuple[str, int, int]] = set()
+    keys: List[Tuple[str, int, int]] = []
+    seqs: List[str] = []
+    windows: List[np.ndarray] = []
+
+    def add(name: str, kind: int, seq: str, read_length: int,
+            gene_set) -> None:
+        if len(seq) >= 300:
+            return
+        for gene in gene_set:
+            gene = int(gene)
+            key = (name, kind, gene)
+            if key in seen:
+                continue
+            contig = int(genes.contig[gene])
+            contig_sequence = assembly.get(contig)
+            if contig_sequence is None:
+                continue
+            gene_start = max(int(genes.start[gene]) - max_mate_gap - read_length, 0)
+            gene_end = min(int(genes.end[gene]) + max_mate_gap + read_length,
+                           len(contig_sequence) - 1)
+            seen.add(key)
+            keys.append(key)
+            seqs.append(seq)
+            windows.append(contig_sequence[gene_start:gene_end + 1])
+
+    for f in fusions.values():
+        if f.filter != FILTER_NONE:
+            continue
+        for name in f.split_read1_list + f.split_read2_list:
+            mates = chimeric_alignments[name]
+            if mates.filter != FILTER_NONE:
+                continue
+            split_read = mates[SPLIT_READ]
+            supplementary = mates[SUPPLEMENTARY]
+            mate1 = mates[MATE1]
+            if split_read.strand == FORWARD:
+                clipped_seq = split_read.sequence[:split_read.preclipping()]
+                mate1_seq = mate1.sequence[mate1.preclipping():]
+            else:
+                clipped_seq = split_read.sequence[len(split_read.sequence)
+                                                  - split_read.postclipping():]
+                mate1_seq = mate1.sequence[:len(mate1.sequence) - mate1.postclipping()]
+            add(name, 0, clipped_seq, len(split_read.sequence), split_read.genes)
+            add(name, 1, mate1_seq, len(mate1.sequence), supplementary.genes)
+        for name in f.discordant_mate_list:
+            mates = chimeric_alignments[name]
+            if mates.filter != FILTER_NONE:
+                continue
+            mate1, mate2 = mates[MATE1], mates[MATE2]
+            add(name, 2, mate1.sequence, len(mate1.sequence), mate2.genes)
+            add(name, 3, mate2.sequence, len(mate2.sequence), mate1.genes)
+    return keys, seqs, windows
+
+
+def device_screen(fusions: Fusions, chimeric_alignments: ChimericAlignments,
+                  assembly: Assembly, genes: GeneTable,
+                  max_mate_gap: int) -> Dict[Tuple[str, int, int], bool]:
+    """Batch-screen all realignment candidates on the jax device: a pair
+    whose read (either strand) shares no 8-mer with the padded gene window
+    can never be accepted by align() (the seed lookup at
+    filter_mismappers.cpp:97-99), so it is skipped outright."""
+    from ..ops.realign import screen_pairs
+    keys, seqs, windows = collect_screen_tasks(
+        fusions, chimeric_alignments, assembly, genes, max_mate_gap)
+    if not keys:
+        return {}
+    hits = screen_pairs(seqs, windows)
+    return {key: bool(hit) for key, hit in zip(keys, hits)}
+
+
 def filter_mismappers(fusions: Fusions, chimeric_alignments: ChimericAlignments,
                       kmer_indices: KmerIndices, kmer_length: int, assembly: Assembly,
                       genes: GeneTable, exons: ExonTable, exon_index: IntervalIndex,
@@ -359,6 +446,17 @@ def filter_mismappers(fusions: Fusions, chimeric_alignments: ChimericAlignments,
     min_extended_align_fraction = 0.7
 
     splice_sites_by_gene: Dict[int, List[int]] = {}
+
+    from .read_level import _device_offload_enabled
+    screen_map: Optional[Dict[Tuple[str, int, int], bool]] = None
+    if _device_offload_enabled(0):
+        screen_map = device_screen(fusions, chimeric_alignments, assembly,
+                                   genes, max_mate_gap)
+
+    def _screen(name: str, kind: int) -> Optional[Callable[[int], bool]]:
+        if screen_map is None:
+            return None
+        return lambda gene: screen_map.get((name, kind, int(gene)), True)
 
     for f in fusions.values():
         if f.filter != FILTER_NONE:
@@ -388,12 +486,13 @@ def filter_mismappers(fusions: Fusions, chimeric_alignments: ChimericAlignments,
                                           same_contig, supplementary.start, supplementary.end,
                                           kmer_indices, assembly, genes, exons, exon_index,
                                           splice_sites_by_gene, split_read.genes, kmer_length,
-                                          min_align_fraction)
+                                          min_align_fraction, _screen(name, 0))
                     or align_both_strands(mate1_seq, len(mate1.sequence), max_mate_gap,
                                           same_contig, mate1.start, mate1.end, kmer_indices,
                                           assembly, genes, exons, exon_index,
                                           splice_sites_by_gene, supplementary.genes,
-                                          kmer_length, min_align_fraction)):
+                                          kmer_length, min_align_fraction,
+                                          _screen(name, 1))):
                 mates.filter = FILTER_MISMAPPERS
 
         # re-align discordant mates
@@ -408,13 +507,15 @@ def filter_mismappers(fusions: Fusions, chimeric_alignments: ChimericAlignments,
                                    same_contig, mate1.start, mate1.end, kmer_indices, assembly,
                                    genes, exons, exon_index, splice_sites_by_gene, mate2.genes,
                                    kmer_length,
-                                   min(min_align_fraction, min_align_fraction * (1 - clipped_fraction1)))
+                                   min(min_align_fraction, min_align_fraction * (1 - clipped_fraction1)),
+                                   _screen(name, 2))
                     or align_both_strands(mate2.sequence, len(mate2.sequence), max_mate_gap,
                                           same_contig, mate2.start, mate2.end, kmer_indices,
                                           assembly, genes, exons, exon_index,
                                           splice_sites_by_gene, mate1.genes, kmer_length,
                                           min(min_align_fraction,
-                                              min_align_fraction * (1 - clipped_fraction2)))):
+                                              min_align_fraction * (1 - clipped_fraction2)),
+                                          _screen(name, 3))):
                 mates.filter = FILTER_MISMAPPERS
 
     # discard all fusions with more than max_mismapper_fraction mismappers

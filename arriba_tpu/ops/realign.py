@@ -15,8 +15,10 @@ the TPU path splits it into two fixed-shape stages over (read, window) pairs:
    carry diagonals in VMEM for the TPU path.
 
 The exact accept/reject decision of the reference (including splice-site
-recursion) stays with the host oracle in filters/mismappers.py; the device
-stages cut its workload to the candidates that can possibly pass.
+recursion) stays with the host oracle in filters/mismappers.py; under
+ARRIBA_TPU_DEVICE=1 filter_mismappers batches its candidate (read, window)
+pairs through `screen_pairs` below, so the recursion only runs on pairs
+that can possibly pass.
 """
 
 from __future__ import annotations
@@ -179,3 +181,98 @@ def realign_step(reads: jnp.ndarray, windows: jnp.ndarray, length: jnp.ndarray,
     min_score = (min_score_fraction * length.astype(jnp.float32) + 0.5).astype(jnp.int32)
     can_align = seeds & (scores >= min_score)
     return {"seed_hit": seeds, "sw_score": scores, "can_align": can_align}
+
+
+# ---------------------------------------------------------------------------
+# host-facing batching for the mismappers prefilter (filters/mismappers.py)
+
+# native kmer semantics (filter_mismappers.cpp:33-45): T=0, G=1, C=2,
+# everything else (incl. A and N) = 3 — so device read k-mers are a superset
+# of the native seed lookups and window k-mers a superset of the native
+# index (which drops N-start positions): the screen can only err permissive.
+_SCREEN_LUT = np.full(256, 3, np.uint8)
+_SCREEN_LUT[ord("T")] = 0
+_SCREEN_LUT[ord("G")] = 1
+_SCREEN_LUT[ord("C")] = 2
+
+# codes of the reverse complement must match _SCREEN_LUT applied to
+# reverse_complement_str(seq): complement the CHARACTER first (N stays N and
+# keeps code 3; a bare `code ^ 3` would wrongly send N -> code 0).
+from ..seq import COMPLEMENT_LUT as _COMPLEMENT_LUT  # noqa: E402
+
+_SCREEN_RC_LUT = _SCREEN_LUT[_COMPLEMENT_LUT]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _screen_kernel(reads: jnp.ndarray, windows: jnp.ndarray) -> jnp.ndarray:
+    return shared_kmer_mask(reads, windows)
+
+
+def screen_pairs(read_seqs, window_views, window_chunk: int = 2048,
+                 batch_rows: int = 2048) -> np.ndarray:
+    """[n] bool per (read, window) pair: the pair shares an 8-mer in either
+    read orientation (a sound prefilter for the reference aligner — a pair
+    without a shared seed can never be accepted by align()).
+
+    Only the seed criterion is used for the production screen: the SW score
+    (smith_waterman_scores) is NOT a sound upper bound on the reference's
+    accept score, because align() grants free gaps at splice sites / on its
+    single-deletion recursion and double credit when re-covering skipped
+    leading bases (filter_mismappers.cpp:117-170), so a plain -1-gap local
+    alignment can score below min_score for a read the recursion accepts.
+
+    read_seqs: list of str (the sequences align_both_strands would try);
+    window_views: list of uint8 numpy views into the assembly (the padded
+    gene windows). Long windows are split into overlapping chunks so rows
+    stay fixed-shape for the device.
+    """
+    n = len(read_seqs)
+    if n == 0:
+        return np.zeros(0, bool)
+    k = SEED_KMER_LENGTH
+    max_read = max(len(seq) for seq in read_seqs)
+    # bucket the row length so repeat calls reuse the jit cache
+    L = -(-max(k, max_read) // 64) * 64
+
+    rows_reads = []
+    rows_windows = []
+    row_pair = []
+    for i, (seq, window) in enumerate(zip(read_seqs, window_views)):
+        raw = np.frombuffer(seq.encode("latin-1"), np.uint8)
+        codes = _SCREEN_LUT[raw]
+        fwd = np.full(L, PAD_CODE, np.uint8)
+        fwd[:len(codes)] = codes
+        rc = np.full(L, PAD_CODE, np.uint8)
+        rc[:len(codes)] = _SCREEN_RC_LUT[raw[::-1]]
+        for start in range(0, max(1, len(window)), window_chunk - (k - 1)):
+            chunk = window[start:start + window_chunk]
+            if len(chunk) < k:
+                if start > 0:
+                    break
+            padded = np.full(window_chunk, PAD_CODE, np.uint8)
+            padded[:len(chunk)] = _SCREEN_LUT[chunk]
+            rows_reads.append(fwd)
+            rows_windows.append(padded)
+            row_pair.append(i)
+            rows_reads.append(rc)
+            rows_windows.append(padded)
+            row_pair.append(i)
+            if start + window_chunk >= len(window):
+                break
+
+    result = np.zeros(n, bool)
+    row_pair_arr = np.asarray(row_pair, np.int64)
+    for base in range(0, len(rows_reads), batch_rows):
+        chunk_reads = rows_reads[base:base + batch_rows]
+        chunk_windows = rows_windows[base:base + batch_rows]
+        rows = len(chunk_reads)
+        # pad the trailing batch to a fixed shape (PAD rows screen to False)
+        if rows < batch_rows and base > 0:
+            pad = batch_rows - rows
+            chunk_reads = chunk_reads + [np.full(L, PAD_CODE, np.uint8)] * pad
+            chunk_windows = (chunk_windows
+                             + [np.full(window_chunk, PAD_CODE, np.uint8)] * pad)
+        hits = np.asarray(_screen_kernel(jnp.asarray(np.stack(chunk_reads)),
+                                         jnp.asarray(np.stack(chunk_windows))))[:rows]
+        np.logical_or.at(result, row_pair_arr[base:base + rows], hits)
+    return result

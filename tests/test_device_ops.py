@@ -462,3 +462,87 @@ def test_shard_count_invariance():
         for key in base_per_read:
             np.testing.assert_array_equal(per_read[key], base_per_read[key],
                                           err_msg=f"{key}@{n_devices}")
+
+
+def test_screen_pairs_sound_vs_exact_recursion():
+    """The device shared-8-mer screen (realign.screen_pairs) must be a SOUND
+    prefilter for the reference recursion: no (read, window) pair it rejects
+    may be accepted by filters.mismappers.align on either strand. Effectiveness
+    is asserted too: exact substrings of the window must pass the screen."""
+    from arriba_tpu.filters.mismappers import (KMER_BASE_LUT, align,
+                                               kmer_to_int)
+    from arriba_tpu.seq import reverse_complement_str
+
+    rng = np.random.default_rng(1234)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+
+    def random_seq(n, with_n=False):
+        seq = rng.choice(bases, n)
+        if with_n:
+            idx = rng.integers(0, n, max(1, n // 20))
+            seq = seq.copy()
+            seq[idx] = ord("N")
+        return seq
+
+    window = random_seq(3000, with_n=True)
+    window_str = window.tobytes().decode()
+
+    # reference-style kmer index over the whole window (one "gene")
+    k = 8
+    kmer_index = {}
+    for pos in range(len(window_str) - k):
+        if window_str[pos] == "N":
+            continue
+        kmer_index.setdefault(kmer_to_int(window_str, pos, k), []).append(pos)
+    kmer_index = {v: np.asarray(p, np.int64) for v, p in kmer_index.items()}
+
+    reads = []
+    exact_substrings = []
+    for i in range(40):
+        kind = i % 5
+        if kind == 0:  # exact substring
+            start = int(rng.integers(0, len(window) - 60))
+            seq = window_str[start:start + 50]
+            exact_substrings.append(len(reads))
+        elif kind == 1:  # rc substring
+            start = int(rng.integers(0, len(window) - 60))
+            seq = reverse_complement_str(window_str[start:start + 50])
+            exact_substrings.append(len(reads))
+        elif kind == 2:  # mutated substring
+            start = int(rng.integers(0, len(window) - 60))
+            arr = window[start:start + 50].copy()
+            for j in rng.integers(0, 50, 6):
+                arr[j] = rng.choice(bases)
+            seq = arr.tobytes().decode()
+        elif kind == 3:  # random read
+            seq = random_seq(50).tobytes().decode()
+        else:  # random read with Ns
+            seq = random_seq(50, with_n=True).tobytes().decode()
+        reads.append(seq)
+
+    screen = realign.screen_pairs(reads, [window] * len(reads))
+
+    for i in exact_substrings:
+        assert screen[i], f"screen must pass exact substring row {i}"
+
+    for i, seq in enumerate(reads):
+        if screen[i]:
+            continue
+        min_score = int(0.8 * len(seq) + 0.5)
+        for strand_seq in (seq, reverse_complement_str(seq)):
+            accepted = align(0, strand_seq, 0, window, 0, 0, len(window) - 1,
+                             kmer_index, k, [], min_score, 1)
+            assert not accepted, \
+                f"screen rejected row {i} but exact recursion accepts"
+
+
+def test_screen_pairs_chunks_long_windows():
+    """Seeds straddling the 2048-column chunk boundary are still found
+    (chunks overlap by k-1)."""
+    rng = np.random.default_rng(9)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    window = rng.choice(bases, 5000)
+    for anchor in (2041, 2044, 2047, 4082, 4089):
+        seq = window[anchor:anchor + 12].tobytes().decode()
+        hit = realign.screen_pairs([seq], [window])
+        assert hit[0], anchor

@@ -165,3 +165,29 @@ def test_device_offload_equivalence(sample, tmp_path):
         assert result.returncode == 0, result.stderr[-2000:]
         outputs[label] = open(out_path, "rb").read()
     assert outputs["host"] == outputs["device"]
+
+
+def test_device_screen_mismapper_scenario(tmp_path):
+    """ARRIBA_TPU_DEVICE=1 routes filter_mismappers through the device seed
+    screen (ops/realign.screen_pairs); fusions.tsv and every stage counter
+    stay identical on a mismapper/homolog-heavy sample."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    from .scenario import spliced_homolog_sample
+
+    args = spliced_homolog_sample(tmp_path)
+    results = {}
+    for label, env_extra in (("host", {}), ("device", {"ARRIBA_TPU_DEVICE": "1"})):
+        out = str(tmp_path / f"mm_{label}.tsv")
+        env = dict(os.environ, JAX_PLATFORMS=os.environ.get(
+            "ARRIBA_TPU_TEST_PLATFORM", "cpu"), **env_extra)
+        result = subprocess.run(
+            [sys.executable, "-m", "arriba_tpu"] + args + ["-o", out],
+            env=env, capture_output=True, text=True, timeout=420)
+        assert result.returncode == 0, result.stderr[-2000:]
+        counters = re.findall(r"\((?:remaining|total|marked)=\d+\)", result.stdout)
+        results[label] = (open(out, "rb").read(), counters)
+    assert results["host"] == results["device"]
