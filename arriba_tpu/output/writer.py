@@ -1076,8 +1076,22 @@ def write_fusions_to_file(fusions: Fusions, output_file: str,
     exons = annotation.exons
     transcripts_table = annotation.transcripts
 
-    sorted_fusions = [f for f in fusions.values()
-                      if write_discarded_fusions != (f.filter == FILTER_NONE)]
+    if write_discarded_fusions:
+        # the reference emits discarded rows in its fusions_t hash-map
+        # iteration order (output_fusions.cpp:1052); replay it so the
+        # discarded file is byte-equal (creation order of the fusions dict
+        # equals the reference's first-insert order)
+        from .stdmap_order import fusion_map_order
+        all_fusions = list(fusions.values())
+        order = fusion_map_order(
+            [(f.gene1, f.gene2, f.contig1, f.contig2, f.breakpoint1,
+              f.breakpoint2, bool(f.direction1), bool(f.direction2))
+             for f in all_fusions])
+        sorted_fusions = [all_fusions[i] for i in order
+                          if all_fusions[i].filter != FILTER_NONE]
+    else:
+        sorted_fusions = [f for f in fusions.values()
+                          if f.filter == FILTER_NONE]
 
     if not write_discarded_fusions:
         best_by_gene_pair: Dict[Tuple[int, int], Fusion] = {}

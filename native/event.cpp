@@ -3038,7 +3038,93 @@ bool parse_string_list(PyObject *list, std::vector<std::string> &out) {
     return true;
 }
 
+// --- reference discarded-row order ------------------------------------------
+// The oracle writes discarded fusions in the raw iteration order of its
+// fusions_t (common.hpp:286, an unordered_map keyed by the 8-field tuple;
+// output_fusions.cpp:1052 "don\'t sort the discarded fusions"). We compile
+// against the same libstdc++, so replaying the insertions into an
+// unordered_map with the reference\'s exact key types and tuple hash
+// (common.hpp:294-310: h(e) = hash(e) ^ (h(rest) << 4), std::hash identity
+// on integral types) reproduces that order bit-for-bit. Creation order of
+// our fusion store equals the reference\'s first-insert order because both
+// enumerate reads from a name-ordered map (common.hpp:220).
+struct RefFusionKey {
+    unsigned gene1, gene2;
+    unsigned short contig1, contig2;
+    int breakpoint1, breakpoint2;
+    bool direction1, direction2;
+    bool operator==(const RefFusionKey &o) const {
+        return gene1 == o.gene1 && gene2 == o.gene2 && contig1 == o.contig1
+               && contig2 == o.contig2 && breakpoint1 == o.breakpoint1
+               && breakpoint2 == o.breakpoint2 && direction1 == o.direction1
+               && direction2 == o.direction2;
+    }
+};
+
+struct RefFusionKeyHash {
+    size_t operator()(const RefFusionKey &k) const {
+        size_t h = k.direction2 ? 1 : 0;
+        h = (size_t)(k.direction1 ? 1 : 0) ^ (h << 4);
+        h = (size_t)k.breakpoint2 ^ (h << 4);
+        h = (size_t)k.breakpoint1 ^ (h << 4);
+        h = (size_t)k.contig2 ^ (h << 4);
+        h = (size_t)k.contig1 ^ (h << 4);
+        h = (size_t)k.gene2 ^ (h << 4);
+        h = (size_t)k.gene1 ^ (h << 4);
+        return h;
+    }
+};
+
+std::vector<int64_t> reference_map_order() {
+    Store &s = event_store::store();
+    std::unordered_map<RefFusionKey, int64_t, RefFusionKeyHash> replay;
+    replay.max_load_factor(1.0f);
+    for (size_t i = 0; i < s.fusions.size(); ++i) {
+        const EventFusion &f = s.fusions[i];
+        replay.emplace(
+            RefFusionKey{(unsigned)f.gene1, (unsigned)f.gene2,
+                         (unsigned short)f.contig1, (unsigned short)f.contig2,
+                         (int)f.breakpoint1, (int)f.breakpoint2,
+                         f.direction1, f.direction2},
+            (int64_t)i);
+    }
+    std::vector<int64_t> order;
+    order.reserve(replay.size());
+    for (const auto &kv : replay) order.push_back(kv.second);
+    return order;
+}
+
 }  // namespace
+
+// test probe: iteration order of a libstdc++ unordered_map whose keys hash
+// to exactly the given values (identity hash on uint64 keys); lets Python
+// cross-validate output/stdmap_order.py without an event store
+PyObject *ev_stdmap_probe(PyObject *, PyObject *args) {
+    Py_buffer buf;
+    if (!PyArg_ParseTuple(args, "y*", &buf)) return nullptr;
+    const uint64_t *hashes = (const uint64_t *)buf.buf;
+    size_t n = buf.len / sizeof(uint64_t);
+    struct IdentityHash {
+        size_t operator()(uint64_t v) const { return (size_t)v; }
+    };
+    std::unordered_map<uint64_t, int64_t, IdentityHash> replay;
+    replay.max_load_factor(1.0f);
+    for (size_t i = 0; i < n; ++i) replay.emplace(hashes[i], (int64_t)i);
+    PyBuffer_Release(&buf);
+    std::vector<int64_t> order;
+    order.reserve(replay.size());
+    for (const auto &kv : replay) order.push_back(kv.second);
+    return Py_BuildValue("y#", order.empty() ? "" : (const char *)order.data(),
+                         (Py_ssize_t)(order.size() * sizeof(int64_t)));
+}
+
+// export the replayed order so Python (writer fallback, tests) can share it
+PyObject *ev_map_order(PyObject *, PyObject *) {
+    if (!require_ready()) return nullptr;
+    std::vector<int64_t> order = reference_map_order();
+    return Py_BuildValue("y#", order.empty() ? "" : (const char *)order.data(),
+                         (Py_ssize_t)(order.size() * sizeof(int64_t)));
+}
 
 PyObject *ev_write_discarded(PyObject *, PyObject *args) {
     const char *path, *header;
@@ -3065,7 +3151,10 @@ PyObject *ev_write_discarded(PyObject *, PyObject *args) {
     out.reserve(1 << 20);
     out.append(header, header_len);
     std::vector<std::pair<std::string, int64_t>> filter_counts;
-    for (const EventFusion &f : s.fusions) {
+    // rows are emitted in the oracle's unordered_map iteration order
+    // (output_fusions.cpp:1052), reproduced by reference_map_order()
+    for (int64_t fusion_index : reference_map_order()) {
+        const EventFusion &f = s.fusions[fusion_index];
         if (f.filter == 0) continue;
 
         std::string site_5 = native_fusion_site(f.gene1, f.spliced1, f.exonic1,

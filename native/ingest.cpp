@@ -2058,6 +2058,8 @@ extern PyObject *ev_make_kmer_index(PyObject *, PyObject *);
 extern PyObject *ev_homologs(PyObject *, PyObject *);
 extern PyObject *ev_mismappers(PyObject *, PyObject *);
 extern PyObject *ev_write_discarded(PyObject *, PyObject *);
+extern PyObject *ev_map_order(PyObject *, PyObject *);
+extern PyObject *ev_stdmap_probe(PyObject *, PyObject *);
 extern PyObject *cascade_begin_retained(PyObject *, PyObject *);
 extern PyObject *gene_index_bind(PyObject *, PyObject *);
 extern PyObject *detect_strandedness_native(PyObject *, PyObject *);
@@ -2166,6 +2168,10 @@ static PyMethodDef methods[] = {
      "Event stage: re-align chimeric reads to filter mis-mappers."},
     {"ev_write_discarded", ev_write_discarded, METH_VARARGS,
      "Serialize the discarded-fusions TSV natively from the fusion table."},
+    {"ev_map_order", ev_map_order, METH_NOARGS,
+     "Fusion indices in the reference unordered_map iteration order."},
+    {"ev_stdmap_probe", ev_stdmap_probe, METH_VARARGS,
+     "Iteration order of an unordered_map with the given key hashes."},
     {"cascade_begin_retained", cascade_begin_retained, METH_VARARGS,
      "Read-level cascade stages 1-5 over the retained extraction store."},
     {"gene_index_bind", gene_index_bind, METH_VARARGS,

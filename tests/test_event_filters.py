@@ -222,3 +222,37 @@ def test_gene_to_name_and_fusion_site():
     # spliced breakpoint at an exon boundary
     site = get_fusion_site(0, True, True, 0, 2999, genes, exons, exon_index)
     assert "splice-site" in site
+
+
+def test_stdmap_order_emulation_matches_libstdcxx():
+    """output/stdmap_order.py must reproduce the exact iteration order of a
+    real libstdc++ unordered_map (validated via the native probe) across
+    rehash boundaries, including the discarded-row hash."""
+    import numpy as np
+    pytest.importorskip("arriba_tpu._native")
+    from arriba_tpu import _native
+    from arriba_tpu.output.stdmap_order import (reference_fusion_hash,
+                                                stdmap_iteration_order)
+
+    rng = np.random.default_rng(42)
+    for n in (0, 1, 5, 13, 14, 29, 30, 100, 1000, 6000):
+        hashes = rng.integers(0, 2 ** 63, n, dtype=np.uint64)
+        hashes = np.unique(hashes)[rng.permutation(len(np.unique(hashes)))] \
+            if n else hashes
+        native_order = np.frombuffer(
+            _native.ev_stdmap_probe(hashes.tobytes()), np.int64)
+        py_order = stdmap_iteration_order([int(h) for h in hashes])
+        assert list(native_order) == py_order, n
+
+    # the fusion-key hash follows the reference formula exactly
+    key = (7, 11, 1, 2, 1234, 5678, True, False)
+    h = 0
+    for v in (7, 11, 1, 2, 1234, 5678, 1, 0):
+        h = v ^ ((h << 4) & ((1 << 64) - 1))
+        h &= (1 << 64) - 1
+    # recompute nested form independently
+    def nested(vals):
+        if not vals:
+            return 0
+        return (vals[0] ^ ((nested(vals[1:]) << 4))) & ((1 << 64) - 1)
+    assert reference_fusion_hash(key) == nested([7, 11, 1, 2, 1234, 5678, 1, 0])

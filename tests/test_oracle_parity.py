@@ -2,9 +2,10 @@
 shim) and our pipeline on the same synthetic samples and require byte-equal
 fusions.tsv plus identical per-stage remaining-counts.
 
-The discarded-fusions file is compared as a sorted set of rows: the
-reference writes it in unordered_map hash order, which is arbitrary
-(output_fusions.cpp:1052 'don't sort the discarded fusions')."""
+The discarded-fusions file is compared byte-for-byte too: the reference
+writes it in its fusions_t unordered_map iteration order
+(output_fusions.cpp:1052), which we replay exactly (native/event.cpp
+reference_map_order, arriba_tpu/output/stdmap_order.py)."""
 
 import re
 
@@ -48,9 +49,11 @@ def assert_parity(tmp_path, args):
     assert oracle_main == our_main, (
         f"fusions.tsv differs:\n--- oracle ---\n{oracle_main}\n--- ours ---\n{our_main}")
 
-    oracle_discarded = sorted((oracle_dir / "discarded.tsv").read_text().splitlines())
-    our_discarded = sorted((ours_dir / "discarded.tsv").read_text().splitlines())
-    assert oracle_discarded == our_discarded
+    oracle_discarded = (oracle_dir / "discarded.tsv").read_text()
+    our_discarded = (ours_dir / "discarded.tsv").read_text()
+    assert oracle_discarded == our_discarded, (
+        f"discarded.tsv differs:\n--- oracle ---\n{oracle_discarded}\n"
+        f"--- ours ---\n{our_discarded}")
 
 
 def test_translocation_parity(tmp_path):
