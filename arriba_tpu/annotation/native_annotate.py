@@ -14,6 +14,7 @@ from typing import Dict
 
 import numpy as np
 
+from ..constants import FORWARD
 from ..model import Fragment
 from .index import IntervalIndex
 from .tables import ExonTable, GeneTable
@@ -75,7 +76,13 @@ _marshal_cache = None
 
 def consume_marshal_cache(fragments):
     """Return the cached annotation marshal if it matches `fragments`
-    element-for-element; single use."""
+    element-for-element; single use.
+
+    Reuse is only sound while no stage between annotation and the cascade
+    mutates mate geometry (contig/start/end/strand/CIGAR) — gene sets may
+    change. Element identity is checked exactly; geometry is verified on a
+    deterministic sample of fragments so a future pipeline edit that
+    violates the invariant fails loudly here instead of silently diverging."""
     global _marshal_cache
     cache = _marshal_cache
     _marshal_cache = None
@@ -86,6 +93,33 @@ def consume_marshal_cache(fragments):
         return None
     if any(a is not b for a, b in zip(cached_fragments, fragments)):
         return None
+
+    n = len(fragments)
+    if n:
+        frag_offsets = np.frombuffer(cache["frag_offsets"], np.int64)
+        contig = np.frombuffer(cache["contig"], np.int64)
+        start = np.frombuffer(cache["start"], np.int64)
+        end = np.frombuffer(cache["end"], np.int64)
+        strand = np.frombuffer(cache["strand"], np.int64)
+        cigar_offsets = np.frombuffer(cache["cigar_offsets"], np.int64)
+        cigar_words = np.frombuffer(cache["cigar_words"], np.uint32)
+        sample = {0, n - 1, n // 2} | set(range(0, n, max(1, n // 64)))
+        for f in sample:
+            row = int(frag_offsets[f])
+            for mate in fragments[f]:
+                if (int(contig[row]) != mate.contig
+                        or int(start[row]) != mate.start
+                        or int(end[row]) != mate.end
+                        or int(strand[row]) != (1 if mate.strand == FORWARD else 0)
+                        or not np.array_equal(
+                            cigar_words[int(cigar_offsets[row]):
+                                        int(cigar_offsets[row + 1])],
+                            mate.cigar.astype(np.uint32, copy=False))):
+                    raise AssertionError(
+                        "annotation marshal cache is stale: fragment geometry "
+                        "changed between annotate and cascade_begin (fragment "
+                        f"{f}); a pipeline stage violated the reuse invariant")
+                row += 1
     return cache
 
 

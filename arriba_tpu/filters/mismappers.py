@@ -167,7 +167,13 @@ def align(score: int, read_sequence: str, read_pos: int, contig_sequence: np.nda
           gene_pos: int, gene_start: int, gene_end: int, kmer_index: KmerIndex,
           kmer_length: int, splice_sites: List[int], min_score: int,
           max_deletions: int) -> bool:
-    """filter_mismappers.cpp:86-187 — recursive seed-and-extend."""
+    """filter_mismappers.cpp:86-187 — recursive seed-and-extend.
+
+    Recursion depth is structurally bounded: both the splice-site and the
+    single-deletion recursions restart the seed search at
+    extended_read_pos >= read_pos + kmer_length, so the stack never grows
+    deeper than ~read_length / kmer_length (reads are < 300 nt, see
+    align_both_strands), well inside Python's default recursion limit."""
     skipped_bases = 0
     read_length = len(read_sequence)
 

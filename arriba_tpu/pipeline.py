@@ -10,7 +10,6 @@ reference.
 
 from __future__ import annotations
 
-import sys
 import time
 from dataclasses import dataclass, field
 from typing import List, Optional
@@ -91,7 +90,6 @@ class PipelineState:
 
 def run(options: Options) -> PipelineState:
     """arriba.cpp:79-612 — the full pipeline."""
-    sys.setrecursionlimit(100000)  # bounded recursion in the realignment filter
     state = PipelineState(options=options)
     enabled = options.filters
 

@@ -1022,7 +1022,14 @@ bool decode_bam_record(const std::vector<uint8_t> &body, Record &record) {
     int32_t l_seq = rd32(16);
     int32_t mtid = rd32(20);
     size_t offset = 32;
-    if (body.size() < offset + l_read_name + 4ull * n_cigar + (l_seq + 1) / 2 + l_seq)
+    if (l_seq < 0 || l_read_name < 1)
+        return false;
+    if (body.size() < offset + l_read_name + 4ull * n_cigar
+                          + (uint32_t)(l_seq + 1) / 2 + (uint32_t)l_seq)
+        return false;
+    /* qname must be NUL-terminated inside its region (the forwarding path
+     * reads it as a C string) */
+    if (body[offset + l_read_name - 1] != 0)
         return false;
     offset += l_read_name;
     const uint32_t *cigar = (const uint32_t *)(body.data() + offset);
@@ -1066,38 +1073,62 @@ bool decode_bam_record(const std::vector<uint8_t> &body, Record &record) {
             if (tag0 == 'S' && tag1 == 'A' && type == 'Z')
                 record.has_sa = true;
             bool is_hi = (tag0 == 'H' && tag1 == 'I');
+            /* every payload is bounds-checked; a malformed aux region
+             * rejects the whole record (the SAM serializer reads these
+             * payloads unchecked later) */
             switch (type) {
                 case 'c':
-                    if (is_hi && aux < end) { record.hi_present = true; record.hi_value = *(const int8_t *)(body.data() + aux); }
+                    if (aux + 1 > end) return false;
+                    if (is_hi) { record.hi_present = true; record.hi_value = *(const int8_t *)(body.data() + aux); }
                     aux += 1; break;
                 case 'C':
-                    if (is_hi && aux < end) { record.hi_present = true; record.hi_value = body[aux]; }
+                    if (aux + 1 > end) return false;
+                    if (is_hi) { record.hi_present = true; record.hi_value = body[aux]; }
                     aux += 1; break;
-                case 'A': aux += 1; break;
+                case 'A':
+                    if (aux + 1 > end) return false;
+                    aux += 1; break;
                 case 's':
-                    if (is_hi && aux + 2 <= end) { int16_t v; memcpy(&v, body.data() + aux, 2); record.hi_present = true; record.hi_value = v; }
+                    if (aux + 2 > end) return false;
+                    if (is_hi) { int16_t v; memcpy(&v, body.data() + aux, 2); record.hi_present = true; record.hi_value = v; }
                     aux += 2; break;
                 case 'S':
-                    if (is_hi && aux + 2 <= end) { uint16_t v; memcpy(&v, body.data() + aux, 2); record.hi_present = true; record.hi_value = v; }
+                    if (aux + 2 > end) return false;
+                    if (is_hi) { uint16_t v; memcpy(&v, body.data() + aux, 2); record.hi_present = true; record.hi_value = v; }
                     aux += 2; break;
                 case 'i':
-                    if (is_hi && aux + 4 <= end) { int32_t v; memcpy(&v, body.data() + aux, 4); record.hi_present = true; record.hi_value = v; }
+                    if (aux + 4 > end) return false;
+                    if (is_hi) { int32_t v; memcpy(&v, body.data() + aux, 4); record.hi_present = true; record.hi_value = v; }
                     aux += 4; break;
                 case 'I':
-                    if (is_hi && aux + 4 <= end) { uint32_t v; memcpy(&v, body.data() + aux, 4); record.hi_present = true; record.hi_value = v; }
+                    if (aux + 4 > end) return false;
+                    if (is_hi) { uint32_t v; memcpy(&v, body.data() + aux, 4); record.hi_present = true; record.hi_value = v; }
                     aux += 4; break;
-                case 'f': aux += 4; break;
-                case 'd': aux += 8; break;
-                case 'Z': case 'H':
-                    while (aux < end && body[aux]) ++aux;
-                    ++aux;
+                case 'f':
+                    if (aux + 4 > end) return false;
+                    aux += 4; break;
+                case 'd':
+                    if (aux + 8 > end) return false;
+                    aux += 8; break;
+                case 'Z': case 'H': {
+                    size_t terminator = aux;
+                    while (terminator < end && body[terminator]) ++terminator;
+                    if (terminator >= end) return false;  /* no NUL */
+                    aux = terminator + 1;
                     break;
+                }
                 case 'B': {
+                    if (aux + 5 > end) return false;
                     char sub = (char)body[aux]; aux += 1;
-                    int32_t count; if (aux + 4 > end) { aux = end; break; }
-                    memcpy(&count, body.data() + aux, 4); aux += 4;
-                    int item = (sub=='c'||sub=='C') ? 1 : (sub=='s'||sub=='S') ? 2 : 4;
-                    aux += (size_t)item * count;
+                    int32_t count; memcpy(&count, body.data() + aux, 4); aux += 4;
+                    if (count < 0) return false;
+                    size_t item;
+                    if (sub=='c'||sub=='C') item = 1;
+                    else if (sub=='s'||sub=='S') item = 2;
+                    else if (sub=='i'||sub=='I'||sub=='f') item = 4;
+                    else return false;
+                    if ((size_t)count > (end - aux) / item) return false;
+                    aux += item * (size_t)count;
                     break;
                 }
                 default: aux = end; break;
@@ -1162,12 +1193,19 @@ void bam_record_to_sam(const Record &record,
         for (int32_t i = 0; i < l_seq; ++i) line += (char)(qual[i] + 33);
     }
 
-    /* aux fields */
+    /* aux fields (decode_bam_record validated every payload against
+     * body.size(); the checks here are defense in depth and truncate the
+     * aux text rather than read out of bounds) */
     size_t end = body.size();
     while (offset + 3 <= end) {
         char tag0 = (char)body[offset], tag1 = (char)body[offset + 1];
         char type = (char)body[offset + 2];
         offset += 3;
+        size_t need = (type=='A'||type=='c'||type=='C') ? 1
+                      : (type=='s'||type=='S') ? 2
+                      : (type=='i'||type=='I'||type=='f') ? 4
+                      : (type=='B') ? 5 : 0;
+        if (offset + need > end) return;
         line += '\t'; line += tag0; line += tag1; line += ':';
         switch (type) {
             case 'A':
@@ -1189,7 +1227,8 @@ void bam_record_to_sam(const Record &record,
                 char sub = (char)body[offset]; offset += 1;
                 int32_t count; memcpy(&count, body.data() + offset, 4); offset += 4;
                 line += "B:"; line += sub;
-                int item = (sub=='c'||sub=='C') ? 1 : (sub=='s'||sub=='S') ? 2 : 4;
+                size_t item = (sub=='c'||sub=='C') ? 1 : (sub=='s'||sub=='S') ? 2 : 4;
+                if (count < 0 || (size_t)count > (end - offset) / item) return;
                 for (int32_t i = 0; i < count; ++i) {
                     line += ',';
                     long long v = 0;
