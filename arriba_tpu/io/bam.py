@@ -260,7 +260,11 @@ def read_bam_header(path: str) -> SamHeader:
                     return False
                 buffered = chunk
                 while buffered:
-                    data += decompressor.decompress(buffered)
+                    try:
+                        data += decompressor.decompress(buffered)
+                    except zlib.error as exc:
+                        raise IOError(
+                            f"corrupt BGZF stream in '{path}': {exc}") from exc
                     if decompressor.eof:  # next BGZF member
                         buffered = decompressor.unused_data
                         decompressor = zlib.decompressobj(wbits=31)

@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -23,6 +24,7 @@ struct Block {
     std::vector<uint8_t> compressed;   /* raw deflate payload */
     std::vector<uint8_t> decompressed;
     uint32_t isize = 0;
+    uint32_t crc = 0;                  /* expected CRC32 from the trailer */
     bool ok = true;
 };
 
@@ -33,19 +35,36 @@ class Reader {
     size_t batch_index_ = 0;      /* next block to serve */
     size_t cursor_ = 0;           /* offset within current block */
     bool eof_ = false;
+    bool saw_eof_marker_ = false;
+    std::string error_;           /* nonempty = corruption, not EOF */
 
-    bool read_block_header(Block &block) {
+    enum HeaderStatus { HEADER_OK, HEADER_EOF, HEADER_ERROR };
+
+    /* Read one BGZF member. Distinguishes a clean end of file (no bytes
+     * left at a block boundary) from mid-file corruption or truncation,
+     * which sets error_ — the reference relies on htslib's equivalent
+     * validation (bgzf.c load_block_from_cache/check_header). */
+    HeaderStatus read_block_header(Block &block) {
         uint8_t header[12];
-        if (fread(header, 1, 12, file_) != 12)
-            return false;
+        size_t got = fread(header, 1, 12, file_);
+        if (got == 0 && feof(file_))
+            return HEADER_EOF;
+        if (got != 12) {
+            error_ = "truncated BGZF block header";
+            return HEADER_ERROR;
+        }
         if (header[0] != 0x1f || header[1] != 0x8b || header[2] != 8 ||
-            !(header[3] & 4))
-            return false;  /* not BGZF */
+            !(header[3] & 4)) {
+            error_ = "corrupt BGZF block header (bad gzip magic)";
+            return HEADER_ERROR;
+        }
         uint16_t xlen;
         memcpy(&xlen, header + 10, 2);
         std::vector<uint8_t> extra(xlen);
-        if (fread(extra.data(), 1, xlen, file_) != xlen)
-            return false;
+        if (fread(extra.data(), 1, xlen, file_) != xlen) {
+            error_ = "truncated BGZF extra field";
+            return HEADER_ERROR;
+        }
         int bsize = -1;
         for (size_t offset = 0; offset + 4 <= extra.size();) {
             uint16_t slen;
@@ -57,20 +76,33 @@ class Reader {
             }
             offset += 4 + slen;
         }
-        if (bsize < 0)
-            return false;
+        if (bsize < 0) {
+            error_ = "BGZF block lacks the BC size subfield";
+            return HEADER_ERROR;
+        }
         long cdata_size = bsize + 1 - 12 - xlen - 8;
-        if (cdata_size < 0)
-            return false;
+        if (cdata_size < 0) {
+            error_ = "corrupt BGZF block size";
+            return HEADER_ERROR;
+        }
         block.compressed.resize(cdata_size);
         if (cdata_size && fread(block.compressed.data(), 1, cdata_size, file_)
-                != (size_t)cdata_size)
-            return false;
+                != (size_t)cdata_size) {
+            error_ = "truncated BGZF block payload";
+            return HEADER_ERROR;
+        }
         uint8_t trailer[8];
-        if (fread(trailer, 1, 8, file_) != 8)
-            return false;
+        if (fread(trailer, 1, 8, file_) != 8) {
+            error_ = "truncated BGZF block trailer";
+            return HEADER_ERROR;
+        }
+        memcpy(&block.crc, trailer, 4);
         memcpy(&block.isize, trailer + 4, 4);
-        return true;
+        if (block.isize > 65536) {  /* BGZF spec: ISIZE <= 1<<16 */
+            error_ = "BGZF block ISIZE exceeds 65536 (corrupt trailer)";
+            return HEADER_ERROR;
+        }
+        return HEADER_OK;
     }
 
     static void inflate_block(Block &block) {
@@ -89,24 +121,47 @@ class Reader {
         int status = inflate(&stream, Z_FINISH);
         inflateEnd(&stream);
         block.ok = (status == Z_STREAM_END && stream.avail_out == 0);
+        if (block.ok) {
+            uint32_t crc = (uint32_t)crc32(
+                0L, block.decompressed.data(), block.isize);
+            block.ok = (crc == block.crc);
+        }
     }
 
     bool refill() {
         batch_.clear();
         batch_index_ = 0;
         cursor_ = 0;
-        if (eof_)
+        if (eof_ || !error_.empty())
             return false;
         const size_t batch_blocks = 256;
         for (size_t i = 0; i < batch_blocks; ++i) {
             Block block;
-            if (!read_block_header(block)) {
+            HeaderStatus status = read_block_header(block);
+            if (status == HEADER_ERROR) {
                 eof_ = true;
                 break;
             }
-            if (block.isize == 0 && feof(file_)) {  /* BGZF EOF marker */
+            if (status == HEADER_EOF) {
                 eof_ = true;
+                if (!saw_eof_marker_)
+                    /* htslib parity: warn — a markerless file cut exactly at
+                     * a block boundary is indistinguishable from a legacy
+                     * file written without the marker */
+                    fprintf(stderr, "WARNING: EOF marker is absent; the "
+                                    "input BAM may be truncated\n");
                 break;
+            }
+            if (block.isize == 0) {
+                /* candidate EOF marker: terminal iff nothing follows */
+                int next = fgetc(file_);
+                if (next == EOF) {
+                    saw_eof_marker_ = true;
+                    eof_ = true;
+                    break;
+                }
+                ungetc(next, file_);
+                continue;  /* legal empty mid-file block; contributes no bytes */
             }
             batch_.push_back(std::move(block));
         }
@@ -136,14 +191,22 @@ class Reader {
                 thread.join();
         }
         for (Block &block : batch_)
-            if (!block.ok)
+            if (!block.ok) {
+                error_ = "BGZF block failed decompression or CRC check "
+                         "(corrupt file)";
+                batch_.clear();
                 return false;
+            }
         return true;
     }
 
 public:
     Reader(FILE *file, int n_threads)
         : file_(file), n_threads_(n_threads > 0 ? n_threads : 1) {}
+
+    /* nonempty after a failed read iff the failure was corruption or
+     * truncation rather than a clean end of file */
+    const std::string &error() const { return error_; }
 
     /* probe: true if the stream looks like BGZF (leaves position at 0) */
     static bool is_bgzf(FILE *file) {

@@ -955,14 +955,27 @@ bool parse_sam_line(const std::string &line, Record &record,
 
 /* ---- gzip line reader --------------------------------------------------- */
 
+/* zlib signalled a real error (corrupt/truncated stream) rather than a
+ * clean end of file */
+static bool gz_stream_corrupt(gzFile gz, int last_read) {
+    if (last_read < 0)
+        return true;
+    int err = Z_OK;
+    gzerror(gz, &err);
+    return err != Z_OK && err != Z_STREAM_END;
+}
+
 class GzLineReader {
     gzFile gz_;
     std::vector<char> buffer_;
     size_t begin_ = 0, end_ = 0;
     bool eof_ = false;
+    bool corrupt_ = false;
 
 public:
     explicit GzLineReader(gzFile gz) : gz_(gz), buffer_(1 << 20) {}
+
+    bool corrupt() const { return corrupt_; }
 
     bool next_line(std::string &line) {
         line.clear();
@@ -979,7 +992,12 @@ public:
             begin_ = end_ = 0;
             if (eof_) return !line.empty();
             int got = gzread(gz_, buffer_.data(), (unsigned)buffer_.size());
-            if (got <= 0) { eof_ = true; if (line.empty()) return false; continue; }
+            if (got <= 0) {
+                eof_ = true;
+                corrupt_ = corrupt_ || gz_stream_corrupt(gz_, got);
+                if (line.empty()) return false;
+                continue;
+            }
             end_ = (size_t)got;
         }
     }
@@ -989,13 +1007,19 @@ public:
 
 class GzBlockReader {
     gzFile gz_;
+    bool corrupt_ = false;
 public:
     explicit GzBlockReader(gzFile gz) : gz_(gz) {}
+    bool corrupt() const { return corrupt_; }
     bool read_exact(void *data, size_t n) {
         size_t got = 0;
         while (got < n) {
             int r = gzread(gz_, (char *)data + got, (unsigned)(n - got));
-            if (r <= 0) return false;
+            if (r <= 0) {
+                /* mid-record EOF is truncation even when zlib is happy */
+                corrupt_ = corrupt_ || got > 0 || gz_stream_corrupt(gz_, r);
+                return false;
+            }
             got += (size_t)r;
         }
         return true;
@@ -1382,6 +1406,9 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
     Scanner scanner;
     scanner.external_duplicate_marking = external_duplicate_marking != 0;
     scanner.collated.reserve(1 << 20);  /* avoid rehash churn on big runs */
+    std::string stream_error;  /* corruption detected while reading the input;
+                                  raised as IOError instead of silently
+                                  truncating the scan (htslib parity) */
 
     /* per-tid tables */
     Py_ssize_t n_tids = PyList_Size(boundaries_obj);
@@ -1662,9 +1689,14 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                             : serial.read_exact(data, n);
         };
         struct Cleanup {
-            FILE *file; bgzf_parallel::Reader *reader;
-            ~Cleanup() { delete reader; if (file) fclose(file); }
-        } cleanup{raw_file, parallel};
+            FILE *file; bgzf_parallel::Reader *reader; std::string *error_out;
+            ~Cleanup() {
+                if (reader && !reader->error().empty() && error_out->empty())
+                    *error_out = reader->error();
+                delete reader;
+                if (file) fclose(file);
+            }
+        } cleanup{raw_file, parallel, &stream_error};
 
         int32_t l_text = 0;
         if (!read_exact(&l_text, 4)) { gzclose(gz); goto done; }
@@ -1700,7 +1732,16 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     int32_t block_size = 0;
                     if (!read_exact(&block_size, 4) || block_size <= 0) { eof = true; break; }
                     bodies[count].resize(block_size);
-                    if (!read_exact(bodies[count].data(), block_size)) { eof = true; break; }
+                    if (!read_exact(bodies[count].data(), block_size)) {
+                        /* mid-record EOF: the stream promised block_size more
+                         * bytes — truncation, not a clean end */
+                        if (stream_error.empty() &&
+                            (!parallel || parallel->error().empty()))
+                            stream_error = "truncated BAM record (unexpected "
+                                           "end of stream)";
+                        eof = true;
+                        break;
+                    }
                     count += 1;
                 }
                 int n_workers = std::min(threads, 8);
@@ -1729,13 +1770,21 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                 if (!read_exact(&block_size, 4)) break;  /* EOF */
                 if (block_size <= 0) break;
                 record.bam_body.resize(block_size);
-                if (!read_exact(record.bam_body.data(), block_size)) break;
+                if (!read_exact(record.bam_body.data(), block_size)) {
+                    if (stream_error.empty() &&
+                        (!parallel || parallel->error().empty()))
+                        stream_error = "truncated BAM record (unexpected end "
+                                       "of stream)";
+                    break;
+                }
                 if (!decode_bam_record(record.bam_body, record))
                     continue;
                 std::string read_name((const char *)record.bam_body.data() + 32);
                 handle_record(record, std::move(read_name));
             }
         }
+        if (!parallel && serial.corrupt() && stream_error.empty())
+            stream_error = "corrupt gzip/BGZF stream in BAM input";
         gzclose(gz);
     } else {
         gzrewind(gz);
@@ -1831,9 +1880,17 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                 fprintf(stderr, "scan_sam timing: read=%.2fs parse=%.2fs handle=%.2fs\n",
                         t_read, t_parse, t_handle);
         }
+        if (reader.corrupt() && stream_error.empty())
+            stream_error = "corrupt gzip stream in SAM input";
         gzclose(gz);
     }
     done:
+
+    if (!stream_error.empty()) {
+        PyErr_Format(PyExc_IOError, "error reading alignment file '%s': %s",
+                     path, stream_error.c_str());
+        return nullptr;
+    }
 
     PyObject *viral_list = PyList_New(n_tids);
     for (Py_ssize_t tid = 0; tid < n_tids; ++tid)

@@ -116,3 +116,78 @@ def test_ingest(scenario):
     # coverage: r4 contributes around window 1150-1200
     assert coverage.get_coverage(0, 1120, False) >= 1  # DOWNSTREAM of 1120
     assert coverage.fragment_starts_here(0, 1100, 1200)
+
+
+@pytest.fixture
+def bam_scenario(tmp_path):
+    """A small valid BAM plus the tables read_chimeric_alignments needs."""
+    from .util import write_bam
+
+    genome_named = random_genome({"1": 20000, "2": 20000})
+    ann, contigs = load_annotation(tmp_path, GTF, ["1", "2"])
+    assembly = {contigs.get(n): seq for n, seq in genome_named.items()}
+    gene_index, _ = make_indices(ann, len(contigs))
+    header = SamHeader(target_names=["1", "2"], target_lengths=[20000, 20000])
+
+    def seq_at(tid, pos, length):
+        return assembly[tid][pos:pos + length].tobytes().decode()
+
+    records = [
+        BamRecord(qname=f"r{i}", flag=flag, tid=0, pos=pos, mapq=60,
+                  cigar=cigar_from_string("50M"), mtid=0, mpos=mpos, tlen=tlen,
+                  seq=seq_at(0, pos, 50), tags={"HI": 1})
+        for i in range(40)
+        for flag, pos, mpos, tlen in [(99, 1150 + i, 1250 + i, 150),
+                                      (147, 1250 + i, 1150 + i, -150)]
+    ] + [
+        # one discordant pair so the scan finds chimeric evidence
+        BamRecord(qname="d1", flag=97, tid=0, pos=1100, mapq=60,
+                  cigar=cigar_from_string("50M"), mtid=1, mpos=5100, tlen=0,
+                  seq=seq_at(0, 1100, 50), tags={"HI": 1}),
+        BamRecord(qname="d1", flag=145, tid=1, pos=5100, mapq=60,
+                  cigar=cigar_from_string("50M"), mtid=0, mpos=1100, tlen=0,
+                  seq=seq_at(1, 5100, 50), tags={"HI": 1}),
+    ]
+    bam_path = str(tmp_path / "aligned.bam")
+    write_bam(bam_path, header, records)
+    return bam_path, assembly, contigs, ann, gene_index
+
+
+def _scan(bam_path, assembly, contigs, ann, gene_index, threads):
+    chimeric = {}
+    return read_chimeric_alignments(
+        bam_path, assembly, chimeric, contigs, "1 2", "AC_* NC_*",
+        ann.genes, gene_index, Coverage(), [],
+        separate_chimeric_bam_file=False, is_rna_bam_file=True,
+        external_duplicate_marking=False, max_itd_length=100, threads=threads)
+
+
+@pytest.mark.parametrize("threads", [1, 2])
+def test_corrupt_bam_raises(bam_scenario, threads):
+    """A flipped byte inside a BGZF block must raise IOError, not silently
+    truncate the scan (bgzf_parallel.h CRC + zlib gzerror checks)."""
+    bam_path, assembly, contigs, ann, gene_index = bam_scenario
+    data = bytearray(open(bam_path, "rb").read())
+    data[len(data) // 2] ^= 0xFF  # inside a compressed payload
+    open(bam_path, "wb").write(bytes(data))
+    with pytest.raises(IOError):
+        _scan(bam_path, assembly, contigs, ann, gene_index, threads)
+
+
+@pytest.mark.parametrize("threads", [1, 2])
+def test_truncated_bam_raises(bam_scenario, threads):
+    """A BAM cut mid-block must raise IOError instead of reporting success
+    on an incomplete scan."""
+    bam_path, assembly, contigs, ann, gene_index = bam_scenario
+    data = open(bam_path, "rb").read()
+    open(bam_path, "wb").write(data[:len(data) - 100])
+    with pytest.raises(IOError):
+        _scan(bam_path, assembly, contigs, ann, gene_index, threads)
+
+
+@pytest.mark.parametrize("threads", [1, 2])
+def test_intact_bam_scans(bam_scenario, threads):
+    """The corruption checks must not reject a valid BAM."""
+    bam_path, assembly, contigs, ann, gene_index = bam_scenario
+    n, mapped = _scan(bam_path, assembly, contigs, ann, gene_index, threads)
+    assert mapped == 82  # 40 proper pairs + the discordant pair
