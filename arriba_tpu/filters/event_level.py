@@ -128,48 +128,85 @@ def merge_adjacent_fusions(fusions: Fusions, max_distance: int,
 # filter_relative_support.cpp
 
 
-def estimate_expected_fusions(fusions: Fusions, mapped_reads: int,
-                              genes: GeneTable, exons: ExonTable,
-                              exon_index: IntervalIndex) -> None:
-    """filter_relative_support.cpp:17-207 — per-fusion e-value from sample-
-    specific priors and empirical power laws. Every in-place multiplication
-    rounds through float32 like the reference's `float evalue` member."""
-    f32 = np.float32
-
-    # one pass extracts every per-fusion column; all preliminary counters
-    # below are vectorized over them
-    fusion_list = list(fusions.values())
+def extract_fusion_columns(fusion_list: List[Fusion],
+                           genes: GeneTable) -> Dict[str, np.ndarray]:
+    """One pass extracting the per-fusion columns every global statistic and
+    the e-value chain consume (shared by the host path and the sharded-stats
+    device marshal)."""
     n_fusions = len(fusion_list)
-    if n_fusions == 0:
-        return
-    col_filter = np.fromiter((f.filter for f in fusion_list), np.int64, n_fusions)
-    col_gene1 = np.fromiter((f.gene1 for f in fusion_list), np.int64, n_fusions)
-    col_gene2 = np.fromiter((f.gene2 for f in fusion_list), np.int64, n_fusions)
-    col_bp1 = np.fromiter((f.breakpoint1 for f in fusion_list), np.int64, n_fusions)
-    col_bp2 = np.fromiter((f.breakpoint2 for f in fusion_list), np.int64, n_fusions)
-    col_contig1 = np.fromiter((f.contig1 for f in fusion_list), np.int64, n_fusions)
-    col_contig2 = np.fromiter((f.contig2 for f in fusion_list), np.int64, n_fusions)
-    col_dir1 = np.fromiter((f.direction1 for f in fusion_list), np.bool_, n_fusions)
-    col_dir2 = np.fromiter((f.direction2 for f in fusion_list), np.bool_, n_fusions)
-    col_split = np.fromiter((f.split_reads1 + f.split_reads2 for f in fusion_list),
-                            np.int64, n_fusions)
-    col_sup = np.fromiter((f.supporting_reads() for f in fusion_list),
-                          np.int64, n_fusions)
-    col_spliced1 = np.fromiter((f.spliced1 for f in fusion_list), np.bool_, n_fusions)
-    col_spliced2 = np.fromiter((f.spliced2 for f in fusion_list), np.bool_, n_fusions)
-    col_exonic1 = np.fromiter((f.exonic1 for f in fusion_list), np.bool_, n_fusions)
-    col_exonic2 = np.fromiter((f.exonic2 for f in fusion_list), np.bool_, n_fusions)
-    col_none = col_filter == FILTER_NONE
-    col_dummy1 = genes.is_dummy[col_gene1]
-    col_dummy2 = genes.is_dummy[col_gene2]
-    col_read_through = ((col_contig1 == col_contig2)
-                        & (col_bp2 - col_bp1 < 400000) & ~col_dir1 & col_dir2)
+    cols = {
+        "filter": np.fromiter((f.filter for f in fusion_list), np.int64, n_fusions),
+        "gene1": np.fromiter((f.gene1 for f in fusion_list), np.int64, n_fusions),
+        "gene2": np.fromiter((f.gene2 for f in fusion_list), np.int64, n_fusions),
+        "bp1": np.fromiter((f.breakpoint1 for f in fusion_list), np.int64, n_fusions),
+        "bp2": np.fromiter((f.breakpoint2 for f in fusion_list), np.int64, n_fusions),
+        "contig1": np.fromiter((f.contig1 for f in fusion_list), np.int64, n_fusions),
+        "contig2": np.fromiter((f.contig2 for f in fusion_list), np.int64, n_fusions),
+        "dir1": np.fromiter((f.direction1 for f in fusion_list), np.bool_, n_fusions),
+        "dir2": np.fromiter((f.direction2 for f in fusion_list), np.bool_, n_fusions),
+        "split": np.fromiter((f.split_reads1 + f.split_reads2 for f in fusion_list),
+                             np.int64, n_fusions),
+        "sup": np.fromiter((f.supporting_reads() for f in fusion_list),
+                           np.int64, n_fusions),
+        "spliced1": np.fromiter((f.spliced1 for f in fusion_list), np.bool_, n_fusions),
+        "spliced2": np.fromiter((f.spliced2 for f in fusion_list), np.bool_, n_fusions),
+        "exonic1": np.fromiter((f.exonic1 for f in fusion_list), np.bool_, n_fusions),
+        "exonic2": np.fromiter((f.exonic2 for f in fusion_list), np.bool_, n_fusions),
+    }
+    cols["none"] = cols["filter"] == FILTER_NONE
+    cols["dummy1"] = genes.is_dummy[cols["gene1"]].astype(np.bool_)
+    cols["dummy2"] = genes.is_dummy[cols["gene2"]].astype(np.bool_)
+    cols["read_through"] = ((cols["contig1"] == cols["contig2"])
+                            & (cols["bp2"] - cols["bp1"] < 400000)
+                            & ~cols["dir1"] & cols["dir2"])
+    return cols
+
+
+class CascadeStats:
+    """The global (cross-fusion) statistics of the e-value model
+    (filter_relative_support.cpp:17-207), *before* the reference's
+    small-sample fallbacks. All integers, so a sharded computation that
+    reduces them with psum is bit-identical to the host pass regardless of
+    shard count (SURVEY §2.7 deterministic global reductions)."""
+
+    __slots__ = ("partner_count", "spliced_breakpoints", "exonic_breakpoints",
+                 "intronic_breakpoints", "exonic_intronic_breakpoints",
+                 "intragenic_duplications", "intragenic_inversions",
+                 "spliced_same_gene", "spliced_different_genes",
+                 "genes_with_fusions", "genes_with_read_through")
+
+    def __init__(self, **kw):
+        for name in self.__slots__:
+            setattr(self, name, kw[name])
+
+    def __eq__(self, other):
+        return all(
+            np.array_equal(getattr(self, n), getattr(other, n))
+            for n in self.__slots__)
+
+
+def compute_cascade_stats(cols: Dict[str, np.ndarray],
+                          genes: GeneTable) -> CascadeStats:
+    """Host computation of the global statistics (the reference's
+    preliminary passes, filter_relative_support.cpp:20-83). The sharded
+    device twin is parallel/stats.py:compute_stats_sharded."""
+    col_none = cols["none"]
+    col_gene1, col_gene2 = cols["gene1"], cols["gene2"]
+    col_bp1, col_bp2 = cols["bp1"], cols["bp2"]
+    col_contig1, col_contig2 = cols["contig1"], cols["contig2"]
+    col_dir1, col_dir2 = cols["dir1"], cols["dir2"]
+    col_split, col_sup = cols["split"], cols["sup"]
+    col_spliced1, col_spliced2 = cols["spliced1"], cols["spliced2"]
+    col_exonic1, col_exonic2 = cols["exonic1"], cols["exonic2"]
+    col_dummy1, col_dummy2 = cols["dummy1"], cols["dummy2"]
+    col_read_through = cols["read_through"]
+    n_genes = len(genes.start)
 
     # find all fusion partners for each gene (deduplicated by breakpoints):
     # first occurrence of each (gene, bp1, bp2) key — over the interleaved
     # key2/key1 stream the reference walks — contributes a partner edge
     eligible = col_none & (col_gene1 != col_gene2)
-    fusion_partner_count: Dict[int, int] = defaultdict(int)
+    partner_count = np.zeros(n_genes, np.int64)
     if eligible.any():
         key_gene = np.empty(2 * int(eligible.sum()), np.int64)
         partner = np.empty_like(key_gene)
@@ -183,56 +220,107 @@ def estimate_expected_fusions(fusions: Fusions, mapped_reads: int,
         _, first_indices = np.unique(keys, axis=0, return_index=True)
         edges = np.unique(np.stack([key_gene[first_indices],
                                     partner[first_indices]], axis=1), axis=0)
-        partner_genes, partner_counts = np.unique(edges[:, 0], return_counts=True)
-        size_of = dict(zip(partner_genes.tolist(), partner_counts.tolist()))
-        for g1, g2 in edges.tolist():
-            # a partner with no outgoing edges has an (implicitly) empty set
-            if size_of[g1] >= size_of.get(g2, 0):
-                fusion_partner_count[g1] += 1
+        out_degree = np.zeros(n_genes, np.int64)
+        np.add.at(out_degree, edges[:, 0], 1)
+        # a partner with no outgoing edges has an (implicitly) empty set
+        keep = out_degree[edges[:, 0]] >= out_degree[edges[:, 1]]
+        np.add.at(partner_count, edges[keep, 0], 1)
 
     # breakpoint-location distribution (spliced / exonic / intronic / mixed)
     located = (col_none
                & ((col_contig1 != col_contig2) | (col_bp2 - col_bp1 > 500000))
                & (col_sup >= 2) & (col_split > 0) & ~col_dummy1 & ~col_dummy2)
     any_spliced = col_spliced1 | col_spliced2
-    spliced_breakpoints = int(np.sum(located & any_spliced))
-    exonic_breakpoints = int(np.sum(located & ~any_spliced
-                                    & col_exonic1 & col_exonic2))
-    intronic_breakpoints = int(np.sum(located & ~any_spliced
-                                      & ~col_exonic1 & ~col_exonic2))
-    exonic_intronic_breakpoints = int(np.sum(located & ~any_spliced
-                                             & (col_exonic1 != col_exonic2)))
-    total = spliced_breakpoints + exonic_breakpoints + intronic_breakpoints + exonic_intronic_breakpoints
+
+    # intragenic duplication/inversion ratio
+    intragenic_mask = col_none & (col_gene1 == col_gene2) & (col_split >= 2)
+
+    # intragenic : intergenic spliced ratio
+    both_spliced = col_spliced1 & col_spliced2
+
+    # genes involved in fusions / read-through fusions
+    with_fusion = ~col_dummy1 & ~col_dummy2 & (col_split > 0)
+    rt = with_fusion & col_read_through
+
+    return CascadeStats(
+        partner_count=partner_count,
+        spliced_breakpoints=int(np.sum(located & any_spliced)),
+        exonic_breakpoints=int(np.sum(located & ~any_spliced
+                                      & col_exonic1 & col_exonic2)),
+        intronic_breakpoints=int(np.sum(located & ~any_spliced
+                                        & ~col_exonic1 & ~col_exonic2)),
+        exonic_intronic_breakpoints=int(np.sum(located & ~any_spliced
+                                               & (col_exonic1 != col_exonic2))),
+        intragenic_duplications=int(np.sum(intragenic_mask & col_dir1 & ~col_dir2)),
+        intragenic_inversions=int(np.sum(intragenic_mask & (col_dir1 == col_dir2))),
+        spliced_same_gene=int(np.sum(both_spliced & (col_gene1 == col_gene2))),
+        spliced_different_genes=int(np.sum(both_spliced
+                                           & (col_gene1 != col_gene2))),
+        genes_with_fusions=len(np.unique(np.concatenate(
+            [col_gene1[with_fusion], col_gene2[with_fusion]]))),
+        genes_with_read_through=len(np.unique(np.concatenate(
+            [col_gene1[rt], col_gene2[rt]]))),
+    )
+
+
+def estimate_expected_fusions(fusions: Fusions, mapped_reads: int,
+                              genes: GeneTable, exons: ExonTable,
+                              exon_index: IntervalIndex,
+                              stats: "CascadeStats" = None) -> None:
+    """filter_relative_support.cpp:17-207 — per-fusion e-value from sample-
+    specific priors and empirical power laws. Every in-place multiplication
+    rounds through float32 like the reference's `float evalue` member.
+
+    When `stats` is given (the sharded device reduction,
+    parallel/stats.py), the preliminary passes are skipped and the e-value
+    chain consumes the precomputed global statistics — integer-exact, so the
+    result is bit-identical to the host pass."""
+    f32 = np.float32
+
+    fusion_list = list(fusions.values())
+    n_fusions = len(fusion_list)
+    if n_fusions == 0:
+        return
+    cols = extract_fusion_columns(fusion_list, genes)
+    if stats is None:
+        stats = compute_cascade_stats(cols, genes)
+
+    col_gene1, col_gene2 = cols["gene1"], cols["gene2"]
+    col_bp1, col_bp2 = cols["bp1"], cols["bp2"]
+    col_contig1, col_contig2 = cols["contig1"], cols["contig2"]
+    col_dir1, col_dir2 = cols["dir1"], cols["dir2"]
+    col_sup = cols["sup"]
+    col_spliced1, col_spliced2 = cols["spliced1"], cols["spliced2"]
+    col_exonic1, col_exonic2 = cols["exonic1"], cols["exonic2"]
+    col_read_through = cols["read_through"]
+    fusion_partner_count = stats.partner_count
+
+    # the reference's small-sample fallbacks
+    spliced_breakpoints = stats.spliced_breakpoints
+    exonic_breakpoints = stats.exonic_breakpoints
+    intronic_breakpoints = stats.intronic_breakpoints
+    exonic_intronic_breakpoints = stats.exonic_intronic_breakpoints
+    total = (spliced_breakpoints + exonic_breakpoints + intronic_breakpoints
+             + exonic_intronic_breakpoints)
     if (total < 100 or spliced_breakpoints == 0 or exonic_breakpoints == 0
             or intronic_breakpoints == 0 or exonic_intronic_breakpoints == 0):
         spliced_breakpoints, exonic_breakpoints = 10, 65
         intronic_breakpoints, exonic_intronic_breakpoints = 10, 15
 
-    # intragenic duplication/inversion ratio
-    intragenic_mask = col_none & (col_gene1 == col_gene2) & (col_split >= 2)
-    intragenic_duplications = int(np.sum(intragenic_mask & col_dir1 & ~col_dir2))
-    intragenic_inversions = int(np.sum(intragenic_mask & (col_dir1 == col_dir2)))
+    intragenic_duplications = stats.intragenic_duplications
+    intragenic_inversions = stats.intragenic_inversions
     if intragenic_inversions + intragenic_duplications < 100:
         intragenic_inversions = intragenic_duplications = 1
 
-    # intragenic : intergenic spliced ratio
-    both_spliced = col_spliced1 & col_spliced2
-    spliced_events_in_same_gene = int(np.sum(both_spliced & (col_gene1 == col_gene2)))
-    spliced_events_in_different_genes = int(np.sum(both_spliced & (col_gene1 != col_gene2)))
+    spliced_events_in_same_gene = stats.spliced_same_gene
+    spliced_events_in_different_genes = stats.spliced_different_genes
     if spliced_events_in_same_gene + spliced_events_in_different_genes < 100:
         spliced_events_in_same_gene = 0
         spliced_events_in_different_genes = 100
 
-    # fraction of genes involved in read-through fusions
-    with_fusion = ~col_dummy1 & ~col_dummy2 & (col_split > 0)
-    genes_with_fusions = np.unique(np.concatenate(
-        [col_gene1[with_fusion], col_gene2[with_fusion]]))
-    rt = with_fusion & col_read_through
-    genes_with_read_through = np.unique(np.concatenate(
-        [col_gene1[rt], col_gene2[rt]]))
-    fraction_read_through = (0.0 if len(genes_with_fusions) == 0
-                             else float(f32(1.0 * len(genes_with_read_through)
-                                            / len(genes_with_fusions))))
+    fraction_read_through = (0.0 if stats.genes_with_fusions == 0
+                             else float(f32(1.0 * stats.genes_with_read_through
+                                            / stats.genes_with_fusions)))
 
     # Vectorized per-fusion e-value. Each reference step is `evalue *= x`
     # with float evalue and double x: multiply in float64, round to float32 —
@@ -246,8 +334,8 @@ def estimate_expected_fusions(fusions: Fusions, mapped_reads: int,
     spliced_mask = col_spliced1 | col_spliced2
     both_exonic = col_exonic1 & col_exonic2
     neither_exonic = ~col_exonic1 & ~col_exonic2
-    fpc1 = np.fromiter((fusion_partner_count.get(int(g), 0) for g in gene1), np.int64, n)
-    fpc2 = np.fromiter((fusion_partner_count.get(int(g), 0) for g in gene2), np.int64, n)
+    fpc1 = fusion_partner_count[gene1]
+    fpc2 = fusion_partner_count[gene2]
 
     gs1, ge1 = genes.start[gene1], genes.end[gene1]
     gs2, ge2 = genes.start[gene2], genes.end[gene2]

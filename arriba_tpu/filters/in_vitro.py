@@ -25,12 +25,41 @@ from ..ingest.stats import Coverage
 from ..model import ChimericAlignments
 
 
+def expression_gene_incidence(chimeric_alignments: ChimericAlignments
+                              ) -> "np.ndarray":
+    """Flat (read, gene) incidence stream — one gene id per counted hit of
+    filter_in_vitro.cpp:48-62. The sharded expression reduction
+    (parallel/stats.py) bincounts this per shard and psums."""
+    import numpy as np
+    chunks = []
+    for mates in chimeric_alignments.values():
+        chunks.append(mates[MATE1].genes)
+        mate2 = MATE2 if len(mates) == 2 else SUPPLEMENTARY
+        chunks.append(mates[mate2].genes)
+    if not chunks:
+        return np.empty(0, np.int64)
+    return np.concatenate([np.asarray(c, np.int64) for c in chunks])
+
+
 def find_top_expressed_genes(chimeric_alignments: ChimericAlignments,
-                             high_expression_quantile: float
+                             high_expression_quantile: float,
+                             precomputed: Tuple["np.ndarray", int] = None
                              ) -> Tuple[Dict[int, int], int]:
     """filter_in_vitro.cpp:48-83 — chimeric-read counts per gene and the
     high-expression quantile threshold (deterministic nth_element via full
-    sort with the reference's tie-break on gene id)."""
+    sort with the reference's tie-break on gene id).
+
+    `precomputed` carries the sharded device reduction (dense per-gene
+    counts + threshold, parallel/stats.py) — integer-exact, so consuming it
+    is bit-identical to the host pass."""
+    if precomputed is not None:
+        dense, high_expression_threshold = precomputed
+        import numpy as np
+        nonzero = np.nonzero(dense)[0]
+        read_count_by_gene = {
+            int(g): int(dense[g]) for g in nonzero}
+        return read_count_by_gene, int(high_expression_threshold)
+
     read_count_by_gene: Dict[int, int] = defaultdict(int)
     for mates in chimeric_alignments.values():
         for gene in mates[MATE1].genes.tolist():
@@ -66,8 +95,10 @@ def _find_higher_expressed_gene(contig: int, breakpoint: int,
 
 def filter_in_vitro(fusions: Fusions, chimeric_alignments: ChimericAlignments,
                     high_expression_quantile: float, gene_index: IntervalIndex,
-                    coverage: Coverage) -> int:
-    """filter_in_vitro.cpp:85-227."""
+                    coverage: Coverage,
+                    expression: Tuple["np.ndarray", int] = None) -> int:
+    """filter_in_vitro.cpp:85-227. `expression` optionally carries the
+    sharded device reduction (parallel/stats.py)."""
     min_clipped_length = 3
     max_exonic_breakpoints_by_gene_pair = 8
 
@@ -83,7 +114,7 @@ def filter_in_vitro(fusions: Fusions, chimeric_alignments: ChimericAlignments,
             exonic_breakpoints_by_gene_pair[(f.gene2, f.gene1)] += 1
 
     read_count_by_gene, high_expression_threshold = find_top_expressed_genes(
-        chimeric_alignments, high_expression_quantile)
+        chimeric_alignments, high_expression_quantile, precomputed=expression)
 
     for f in fusions.values():
         if f.filter != FILTER_NONE and not (
@@ -221,11 +252,12 @@ def recover_both_spliced(fusions: Fusions, chimeric_alignments: ChimericAlignmen
                          genes: GeneTable, exons: ExonTable,
                          exon_index: IntervalIndex, coverage: Coverage,
                          max_fusions_to_recover: int, high_expression_quantile: float,
-                         max_exon_size: int, max_coverage: int) -> int:
+                         max_exon_size: int, max_coverage: int,
+                         expression: Tuple["np.ndarray", int] = None) -> int:
     """recover_both_spliced.cpp:77-182 — two-mode (dry-run counting, then
     recover) with a dynamic min-supporting-reads threshold."""
     read_count_by_gene, high_expression_threshold = find_top_expressed_genes(
-        chimeric_alignments, high_expression_quantile)
+        chimeric_alignments, high_expression_quantile, precomputed=expression)
 
     def count_reads(f: Fusion) -> int:
         return _count_supporting_reads(f, chimeric_alignments, read_count_by_gene,

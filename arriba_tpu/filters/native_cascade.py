@@ -618,6 +618,39 @@ class EventCascade:
             self.materialize()
         return python_fn(*python_args)
 
+    # -- sharded mid-cascade statistics (parallel/stats.py) -------------------
+
+    def _sharded_stats_mesh(self):
+        """ARRIBA_TPU_SHARDED_STATS=<n> computes the e-value/in-vitro global
+        statistics as psum/all-gather reductions over an n-device mesh
+        (capped at the available device count) instead of natively/on host.
+        Integer-exact, so output stays byte-identical for every n."""
+        n = os.environ.get("ARRIBA_TPU_SHARDED_STATS")
+        if not n:
+            return None
+        if getattr(self, "_stats_mesh", None) is None:
+            import jax
+            from ..parallel.dp import make_mesh
+            self._stats_mesh = make_mesh(min(int(n), len(jax.devices())))
+        return self._stats_mesh
+
+    def _sharded_expression(self, mesh):
+        """Run (once) and cache the sharded reduction; returns the
+        (dense expression counts, threshold) pair for in_vitro /
+        recover_both_spliced, storing CascadeStats for the e-value model."""
+        cached = getattr(self, "_sharded_stats_cache", None)
+        if cached is not None:
+            return cached
+        from ..filters.in_vitro import expression_gene_incidence
+        from ..parallel.stats import compute_stats_sharded
+        self.materialize()
+        stats, expression = compute_stats_sharded(
+            list(self.fusions.values()), self.genes,
+            expression_gene_incidence(self.ca),
+            self.options.high_expression_quantile, mesh)
+        self._sharded_stats_cache = (stats, expression)
+        return self._sharded_stats_cache
+
     # -- stages (pipeline call order) ----------------------------------------
 
     def mark_genomic_support(self) -> int:
@@ -647,6 +680,12 @@ class EventCascade:
 
     def estimate_expected_fusions(self) -> None:
         from .event_level import estimate_expected_fusions
+        mesh = self._sharded_stats_mesh()
+        if mesh is not None:
+            stats, _ = self._sharded_expression(mesh)
+            return estimate_expected_fusions(
+                self.fusions, self.state.mapped_reads, self.genes,
+                self.exons, self.exon_index, stats=stats)
         return self._dispatch(
             "ev_estimate_expected", (int(self.state.mapped_reads),),
             estimate_expected_fusions,
@@ -748,6 +787,13 @@ class EventCascade:
 
     def in_vitro(self) -> int:
         from .in_vitro import filter_in_vitro
+        mesh = self._sharded_stats_mesh()
+        if mesh is not None:
+            _, expression = self._sharded_expression(mesh)
+            return filter_in_vitro(
+                self.fusions, self.ca, self.options.high_expression_quantile,
+                self.state.gene_index, self.state.coverage,
+                expression=expression)
         return self._dispatch(
             "ev_in_vitro", (float(self.options.high_expression_quantile),),
             filter_in_vitro,
@@ -756,6 +802,14 @@ class EventCascade:
 
     def recover_both_spliced(self) -> int:
         from .in_vitro import recover_both_spliced
+        mesh = self._sharded_stats_mesh()
+        if mesh is not None:
+            _, expression = self._sharded_expression(mesh)
+            return recover_both_spliced(
+                self.fusions, self.ca, self.genes, self.exons,
+                self.exon_index, self.state.coverage, 200,
+                self.options.high_expression_quantile, 1000, 1000,
+                expression=expression)
         return self._dispatch(
             "ev_recover_both_spliced",
             (200, float(self.options.high_expression_quantile), 1000, 1000),
