@@ -1,0 +1,112 @@
+"""Multi-process (DCN) execution of the sharded candidate merge and
+mid-cascade statistics.
+
+The single-process mesh (parallel/dp.py, parallel/stats.py) scales reads
+and candidates over one host's devices with ICI collectives. This module
+is the ≥2-host tier: each process owns a slice of the global device mesh
+(`jax.distributed.initialize`), candidate rows are laid out process-local,
+and the all_gather/psum collectives of the cluster-merge and statistics
+steps cross the process boundary (DCN; Gloo on the CPU test fixture). The
+merged cluster table and every statistic are replicated on all processes
+and bit-identical to the single-process result — the BASELINE.md scaling
+row ("candidates merged via all-gather over ICI/DCN").
+
+Worker entry point (one per process):
+
+    python -m arriba_tpu.parallel.multihost \
+        --coordinator localhost:PORT --num-processes 2 --process-id I \
+        --input inputs.npz --output out_I.npz
+
+`inputs.npz` carries the pre-marshalled arrays
+(parallel/stats.py:build_stats_host_inputs + candidate_cluster_inputs);
+every process loads the full file and contributes the shards its local
+devices own via make_array_from_callback. tests/test_multihost.py drives
+two workers end-to-end and diffs their outputs against the local mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def worker_main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--coordinator", required=True)
+    parser.add_argument("--num-processes", type=int, required=True)
+    parser.add_argument("--process-id", type=int, required=True)
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--platform",
+                        default=os.environ.get(
+                            "ARRIBA_TPU_MULTIHOST_PLATFORM", "cpu"))
+    args = parser.parse_args(argv)
+
+    import jax
+    # env var alone is not enough where a platform plugin overrides it
+    jax.config.update("jax_platforms", args.platform)
+    jax.distributed.initialize(coordinator_address=args.coordinator,
+                               num_processes=args.num_processes,
+                               process_id=args.process_id)
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from .dp import sharded_cluster_step
+    from .stats import run_stats_step, stats_from_outputs
+
+    devices = jax.devices()
+    mesh = Mesh(np.array(devices), ("dp",))
+    vec = NamedSharding(mesh, P("dp"))
+
+    loaded = dict(np.load(args.input))
+
+    def put(array: np.ndarray):
+        """Global row-sharded array; this process materializes only the
+        shards its local devices address."""
+        return jax.make_array_from_callback(
+            array.shape, vec, lambda index: array[index])
+
+    # ---- candidate merge across the process boundary ---------------------
+    from ..ops.cluster import pack_keys
+    ckey = loaded.pop("cluster_keys")
+    kind = loaded.pop("cluster_kind")
+    valid = loaded.pop("cluster_valid")
+    words = pack_keys(*(jnp.asarray(row) for row in ckey))
+    words = tuple(put(np.asarray(w)) for w in words)
+    cluster_step = sharded_cluster_step(mesh)
+    clusters = cluster_step(words, put(kind), put(valid))
+    n_clusters = int(clusters["n_clusters"])
+
+    # ---- sharded mid-cascade statistics ----------------------------------
+    quantile = float(loaded.pop("quantile"))
+    out = run_stats_step(mesh, loaded, put)
+    stats, (expression, threshold) = stats_from_outputs(out, quantile)
+
+    result = {
+        "cluster_words": np.stack(
+            [np.asarray(w)[:n_clusters] for w in clusters["words"]]),
+        "cluster_support": np.asarray(clusters["support"])[:n_clusters],
+        "n_clusters": np.int64(n_clusters),
+        "expression": expression,
+        "expression_threshold": np.int64(threshold),
+        "partner_count": stats.partner_count,
+    }
+    for name in ("spliced_breakpoints", "exonic_breakpoints",
+                 "intronic_breakpoints", "exonic_intronic_breakpoints",
+                 "intragenic_duplications", "intragenic_inversions",
+                 "spliced_same_gene", "spliced_different_genes",
+                 "genes_with_fusions", "genes_with_read_through"):
+        result[name] = np.int64(getattr(stats, name))
+    np.savez(args.output, **result)
+    print(f"multihost worker {args.process_id}/{args.num_processes}: "
+          f"{len(devices)} global devices "
+          f"({len(jax.local_devices())} local), "
+          f"clusters={n_clusters}, threshold={threshold}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(worker_main())

@@ -208,30 +208,44 @@ def expression_quantile_threshold(dense_counts: np.ndarray,
     return int(counts[order[index]])
 
 
-def compute_stats_sharded(fusion_list, genes, gene_hits: np.ndarray,
-                          high_expression_quantile: float, mesh
-                          ) -> Tuple[CascadeStats, Tuple[np.ndarray, int]]:
-    """Run the sharded reduction over `mesh` and return
-    (CascadeStats, (dense expression counts, high-expression threshold)).
+def candidate_cluster_inputs(fusion_list, n_dp: int
+                             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One clustering candidate row per supporting read of the fusion
+    table — the raw stream fusions.cpp:203-366 aggregates. Returns
+    (key_columns int32[8, N], kind int32[N], valid bool[N]) padded to a
+    multiple of 8*n_dp. Merging these rows over the mesh must reproduce
+    the host fusion table's per-kind support counts exactly."""
+    rows = []
+    for f in fusion_list:
+        key = (f.gene1, f.gene2, f.contig1, f.contig2,
+               f.breakpoint1, f.breakpoint2,
+               int(f.direction1), int(f.direction2))
+        rows.extend((key, 0) for _ in f.split_read1_list)
+        rows.extend((key, 1) for _ in f.split_read2_list)
+        rows.extend((key, 2) for _ in f.discordant_mate_list)
+    n_cand = len(rows)
+    N = -(-max(n_cand, 1) // (8 * n_dp)) * 8 * n_dp
+    cols = np.zeros((8, N), np.int32)
+    kind = np.zeros(N, np.int32)
+    for i, (key, k) in enumerate(rows):
+        cols[:, i] = key
+        kind[i] = k
+    valid = np.arange(N) < n_cand
+    return cols, kind, valid
 
-    Bit-identical to the host passes (event_level.compute_cascade_stats,
-    in_vitro.find_top_expressed_genes) for every shard count: all reduced
-    quantities are integers combined with associative integer reductions.
-    """
-    import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
+def build_stats_host_inputs(fusion_list, genes, gene_hits: np.ndarray,
+                            n_dp: int) -> Dict[str, np.ndarray]:
+    """Marshal the fusion table and read-gene incidence into the padded
+    numpy arrays the sharded step consumes (row count a multiple of n_dp).
+    Shared by the single-process path (compute_stats_sharded) and the
+    multi-process workers (parallel/multihost.py), which ship these arrays
+    to every process."""
     from ..filters.event_level import extract_fusion_columns
-
-    n_dp = mesh.devices.size
-    n_genes = len(genes.start)
 
     host = extract_fusion_columns(fusion_list, genes)
     n_fusions = len(fusion_list)
     n_rows = max(n_dp, -(-max(n_fusions, 1) // n_dp) * n_dp)
-
-    def rows(name, array, fill=0):
-        return _pad_rows(np.asarray(array, np.int32), n_rows, fill)
 
     cols = {
         "valid": _pad_rows(np.ones(n_fusions, bool), n_rows, False),
@@ -241,8 +255,9 @@ def compute_stats_sharded(fusion_list, genes, gene_hits: np.ndarray,
     }
     for name in ("gene1", "gene2", "bp1", "bp2", "contig1", "contig2",
                  "split", "sup"):
-        cols[name] = rows(name, host[name] if n_fusions
-                          else np.zeros(0, np.int64))
+        cols[name] = _pad_rows(
+            np.asarray(host[name] if n_fusions else np.zeros(0, np.int64),
+                       np.int32), n_rows, 0)
     for name in ("dir1", "dir2", "spliced1", "spliced2", "exonic1",
                  "exonic2", "dummy1", "dummy2"):
         cols[name] = _pad_rows(
@@ -251,17 +266,31 @@ def compute_stats_sharded(fusion_list, genes, gene_hits: np.ndarray,
 
     n_hits = len(gene_hits)
     n_hit_rows = max(n_dp, -(-max(n_hits, 1) // n_dp) * n_dp)
-    hits = _pad_rows(np.asarray(gene_hits, np.int32), n_hit_rows, 0)
-    hits_valid = _pad_rows(np.ones(n_hits, bool), n_hit_rows, False)
+    inputs = {f"col_{k}": v for k, v in cols.items()}
+    inputs["hits"] = _pad_rows(np.asarray(gene_hits, np.int32), n_hit_rows, 0)
+    inputs["hits_valid"] = _pad_rows(np.ones(n_hits, bool), n_hit_rows, False)
+    inputs["n_genes"] = np.int64(len(genes.start))
+    return inputs
 
-    vec = NamedSharding(mesh, P("dp"))
-    cols = {k: jax.device_put(v, vec) for k, v in cols.items()}
-    hits = jax.device_put(hits, vec)
-    hits_valid = jax.device_put(hits_valid, vec)
 
+def run_stats_step(mesh, inputs: Dict[str, np.ndarray], put):
+    """Execute the jitted stats step over `mesh` on pre-marshalled inputs.
+    `put(array)` places a host array onto the mesh with P('dp') row
+    sharding — jax.device_put single-process, make_array_from_callback
+    multi-process."""
+    import jax
+
+    n_genes = int(inputs["n_genes"])
+    cols = {k[len("col_"):]: put(v) for k, v in inputs.items()
+            if k.startswith("col_")}
     step = sharded_stats_step(mesh, n_genes)
-    out = jax.device_get(step(cols, hits, hits_valid))
+    return jax.device_get(step(cols, put(inputs["hits"]),
+                               put(inputs["hits_valid"])))
 
+
+def stats_from_outputs(out, high_expression_quantile: float
+                       ) -> Tuple[CascadeStats, Tuple[np.ndarray, int]]:
+    """Convert the device outputs into (CascadeStats, expression pair)."""
     stats = CascadeStats(
         partner_count=np.asarray(out["partner_count"], np.int64),
         spliced_breakpoints=int(out["spliced_bp"]),
@@ -279,3 +308,24 @@ def compute_stats_sharded(fusion_list, genes, gene_hits: np.ndarray,
     threshold = expression_quantile_threshold(dense,
                                               high_expression_quantile)
     return stats, (dense, threshold)
+
+
+def compute_stats_sharded(fusion_list, genes, gene_hits: np.ndarray,
+                          high_expression_quantile: float, mesh
+                          ) -> Tuple[CascadeStats, Tuple[np.ndarray, int]]:
+    """Run the sharded reduction over `mesh` and return
+    (CascadeStats, (dense expression counts, high-expression threshold)).
+
+    Bit-identical to the host passes (event_level.compute_cascade_stats,
+    in_vitro.find_top_expressed_genes) for every shard count: all reduced
+    quantities are integers combined with associative integer reductions.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    inputs = build_stats_host_inputs(fusion_list, genes, gene_hits,
+                                     mesh.devices.size)
+    vec = NamedSharding(mesh, P("dp"))
+    out = run_stats_step(mesh, inputs,
+                         lambda array: jax.device_put(array, vec))
+    return stats_from_outputs(out, high_expression_quantile)
