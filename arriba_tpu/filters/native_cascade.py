@@ -894,7 +894,8 @@ class EventCascade:
     def make_kmer_index(self, padding: int, kmer_length: int) -> None:
         from .mismappers import make_kmer_index
         if self._live and hasattr(self._native, "ev_make_kmer_index"):
-            self._native.ev_make_kmer_index(int(padding))
+            self._native.ev_make_kmer_index(int(padding),
+                                            int(self.options.threads))
             return
         self.materialize()
         self._kmer_indices = make_kmer_index(self.fusions, self.state.assembly,

@@ -15,6 +15,7 @@
 #include <cstring>
 #include <map>
 #include <set>
+#include <thread>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -2404,7 +2405,8 @@ PyObject *ev_known_fusions(PyObject *, PyObject *args) {
 // filter_mismappers.cpp:47-84 (mismappers.py make_kmer_index)
 PyObject *ev_make_kmer_index(PyObject *, PyObject *args) {
     long long padding;
-    if (!PyArg_ParseTuple(args, "L", &padding)) return nullptr;
+    int threads = 1;
+    if (!PyArg_ParseTuple(args, "L|i", &padding, &threads)) return nullptr;
     if (!require_ready()) return nullptr;
     Store &s = event_store::store();
     const cascade_store::Cascade &c = cascade_store::cascade();
@@ -2426,21 +2428,76 @@ PyObject *ev_make_kmer_index(PyObject *, PyObject *args) {
         if (contig < (int64_t)c.assembly.size() && c.assembly[contig] != nullptr)
             realign_engine::set_contig_raw((int)contig, c.assembly[contig],
                                            (Py_ssize_t)c.assembly_len[contig]);
-    for (int64_t gene : genes_to_filter) {
+
+    std::vector<int64_t> gene_list(genes_to_filter.begin(),
+                                   genes_to_filter.end());
+    using KmerMap = std::unordered_map<uint32_t, std::vector<int64_t>>;
+
+    auto index_gene = [&](int64_t gene, std::unordered_map<int, KmerMap> &out) {
         int64_t contig = eng.gene_contig[gene];
         auto found = realign_engine::engine().contigs.find((int)contig);
-        if (found == realign_engine::engine().contigs.end()) continue;
+        if (found == realign_engine::engine().contigs.end()) return;
         realign_engine::Contig &engine_contig = found->second;
         int64_t gene_start =
             std::max(c.gene_start[gene] - (int64_t)padding, (int64_t)0);
         int64_t gene_end = std::min(c.gene_end[gene] + (int64_t)padding,
                                     (int64_t)engine_contig.length - 1);
+        KmerMap &target = out[(int)contig];
         for (int64_t pos = gene_start;
              pos + realign_engine::REALIGN_KMER_LENGTH < gene_end; ++pos)
             if (engine_contig.data[pos] != 'N')
-                engine_contig
-                    .kmer_index[realign_engine::kmer_at(engine_contig.data, pos)]
+                target[realign_engine::kmer_at(engine_contig.data, pos)]
                     .push_back(pos);
+    };
+
+    int workers = threads;
+    if (workers > (int)gene_list.size()) workers = (int)gene_list.size();
+    if (workers <= 1) {
+        for (int64_t gene : gene_list) {
+            int64_t contig = eng.gene_contig[gene];
+            auto found = realign_engine::engine().contigs.find((int)contig);
+            if (found == realign_engine::engine().contigs.end()) continue;
+            realign_engine::Contig &engine_contig = found->second;
+            int64_t gene_start =
+                std::max(c.gene_start[gene] - (int64_t)padding, (int64_t)0);
+            int64_t gene_end = std::min(c.gene_end[gene] + (int64_t)padding,
+                                        (int64_t)engine_contig.length - 1);
+            for (int64_t pos = gene_start;
+                 pos + realign_engine::REALIGN_KMER_LENGTH < gene_end; ++pos)
+                if (engine_contig.data[pos] != 'N')
+                    engine_contig
+                        .kmer_index[realign_engine::kmer_at(engine_contig.data,
+                                                            pos)]
+                        .push_back(pos);
+        }
+    } else {
+        // deterministic regardless of the split: per-thread maps merge by
+        // appending, and the final sort+unique pass canonicalizes every
+        // bucket (overlapping gene windows dedup there as before)
+        std::vector<std::unordered_map<int, KmerMap>> local(workers);
+        std::vector<std::thread> pool;
+        pool.reserve(workers);
+        for (int t = 0; t < workers; ++t)
+            pool.emplace_back([&, t]() {
+                for (size_t i = t; i < gene_list.size(); i += workers)
+                    index_gene(gene_list[i], local[t]);
+            });
+        for (std::thread &worker : pool) worker.join();
+        for (auto &thread_maps : local)
+            for (auto &contig_entry : thread_maps) {
+                auto found =
+                    realign_engine::engine().contigs.find(contig_entry.first);
+                if (found == realign_engine::engine().contigs.end()) continue;
+                KmerMap &target = found->second.kmer_index;
+                for (auto &kmer : contig_entry.second) {
+                    std::vector<int64_t> &positions = target[kmer.first];
+                    if (positions.empty())
+                        positions = std::move(kmer.second);
+                    else
+                        positions.insert(positions.end(), kmer.second.begin(),
+                                         kmer.second.end());
+                }
+            }
     }
     for (auto &entry : realign_engine::engine().contigs)
         for (auto &kmer : entry.second.kmer_index) {

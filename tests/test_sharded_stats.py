@@ -93,7 +93,7 @@ def test_sharded_stats_pipeline_byte_parity(tmp_path, scenario_builder, seed):
         result = subprocess.run(
             [sys.executable, "-m", "arriba_tpu"] + args
             + ["-o", out, "-O", discarded],
-            env=env, capture_output=True, text=True, timeout=420)
+            env=env, capture_output=True, text=True, timeout=900)
         assert result.returncode == 0, result.stderr[-2000:]
         counters = [line.split("remaining=")[-1]
                     for line in result.stdout.splitlines()
