@@ -159,7 +159,8 @@ def _run_pipeline() -> tuple:
            "-b", str(SAMPLE_DIR / "blacklist.tsv"),
            "-o", str(SAMPLE_DIR / "fusions.tsv"),
            "-O", str(SAMPLE_DIR / "fusions.discarded.tsv"),
-           "-i", "1 2", "-s", "no"]
+           "-i", "1 2", "-s", "no",
+           "-@", str(os.cpu_count() or 1)]
     start = time.perf_counter()
     result = subprocess.run(cmd, env=env, capture_output=True, text=True)
     elapsed = time.perf_counter() - start

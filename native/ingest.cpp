@@ -26,10 +26,12 @@
 #include "bgzf_parallel.h"
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <thread>
 #include <cstring>
 #include <string>
+#include <string_view>
 #include <unordered_map>
 #include <vector>
 
@@ -82,11 +84,35 @@ struct Scanner {
     std::vector<uint8_t> viral;                        /* per tid */
     std::vector<int64_t> viral_counts;                 /* per tid */
     bool external_duplicate_marking = false;
+    bool atomic_coverage = false;  /* sharded scan: planes are shared across
+                                      worker threads; all writes must be
+                                      atomic (saturating adds and idempotent
+                                      stores commute, so the result is
+                                      byte-identical to the serial scan) */
     long boring_mapped_reads = 0;
     long n_records = 0;
     std::string forwarded;
     std::unordered_map<std::string, Record> collated;
 };
+
+inline void coverage_increment(uint16_t *slot, bool atomic) {
+    if (!atomic) {
+        if (*slot < 0xFFFF) *slot += 1;
+        return;
+    }
+    uint16_t current = __atomic_load_n(slot, __ATOMIC_RELAXED);
+    while (current < 0xFFFF &&
+           !__atomic_compare_exchange_n(slot, &current, (uint16_t)(current + 1),
+                                        true, __ATOMIC_RELAXED, __ATOMIC_RELAXED)) {
+    }
+}
+
+inline void flag_store(uint8_t *slot, bool atomic) {
+    if (atomic)
+        __atomic_store_n(slot, (uint8_t)1, __ATOMIC_RELAXED);
+    else
+        *slot = 1;
+}
 
 /* ---- coverage walk: port of arriba_tpu/ingest/stats.py add_fragment ---- */
 
@@ -112,10 +138,14 @@ void add_fragment(Scanner &scanner, const Record &mate1_in, const Record *mate2_
     if (!is_chimeric) {
         if (!(flag1 & FREVERSE) || !(flag1 & FPAIRED)) {
             int64_t w = mate1.pos / COVERAGE_RESOLUTION;
-            if (w < plane1.windows) scanner.planes[mate1.tid].starts[w] = 1;
+            if (w < plane1.windows)
+                flag_store(&scanner.planes[mate1.tid].starts[w],
+                           scanner.atomic_coverage);
         } else {
             int64_t w = mate2.pos / COVERAGE_RESOLUTION;
-            if (w < plane2.windows) scanner.planes[mate2.tid].starts[w] = 1;
+            if (w < plane2.windows)
+                flag_store(&scanner.planes[mate2.tid].starts[w],
+                           scanner.atomic_coverage);
         }
     }
 
@@ -168,9 +198,9 @@ void add_fragment(Scanner &scanner, const Record &mate1_in, const Record *mate2_
         if ((CONSUMES_QUERY >> (word & 0xf)) & 1) {
             while (window <= position / COVERAGE_RESOLUTION) {
                 if (window >= 0 && window < plane.windows &&
-                    plane.coverage[window] < 0xFFFF &&
                     position - window * COVERAGE_RESOLUTION >= COVERAGE_RESOLUTION / 2)
-                    plane.coverage[window] += 1;
+                    coverage_increment(&plane.coverage[window],
+                                       scanner.atomic_coverage);
                 window += 1;
             }
         } else {
@@ -181,10 +211,14 @@ void add_fragment(Scanner &scanner, const Record &mate1_in, const Record *mate2_
     if (!is_chimeric) {
         if ((flag1 & FREVERSE) || !(flag1 & FPAIRED)) {
             int64_t w = (position1 - 1) / COVERAGE_RESOLUTION;
-            if (w >= 0 && w < plane1.windows) scanner.planes[mate1.tid].ends[w] = 1;
+            if (w >= 0 && w < plane1.windows)
+                flag_store(&scanner.planes[mate1.tid].ends[w],
+                           scanner.atomic_coverage);
         } else {
             int64_t w = (position2 - 1) / COVERAGE_RESOLUTION;
-            if (w >= 0 && w < plane2.windows) scanner.planes[mate2.tid].ends[w] = 1;
+            if (w >= 0 && w < plane2.windows)
+                flag_store(&scanner.planes[mate2.tid].ends[w],
+                           scanner.atomic_coverage);
         }
     }
 }
@@ -736,6 +770,87 @@ void handle_extract_pair(Scanner &scanner, Extractor &ext,
     if (!scanner.external_duplicate_marking || !(record.flag & FDUP))
         add_fragment(scanner, record, previously_seen_mate,
                      is_read_through_alignment, 0, false);
+}
+
+void append_int(std::string &out, long long value);
+
+/* the extraction loop, chimeric.py:617-720 — one record against the given
+ * scanner/extractor state. Thread-safe when each (scanner, extractor) pair is
+ * private to a shard and scanner.atomic_coverage guards the shared planes;
+ * all records of one read name must go to the same shard (mate collation,
+ * supplementary joins and ITD fragments key on the name). */
+void handle_record_extract(Scanner &scanner, Extractor &extractor,
+                           Record &record, const std::string &qname) {
+    scanner.n_records += 1;
+
+    if ((record.flag & FUNMAP) ||
+        ((record.flag & FPAIRED) && (record.flag & FMUNMAP)))
+        return;
+
+    long long hit_index = 1;
+    if (record.hi_present) {
+        hit_index = record.hi_value;
+    } else if (record.flag & FSECONDARY) {
+        extractor.missing_hi += 1;
+        return;
+    }
+    std::string read_name = qname;
+    read_name += ',';
+    append_int(read_name, hit_index);
+
+    if (record.seq == "*")
+        record.seq.clear();
+
+    if (record.flag & FSUPPLEMENTARY) {
+        if (is_clipped_at_correct_end(record))
+            add_chimeric_alignment(extractor, fragment_for(extractor, read_name),
+                                   record, true, 0, CLIP_NONE);
+        else
+            extractor.malformed += 1;
+        extractor.no_chimeric = false;
+        return;
+    }
+
+    if (record.tid >= 0 && record.tid < (int)scanner.interesting.size() &&
+        scanner.interesting[record.tid])
+        extractor.mapped_reads += 1;
+
+    if ((record.flag & FPAIRED) && !(record.flag & FPROPER_PAIR)) {
+        add_chimeric_alignment(extractor, fragment_for(extractor, read_name),
+                               record, false, 0, CLIP_NONE);
+        extractor.no_chimeric = false;
+        if (!scanner.external_duplicate_marking || !(record.flag & FDUP))
+            /* the reference clears ALL flags here
+             * (read_chimeric_alignments.cpp:664) */
+            add_fragment(scanner, record, nullptr, true, 0, true);
+        return;
+    }
+
+    if (record.flag & FPAIRED) {
+        auto found = scanner.collated.find(read_name);
+        if (found == scanner.collated.end()) {
+            scanner.collated.emplace(std::move(read_name), std::move(record));
+            return;
+        }
+        Record mate = std::move(found->second);
+        scanner.collated.erase(found);
+        if (pair_is_boring(scanner, record, mate)) {
+            /* mapped reads already counted at arrival; coverage + viral */
+            if (record.tid >= 0 && record.tid < (int)scanner.viral.size() &&
+                scanner.viral[record.tid]) {
+                if (is_pristine_alignment(record))
+                    scanner.viral_counts[record.tid] += 1;
+                if (is_pristine_alignment(mate))
+                    scanner.viral_counts[mate.tid] += 1;
+            }
+            if (!scanner.external_duplicate_marking || !(record.flag & FDUP))
+                add_fragment(scanner, record, &mate, false, 0, false);
+        } else {
+            handle_extract_pair(scanner, extractor, read_name, record, &mate);
+        }
+    } else {
+        handle_extract_pair(scanner, extractor, read_name, record, nullptr);
+    }
 }
 
 /* read_chimeric_alignments.cpp:340-373 (chimeric.py disjoin_split_read_segments) */
@@ -1546,83 +1661,9 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         return record.line;
     };
 
-    auto handle_record_extract = [&](Record &record, const std::string &qname) {
-        scanner.n_records += 1;
-
-        /* the extraction loop, chimeric.py:617-720 */
-        if ((record.flag & FUNMAP) ||
-            ((record.flag & FPAIRED) && (record.flag & FMUNMAP)))
-            return;
-
-        long long hit_index = 1;
-        if (record.hi_present) {
-            hit_index = record.hi_value;
-        } else if (record.flag & FSECONDARY) {
-            extractor.missing_hi += 1;
-            return;
-        }
-        std::string read_name = qname;
-        read_name += ',';
-        append_int(read_name, hit_index);
-
-        if (record.seq == "*")
-            record.seq.clear();
-
-        if (record.flag & FSUPPLEMENTARY) {
-            if (is_clipped_at_correct_end(record))
-                add_chimeric_alignment(extractor, fragment_for(extractor, read_name),
-                                       record, true, 0, CLIP_NONE);
-            else
-                extractor.malformed += 1;
-            extractor.no_chimeric = false;
-            return;
-        }
-
-        if (record.tid >= 0 && record.tid < (int)scanner.interesting.size() &&
-            scanner.interesting[record.tid])
-            extractor.mapped_reads += 1;
-
-        if ((record.flag & FPAIRED) && !(record.flag & FPROPER_PAIR)) {
-            add_chimeric_alignment(extractor, fragment_for(extractor, read_name),
-                                   record, false, 0, CLIP_NONE);
-            extractor.no_chimeric = false;
-            if (!scanner.external_duplicate_marking || !(record.flag & FDUP))
-                /* the reference clears ALL flags here
-                 * (read_chimeric_alignments.cpp:664) */
-                add_fragment(scanner, record, nullptr, true, 0, true);
-            return;
-        }
-
-        if (record.flag & FPAIRED) {
-            auto found = scanner.collated.find(read_name);
-            if (found == scanner.collated.end()) {
-                scanner.collated.emplace(std::move(read_name), std::move(record));
-                return;
-            }
-            Record mate = std::move(found->second);
-            scanner.collated.erase(found);
-            if (pair_is_boring(scanner, record, mate)) {
-                /* mapped reads already counted at arrival; coverage + viral */
-                if (record.tid >= 0 && record.tid < (int)scanner.viral.size() &&
-                    scanner.viral[record.tid]) {
-                    if (is_pristine_alignment(record))
-                        scanner.viral_counts[record.tid] += 1;
-                    if (is_pristine_alignment(mate))
-                        scanner.viral_counts[mate.tid] += 1;
-                }
-                if (!scanner.external_duplicate_marking || !(record.flag & FDUP))
-                    add_fragment(scanner, record, &mate, false, 0, false);
-            } else {
-                handle_extract_pair(scanner, extractor, read_name, record, &mate);
-            }
-        } else {
-            handle_extract_pair(scanner, extractor, read_name, record, nullptr);
-        }
-    };
-
     auto handle_record = [&](Record &record, std::string &&read_name) {
         if (extractor.enabled) {
-            handle_record_extract(record, read_name);
+            handle_record_extract(scanner, extractor, record, read_name);
             return;
         }
         scanner.n_records += 1;
@@ -1661,6 +1702,42 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
             forwarded_records += 2;
         }
     };
+
+    /* sharded extraction (threads > 1): records are pinned to a shard by the
+     * hash of their read name, so mate collation / supplementary joins / ITD
+     * fragments all meet inside one shard. Every reduction commutes (counter
+     * sums, idempotent flag stores, saturating coverage adds behind
+     * atomic_coverage, and the fragment table is name-sorted downstream), so
+     * the result is byte-identical to the serial scan at any shard count. */
+    int n_shards = 0;
+    if (threads > 1 && extractor.enabled) {
+        /* leave one core for the reader thread: an extra shard beyond
+         * hardware_concurrency-1 oversubscribes and thrashes the scheduler */
+        int hw = (int)std::thread::hardware_concurrency();
+        n_shards = std::min(threads, 8);
+        if (hw > 2)
+            n_shards = std::min(n_shards, hw - 1);
+    }
+    std::vector<Scanner> shard_sc;
+    std::vector<Extractor> shard_ex;
+    if (n_shards > 0) {
+        scanner.atomic_coverage = true;
+        shard_sc.resize(n_shards);
+        shard_ex.resize(n_shards);
+        for (int s = 0; s < n_shards; ++s) {
+            shard_sc[s].planes = scanner.planes;
+            shard_sc[s].boundaries = scanner.boundaries;
+            shard_sc[s].interesting = scanner.interesting;
+            shard_sc[s].viral = scanner.viral;
+            shard_sc[s].viral_counts.assign(n_tids, 0);
+            shard_sc[s].external_duplicate_marking =
+                scanner.external_duplicate_marking;
+            shard_sc[s].atomic_coverage = true;
+            shard_sc[s].collated.reserve((1 << 20) / n_shards);
+            shard_ex[s] = extractor;  /* read-only tables; empty fragments */
+        }
+    }
+    std::hash<std::string_view> shard_hash;
 
     /* sniff the (decompressed) leading bytes: BAM or SAM text */
     char magic[4] = {0, 0, 0, 0};
@@ -1721,7 +1798,91 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         if (threads > 1) {
             /* batch-parallel decode: bodies read serially, decoded by a
              * worker pool, handled sequentially in order */
-            const size_t BATCH = 16384;
+            const size_t BATCH = 32768;
+            if (n_shards > 0) {
+                /* double-buffered shard pipeline (see the SAM branch) */
+                struct BamBatch {
+                    std::vector<std::vector<uint8_t>> bodies;
+                    std::vector<Record> decoded;
+                    std::vector<uint8_t> ok;
+                    std::vector<uint16_t> shard;
+                    size_t count = 0;
+                };
+                BamBatch buffers[2];
+                for (BamBatch &batch : buffers) {
+                    batch.bodies.resize(BATCH);
+                    batch.decoded.resize(BATCH);
+                    batch.ok.resize(BATCH);
+                    batch.shard.resize(BATCH);
+                }
+                bool eof = false;
+                auto read_batch = [&](BamBatch &batch) {
+                    batch.count = 0;
+                    while (batch.count < BATCH) {
+                        int32_t block_size = 0;
+                        if (!read_exact(&block_size, 4) || block_size <= 0) {
+                            eof = true;
+                            break;
+                        }
+                        batch.bodies[batch.count].resize(block_size);
+                        if (!read_exact(batch.bodies[batch.count].data(),
+                                        block_size)) {
+                            if (stream_error.empty() &&
+                                (!parallel || parallel->error().empty()))
+                                stream_error = "truncated BAM record "
+                                               "(unexpected end of stream)";
+                            eof = true;
+                            break;
+                        }
+                        batch.count += 1;
+                    }
+                };
+                read_batch(buffers[0]);
+                int cur = 0;
+                while (buffers[cur].count > 0) {
+                    BamBatch &batch = buffers[cur];
+                    std::vector<std::thread> pool;
+                    for (int s = 0; s < n_shards; ++s)
+                        pool.emplace_back([&, s]() {
+                            for (size_t i = s; i < batch.count; i += n_shards) {
+                                batch.ok[i] = decode_bam_record(
+                                    batch.bodies[i], batch.decoded[i]) ? 1 : 0;
+                                if (batch.ok[i]) {
+                                    batch.decoded[i].bam_body = batch.bodies[i];
+                                    batch.shard[i] = (uint16_t)(
+                                        shard_hash(std::string_view(
+                                            (const char *)batch.bodies[i].data()
+                                            + 32))
+                                        % n_shards);
+                                }
+                            }
+                        });
+                    /* overlap: read batch k+1 while the pool decodes batch k */
+                    if (!eof)
+                        read_batch(buffers[1 - cur]);
+                    else
+                        buffers[1 - cur].count = 0;
+                    for (std::thread &worker : pool)
+                        worker.join();
+                    std::vector<std::thread> handlers;
+                    for (int s = 0; s < n_shards; ++s)
+                        handlers.emplace_back([&, s]() {
+                            for (size_t i = 0; i < batch.count; ++i) {
+                                if (!batch.ok[i] || batch.shard[i] != s)
+                                    continue;
+                                std::string read_name(
+                                    (const char *)batch.decoded[i]
+                                        .bam_body.data() + 32);
+                                handle_record_extract(shard_sc[s], shard_ex[s],
+                                                      batch.decoded[i],
+                                                      read_name);
+                            }
+                        });
+                    for (std::thread &worker : handlers)
+                        worker.join();
+                    cur = 1 - cur;
+                }
+            } else {
             std::vector<std::vector<uint8_t>> bodies(BATCH);
             std::vector<Record> decoded(BATCH);
             std::vector<uint8_t> ok(BATCH);
@@ -1763,6 +1924,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     handle_record(decoded[i], std::move(read_name));
                 }
             }
+            }
         } else {
             Record record;
             for (;;) {
@@ -1792,7 +1954,98 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         if (threads > 1) {
             /* batch-parallel parse: lines read serially, parsed by a worker
              * pool, handled sequentially in order */
-            const size_t BATCH = 16384;
+            const size_t BATCH = 32768;
+            if (n_shards > 0) {
+                /* double-buffered shard pipeline: the main thread reads batch
+                 * k+1 while the pool parses (strided) and handles (by
+                 * read-name shard) batch k; one spawn per batch with an
+                 * internal yield-barrier between the two phases */
+                struct SamBatch {
+                    std::vector<std::string> lines;
+                    std::vector<Record> decoded;
+                    std::vector<uint8_t> ok;
+                    std::vector<uint16_t> shard;
+                    size_t count = 0;
+                };
+                SamBatch buffers[2];
+                for (SamBatch &batch : buffers) {
+                    batch.lines.resize(BATCH);
+                    batch.decoded.resize(BATCH);
+                    batch.ok.resize(BATCH);
+                    batch.shard.resize(BATCH);
+                }
+                bool eof = false;
+                auto read_batch = [&](SamBatch &batch) {
+                    batch.count = 0;
+                    while (batch.count < BATCH) {
+                        if (!reader.next_line(batch.lines[batch.count])) {
+                            eof = true;
+                            break;
+                        }
+                        const std::string &line = batch.lines[batch.count];
+                        if (line.empty())
+                            continue;
+                        if (line[0] == '@') {
+                            header_text += line;
+                            header_text += '\n';
+                            continue;
+                        }
+                        batch.count += 1;
+                    }
+                };
+                read_batch(buffers[0]);
+                int cur = 0;
+                while (buffers[cur].count > 0) {
+                    SamBatch &batch = buffers[cur];
+                    std::vector<std::thread> pool;
+                    for (int s = 0; s < n_shards; ++s)
+                        pool.emplace_back([&, s]() {
+                            for (size_t i = s; i < batch.count; i += n_shards) {
+                                batch.ok[i] = parse_sam_line(
+                                    batch.lines[i], batch.decoded[i],
+                                    !extractor.enabled) ? 1 : 0;
+                                if (batch.ok[i]) {
+                                    batch.decoded[i].tid =
+                                        resolve_tid(batch.lines[i], 2);
+                                    size_t name_end = batch.lines[i].find('\t');
+                                    batch.shard[i] = (uint16_t)(
+                                        shard_hash(std::string_view(
+                                            batch.lines[i].data(), name_end))
+                                        % n_shards);
+                                }
+                            }
+                        });
+                    /* overlap: read batch k+1 while the pool parses batch k */
+                    if (!eof)
+                        read_batch(buffers[1 - cur]);
+                    else
+                        buffers[1 - cur].count = 0;
+                    for (std::thread &worker : pool)
+                        worker.join();
+                    std::vector<std::thread> handlers;
+                    for (int s = 0; s < n_shards; ++s)
+                        handlers.emplace_back([&, s]() {
+                            for (size_t i = 0; i < batch.count; ++i) {
+                                if (!batch.ok[i] || batch.shard[i] != s)
+                                    continue;
+                                size_t name_end = batch.lines[i].find('\t');
+                                handle_record_extract(
+                                    shard_sc[s], shard_ex[s], batch.decoded[i],
+                                    batch.lines[i].substr(0, name_end));
+                            }
+                        });
+                    for (size_t i = 0; i < batch.count; ++i) {
+                        if (batch.ok[i]) continue;
+                        scanner.forwarded += batch.lines[i];
+                        scanner.forwarded += '\n';
+                        forwarded_records += 1;
+                        scanner.n_records += 1;
+                    }
+                    for (std::thread &worker : handlers)
+                        worker.join();
+                    cur = 1 - cur;
+                }
+            } else {
             std::vector<std::string> lines(BATCH);
             std::vector<Record> decoded(BATCH);
             std::vector<uint8_t> ok(BATCH);
@@ -1834,6 +2087,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     size_t name_end = lines[i].find('\t');
                     handle_record(decoded[i], lines[i].substr(0, name_end));
                 }
+            }
             }
         } else {
             /* optional stage timing (ARRIBA_TPU_SCAN_TIMING=1): read / parse
@@ -1890,6 +2144,31 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         PyErr_Format(PyExc_IOError, "error reading alignment file '%s': %s",
                      path, stream_error.c_str());
         return nullptr;
+    }
+
+    if (n_shards > 0) {
+        /* fold the shard states back into the master scanner/extractor; the
+         * fragment concatenation order is irrelevant because both export
+         * paths sort by (unique) fragment name downstream */
+        size_t total_fragments = extractor.fragments.size();
+        for (int s = 0; s < n_shards; ++s)
+            total_fragments += shard_ex[s].fragments.size();
+        extractor.fragments.reserve(total_fragments);
+        for (int s = 0; s < n_shards; ++s) {
+            scanner.n_records += shard_sc[s].n_records;
+            scanner.boring_mapped_reads += shard_sc[s].boring_mapped_reads;
+            for (Py_ssize_t tid = 0; tid < n_tids; ++tid)
+                scanner.viral_counts[tid] += shard_sc[s].viral_counts[tid];
+            extractor.mapped_reads += shard_ex[s].mapped_reads;
+            extractor.missing_hi += shard_ex[s].missing_hi;
+            extractor.malformed += shard_ex[s].malformed;
+            extractor.no_chimeric =
+                extractor.no_chimeric && shard_ex[s].no_chimeric;
+            for (FragmentData &fragment : shard_ex[s].fragments)
+                extractor.fragments.push_back(std::move(fragment));
+            shard_ex[s].fragments.clear();
+            shard_ex[s].by_name.clear();
+        }
     }
 
     PyObject *viral_list = PyList_New(n_tids);

@@ -143,3 +143,41 @@ def test_subsampling_parity_native_vs_python(tmp_path):
         assert "subsampled" in result.stderr, label
         outputs[label] = open(out, "rb").read()
     assert outputs["native"] == outputs["python"]
+
+
+@pytest.mark.parametrize("seed,as_bam", [(207, False), (314, False),
+                                         (314, True)])
+def test_sharded_scan_thread_parity(tmp_path, seed, as_bam):
+    """-@ N shards the native extraction scan by read-name hash
+    (native/ingest.cpp handle_record_extract); every output artifact must be
+    byte-identical to the serial scan at any shard count, for SAM and BAM
+    input (coverage planes use commutative atomic updates; the fragment
+    table is name-sorted downstream)."""
+    from .scenario import fuzz_sample
+
+    args = fuzz_sample(tmp_path, seed)
+    if as_bam:
+        from arriba_tpu.io.bam import open_alignment_file
+        from .util import write_bam
+        sam_path = args[args.index("-x") + 1]
+        header, records = open_alignment_file(sam_path, reference_by_name={})
+        bam_path = str(tmp_path / "aligned.bam")
+        write_bam(bam_path, header, list(records))
+        args[args.index("-x") + 1] = bam_path
+    outputs = {}
+    for threads in (1, 2, 4):
+        out = str(tmp_path / f"f_t{threads}.tsv")
+        discarded = str(tmp_path / f"d_t{threads}.tsv")
+        result = subprocess.run(
+            [sys.executable, "-m", "arriba_tpu"] + args
+            + ["-o", out, "-O", discarded, "-@", str(threads)],
+            env=dict(os.environ), capture_output=True, text=True, timeout=300,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert result.returncode == 0, result.stderr[-2000:]
+        counters = [line.split("remaining=")[-1]
+                    for line in result.stdout.splitlines()
+                    if "remaining=" in line]
+        outputs[threads] = (open(out, "rb").read(),
+                            open(discarded, "rb").read(), counters)
+    assert outputs[1] == outputs[2]
+    assert outputs[1] == outputs[4]
