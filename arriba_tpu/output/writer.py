@@ -266,7 +266,7 @@ def get_fusion_transcript_sequence(fusion: Fusion,
         # the fragments still live in the native store: run all ten pileup
         # passes + the non-template-base scan there (event.cpp)
         index = chimeric_alignments._index
-        pileup1, pileup2, non_template_bases = native.ev_transcript_pileups(
+        pileup_args = (
             np.array([index[n] for n in fusion.split_read1_list],
                      np.int64).tobytes(),
             np.array([index[n] for n in fusion.split_read2_list],
@@ -275,6 +275,20 @@ def get_fusion_transcript_sequence(fusion: Fusion,
                      np.int64).tobytes(),
             1 if fusion.direction1 else 0, 1 if fusion.direction2 else 0,
             int(fusion.breakpoint1), int(fusion.breakpoint2))
+        if hasattr(native, "ev_transcript_consensus"):
+            # ... and the per-pileup consensus as well (event.cpp
+            # consensus_from_pileup); only the string assembly tail runs here
+            (sequence1, positions1_b, clipped1, sequence2, positions2_b,
+             clipped2, non_template_bases) = native.ev_transcript_consensus(
+                *pileup_args, int(fusion.gene1), int(fusion.gene2))
+            return _finish_transcript_sequence(
+                fusion, sequence1, np.frombuffer(positions1_b,
+                                                 np.int64).tolist(),
+                clipped1, sequence2,
+                np.frombuffer(positions2_b, np.int64).tolist(), clipped2,
+                non_template_bases)
+        pileup1, pileup2, non_template_bases = \
+            native.ev_transcript_pileups(*pileup_args)
         return _assemble_transcript_sequence(fusion, pileup1, pileup2,
                                              non_template_bases, genes,
                                              assembly)
@@ -335,7 +349,18 @@ def _assemble_transcript_sequence(fusion, pileup1, pileup2,
         pileup1, fusion.breakpoint1, fusion.direction1, fusion.gene1, genes, assembly)
     sequence2, positions2, clipped_sequence2 = get_sequence_from_pileup(
         pileup2, fusion.breakpoint2, fusion.direction2, fusion.gene2, genes, assembly)
+    return _finish_transcript_sequence(fusion, sequence1, positions1,
+                                       clipped_sequence1, sequence2,
+                                       positions2, clipped_sequence2,
+                                       non_template_bases)
 
+
+def _finish_transcript_sequence(fusion, sequence1, positions1,
+                                clipped_sequence1, sequence2, positions2,
+                                clipped_sequence2, non_template_bases):
+    """output_fusions.cpp:300-466: ellipses, non-template bases, breakpoint
+    markers, strand orientation and simplification over the two consensus
+    halves (native ev_transcript_consensus or get_sequence_from_pileup)."""
     # without split reads, exact breakpoints are unknown => ellipsis
     if len(fusion.split_read1_list) + len(fusion.split_read2_list) == 0:
         if fusion.direction1 == DOWNSTREAM:

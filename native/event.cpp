@@ -2429,35 +2429,20 @@ PyObject *ev_make_kmer_index(PyObject *, PyObject *args) {
             realign_engine::set_contig_raw((int)contig, c.assembly[contig],
                                            (Py_ssize_t)c.assembly_len[contig]);
 
-    std::vector<int64_t> gene_list(genes_to_filter.begin(),
-                                   genes_to_filter.end());
-    using KmerMap = std::unordered_map<uint32_t, std::vector<int64_t>>;
+    // genes grouped per contig: each worker owns whole contigs and writes
+    // that contig's kmer_index directly — no cross-thread merge, and the
+    // per-contig gene order matches the serial loop (the final sort+unique
+    // pass canonicalizes overlapping windows either way), so the index is
+    // identical at any thread count
+    std::map<int64_t, std::vector<int64_t>> genes_by_contig;
+    for (int64_t gene : genes_to_filter)
+        genes_by_contig[eng.gene_contig[gene]].push_back(gene);
 
-    auto index_gene = [&](int64_t gene, std::unordered_map<int, KmerMap> &out) {
-        int64_t contig = eng.gene_contig[gene];
+    auto index_contig = [&](int64_t contig, const std::vector<int64_t> &genes) {
         auto found = realign_engine::engine().contigs.find((int)contig);
         if (found == realign_engine::engine().contigs.end()) return;
         realign_engine::Contig &engine_contig = found->second;
-        int64_t gene_start =
-            std::max(c.gene_start[gene] - (int64_t)padding, (int64_t)0);
-        int64_t gene_end = std::min(c.gene_end[gene] + (int64_t)padding,
-                                    (int64_t)engine_contig.length - 1);
-        KmerMap &target = out[(int)contig];
-        for (int64_t pos = gene_start;
-             pos + realign_engine::REALIGN_KMER_LENGTH < gene_end; ++pos)
-            if (engine_contig.data[pos] != 'N')
-                target[realign_engine::kmer_at(engine_contig.data, pos)]
-                    .push_back(pos);
-    };
-
-    int workers = threads;
-    if (workers > (int)gene_list.size()) workers = (int)gene_list.size();
-    if (workers <= 1) {
-        for (int64_t gene : gene_list) {
-            int64_t contig = eng.gene_contig[gene];
-            auto found = realign_engine::engine().contigs.find((int)contig);
-            if (found == realign_engine::engine().contigs.end()) continue;
-            realign_engine::Contig &engine_contig = found->second;
+        for (int64_t gene : genes) {
             int64_t gene_start =
                 std::max(c.gene_start[gene] - (int64_t)padding, (int64_t)0);
             int64_t gene_end = std::min(c.gene_end[gene] + (int64_t)padding,
@@ -2470,42 +2455,47 @@ PyObject *ev_make_kmer_index(PyObject *, PyObject *args) {
                                                             pos)]
                         .push_back(pos);
         }
-    } else {
-        // deterministic regardless of the split: per-thread maps merge by
-        // appending, and the final sort+unique pass canonicalizes every
-        // bucket (overlapping gene windows dedup there as before)
-        std::vector<std::unordered_map<int, KmerMap>> local(workers);
-        std::vector<std::thread> pool;
-        pool.reserve(workers);
-        for (int t = 0; t < workers; ++t)
-            pool.emplace_back([&, t]() {
-                for (size_t i = t; i < gene_list.size(); i += workers)
-                    index_gene(gene_list[i], local[t]);
-            });
-        for (std::thread &worker : pool) worker.join();
-        for (auto &thread_maps : local)
-            for (auto &contig_entry : thread_maps) {
-                auto found =
-                    realign_engine::engine().contigs.find(contig_entry.first);
-                if (found == realign_engine::engine().contigs.end()) continue;
-                KmerMap &target = found->second.kmer_index;
-                for (auto &kmer : contig_entry.second) {
-                    std::vector<int64_t> &positions = target[kmer.first];
-                    if (positions.empty())
-                        positions = std::move(kmer.second);
-                    else
-                        positions.insert(positions.end(), kmer.second.begin(),
-                                         kmer.second.end());
-                }
-            }
-    }
-    for (auto &entry : realign_engine::engine().contigs)
-        for (auto &kmer : entry.second.kmer_index) {
+        for (auto &kmer : engine_contig.kmer_index) {
             std::vector<int64_t> &positions = kmer.second;
             std::sort(positions.begin(), positions.end());
             positions.erase(std::unique(positions.begin(), positions.end()),
                             positions.end());
         }
+    };
+
+    int workers = std::min(threads, (int)genes_by_contig.size());
+    if (workers <= 1) {
+        for (const auto &entry : genes_by_contig)
+            index_contig(entry.first, entry.second);
+    } else {
+        // greedy LPT assignment by total window length per contig
+        std::vector<std::pair<int64_t, int64_t>> weighted;  /* (weight, contig) */
+        for (const auto &entry : genes_by_contig) {
+            int64_t weight = 0;
+            for (int64_t gene : entry.second)
+                weight += c.gene_end[gene] - c.gene_start[gene]
+                          + 2 * (int64_t)padding;
+            weighted.emplace_back(weight, entry.first);
+        }
+        std::sort(weighted.rbegin(), weighted.rend());
+        std::vector<int64_t> load(workers, 0);
+        std::vector<std::vector<int64_t>> assignment(workers);
+        for (const auto &entry : weighted) {
+            int target = 0;
+            for (int w = 1; w < workers; ++w)
+                if (load[w] < load[target]) target = w;
+            load[target] += entry.first;
+            assignment[target].push_back(entry.second);
+        }
+        std::vector<std::thread> pool;
+        pool.reserve(workers);
+        for (int w = 0; w < workers; ++w)
+            pool.emplace_back([&, w]() {
+                for (int64_t contig : assignment[w])
+                    index_contig(contig, genes_by_contig.at(contig));
+            });
+        for (std::thread &worker : pool) worker.join();
+    }
     Py_RETURN_NONE;
 }
 
@@ -3490,33 +3480,17 @@ bool indices_from_bytes(PyObject *obj, std::vector<int64_t> &out) {
     return true;
 }
 
-}  // namespace
-
-// writer.py get_fusion_transcript_sequence:263-304 — the ten pileup passes
-// plus the non-template-base scan, all over the native store. Returns
-// (pileup1 dict, pileup2 dict, non_template_bases).
-PyObject *ev_transcript_pileups(PyObject *, PyObject *args) {
-    PyObject *split1_obj, *split2_obj, *discordant_obj;
-    int direction1, direction2;
-    long long breakpoint1, breakpoint2;
-    if (!PyArg_ParseTuple(args, "SSSiiLL", &split1_obj, &split2_obj,
-                          &discordant_obj, &direction1, &direction2,
-                          &breakpoint1, &breakpoint2))
-        return nullptr;
-    if (!cascade_store::cascade().ready) {
-        PyErr_SetString(PyExc_RuntimeError, "fragment store not populated");
-        return nullptr;
-    }
+// the ten pileup passes + non-template-base scan shared by the two entry
+// points below (writer.py get_fusion_transcript_sequence:263-304)
+void build_transcript_pileups(const std::vector<int64_t> &split1,
+                              const std::vector<int64_t> &split2,
+                              const std::vector<int64_t> &discordant,
+                              bool d1, bool d2, int64_t breakpoint1,
+                              int64_t breakpoint2, PileupMap &pileup1,
+                              PileupMap &pileup2,
+                              int64_t &non_template_bases) {
     const cascade_store::Cascade &c = cascade_store::cascade();
-    std::vector<int64_t> split1, split2, discordant;
-    if (!indices_from_bytes(split1_obj, split1)
-        || !indices_from_bytes(split2_obj, split2)
-        || !indices_from_bytes(discordant_obj, discordant))
-        return nullptr;
     const int64_t duplicates_id = fid(event_store::F_DUPLICATES);
-    bool d1 = direction1 != 0, d2 = direction2 != 0;
-
-    PileupMap pileup1, pileup2;
     bool rc = d1 == d2;
     pileup_one_list(split1, SPLIT_READ, false, d1, breakpoint1, duplicates_id,
                     pileup1);
@@ -3540,7 +3514,7 @@ PyObject *ev_transcript_pileups(PyObject *, PyObject *args) {
                     pileup2);
 
     // non-template bases inserted between the fused genes (writer.py:290-304)
-    int64_t non_template_bases = 0;
+    non_template_bases = 0;
     std::map<int64_t, int64_t> non_template_count;
     for (int which = 0; which < 2; ++which) {
         const std::vector<int64_t> &list = which == 0 ? split1 : split2;
@@ -3564,6 +3538,191 @@ PyObject *ev_transcript_pileups(PyObject *, PyObject *args) {
             }
         }
     }
+}
+
+// output_fusions.cpp:109-240 (writer.py get_sequence_from_pileup): pileup ->
+// (consensus sequence, per-char reference positions, clipped tail)
+void consensus_from_pileup(const PileupMap &pileup, int64_t breakpoint,
+                           bool direction, int64_t gene,
+                           std::string &sequence,
+                           std::vector<int64_t> &positions,
+                           std::string &clipped) {
+    const cascade_store::Cascade &c = cascade_store::cascade();
+    const annotate_engine::Engine &eng = annotate_engine::engine();
+    const uint8_t *contig_seq = nullptr;
+    int64_t contig_len = 0;
+    if (gene >= 0 && gene < (int64_t)eng.gene_contig.size()) {
+        int64_t contig = eng.gene_contig[gene];
+        if (contig >= 0 && contig < (int64_t)c.assembly.size()
+            && c.assembly[contig] != nullptr) {
+            contig_seq = c.assembly[contig];
+            contig_len = c.assembly_len[contig];
+        }
+    }
+
+    std::vector<int64_t> sorted_positions;
+    std::vector<int64_t> coverages;
+    sorted_positions.reserve(pileup.size());
+    coverages.reserve(pileup.size());
+    int64_t peak_coverage = 0;
+    for (const auto &entry : pileup) {
+        int64_t total = 0;
+        for (const auto &base : entry.second) total += base.second;
+        sorted_positions.push_back(entry.first);
+        coverages.push_back(total);
+        if (total > peak_coverage) peak_coverage = total;
+    }
+
+    const double low_coverage_fraction = 0.10;
+    size_t start_idx = 0, end_idx = sorted_positions.size();
+    for (size_t i = 0; i < sorted_positions.size(); ++i) {
+        if (direction == DOWNSTREAM) {
+            if ((double)coverages[i]
+                < (double)peak_coverage * low_coverage_fraction)
+                start_idx = i;
+            else
+                break;
+        } else {
+            if ((double)coverages[i]
+                > (double)peak_coverage * low_coverage_fraction)
+                end_idx = i;
+        }
+    }
+    if (direction == UPSTREAM && end_idx != sorted_positions.size())
+        end_idx += 1;
+
+    bool intron_open = false, intron_closed = true;
+    auto it = pileup.begin();
+    std::advance(it, start_idx);
+    for (size_t i = start_idx; i < end_idx; ++i, ++it) {
+        int64_t pos = it->first;
+        if (i != start_idx && sorted_positions[i - 1] < pos - 1 && !intron_open) {
+            sequence += "...";
+            positions.insert(positions.end(), 3, -1);
+        }
+
+        char reference_base = (contig_seq != nullptr && pos < contig_len)
+                                  ? (char)contig_seq[pos] : 'N';
+        const std::string ref_str(1, reference_base);
+
+        const std::string *most_frequent_base = nullptr;
+        int64_t most_frequent_count = 0;
+        int64_t coverage = 0;
+        for (const auto &entry : it->second) {
+            const std::string &base = entry.first;
+            int64_t count = entry.second;
+            bool base_is_intron = base == "_" || base == ">" || base == "<";
+            bool mfb_is_intron =
+                most_frequent_base != nullptr
+                && (*most_frequent_base == "_" || *most_frequent_base == ">"
+                    || *most_frequent_base == "<");
+            if (most_frequent_base == nullptr || count > most_frequent_count
+                || (count == most_frequent_count
+                    && ((base == ref_str && !mfb_is_intron)
+                        || (base == "<" && *most_frequent_base != "_"
+                            && *most_frequent_base != ">")
+                        || base == "_" || base == ">"))) {
+                most_frequent_base = &base;
+                most_frequent_count = count;
+            }
+            if (!base_is_intron) coverage += count;
+        }
+
+        bool mfb_intron = most_frequent_base != nullptr
+                          && (*most_frequent_base == "_"
+                              || *most_frequent_base == ">"
+                              || *most_frequent_base == "<");
+        std::string mfb;
+        if ((mfb_intron && most_frequent_count >= coverage)
+            || (double)most_frequent_count >= 0.75 * (double)coverage
+            || (most_frequent_base != nullptr
+                && *most_frequent_base == ref_str))
+            mfb = most_frequent_base != nullptr ? *most_frequent_base
+                                                : std::string();
+        else
+            mfb = "?";
+
+        if (mfb == "_") {
+            if (!intron_open) {
+                sequence += "...___";
+                positions.insert(positions.end(), 6, -1);
+                intron_open = true;
+                intron_closed = false;
+            }
+        } else if (mfb == ">") {
+            if (!intron_open) {
+                sequence += "___";
+                positions.insert(positions.end(), 3, -1);
+                intron_open = true;
+                intron_closed = false;
+            }
+        } else if (mfb == "<") {
+            if (!intron_open) {
+                sequence += "...___";
+                positions.insert(positions.end(), 6, -1);
+            }
+            intron_open = true;
+            intron_closed = true;
+        } else {
+            if (!intron_closed) {
+                sequence += "...";
+                positions.insert(positions.end(), 3, -1);
+            }
+            intron_open = false;
+            intron_closed = true;
+
+            if (mfb.size() > 1 || (mfb != ref_str && reference_base != 'N'))
+                for (char &ch : mfb) ch = (char)tolower((unsigned char)ch);
+            if (mfb.size() > 1) {  // insertion
+                std::string bracketed = "[";
+                bracketed.append(mfb, 0, mfb.size() - 1);
+                bracketed += ']';
+                bracketed += mfb.back();
+                mfb = bracketed;
+                positions.insert(positions.end(), (size_t)mfb.size() - 1, -1);
+                if (toupper((unsigned char)mfb.back()) == reference_base)
+                    mfb.back() = (char)toupper((unsigned char)mfb.back());
+            }
+
+            if ((direction == UPSTREAM && pos < breakpoint)
+                || (direction == DOWNSTREAM && pos > breakpoint)) {
+                clipped += mfb;
+            } else {
+                sequence += mfb;
+                positions.push_back(pos);
+            }
+        }
+    }
+}
+
+}  // namespace
+
+// writer.py get_fusion_transcript_sequence:263-304 — the ten pileup passes
+// plus the non-template-base scan, all over the native store. Returns
+// (pileup1 dict, pileup2 dict, non_template_bases).
+PyObject *ev_transcript_pileups(PyObject *, PyObject *args) {
+    PyObject *split1_obj, *split2_obj, *discordant_obj;
+    int direction1, direction2;
+    long long breakpoint1, breakpoint2;
+    if (!PyArg_ParseTuple(args, "SSSiiLL", &split1_obj, &split2_obj,
+                          &discordant_obj, &direction1, &direction2,
+                          &breakpoint1, &breakpoint2))
+        return nullptr;
+    if (!cascade_store::cascade().ready) {
+        PyErr_SetString(PyExc_RuntimeError, "fragment store not populated");
+        return nullptr;
+    }
+    std::vector<int64_t> split1, split2, discordant;
+    if (!indices_from_bytes(split1_obj, split1)
+        || !indices_from_bytes(split2_obj, split2)
+        || !indices_from_bytes(discordant_obj, discordant))
+        return nullptr;
+
+    PileupMap pileup1, pileup2;
+    int64_t non_template_bases = 0;
+    build_transcript_pileups(split1, split2, discordant, direction1 != 0,
+                             direction2 != 0, breakpoint1, breakpoint2,
+                             pileup1, pileup2, non_template_bases);
 
     PyObject *dict1 = pileup_to_dict(pileup1);
     if (dict1 == nullptr) return nullptr;
@@ -3571,4 +3730,58 @@ PyObject *ev_transcript_pileups(PyObject *, PyObject *args) {
     if (dict2 == nullptr) { Py_DECREF(dict1); return nullptr; }
     return Py_BuildValue("(NNL)", dict1, dict2,
                          (long long)non_template_bases);
+}
+
+// the pileups AND both consensus sequences in one native call
+// (output_fusions.cpp:25-240; writer.py get_fusion_transcript_sequence +
+// get_sequence_from_pileup). Returns (sequence1, positions1 int64 bytes,
+// clipped1, sequence2, positions2 int64 bytes, clipped2,
+// non_template_bases).
+PyObject *ev_transcript_consensus(PyObject *, PyObject *args) {
+    PyObject *split1_obj, *split2_obj, *discordant_obj;
+    int direction1, direction2;
+    long long breakpoint1, breakpoint2, gene1, gene2;
+    if (!PyArg_ParseTuple(args, "SSSiiLLLL", &split1_obj, &split2_obj,
+                          &discordant_obj, &direction1, &direction2,
+                          &breakpoint1, &breakpoint2, &gene1, &gene2))
+        return nullptr;
+    if (!cascade_store::cascade().ready) {
+        PyErr_SetString(PyExc_RuntimeError, "fragment store not populated");
+        return nullptr;
+    }
+    std::vector<int64_t> split1, split2, discordant;
+    if (!indices_from_bytes(split1_obj, split1)
+        || !indices_from_bytes(split2_obj, split2)
+        || !indices_from_bytes(discordant_obj, discordant))
+        return nullptr;
+
+    PileupMap pileup1, pileup2;
+    int64_t non_template_bases = 0;
+    bool d1 = direction1 != 0, d2 = direction2 != 0;
+    build_transcript_pileups(split1, split2, discordant, d1, d2, breakpoint1,
+                             breakpoint2, pileup1, pileup2,
+                             non_template_bases);
+
+    std::string sequence1, clipped1, sequence2, clipped2;
+    std::vector<int64_t> positions1, positions2;
+    consensus_from_pileup(pileup1, breakpoint1, d1, gene1, sequence1,
+                          positions1, clipped1);
+    consensus_from_pileup(pileup2, breakpoint2, d2, gene2, sequence2,
+                          positions2, clipped2);
+
+    /* empty vector data() can be null and "y#" would yield None */
+    static const char empty[1] = {0};
+    const char *pos1_data = positions1.empty()
+                                ? empty : (const char *)positions1.data();
+    const char *pos2_data = positions2.empty()
+                                ? empty : (const char *)positions2.data();
+    return Py_BuildValue(
+        "(s#y#s#s#y#s#L)",
+        sequence1.data(), (Py_ssize_t)sequence1.size(),
+        pos1_data, (Py_ssize_t)(positions1.size() * 8),
+        clipped1.data(), (Py_ssize_t)clipped1.size(),
+        sequence2.data(), (Py_ssize_t)sequence2.size(),
+        pos2_data, (Py_ssize_t)(positions2.size() * 8),
+        clipped2.data(), (Py_ssize_t)clipped2.size(),
+        (long long)non_template_bases);
 }

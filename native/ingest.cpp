@@ -2447,6 +2447,7 @@ extern PyObject *extract_cluster_ids(PyObject *, PyObject *);
 extern PyObject *extract_release(PyObject *, PyObject *);
 extern PyObject *extract_fragment_filters(PyObject *, PyObject *);
 extern PyObject *ev_transcript_pileups(PyObject *, PyObject *);
+extern PyObject *ev_transcript_consensus(PyObject *, PyObject *);
 
 static PyMethodDef methods[] = {
     {"realign_reset", realign_reset, METH_NOARGS,
@@ -2571,6 +2572,8 @@ static PyMethodDef methods[] = {
      "Release the retained extraction store."},
     {"extract_fragment_filters", extract_fragment_filters, METH_NOARGS,
      "Per-fragment filter ids of the retained store as int64 bytes."},
+    {"ev_transcript_consensus", ev_transcript_consensus, METH_VARARGS,
+     "pileups + both consensus sequences over the native store"},
     {"ev_transcript_pileups", ev_transcript_pileups, METH_VARARGS,
      "Fusion-transcript pileups + non-template bases over the native store."},
     {"coverage_bind", coverage_bind, METH_VARARGS,
