@@ -247,42 +247,97 @@ def annotate_retained_protein_domains(contig: int, breakpoint: int,
 # reading frame & peptide
 
 
+_CODON_CLASS = None  # lazily-built 5x5x5 class table over {A,C,G,T,other}
+_BASE_CLASS = None
+
+
+def _codon_tables():
+    """Vectorized dna_to_protein: its rules only distinguish A/C/G/T vs
+    anything else per position, so a 125-entry class table reproduces it."""
+    global _CODON_CLASS, _BASE_CLASS
+    if _CODON_CLASS is not None:
+        return _CODON_CLASS, _BASE_CLASS
+    alphabet = "ACGTN"  # N represents every non-ACGT character
+    table = np.empty(125, dtype="<U1")
+    for i, b0 in enumerate(alphabet):
+        for j, b1 in enumerate(alphabet):
+            for k, b2 in enumerate(alphabet):
+                table[i * 25 + j * 5 + k] = dna_to_protein(b0 + b1 + b2)
+    base_class = np.full(256, 4, np.uint8)
+    for cls, chars in enumerate("ACGT"):
+        base_class[ord(chars)] = cls
+        base_class[ord(chars.lower())] = cls
+    _CODON_CLASS, _BASE_CLASS = table, base_class
+    return table, base_class
+
+
 def translate_reference_protein(exon_with_start_codon: Optional[int],
                                 annotation: Annotation,
                                 assembly: Assembly) -> Dict[int, str]:
     """annotate_protein_domains.cpp:192-211 — protein of the wild-type
-    transcript, keyed by genomic position of each codon's third base."""
+    transcript, keyed by genomic position of each codon's third base.
+    Vectorized: CDS bases of the exon chain are gathered into arrays and
+    translated through a codon-class table (same output as the per-base
+    walk, including the early-stop-codon warning)."""
     reference_protein: Dict[int, str] = {}
     if exon_with_start_codon is None:
         return reference_protein
     exons = annotation.exons
     genes = annotation.genes
     forward_strand = bool(genes.strand[int(exons.gene[exon_with_start_codon])]) == FORWARD
-    codon = ""
-    already_reported = False
+
+    base_parts = []
+    position_parts = []
+    interior_parts = []
+    exon_of_parts = []
     exon: Optional[int] = exon_with_start_codon
     while exon is not None and exon >= 0:
         contig_seq = assembly[int(exons.contig[exon])]
         crs = int(exons.coding_region_start[exon])
         cre = int(exons.coding_region_end[exon])
-        position = crs if forward_strand else cre
-        while position != -1 and crs <= position <= cre:
-            base = int(contig_seq[position])
-            codon += chr(base) if forward_strand else _complement_char(base)
-            if len(codon) == 3:
-                reference_protein[position] = dna_to_protein(codon)
-                codon = ""
-                if (not already_reported and crs < position < cre
-                        and reference_protein[position] == "*"):
-                    transcript = int(exons.transcript[exon])
-                    print(f"WARNING: encountered early stop codon in transcript "
-                          f"{annotation.transcripts.name[transcript]} at amino acid "
-                          f"{len(reference_protein)} (error in GTF file?) => predicted "
-                          f"peptide sequence may be wrong", file=sys.stderr)
-                    already_reported = True
-            position += 1 if forward_strand else -1
+        if crs != -1 and cre >= crs:
+            bases = np.asarray(contig_seq[crs:cre + 1])
+            positions = np.arange(crs, cre + 1, dtype=np.int64)
+            if not forward_strand:
+                bases = COMPLEMENT_LUT[bases][::-1]
+                positions = positions[::-1]
+            interior = (positions > crs) & (positions < cre)
+            base_parts.append(bases)
+            position_parts.append(positions)
+            interior_parts.append(interior)
+            exon_of_parts.append(np.full(len(positions), exon, np.int64))
         nxt = int(exons.next_exon[exon]) if forward_strand else int(exons.prev_exon[exon])
         exon = nxt if nxt >= 0 else None
+    if not base_parts:
+        return reference_protein
+
+    bases = np.concatenate(base_parts)
+    positions = np.concatenate(position_parts)
+    interior = np.concatenate(interior_parts)
+    exon_of = np.concatenate(exon_of_parts)
+    n_codons = len(bases) // 3
+    if n_codons == 0:
+        return reference_protein
+
+    table, base_class = _codon_tables()
+    classes = base_class[bases[:n_codons * 3]].reshape(n_codons, 3)
+    codon_index = classes[:, 0] * 25 + classes[:, 1] * 5 + classes[:, 2]
+    amino_acids = table[codon_index]
+    third_positions = positions[2:n_codons * 3:3]
+    reference_protein = dict(zip(third_positions.tolist(),
+                                 amino_acids.tolist()))
+
+    # a stop codon whose third base lies strictly inside an exon is "early"
+    # (the terminal stop sits on the exon boundary, so interior excludes it)
+    early = np.flatnonzero((amino_acids == "*")
+                           & interior[2:n_codons * 3:3])
+    if len(early):
+        first = int(early[0])
+        transcript = int(exons.transcript[int(exon_of[first * 3 + 2])])
+        print(f"WARNING: encountered early stop codon in transcript "
+              f"{annotation.transcripts.name[transcript]} at amino acid "
+              f"{first + 1} (error in GTF file?) => predicted "
+              f"peptide sequence may be wrong", file=sys.stderr)
     return reference_protein
 
 
