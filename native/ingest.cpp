@@ -1806,6 +1806,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     std::vector<Record> decoded;
                     std::vector<uint8_t> ok;
                     std::vector<uint16_t> shard;
+                    std::vector<std::vector<uint32_t>> by_shard;
                     size_t count = 0;
                 };
                 BamBatch buffers[2];
@@ -1814,6 +1815,8 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     batch.decoded.resize(BATCH);
                     batch.ok.resize(BATCH);
                     batch.shard.resize(BATCH);
+                    batch.by_shard.resize(n_shards);
+                    for (auto &list : batch.by_shard) list.reserve(BATCH);
                 }
                 bool eof = false;
                 auto read_batch = [&](BamBatch &batch) {
@@ -1841,6 +1844,8 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                 int cur = 0;
                 while (buffers[cur].count > 0) {
                     BamBatch &batch = buffers[cur];
+                    std::atomic<int> parsed{0};
+                    std::atomic<bool> partitioned{false};
                     std::vector<std::thread> pool;
                     for (int s = 0; s < n_shards; ++s)
                         pool.emplace_back([&, s]() {
@@ -1856,20 +1861,21 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                         % n_shards);
                                 }
                             }
-                        });
-                    /* overlap: read batch k+1 while the pool decodes batch k */
-                    if (!eof)
-                        read_batch(buffers[1 - cur]);
-                    else
-                        buffers[1 - cur].count = 0;
-                    for (std::thread &worker : pool)
-                        worker.join();
-                    std::vector<std::thread> handlers;
-                    for (int s = 0; s < n_shards; ++s)
-                        handlers.emplace_back([&, s]() {
-                            for (size_t i = 0; i < batch.count; ++i) {
-                                if (!batch.ok[i] || batch.shard[i] != s)
-                                    continue;
+                            if (parsed.fetch_add(1, std::memory_order_acq_rel)
+                                + 1 == n_shards) {
+                                for (auto &list : batch.by_shard) list.clear();
+                                for (size_t i = 0; i < batch.count; ++i)
+                                    if (batch.ok[i])
+                                        batch.by_shard[batch.shard[i]]
+                                            .push_back((uint32_t)i);
+                                partitioned.store(true,
+                                                  std::memory_order_release);
+                            } else {
+                                while (!partitioned.load(
+                                    std::memory_order_acquire))
+                                    std::this_thread::yield();
+                            }
+                            for (uint32_t i : batch.by_shard[s]) {
                                 std::string read_name(
                                     (const char *)batch.decoded[i]
                                         .bam_body.data() + 32);
@@ -1878,7 +1884,12 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                                       read_name);
                             }
                         });
-                    for (std::thread &worker : handlers)
+                    /* overlap: read batch k+1 while the pool works batch k */
+                    if (!eof)
+                        read_batch(buffers[1 - cur]);
+                    else
+                        buffers[1 - cur].count = 0;
+                    for (std::thread &worker : pool)
                         worker.join();
                     cur = 1 - cur;
                 }
@@ -1965,6 +1976,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     std::vector<Record> decoded;
                     std::vector<uint8_t> ok;
                     std::vector<uint16_t> shard;
+                    std::vector<std::vector<uint32_t>> by_shard;
                     size_t count = 0;
                 };
                 SamBatch buffers[2];
@@ -1973,6 +1985,8 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     batch.decoded.resize(BATCH);
                     batch.ok.resize(BATCH);
                     batch.shard.resize(BATCH);
+                    batch.by_shard.resize(n_shards);
+                    for (auto &list : batch.by_shard) list.reserve(BATCH);
                 }
                 bool eof = false;
                 auto read_batch = [&](SamBatch &batch) {
@@ -1997,6 +2011,12 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                 int cur = 0;
                 while (buffers[cur].count > 0) {
                     SamBatch &batch = buffers[cur];
+                    /* one pool per batch: each worker parses its stride,
+                     * spins on a yield-barrier, then handles its shard; the
+                     * main thread reads batch k+1 under BOTH phases (the
+                     * shard cap leaves it a core) */
+                    std::atomic<int> parsed{0};
+                    std::atomic<bool> partitioned{false};
                     std::vector<std::thread> pool;
                     for (int s = 0; s < n_shards; ++s)
                         pool.emplace_back([&, s]() {
@@ -2014,26 +2034,36 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                         % n_shards);
                                 }
                             }
-                        });
-                    /* overlap: read batch k+1 while the pool parses batch k */
-                    if (!eof)
-                        read_batch(buffers[1 - cur]);
-                    else
-                        buffers[1 - cur].count = 0;
-                    for (std::thread &worker : pool)
-                        worker.join();
-                    std::vector<std::thread> handlers;
-                    for (int s = 0; s < n_shards; ++s)
-                        handlers.emplace_back([&, s]() {
-                            for (size_t i = 0; i < batch.count; ++i) {
-                                if (!batch.ok[i] || batch.shard[i] != s)
-                                    continue;
+                            /* last worker to arrive partitions the batch into
+                             * per-shard index lists so handlers touch only
+                             * their own records */
+                            if (parsed.fetch_add(1, std::memory_order_acq_rel)
+                                + 1 == n_shards) {
+                                for (auto &list : batch.by_shard) list.clear();
+                                for (size_t i = 0; i < batch.count; ++i)
+                                    if (batch.ok[i])
+                                        batch.by_shard[batch.shard[i]]
+                                            .push_back((uint32_t)i);
+                                partitioned.store(true,
+                                                  std::memory_order_release);
+                            } else {
+                                while (!partitioned.load(
+                                    std::memory_order_acquire))
+                                    std::this_thread::yield();
+                            }
+                            for (uint32_t i : batch.by_shard[s]) {
                                 size_t name_end = batch.lines[i].find('\t');
                                 handle_record_extract(
                                     shard_sc[s], shard_ex[s], batch.decoded[i],
                                     batch.lines[i].substr(0, name_end));
                             }
                         });
+                    if (!eof)
+                        read_batch(buffers[1 - cur]);
+                    else
+                        buffers[1 - cur].count = 0;
+                    for (std::thread &worker : pool)
+                        worker.join();
                     for (size_t i = 0; i < batch.count; ++i) {
                         if (batch.ok[i]) continue;
                         scanner.forwarded += batch.lines[i];
@@ -2041,8 +2071,6 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                         forwarded_records += 1;
                         scanner.n_records += 1;
                     }
-                    for (std::thread &worker : handlers)
-                        worker.join();
                     cur = 1 - cur;
                 }
             } else {
