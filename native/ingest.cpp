@@ -93,6 +93,12 @@ struct Scanner {
     long n_records = 0;
     std::string forwarded;
     std::unordered_map<std::string, Record> collated;
+    /* one-slot cache in front of `collated`: STAR writes mates adjacently,
+     * so most pairs complete without ever touching the map (same pairing
+     * semantics — the slot spills into the map when displaced) */
+    bool has_pending = false;
+    std::string pending_name;
+    Record pending;
 };
 
 inline void coverage_increment(uint16_t *slot, bool atomic) {
@@ -827,13 +833,24 @@ void handle_record_extract(Scanner &scanner, Extractor &extractor,
     }
 
     if (record.flag & FPAIRED) {
-        auto found = scanner.collated.find(read_name);
-        if (found == scanner.collated.end()) {
-            scanner.collated.emplace(std::move(read_name), std::move(record));
-            return;
+        Record mate;
+        if (scanner.has_pending && scanner.pending_name == read_name) {
+            mate = std::move(scanner.pending);
+            scanner.has_pending = false;
+        } else {
+            auto found = scanner.collated.find(read_name);
+            if (found == scanner.collated.end()) {
+                if (scanner.has_pending)
+                    scanner.collated.emplace(std::move(scanner.pending_name),
+                                             std::move(scanner.pending));
+                scanner.pending_name = std::move(read_name);
+                scanner.pending = std::move(record);
+                scanner.has_pending = true;
+                return;
+            }
+            mate = std::move(found->second);
+            scanner.collated.erase(found);
         }
-        Record mate = std::move(found->second);
-        scanner.collated.erase(found);
         if (pair_is_boring(scanner, record, mate)) {
             /* mapped reads already counted at arrival; coverage + viral */
             if (record.tid >= 0 && record.tid < (int)scanner.viral.size() &&
@@ -994,11 +1011,14 @@ bool normalize_fragment(FragmentData &fragment) {
 
 /* ---- SAM text parsing --------------------------------------------------- */
 
-bool parse_sam_line(const std::string &line, Record &record,
-                    bool keep_line = true) {
+/* pointer-slice SAM parser: `data` need not be NUL-terminated at data+n
+ * (numeric fields always end at a tab/newline/NUL within the enclosing
+ * buffer, which terminates atoi/atoll) */
+bool parse_sam_view(const char *data, size_t n, Record &record,
+                    bool keep_line) {
     /* the raw line is only needed when records may be forwarded as text
      * (non-extract mode); the extraction path skips the 100-byte copy */
-    if (keep_line) record.line = line;
+    if (keep_line) record.line.assign(data, n);
     else record.line.clear();
     record.cigar.clear();
     record.has_sa = false;
@@ -1009,36 +1029,37 @@ bool parse_sam_line(const std::string &line, Record &record,
     size_t field_start = 0;
     int field_index = 0;
     int64_t ref_consumed = 0;
-    size_t n = line.size();
     std::string cigar_text;
     std::string rname, rnext;
     record.seq.clear();
     while (field_start <= n) {
-        size_t tab = line.find('\t', field_start);
-        size_t field_end = (tab == std::string::npos) ? n : tab;
+        const char *tab_pos = (const char *)memchr(data + field_start, '\t',
+                                                   n - field_start);
+        bool has_tab = tab_pos != nullptr;
+        size_t field_end = has_tab ? (size_t)(tab_pos - data) : n;
         switch (field_index) {
-            case 1: record.flag = (uint16_t)atoi(line.c_str() + field_start); break;
-            case 2: rname.assign(line, field_start, field_end - field_start); break;
-            case 3: record.pos = atoll(line.c_str() + field_start) - 1; break;
-            case 5: cigar_text.assign(line, field_start, field_end - field_start); break;
-            case 6: rnext.assign(line, field_start, field_end - field_start); break;
-            case 9: record.seq.assign(line, field_start, field_end - field_start); break;
+            case 1: record.flag = (uint16_t)atoi(data + field_start); break;
+            case 2: rname.assign(data + field_start, field_end - field_start); break;
+            case 3: record.pos = atoll(data + field_start) - 1; break;
+            case 5: cigar_text.assign(data + field_start, field_end - field_start); break;
+            case 6: rnext.assign(data + field_start, field_end - field_start); break;
+            case 9: record.seq.assign(data + field_start, field_end - field_start); break;
             default:
                 if (field_index >= 11 && field_end - field_start >= 5 &&
-                    line[field_start] == 'S' && line[field_start + 1] == 'A' &&
-                    line[field_start + 2] == ':')
+                    data[field_start] == 'S' && data[field_start + 1] == 'A' &&
+                    data[field_start + 2] == ':')
                     record.has_sa = true;
                 if (field_index >= 11 && field_end - field_start >= 6 &&
-                    line[field_start] == 'H' && line[field_start + 1] == 'I' &&
-                    line[field_start + 2] == ':' && line[field_start + 3] == 'i' &&
-                    line[field_start + 4] == ':') {
+                    data[field_start] == 'H' && data[field_start + 1] == 'I' &&
+                    data[field_start + 2] == ':' && data[field_start + 3] == 'i' &&
+                    data[field_start + 4] == ':') {
                     record.hi_present = true;
-                    record.hi_value = atoll(line.c_str() + field_start + 5);
+                    record.hi_value = atoll(data + field_start + 5);
                 }
         }
         field_index++;
-        if (tab == std::string::npos) break;
-        field_start = tab + 1;
+        if (!has_tab) break;
+        field_start = field_end + 1;
     }
     if (field_index < 11)
         return false;
@@ -1066,6 +1087,11 @@ bool parse_sam_line(const std::string &line, Record &record,
     record.mtid = -2;
     (void)rname; (void)rnext;
     return true;
+}
+
+bool parse_sam_line(const std::string &line, Record &record,
+                    bool keep_line = true) {
+    return parse_sam_view(line.c_str(), line.size(), record, keep_line);
 }
 
 /* ---- gzip line reader --------------------------------------------------- */
@@ -1114,6 +1140,52 @@ public:
                 continue;
             }
             end_ = (size_t)got;
+        }
+    }
+};
+
+/* block reader for the sharded SAM scan: whole-line chunks with zero
+ * per-line copies (workers parse string_view slices of the chunk) */
+class GzChunkReader {
+    gzFile gz_;
+    bool eof_ = false;
+    bool corrupt_ = false;
+    std::string carry_;  /* partial trailing line of the previous chunk */
+
+public:
+    explicit GzChunkReader(gzFile gz) : gz_(gz) {}
+    bool corrupt() const { return corrupt_; }
+    bool exhausted() const { return eof_ && carry_.empty(); }
+
+    /* fill `data` with complete lines totalling ~target bytes; returns
+     * false when the stream is fully consumed */
+    bool next_chunk(std::string &data, size_t target) {
+        data.assign(carry_);
+        carry_.clear();
+        for (;;) {
+            while (data.size() < target && !eof_) {
+                size_t old = data.size();
+                data.resize(old + (1 << 20));
+                int got = gzread(gz_, &data[old], 1 << 20);
+                if (got <= 0) {
+                    data.resize(old);
+                    eof_ = true;
+                    corrupt_ = corrupt_ || gz_stream_corrupt(gz_, got);
+                    break;
+                }
+                data.resize(old + (size_t)got);
+            }
+            if (eof_)
+                return !data.empty();
+            size_t cut = data.rfind('\n');
+            if (cut == std::string::npos) {
+                /* a single line longer than the target: keep growing */
+                target *= 2;
+                continue;
+            }
+            carry_.assign(data, cut + 1, std::string::npos);
+            data.resize(cut + 1);
+            return true;
         }
     }
 };
@@ -1967,12 +2039,17 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
              * pool, handled sequentially in order */
             const size_t BATCH = 32768;
             if (n_shards > 0) {
-                /* double-buffered shard pipeline: the main thread reads batch
-                 * k+1 while the pool parses (strided) and handles (by
-                 * read-name shard) batch k; one spawn per batch with an
-                 * internal yield-barrier between the two phases */
+                /* double-buffered shard pipeline over whole-line CHUNKS: the
+                 * reader thread fills an ~8 MB chunk (zero per-line copies),
+                 * workers parse string_view slices (strided), the last
+                 * worker at the yield-barrier partitions records into
+                 * per-shard index lists, then each worker handles only its
+                 * own shard; the reader overlaps the next chunk under both
+                 * phases */
+                const size_t CHUNK = 8u << 20;
                 struct SamBatch {
-                    std::vector<std::string> lines;
+                    std::string data;
+                    std::vector<std::pair<uint32_t, uint32_t>> spans;
                     std::vector<Record> decoded;
                     std::vector<uint8_t> ok;
                     std::vector<uint16_t> shard;
@@ -1981,62 +2058,111 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                 };
                 SamBatch buffers[2];
                 for (SamBatch &batch : buffers) {
-                    batch.lines.resize(BATCH);
-                    batch.decoded.resize(BATCH);
-                    batch.ok.resize(BATCH);
-                    batch.shard.resize(BATCH);
+                    batch.data.reserve(CHUNK + (1 << 20));
                     batch.by_shard.resize(n_shards);
-                    for (auto &list : batch.by_shard) list.reserve(BATCH);
                 }
-                bool eof = false;
+                GzChunkReader chunk_reader(gz);
+                bool done = false;
+
+                auto resolve_tid_view = [&](const char *data, size_t n,
+                                            int field) -> int32_t {
+                    size_t start = 0;
+                    for (int i = 0; i < field; ++i) {
+                        const char *tab = (const char *)memchr(
+                            data + start, '\t', n - start);
+                        if (tab == nullptr) return -1;
+                        start = (size_t)(tab - data) + 1;
+                    }
+                    const char *tab = (const char *)memchr(data + start, '\t',
+                                                           n - start);
+                    size_t end = tab ? (size_t)(tab - data) : n;
+                    std::string name(data + start, end - start);
+                    if (name == "*") return -1;
+                    if (name == "=") return -2;
+                    auto it = name_to_tid.find(name);
+                    return it == name_to_tid.end() ? -1 : it->second;
+                };
+
                 auto read_batch = [&](SamBatch &batch) {
                     batch.count = 0;
-                    while (batch.count < BATCH) {
-                        if (!reader.next_line(batch.lines[batch.count])) {
-                            eof = true;
-                            break;
-                        }
-                        const std::string &line = batch.lines[batch.count];
-                        if (line.empty())
+                    batch.spans.clear();
+                    if (done || !chunk_reader.next_chunk(batch.data, CHUNK)) {
+                        done = true;
+                        return;
+                    }
+                    const char *base = batch.data.data();
+                    size_t n = batch.data.size();
+                    size_t pos = 0;
+                    while (pos < n) {
+                        const char *nl = (const char *)memchr(base + pos, '\n',
+                                                              n - pos);
+                        size_t end = nl ? (size_t)(nl - base) : n;
+                        size_t len = end - pos;
+                        if (len > 0 && base[pos + len - 1] == '\r') len -= 1;
+                        if (len == 0) {
+                            pos = end + 1;
                             continue;
-                        if (line[0] == '@') {
-                            header_text += line;
+                        }
+                        if (base[pos] == '@') {
+                            header_text.append(base + pos, len);
                             header_text += '\n';
+                            pos = end + 1;
                             continue;
                         }
-                        batch.count += 1;
+                        batch.spans.emplace_back((uint32_t)pos, (uint32_t)len);
+                        pos = end + 1;
+                    }
+                    batch.count = batch.spans.size();
+                    if (batch.decoded.size() < batch.count) {
+                        batch.decoded.resize(batch.count);
+                        batch.ok.resize(batch.count);
+                        batch.shard.resize(batch.count);
                     }
                 };
+
+                const bool timing =
+                    getenv("ARRIBA_TPU_SCAN_TIMING") != nullptr;
+                auto now = []() {
+                    struct timespec ts;
+                    clock_gettime(CLOCK_MONOTONIC, &ts);
+                    return ts.tv_sec + ts.tv_nsec * 1e-9;
+                };
+                double t_read = 0, t_pool = 0, t_parse0 = 0, t_handle0 = 0,
+                       t_barrier0 = 0;
+                double t_start = timing ? now() : 0;
                 read_batch(buffers[0]);
+                if (timing) t_read += now() - t_start;
                 int cur = 0;
                 while (buffers[cur].count > 0) {
                     SamBatch &batch = buffers[cur];
-                    /* one pool per batch: each worker parses its stride,
-                     * spins on a yield-barrier, then handles its shard; the
-                     * main thread reads batch k+1 under BOTH phases (the
-                     * shard cap leaves it a core) */
                     std::atomic<int> parsed{0};
                     std::atomic<bool> partitioned{false};
+                    double t_pool_start = timing ? now() : 0;
                     std::vector<std::thread> pool;
                     for (int s = 0; s < n_shards; ++s)
                         pool.emplace_back([&, s]() {
+                            double w0 = (timing && s == 0) ? now() : 0;
+                            const char *base = batch.data.data();
                             for (size_t i = s; i < batch.count; i += n_shards) {
-                                batch.ok[i] = parse_sam_line(
-                                    batch.lines[i], batch.decoded[i],
+                                const char *line = base + batch.spans[i].first;
+                                size_t len = batch.spans[i].second;
+                                batch.ok[i] = parse_sam_view(
+                                    line, len, batch.decoded[i],
                                     !extractor.enabled) ? 1 : 0;
                                 if (batch.ok[i]) {
                                     batch.decoded[i].tid =
-                                        resolve_tid(batch.lines[i], 2);
-                                    size_t name_end = batch.lines[i].find('\t');
+                                        resolve_tid_view(line, len, 2);
+                                    const char *tab = (const char *)memchr(
+                                        line, '\t', len);
+                                    size_t name_end =
+                                        tab ? (size_t)(tab - line) : len;
                                     batch.shard[i] = (uint16_t)(
-                                        shard_hash(std::string_view(
-                                            batch.lines[i].data(), name_end))
+                                        shard_hash(std::string_view(line,
+                                                                    name_end))
                                         % n_shards);
                                 }
                             }
-                            /* last worker to arrive partitions the batch into
-                             * per-shard index lists so handlers touch only
-                             * their own records */
+                            double w1 = (timing && s == 0) ? now() : 0;
                             if (parsed.fetch_add(1, std::memory_order_acq_rel)
                                 + 1 == n_shards) {
                                 for (auto &list : batch.by_shard) list.clear();
@@ -2051,28 +2177,53 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                     std::memory_order_acquire))
                                     std::this_thread::yield();
                             }
+                            double w2 = (timing && s == 0) ? now() : 0;
                             for (uint32_t i : batch.by_shard[s]) {
-                                size_t name_end = batch.lines[i].find('\t');
+                                const char *line = base + batch.spans[i].first;
+                                size_t len = batch.spans[i].second;
+                                const char *tab = (const char *)memchr(
+                                    line, '\t', len);
+                                size_t name_end =
+                                    tab ? (size_t)(tab - line) : len;
                                 handle_record_extract(
                                     shard_sc[s], shard_ex[s], batch.decoded[i],
-                                    batch.lines[i].substr(0, name_end));
+                                    std::string(line, name_end));
+                            }
+                            if (timing && s == 0) {
+                                double w3 = now();
+                                t_parse0 += w1 - w0;
+                                t_barrier0 += w2 - w1;
+                                t_handle0 += w3 - w2;
                             }
                         });
-                    if (!eof)
+                    double t_read_start = timing ? now() : 0;
+                    if (!done)
                         read_batch(buffers[1 - cur]);
                     else
                         buffers[1 - cur].count = 0;
+                    if (timing) t_read += now() - t_read_start;
                     for (std::thread &worker : pool)
                         worker.join();
+                    if (timing) t_pool += now() - t_pool_start;
                     for (size_t i = 0; i < batch.count; ++i) {
                         if (batch.ok[i]) continue;
-                        scanner.forwarded += batch.lines[i];
+                        scanner.forwarded.append(
+                            batch.data.data() + batch.spans[i].first,
+                            batch.spans[i].second);
                         scanner.forwarded += '\n';
                         forwarded_records += 1;
                         scanner.n_records += 1;
                     }
                     cur = 1 - cur;
                 }
+                if (timing)
+                    fprintf(stderr,
+                            "sharded scan timing: pool=%.2fs read=%.2fs "
+                            "worker0: parse=%.2fs barrier=%.2fs "
+                            "handle=%.2fs\n",
+                            t_pool, t_read, t_parse0, t_barrier0, t_handle0);
+                if (chunk_reader.corrupt() && stream_error.empty())
+                    stream_error = "corrupt gzip stream in SAM input";
             } else {
             std::vector<std::string> lines(BATCH);
             std::vector<Record> decoded(BATCH);
