@@ -904,7 +904,8 @@ class EventCascade:
     def homologs(self) -> int:
         from .homologs import filter_homologs
         return self._dispatch(
-            "ev_homologs", (float(self.options.max_homolog_identity),),
+            "ev_homologs", (float(self.options.max_homolog_identity),
+                            int(self.options.threads)),
             filter_homologs,
             (self.fusions, self._kmer_indices or {}, 8, self.state.assembly,
              self.genes, self.options.max_homolog_identity))
@@ -914,7 +915,7 @@ class EventCascade:
         return self._dispatch(
             "ev_mismappers",
             (float(self.options.max_mismapper_fraction),
-             int(self.state.max_mate_gap)),
+             int(self.state.max_mate_gap), int(self.options.threads)),
             filter_mismappers,
             (self.fusions, self.ca, self._kmer_indices or {}, 8,
              self.state.assembly, self.genes, self.exons, self.exon_index,

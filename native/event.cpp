@@ -2553,7 +2553,9 @@ bool ev_is_homolog(int64_t gene1, int64_t gene2, double max_identity_fraction,
 // filter_homologs.cpp:65-140 (homologs.py:96-147)
 PyObject *ev_homologs(PyObject *, PyObject *args) {
     double max_identity_fraction;
-    if (!PyArg_ParseTuple(args, "d", &max_identity_fraction)) return nullptr;
+    int threads = 1;
+    if (!PyArg_ParseTuple(args, "d|i", &max_identity_fraction, &threads))
+        return nullptr;
     if (!require_ready()) return nullptr;
     Store &s = event_store::store();
     const int64_t homologs_id = fid(event_store::F_HOMOLOGS);
@@ -2565,13 +2567,64 @@ PyObject *ev_homologs(PyObject *, PyObject *args) {
         if (f.filter == 0) remaining_fusions.push_back(&f);
     std::reverse(remaining_fusions.begin(), remaining_fusions.end());
 
-    std::vector<uint8_t> scratch;
+    // is_homolog is a pure function of a gene pair; precompute every pair
+    // the (order-dependent) arbitration loop below could query, in
+    // parallel, then run the loop against the cache — identical outcomes
+    std::map<std::pair<int64_t, int64_t>, bool> homolog_cache;
+    {
+        for (const EventFusion *fp : remaining_fusions)
+            homolog_cache[{fp->gene1, fp->gene2}] = false;
+        for (size_t i = 0; i < remaining_fusions.size(); ++i)
+            for (size_t j = i + 1; j < remaining_fusions.size(); ++j) {
+                const EventFusion &a = *remaining_fusions[i];
+                const EventFusion &b = *remaining_fusions[j];
+                if (a.gene1 == b.gene1 && a.breakpoint2 != b.breakpoint2)
+                    homolog_cache[{a.gene2, b.gene2}] = false;
+                else if (a.gene1 == b.gene2 && a.breakpoint2 != b.breakpoint1)
+                    homolog_cache[{a.gene2, b.gene1}] = false;
+                else if (a.gene2 == b.gene1 && a.breakpoint1 != b.breakpoint2)
+                    homolog_cache[{a.gene1, b.gene2}] = false;
+                else if (a.gene2 == b.gene2 && a.breakpoint1 != b.breakpoint1)
+                    homolog_cache[{a.gene1, b.gene1}] = false;
+            }
+        std::vector<std::pair<int64_t, int64_t>> keys;
+        keys.reserve(homolog_cache.size());
+        for (const auto &entry : homolog_cache) keys.push_back(entry.first);
+        std::vector<uint8_t> results(keys.size(), 0);
+        int workers = std::min((size_t)(threads > 1 ? threads : 1),
+                               keys.size());
+        if (workers <= 1) {
+            std::vector<uint8_t> pair_scratch;
+            for (size_t k = 0; k < keys.size(); ++k)
+                results[k] = ev_is_homolog(keys[k].first, keys[k].second,
+                                           max_identity_fraction,
+                                           pair_scratch);
+        } else {
+            std::vector<std::thread> pool;
+            pool.reserve(workers);
+            for (int w = 0; w < workers; ++w)
+                pool.emplace_back([&, w]() {
+                    std::vector<uint8_t> pair_scratch;
+                    for (size_t k = w; k < keys.size(); k += workers)
+                        results[k] = ev_is_homolog(keys[k].first,
+                                                   keys[k].second,
+                                                   max_identity_fraction,
+                                                   pair_scratch);
+                });
+            for (std::thread &worker : pool) worker.join();
+        }
+        for (size_t k = 0; k < keys.size(); ++k)
+            homolog_cache[keys[k]] = results[k] != 0;
+    }
+    auto cached_is_homolog = [&](int64_t gene1, int64_t gene2) {
+        return homolog_cache.at({gene1, gene2});
+    };
+
     for (size_t i = 0; i < remaining_fusions.size(); ++i) {
         EventFusion &fusion = *remaining_fusions[i];
         if (fusion.filter != 0) continue;
 
-        if (ev_is_homolog(fusion.gene1, fusion.gene2, max_identity_fraction,
-                          scratch)) {
+        if (cached_is_homolog(fusion.gene1, fusion.gene2)) {
             fusion.filter = homologs_id;
             continue;
         }
@@ -2606,8 +2659,7 @@ PyObject *ev_homologs(PyObject *, PyObject *args) {
             int anchor2 = (other.split_reads1 > 0) + (other.split_reads2 > 0)
                           + (other.discordant_mates > 0);
 
-            if (ev_is_homolog(homolog1, homolog2, max_identity_fraction,
-                              scratch)) {
+            if (cached_is_homolog(homolog1, homolog2)) {
                 if (anchor1 > anchor2
                     || (anchor1 == anchor2
                         && fusion.supporting_reads() > other.supporting_reads())
@@ -2761,10 +2813,80 @@ int64_t count_mismappers_native(const std::vector<int64_t> &read_list,
 }  // namespace
 
 // filter_mismappers.cpp:272-359 (mismappers.py:353-437)
+// one fragment's realignment verdict: a pure function of the fragment and
+// the fusion's same_contig flag (reads only the k-mer index/gene tables),
+// so the per-(fragment, same_contig) evaluations can run on any thread in
+// any order — the final filter state is the OR over the fusions that would
+// have evaluated it, identical to the serial first-hit loop
+bool mismapper_verdict(const Fragment &fragment, bool same_contig,
+                       long long max_mate_gap, double min_align_fraction,
+                       double min_extended_align_fraction,
+                       std::vector<uint8_t> &rc_scratch) {
+    if (fragment.n_mates == 3) {  // split read
+        const Mate &split_read = fragment.mates[SPLIT_READ];
+        const Mate &supplementary = fragment.mates[SUPPLEMENTARY];
+        const Mate &mate1 = fragment.mates[MATE1];
+
+        const uint8_t *clipped_seq;
+        Py_ssize_t clipped_len;
+        const uint8_t *mate1_seq;
+        Py_ssize_t mate1_len;
+        if (split_read.strand == FORWARD) {
+            clipped_seq = (const uint8_t *)split_read.seq;
+            clipped_len = split_read.preclipping();
+            mate1_seq = (const uint8_t *)mate1.seq + mate1.preclipping();
+            mate1_len = mate1.seq_len - mate1.preclipping();
+        } else {
+            clipped_seq = (const uint8_t *)split_read.seq
+                          + (split_read.seq_len - split_read.postclipping());
+            clipped_len = split_read.postclipping();
+            mate1_seq = (const uint8_t *)mate1.seq;
+            mate1_len = mate1.seq_len - mate1.postclipping();
+        }
+
+        return extend_split_read_native(split_read,
+                                        min_extended_align_fraction)
+               || align_both_strands_native(
+                      clipped_seq, clipped_len, split_read.seq_len,
+                      max_mate_gap, same_contig, supplementary.start,
+                      supplementary.end, split_read.genes,
+                      split_read.n_genes, min_align_fraction, rc_scratch)
+               || align_both_strands_native(
+                      mate1_seq, mate1_len, mate1.seq_len, max_mate_gap,
+                      same_contig, mate1.start, mate1.end,
+                      supplementary.genes, supplementary.n_genes,
+                      min_align_fraction, rc_scratch);
+    }
+    const Mate &mate1 = fragment.mates[MATE1];
+    const Mate &mate2 = fragment.mates[MATE2];
+    double clipped_fraction1 =
+        (double)(mate1.preclipping() + mate1.postclipping())
+        / (double)mate1.seq_len;
+    double clipped_fraction2 =
+        (double)(mate2.preclipping() + mate2.postclipping())
+        / (double)mate2.seq_len;
+    return align_both_strands_native(
+               (const uint8_t *)mate1.seq, mate1.seq_len, mate1.seq_len,
+               max_mate_gap, same_contig, mate1.start, mate1.end,
+               mate2.genes, mate2.n_genes,
+               std::min(min_align_fraction,
+                        min_align_fraction * (1 - clipped_fraction1)),
+               rc_scratch)
+           || align_both_strands_native(
+                  (const uint8_t *)mate2.seq, mate2.seq_len, mate2.seq_len,
+                  max_mate_gap, same_contig, mate2.start, mate2.end,
+                  mate1.genes, mate1.n_genes,
+                  std::min(min_align_fraction,
+                           min_align_fraction * (1 - clipped_fraction2)),
+                  rc_scratch);
+}
+
 PyObject *ev_mismappers(PyObject *, PyObject *args) {
     double max_mismapper_fraction;
     long long max_mate_gap;
-    if (!PyArg_ParseTuple(args, "dL", &max_mismapper_fraction, &max_mate_gap))
+    int threads = 1;
+    if (!PyArg_ParseTuple(args, "dL|i", &max_mismapper_fraction,
+                          &max_mate_gap, &threads))
         return nullptr;
     if (!require_ready()) return nullptr;
     Store &s = event_store::store();
@@ -2773,85 +2895,50 @@ PyObject *ev_mismappers(PyObject *, PyObject *args) {
     const double min_extended_align_fraction = 0.7;
     const int64_t mismappers_id = fid(event_store::F_MISMAPPERS);
 
-    std::vector<uint8_t> rc_scratch;
+    // gather distinct (fragment, same_contig) work items in fusion order
+    struct WorkItem { int64_t index; bool same_contig; };
+    std::vector<WorkItem> work;
+    std::unordered_map<int64_t, uint8_t> seen;  // bit0: false, bit1: true
     for (const EventFusion &f : s.fusions) {
         if (f.filter != 0) continue;
         bool same_contig = f.contig1 == f.contig2;
-
-        // re-align split reads
-        for (int which = 0; which < 2; ++which) {
-            const std::vector<int64_t> &list =
-                which == 0 ? f.split_read1_list : f.split_read2_list;
-            for (int64_t index : list) {
-                Fragment &fragment = c.fragments[index];
-                if (fragment.filter != 0) continue;
-                const Mate &split_read = fragment.mates[SPLIT_READ];
-                const Mate &supplementary = fragment.mates[SUPPLEMENTARY];
-                const Mate &mate1 = fragment.mates[MATE1];
-
-                const uint8_t *clipped_seq;
-                Py_ssize_t clipped_len;
-                const uint8_t *mate1_seq;
-                Py_ssize_t mate1_len;
-                if (split_read.strand == FORWARD) {
-                    clipped_seq = (const uint8_t *)split_read.seq;
-                    clipped_len = split_read.preclipping();
-                    mate1_seq = (const uint8_t *)mate1.seq + mate1.preclipping();
-                    mate1_len = mate1.seq_len - mate1.preclipping();
-                } else {
-                    clipped_seq = (const uint8_t *)split_read.seq
-                                  + (split_read.seq_len
-                                     - split_read.postclipping());
-                    clipped_len = split_read.postclipping();
-                    mate1_seq = (const uint8_t *)mate1.seq;
-                    mate1_len = mate1.seq_len - mate1.postclipping();
-                }
-
-                if (extend_split_read_native(split_read,
-                                             min_extended_align_fraction)
-                    || align_both_strands_native(
-                           clipped_seq, clipped_len, split_read.seq_len,
-                           max_mate_gap, same_contig, supplementary.start,
-                           supplementary.end, split_read.genes,
-                           split_read.n_genes, min_align_fraction, rc_scratch)
-                    || align_both_strands_native(
-                           mate1_seq, mate1_len, mate1.seq_len, max_mate_gap,
-                           same_contig, mate1.start, mate1.end,
-                           supplementary.genes, supplementary.n_genes,
-                           min_align_fraction, rc_scratch))
-                    fragment.filter = mismappers_id;
+        uint8_t bit = same_contig ? 2 : 1;
+        for (const std::vector<int64_t> *list :
+             {&f.split_read1_list, &f.split_read2_list, &f.discordant_list})
+            for (int64_t index : *list) {
+                if (c.fragments[index].filter != 0) continue;
+                uint8_t &mask = seen[index];
+                if (mask & bit) continue;
+                mask |= bit;
+                work.push_back({index, same_contig});
             }
-        }
-
-        // re-align discordant mates
-        for (int64_t index : f.discordant_list) {
-            Fragment &fragment = c.fragments[index];
-            if (fragment.filter != 0) continue;
-            const Mate &mate1 = fragment.mates[MATE1];
-            const Mate &mate2 = fragment.mates[MATE2];
-            double clipped_fraction1 =
-                (double)(mate1.preclipping() + mate1.postclipping())
-                / (double)mate1.seq_len;
-            double clipped_fraction2 =
-                (double)(mate2.preclipping() + mate2.postclipping())
-                / (double)mate2.seq_len;
-            if (align_both_strands_native(
-                    (const uint8_t *)mate1.seq, mate1.seq_len, mate1.seq_len,
-                    max_mate_gap, same_contig, mate1.start, mate1.end,
-                    mate2.genes, mate2.n_genes,
-                    std::min(min_align_fraction,
-                             min_align_fraction * (1 - clipped_fraction1)),
-                    rc_scratch)
-                || align_both_strands_native(
-                       (const uint8_t *)mate2.seq, mate2.seq_len, mate2.seq_len,
-                       max_mate_gap, same_contig, mate2.start, mate2.end,
-                       mate1.genes, mate1.n_genes,
-                       std::min(min_align_fraction,
-                                min_align_fraction * (1 - clipped_fraction2)),
-                       rc_scratch))
-                fragment.filter = mismappers_id;
-        }
     }
+
+    std::vector<uint8_t> verdicts(work.size(), 0);
+    int workers = std::min((size_t)std::max(threads, 1), work.size());
+    if (workers <= 1) {
+        std::vector<uint8_t> rc_scratch;
+        for (size_t i = 0; i < work.size(); ++i)
+            verdicts[i] = mismapper_verdict(
+                c.fragments[work[i].index], work[i].same_contig, max_mate_gap,
+                min_align_fraction, min_extended_align_fraction, rc_scratch);
+    } else {
+        std::vector<std::thread> pool;
+        pool.reserve(workers);
+        for (int w = 0; w < workers; ++w)
+            pool.emplace_back([&, w]() {
+                std::vector<uint8_t> rc_scratch;
+                for (size_t i = w; i < work.size(); i += workers)
+                    verdicts[i] = mismapper_verdict(
+                        c.fragments[work[i].index], work[i].same_contig,
+                        max_mate_gap, min_align_fraction,
+                        min_extended_align_fraction, rc_scratch);
+            });
+        for (std::thread &worker : pool) worker.join();
+    }
+    for (size_t i = 0; i < work.size(); ++i)
+        if (verdicts[i])
+            c.fragments[work[i].index].filter = mismappers_id;
 
     // discard all fusions with more than max_mismapper_fraction mismappers
     int64_t remaining = 0;
