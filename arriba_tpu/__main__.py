@@ -1,8 +1,16 @@
 """`python -m arriba_tpu` — the command-line entry point."""
 
+import os
 import sys
 
-from .cli import main
+# OpenBLAS/OMP worker threads spin-wait and starve the native scan/cascade
+# pools (nothing here issues large BLAS calls); must be set before numpy
+# loads the BLAS runtime
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("MKL_NUM_THREADS", "1")
+
+from .cli import main  # noqa: E402
 
 if __name__ == "__main__":
     sys.exit(main())

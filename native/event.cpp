@@ -2916,6 +2916,19 @@ PyObject *ev_mismappers(PyObject *, PyObject *args) {
 
     std::vector<uint8_t> verdicts(work.size(), 0);
     int workers = std::min((size_t)std::max(threads, 1), work.size());
+    if (workers > 1) {
+        // downstream_splice_sites lazily fills a shared per-gene cache;
+        // populate it serially for every gene a worker could touch so the
+        // parallel phase only reads it
+        std::set<int64_t> genes;
+        for (const WorkItem &item : work) {
+            const Fragment &fragment = c.fragments[item.index];
+            for (int m = 0; m < fragment.n_mates; ++m)
+                for (int64_t g = 0; g < fragment.mates[m].n_genes; ++g)
+                    genes.insert(fragment.mates[m].genes[g]);
+        }
+        for (int64_t gene : genes) downstream_splice_sites(gene);
+    }
     if (workers <= 1) {
         std::vector<uint8_t> rc_scratch;
         for (size_t i = 0; i < work.size(); ++i)
