@@ -2442,6 +2442,12 @@ PyObject *ev_make_kmer_index(PyObject *, PyObject *args) {
         auto found = realign_engine::engine().contigs.find((int)contig);
         if (found == realign_engine::engine().contigs.end()) return;
         realign_engine::Contig &engine_contig = found->second;
+        int64_t total_window = 0;
+        for (int64_t gene : genes)
+            total_window += c.gene_end[gene] - c.gene_start[gene]
+                            + 2 * (int64_t)padding;
+        engine_contig.pending.reserve((size_t)std::max(total_window,
+                                                       (int64_t)0));
         for (int64_t gene : genes) {
             int64_t gene_start =
                 std::max(c.gene_start[gene] - (int64_t)padding, (int64_t)0);
@@ -2450,17 +2456,11 @@ PyObject *ev_make_kmer_index(PyObject *, PyObject *args) {
             for (int64_t pos = gene_start;
                  pos + realign_engine::REALIGN_KMER_LENGTH < gene_end; ++pos)
                 if (engine_contig.data[pos] != 'N')
-                    engine_contig
-                        .kmer_index[realign_engine::kmer_at(engine_contig.data,
-                                                            pos)]
-                        .push_back(pos);
+                    engine_contig.pending.emplace_back(
+                        realign_engine::kmer_at(engine_contig.data, pos),
+                        pos);
         }
-        for (auto &kmer : engine_contig.kmer_index) {
-            std::vector<int64_t> &positions = kmer.second;
-            std::sort(positions.begin(), positions.end());
-            positions.erase(std::unique(positions.begin(), positions.end()),
-                            positions.end());
-        }
+        realign_engine::finalize_kmer_index(engine_contig);
     };
 
     int workers = std::min(threads, (int)genes_by_contig.size());

@@ -48,7 +48,40 @@ void set_contig_raw(int cid, const uint8_t *data, Py_ssize_t length) {
     contig.owner = nullptr;
     contig.data = data;
     contig.length = length;
-    contig.kmer_index.clear();
+    contig.pending.clear();
+    contig.kmer_offsets.clear();
+    contig.kmer_positions.clear();
+}
+
+void finalize_kmer_index(Contig &contig) {
+    std::vector<int64_t> counts(KMER_BUCKETS + 1, 0);
+    for (const auto &entry : contig.pending) counts[entry.first + 1] += 1;
+    for (uint32_t k = 0; k < KMER_BUCKETS; ++k) counts[k + 1] += counts[k];
+    std::vector<int64_t> filled(counts.begin(), counts.end());
+    std::vector<int64_t> raw(contig.pending.size());
+    for (const auto &entry : contig.pending)
+        raw[filled[entry.first]++] = entry.second;
+    contig.pending.clear();
+    contig.pending.shrink_to_fit();
+    contig.kmer_offsets.assign(KMER_BUCKETS + 1, 0);
+    /* sort each bucket and deduplicate with an in-place compaction (the
+     * write cursor never overtakes the read cursor) */
+    int64_t write = 0;
+    for (uint32_t k = 0; k < KMER_BUCKETS; ++k) {
+        int64_t lo = counts[k], hi = counts[k + 1];
+        if (lo < hi) {
+            std::sort(raw.begin() + lo, raw.begin() + hi);
+            int64_t previous = raw[lo] - 1;
+            for (int64_t i = lo; i < hi; ++i)
+                if (raw[i] != previous) {
+                    previous = raw[i];
+                    raw[write++] = raw[i];
+                }
+        }
+        contig.kmer_offsets[k + 1] = write;
+    }
+    raw.resize(write);
+    contig.kmer_positions = std::move(raw);
 }
 
 void reset_engine() {
@@ -75,12 +108,16 @@ bool is_homolog_core(const uint8_t *small_seq, Py_ssize_t small_size,
     for (Py_ssize_t pos = 0; pos + 2 * k < small_size; pos += k) {
         if (matching_kmers * k + (double)(small_size - pos) < threshold)
             return false;
-        auto hits = contig.kmer_index.find(kmer_at(small_seq, pos));
-        if (hits == contig.kmer_index.end())
+        if (contig.kmer_offsets.empty())
             continue;
-        const std::vector<int64_t> &positions = hits->second;
-        for (auto it = std::lower_bound(positions.begin(), positions.end(), big_start);
-             it != positions.end() && *it <= big_end; ++it) {
+        uint32_t key = kmer_at(small_seq, pos);
+        const int64_t *positions_begin =
+            contig.kmer_positions.data() + contig.kmer_offsets[key];
+        const int64_t *positions_end =
+            contig.kmer_positions.data() + contig.kmer_offsets[key + 1];
+        for (const int64_t *it = std::lower_bound(positions_begin,
+                                                  positions_end, big_start);
+             it != positions_end && *it <= big_end; ++it) {
             int64_t hit = *it;
             if (small_contig == big_contig && hit >= small_start && hit <= small_end)
                 continue;
@@ -117,11 +154,15 @@ bool align_recursive(int score, const uint8_t *read, Py_ssize_t read_length,
     while (read_pos + KMER_LENGTH < read_length &&
            read_pos + min_score <= read_length + score + 2 * KMER_LENGTH) {
 
-        auto hits = contig.kmer_index.find(kmer_at(read, read_pos));
-        if (hits != contig.kmer_index.end()) {
-            const std::vector<int64_t> &positions = hits->second;
-            for (auto it = std::lower_bound(positions.begin(), positions.end(), gene_pos);
-                 it != positions.end() && *it < gene_end; ++it) {
+        if (!contig.kmer_offsets.empty()) {
+            uint32_t key = kmer_at(read, read_pos);
+            const int64_t *positions_begin =
+                contig.kmer_positions.data() + contig.kmer_offsets[key];
+            const int64_t *positions_end =
+                contig.kmer_positions.data() + contig.kmer_offsets[key + 1];
+            for (const int64_t *it = std::lower_bound(positions_begin,
+                                                      positions_end, gene_pos);
+                 it != positions_end && *it < gene_end; ++it) {
                 int64_t kmer_hit = *it;
 
                 int extended_score = score + KMER_LENGTH;
@@ -252,18 +293,14 @@ PyObject *realign_add_kmers(PyObject *, PyObject *args) {
     if (end > contig.length - 1) end = contig.length - 1;
     for (long long pos = start; pos + realign_engine::KMER_LENGTH < end; ++pos)
         if (contig.data[pos] != 'N')
-            contig.kmer_index[realign_engine::kmer_at(contig.data, pos)].push_back(pos);
+            contig.pending.emplace_back(
+                realign_engine::kmer_at(contig.data, pos), (int64_t)pos);
     Py_RETURN_NONE;
 }
 
 PyObject *realign_finalize(PyObject *, PyObject *) {
     for (auto &entry : engine().contigs)
-        for (auto &kmer : entry.second.kmer_index) {
-            std::vector<int64_t> &positions = kmer.second;
-            std::sort(positions.begin(), positions.end());
-            positions.erase(std::unique(positions.begin(), positions.end()),
-                            positions.end());
-        }
+        finalize_kmer_index(entry.second);
     Py_RETURN_NONE;
 }
 

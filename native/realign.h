@@ -19,8 +19,17 @@ struct Contig {
     PyObject *owner = nullptr; /* keeps the buffer alive (null for raw) */
     const uint8_t *data = nullptr;
     Py_ssize_t length = 0;
-    std::unordered_map<uint32_t, std::vector<int64_t>> kmer_index;
+    /* CSR k-mer index over the 2-bit 8-mer space (65536 buckets): built by
+     * appending (kmer, position) pairs to `pending`, finalized into
+     * offsets/positions with per-bucket sort+unique */
+    std::vector<std::pair<uint32_t, int64_t>> pending;
+    std::vector<int64_t> kmer_offsets;    /* 65537 entries when built */
+    std::vector<int64_t> kmer_positions;
 };
+
+constexpr uint32_t KMER_BUCKETS = 1u << (2 * REALIGN_KMER_LENGTH);
+
+void finalize_kmer_index(Contig &contig);
 
 struct Engine {
     std::unordered_map<int, Contig> contigs;
