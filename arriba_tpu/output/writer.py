@@ -726,8 +726,15 @@ def get_fusion_site(gene: int, spliced: bool, exonic: bool, contig: int,
 def get_transcripts(transcript_sequence: str, transcribed_bases: List[int],
                     gene: int, strand: bool, strand_ambiguous: bool,
                     which_end: int, annotation: Annotation,
-                    exon_index: IntervalIndex) -> List[int]:
+                    exon_index: IntervalIndex,
+                    native=None) -> List[int]:
     """output_fusions.cpp:719-818."""
+    if native is not None:
+        result = native.ev_get_transcripts(
+            transcript_sequence,
+            np.asarray(transcribed_bases, np.int64).tobytes(), int(gene),
+            1 if strand else 0, 1 if strand_ambiguous else 0, int(which_end))
+        return np.frombuffer(result, np.int64).tolist()
     genes = annotation.genes
     exons = annotation.exons
     transcripts = annotation.transcripts
@@ -1134,6 +1141,26 @@ def write_fusions_to_file(fusions: Fusions, output_file: str,
 
         sorted_fusions.sort(key=functools.cmp_to_key(cmp_by_rank_of_best))
 
+    # native best-transcript selection: bind the transcript tables once and
+    # run the scoring walk in C++ (event.cpp ev_get_transcripts)
+    native_transcripts = None
+    _native_obj = getattr(chimeric_alignments, "native", None)
+    if (_native_obj is not None
+            and hasattr(_native_obj, "ev_get_transcripts")
+            and not getattr(chimeric_alignments, "_materialized", True)):
+        try:
+            _native_obj.ev_bind_transcript_tables(
+                np.ascontiguousarray(exons.transcript, np.int64).tobytes(),
+                np.ascontiguousarray(transcripts_table.first_exon,
+                                     np.int64).tobytes(),
+                np.ascontiguousarray(transcripts_table.last_exon,
+                                     np.int64).tobytes(),
+                np.ascontiguousarray(transcripts_table.coding_length,
+                                     np.int64).tobytes())
+            native_transcripts = _native_obj
+        except Exception:  # pragma: no cover - fall back to the Python walk
+            native_transcripts = None
+
     # per-read filter ids without materializing lazy fragments: one native
     # array lookup instead of a Fragment build per supporting read
     native_filters = None
@@ -1196,10 +1223,12 @@ def write_fusions_to_file(fusions: Fusions, output_file: str,
 
             transcripts_5 = get_transcripts(transcript_sequence, positions, gene_5,
                                             strand_5, f.predicted_strands_ambiguous, 5,
-                                            annotation, exon_index)
+                                            annotation, exon_index,
+                                            native_transcripts)
             transcripts_3 = get_transcripts(transcript_sequence, positions, gene_3,
                                             strand_3, f.predicted_strands_ambiguous, 3,
-                                            annotation, exon_index)
+                                            annotation, exon_index,
+                                            native_transcripts)
             # try all combinations of 5'/3' transcripts until one is in-frame
             list_5 = transcripts_5 if transcripts_5 else [None]
             list_3 = transcripts_3 if transcripts_3 else [None]

@@ -28,6 +28,12 @@ struct Engine {
     std::vector<int64_t> gene_start, gene_end;
     std::vector<uint8_t> gene_is_dummy;
     bool gene_index_ready = false;
+
+    // transcript tables (ev_bind_transcript_tables) for the native
+    // best-transcript selection (output_fusions.cpp:711-818)
+    std::vector<int64_t> exon_transcript, transcript_first_exon,
+        transcript_last_exon, transcript_coding_length;
+    bool transcript_tables_ready = false;
 };
 
 Engine &engine();

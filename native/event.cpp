@@ -3885,3 +3885,188 @@ PyObject *ev_transcript_consensus(PyObject *, PyObject *args) {
         clipped2.data(), (Py_ssize_t)clipped2.size(),
         (long long)non_template_bases);
 }
+
+// ---------------------------------------------------------------------------
+// output_fusions.cpp:711-818 (writer.py get_transcripts): the per-base
+// transcript scoring walk over the fusion-transcript consensus. Needs the
+// transcript tables bound via ev_bind_transcript_tables.
+
+PyObject *ev_bind_transcript_tables(PyObject *, PyObject *args) {
+    const char *exon_transcript, *first_exon, *last_exon, *coding_length;
+    Py_ssize_t n_exon_transcript, n_first, n_last, n_coding;
+    if (!PyArg_ParseTuple(args, "y#y#y#y#", &exon_transcript,
+                          &n_exon_transcript, &first_exon, &n_first,
+                          &last_exon, &n_last, &coding_length, &n_coding))
+        return nullptr;
+    annotate_engine::Engine &eng = annotate_engine::engine();
+    eng.exon_transcript.assign((const int64_t *)exon_transcript,
+                               (const int64_t *)exon_transcript
+                                   + n_exon_transcript / 8);
+    eng.transcript_first_exon.assign((const int64_t *)first_exon,
+                                     (const int64_t *)first_exon + n_first / 8);
+    eng.transcript_last_exon.assign((const int64_t *)last_exon,
+                                    (const int64_t *)last_exon + n_last / 8);
+    eng.transcript_coding_length.assign(
+        (const int64_t *)coding_length,
+        (const int64_t *)coding_length + n_coding / 8);
+    eng.transcript_tables_ready = true;
+    Py_RETURN_NONE;
+}
+
+PyObject *ev_get_transcripts(PyObject *, PyObject *args) {
+    const char *sequence_data;
+    Py_ssize_t sequence_len;
+    const char *positions_data;
+    Py_ssize_t positions_len;
+    long long gene;
+    int strand, strand_ambiguous, which_end;
+    if (!PyArg_ParseTuple(args, "s#y#Liii", &sequence_data, &sequence_len,
+                          &positions_data, &positions_len, &gene, &strand,
+                          &strand_ambiguous, &which_end))
+        return nullptr;
+    annotate_engine::Engine &eng = annotate_engine::engine();
+    const cascade_store::Cascade &c = cascade_store::cascade();
+    if (!eng.transcript_tables_ready || !c.ready) {
+        PyErr_SetString(PyExc_RuntimeError, "transcript tables not bound");
+        return nullptr;
+    }
+    const int64_t *tb = (const int64_t *)positions_data;
+    int64_t n = positions_len / 8;
+    std::string_view sequence(sequence_data, (size_t)sequence_len);
+
+    auto empty_result = []() { return PyBytes_FromStringAndSize("", 0); };
+    if (strand_ambiguous || (strand != 0) != (eng.gene_strand[gene] != 0))
+        return empty_result();
+
+    int64_t from_, to, breakpoint_idx;
+    if (which_end == 5) {
+        from_ = 0;
+        size_t pipe = sequence.find('|');
+        if (pipe == std::string_view::npos) return empty_result();
+        to = (int64_t)pipe;
+        while (to > 0 && tb[to] == -1) to -= 1;
+        if (tb[to] == -1) return empty_result();
+        breakpoint_idx = to;
+    } else {
+        size_t pipe = sequence.rfind('|');
+        from_ = pipe == std::string_view::npos ? (int64_t)sequence.size() + 1
+                                               : (int64_t)pipe;
+        while (from_ < (int64_t)sequence.size() && tb[from_] == -1) from_ += 1;
+        if (from_ >= (int64_t)sequence.size()) return empty_result();
+        breakpoint_idx = from_;
+        to = (int64_t)sequence.size() - 1;
+    }
+    if (from_ >= n || to >= n) return empty_result();  /* defensive */
+    if (tb[from_] > tb[to]) std::swap(from_, to);
+
+    int64_t contig = eng.gene_contig[gene];
+    if (contig >= eng.n_contigs) return empty_result();
+    const annotate_engine::ContigIndex &index = eng.exon_index[contig];
+    const std::vector<int64_t> &bounds = index.boundaries;
+
+    std::unordered_map<int64_t, int64_t> score, peak_score, utr_bases;
+    std::unordered_map<int64_t, bool> coding_at_breakpoint;
+    std::vector<int64_t> order;  /* peak_score insertion order */
+
+    int64_t lo = std::min(from_, to), hi = std::max(from_, to);
+    int64_t step = from_ <= to ? 1 : -1;
+    int64_t position = from_;
+    size_t idx = std::lower_bound(bounds.begin(), bounds.end(), tb[from_])
+                 - bounds.begin();
+    while (idx < bounds.size() && lo <= position && position <= hi) {
+        int64_t boundary = bounds[idx];
+        int64_t set_lo = index.offsets[idx], set_hi = index.offsets[idx + 1];
+        int64_t last_transcribed_base = tb[to];
+        while (lo <= position && position <= hi && tb[position] <= boundary) {
+            int64_t base = tb[position];
+            for (int64_t k = set_lo; k < set_hi; ++k) {
+                int64_t e = index.items[k];
+                if (eng.exon_gene[e] != gene || base < eng.exon_start[e]
+                    || base > eng.exon_end[e])
+                    continue;
+                int64_t t = eng.exon_transcript[e];
+                score[t] += 1;
+                last_transcribed_base = base;
+                if (e == eng.transcript_first_exon[t]
+                    || e == eng.transcript_last_exon[t])
+                    utr_bases[t] += 1;
+                if (position == breakpoint_idx) {
+                    if (eng.exon_cds_start[e] <= base
+                        && base <= eng.exon_cds_end[e])
+                        coding_at_breakpoint[t] = true;
+                    if ((std::llabs(base - eng.exon_start[e]) <= 2
+                         && e != eng.transcript_first_exon[t])
+                        || (std::llabs(base - eng.exon_end[e]) <= 2
+                            && e != eng.transcript_last_exon[t]))
+                        score[t] += 10;
+                }
+            }
+            position += step;
+        }
+        for (int64_t k = set_lo; k < set_hi; ++k) {
+            int64_t e = index.items[k];
+            if (eng.exon_gene[e] != gene) continue;
+            int64_t t = eng.exon_transcript[e];
+            auto found = peak_score.find(t);
+            if (found == peak_score.end()) {
+                peak_score.emplace(t, score[t]);
+                order.push_back(t);
+            } else if (score[t] > found->second) {
+                found->second = score[t];
+            }
+            int64_t exon_start = idx > 0 ? bounds[idx - 1]
+                                         : eng.exon_start[e] - 1;
+            int64_t exon_length = std::min(boundary, tb[to])
+                                  - std::max(last_transcribed_base + 1,
+                                             exon_start)
+                                  + 1;
+            if (exon_length < 0)
+                exon_length = ((int64_t)1 << 32) + exon_length;
+            score[t] -= std::min(exon_length, score[t]);
+        }
+        idx += 1;
+    }
+
+    if (order.empty()) return empty_result();
+    std::vector<int64_t> best{order[0]};
+    auto coding_of = [&](int64_t t) {
+        auto found = coding_at_breakpoint.find(t);
+        return found != coding_at_breakpoint.end() && found->second;
+    };
+    auto utr_of = [&](int64_t t) {
+        auto found = utr_bases.find(t);
+        return found != utr_bases.end() ? found->second : (int64_t)0;
+    };
+    for (size_t i = 1; i < order.size(); ++i) {
+        int64_t t = order[i];
+        int64_t best0 = best[0];
+        if (peak_score[t] == peak_score[best0]
+            && coding_of(best0) == coding_of(t)) {
+            best.push_back(t);
+        } else if (peak_score[t] > peak_score[best0]
+                   || (!coding_of(best0) && coding_of(t)
+                       && (peak_score[t] == peak_score[best0]
+                           || (utr_of(t) > 0 && utr_of(best0) > 0
+                               && (uint32_t)(peak_score[t] - utr_of(t))
+                                  >= (uint32_t)(peak_score[best0]
+                                                - utr_of(best0)))))) {
+            best.assign(1, t);
+        }
+    }
+    if (peak_score[best[0]] == 0) return empty_result();
+
+    std::stable_sort(best.begin(), best.end(), [&](int64_t a, int64_t b) {
+        int64_t length_a = eng.exon_end[eng.transcript_last_exon[a]]
+                           - eng.exon_start[eng.transcript_first_exon[a]];
+        int64_t length_b = eng.exon_end[eng.transcript_last_exon[b]]
+                           - eng.exon_start[eng.transcript_first_exon[b]];
+        if (eng.transcript_coding_length[a] != eng.transcript_coding_length[b])
+            return eng.transcript_coding_length[a]
+                   > eng.transcript_coding_length[b];
+        if (length_a != length_b) return length_a > length_b;
+        return a < b;
+    });
+    if (best.size() > 1) best.push_back(best[0]);
+    return PyBytes_FromStringAndSize((const char *)best.data(),
+                                     (Py_ssize_t)(best.size() * 8));
+}

@@ -2627,6 +2627,8 @@ extern PyObject *extract_release(PyObject *, PyObject *);
 extern PyObject *extract_fragment_filters(PyObject *, PyObject *);
 extern PyObject *ev_transcript_pileups(PyObject *, PyObject *);
 extern PyObject *ev_transcript_consensus(PyObject *, PyObject *);
+extern PyObject *ev_bind_transcript_tables(PyObject *, PyObject *);
+extern PyObject *ev_get_transcripts(PyObject *, PyObject *);
 
 static PyMethodDef methods[] = {
     {"realign_reset", realign_reset, METH_NOARGS,
@@ -2753,6 +2755,10 @@ static PyMethodDef methods[] = {
      "Per-fragment filter ids of the retained store as int64 bytes."},
     {"ev_transcript_consensus", ev_transcript_consensus, METH_VARARGS,
      "pileups + both consensus sequences over the native store"},
+    {"ev_bind_transcript_tables", ev_bind_transcript_tables, METH_VARARGS,
+     "Bind exon->transcript and transcript first/last/coding tables."},
+    {"ev_get_transcripts", ev_get_transcripts, METH_VARARGS,
+     "Best-transcript selection over the fusion transcript (native)."},
     {"ev_transcript_pileups", ev_transcript_pileups, METH_VARARGS,
      "Fusion-transcript pileups + non-template bases over the native store."},
     {"coverage_bind", coverage_bind, METH_VARARGS,
