@@ -152,6 +152,10 @@ def _ensure_sample() -> None:
 def _run_pipeline() -> tuple:
     env = dict(os.environ)
     env["PYTHONPATH"] = str(REPO)
+    # the pipeline subprocess is pure host compute (no device offload
+    # requested): skip the sitecustomize TPU-tunnel PJRT registration,
+    # which costs seconds of jax import + device discovery per process
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     cmd = [sys.executable, "-m", "arriba_tpu",
            "-x", str(SAMPLE_DIR / "aligned.sam"),
            "-g", str(SAMPLE_DIR / "genes.gtf"),

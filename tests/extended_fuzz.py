@@ -19,8 +19,12 @@ from tests.test_oracle_parity import assert_parity
 
 
 def main() -> int:
+    """usage: extended_fuzz.py [first [last [threads]]] — threads > 1 runs
+    our side with -@ N (sharded scan + parallel event stages)."""
     first = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     last = int(sys.argv[2]) if len(sys.argv) > 2 else first + 25
+    threads = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    extra = ("-@", str(threads)) if threads > 1 else ()
     failures = []
     runs = 0
     for family, builder in (("fuzz", fuzz_sample), ("fuzz2", fuzz_sample2),
@@ -29,11 +33,12 @@ def main() -> int:
             tmp = pathlib.Path(tempfile.mkdtemp(prefix="arriba_fuzz_"))
             runs += 1
             try:
-                assert_parity(tmp, builder(tmp, seed))
+                assert_parity(tmp, builder(tmp, seed), extra)
             except Exception as error:  # noqa: BLE001 - report and continue
                 failures.append((family, seed))
                 print(f"FAIL {family} seed={seed}: {str(error)[:300]}")
-    print(f"done: {len(failures)} failures / {runs} runs")
+    print(f"done: {len(failures)} failures / {runs} runs"
+          + (f" (threads={threads})" if threads > 1 else ""))
     return 1 if failures else 0
 
 

@@ -20,7 +20,7 @@ pytestmark = pytest.mark.skipif(not oracle_available(),
 COUNTER = re.compile(r"\((?:remaining|total|marked)=(\d+)\)")
 
 
-def run_both(tmp_path, args):
+def run_both(tmp_path, args, our_extra_args=()):
     oracle_dir = tmp_path / "oracle_out"
     ours_dir = tmp_path / "ours_out"
     oracle_dir.mkdir()
@@ -28,14 +28,16 @@ def run_both(tmp_path, args):
     oracle = run_oracle(args + ["-o", str(oracle_dir / "fusions.tsv"),
                                 "-O", str(oracle_dir / "discarded.tsv")], tmp_path)
     ours = run_ours(args + ["-o", str(ours_dir / "fusions.tsv"),
-                            "-O", str(ours_dir / "discarded.tsv")], tmp_path)
+                            "-O", str(ours_dir / "discarded.tsv")]
+                    + list(our_extra_args), tmp_path)
     assert oracle.returncode == 0, oracle.stderr + oracle.stdout
     assert ours.returncode == 0, ours.stderr + ours.stdout
     return oracle, ours, oracle_dir, ours_dir
 
 
-def assert_parity(tmp_path, args):
-    oracle, ours, oracle_dir, ours_dir = run_both(tmp_path, args)
+def assert_parity(tmp_path, args, our_extra_args=()):
+    oracle, ours, oracle_dir, ours_dir = run_both(tmp_path, args,
+                                                  our_extra_args)
 
     # per-stage counters must match exactly
     oracle_counts = COUNTER.findall(oracle.stdout)
