@@ -1029,8 +1029,7 @@ bool parse_sam_view(const char *data, size_t n, Record &record,
     size_t field_start = 0;
     int field_index = 0;
     int64_t ref_consumed = 0;
-    std::string cigar_text;
-    std::string rname, rnext;
+    size_t cigar_start = 0, cigar_end = 0;
     record.seq.clear();
     while (field_start <= n) {
         const char *tab_pos = (const char *)memchr(data + field_start, '\t',
@@ -1039,10 +1038,8 @@ bool parse_sam_view(const char *data, size_t n, Record &record,
         size_t field_end = has_tab ? (size_t)(tab_pos - data) : n;
         switch (field_index) {
             case 1: record.flag = (uint16_t)atoi(data + field_start); break;
-            case 2: rname.assign(data + field_start, field_end - field_start); break;
             case 3: record.pos = atoll(data + field_start) - 1; break;
-            case 5: cigar_text.assign(data + field_start, field_end - field_start); break;
-            case 6: rnext.assign(data + field_start, field_end - field_start); break;
+            case 5: cigar_start = field_start; cigar_end = field_end; break;
             case 9: record.seq.assign(data + field_start, field_end - field_start); break;
             default:
                 if (field_index >= 11 && field_end - field_start >= 5 &&
@@ -1064,10 +1061,11 @@ bool parse_sam_view(const char *data, size_t n, Record &record,
     if (field_index < 11)
         return false;
 
-    /* CIGAR */
-    if (cigar_text != "*") {
+    /* CIGAR (parsed in place from the field slice) */
+    if (!(cigar_end - cigar_start == 1 && data[cigar_start] == '*')) {
         uint32_t oplen = 0;
-        for (char c : cigar_text) {
+        for (size_t ci = cigar_start; ci < cigar_end; ++ci) {
+            char c = data[ci];
             if (c >= '0' && c <= '9') {
                 oplen = oplen * 10 + (uint32_t)(c - '0');
             } else {
@@ -1085,7 +1083,6 @@ bool parse_sam_view(const char *data, size_t n, Record &record,
     record.end_pos = record.pos + ref_consumed;
     record.tid = -2;   /* resolved by the caller via the header name map */
     record.mtid = -2;
-    (void)rname; (void)rnext;
     return true;
 }
 
