@@ -38,7 +38,8 @@ tee Aligned.out.bam |
 PYTHONPATH="$BASE_DIR" python3 -m arriba_tpu \
 	-x /dev/stdin \
 	-o fusions.tsv -O fusions.discarded.tsv \
-	-a "$ASSEMBLY_FA" -g "$ANNOTATION_GTF" -b "$BLACKLIST_TSV" -k "$KNOWN_FUSIONS_TSV" -t "$TAGS_TSV" -p "$PROTEIN_DOMAINS_GFF3"
+	-a "$ASSEMBLY_FA" -g "$ANNOTATION_GTF" -b "$BLACKLIST_TSV" -k "$KNOWN_FUSIONS_TSV" -t "$TAGS_TSV" -p "$PROTEIN_DOMAINS_GFF3" \
+	-@ "$THREADS"
 #	-d structural_variants_from_WGS.tsv
 
 # sorting and indexing is only required for visualization
