@@ -480,7 +480,8 @@ def find_exons(exons: List[ExonRow], contig: str, gene_id: str,
         seen = set()
         result = []
         for e in candidate:
-            key = (e.type, e.start, e.end, e.transcript)
+            # R's unique() compares whole rows — keep the label too
+            key = (e.type, e.start, e.end, e.transcript, e.exon_number)
             if e.transcript == first and key not in seen:
                 seen.add(key)
                 result.append(e)

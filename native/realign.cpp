@@ -54,6 +54,18 @@ void set_contig_raw(int cid, const uint8_t *data, Py_ssize_t length) {
 }
 
 void finalize_kmer_index(Contig &contig) {
+    if (contig.pending.empty() && !contig.kmer_offsets.empty())
+        return;  /* already finalized; nothing new to fold in */
+    if (!contig.kmer_offsets.empty()) {
+        /* incremental add after a finalize: fold the built index back into
+         * the pending pairs so nothing is lost */
+        for (uint32_t k = 0; k < KMER_BUCKETS; ++k)
+            for (int64_t i = contig.kmer_offsets[k];
+                 i < contig.kmer_offsets[k + 1]; ++i)
+                contig.pending.emplace_back(k, contig.kmer_positions[i]);
+        contig.kmer_offsets.clear();
+        contig.kmer_positions.clear();
+    }
     std::vector<int64_t> counts(KMER_BUCKETS + 1, 0);
     for (const auto &entry : contig.pending) counts[entry.first + 1] += 1;
     for (uint32_t k = 0; k < KMER_BUCKETS; ++k) counts[k + 1] += counts[k];
