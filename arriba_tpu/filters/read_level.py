@@ -741,14 +741,28 @@ def _apply_jax_platform_env() -> None:
             pass
 
 
+def _local_tpu_present() -> bool:
+    """A locally-attached TPU (no jax import: /dev/accel* is how libtpu
+    exposes the chips on a TPU VM). Tunneled/remote accelerators do not
+    count — their transfer latency exceeds the host compute for typical
+    per-sample batches."""
+    import glob
+    return bool(glob.glob("/dev/accel*")) or bool(glob.glob("/dev/vfio/*"))
+
+
 def _device_offload_enabled(batch_rows: int) -> bool:
-    """Offload per-read batch math to the jax device when explicitly
-    requested (ARRIBA_TPU_DEVICE=1). Not automatic: backend probing would
-    initialize jax mid-pipeline, and tunneled TPU backends make transfers
-    far more expensive than the host computation for typical batches."""
+    """Offload per-read batch math to the jax device when requested
+    (ARRIBA_TPU_DEVICE=1), or by default when a local TPU is attached
+    (ARRIBA_TPU_DEVICE unset and /dev/accel* exists). ARRIBA_TPU_DEVICE=0
+    forces the host path."""
     import os
     del batch_rows
-    return os.environ.get("ARRIBA_TPU_DEVICE") == "1"
+    value = os.environ.get("ARRIBA_TPU_DEVICE")
+    if value == "1":
+        return True
+    if value is not None:  # "0" or anything else explicit disables
+        return False
+    return _local_tpu_present()
 
 
 def _low_entropy_flags(codes: np.ndarray, lengths: np.ndarray,
