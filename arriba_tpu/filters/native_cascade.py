@@ -51,23 +51,17 @@ _STAGE_FILTER_IDS = (FILTER_DUPLICATES, FILTER_UNINTERESTING_CONTIGS,
                      FILTER_LOW_ENTROPY)
 
 
-def _device_offload_active() -> bool:
-    """Same decision as read_level._device_offload_enabled: explicit
-    ARRIBA_TPU_DEVICE=1, or auto-on when a local TPU is attached."""
-    value = os.environ.get("ARRIBA_TPU_DEVICE")
-    if value is not None:
-        return value == "1"
-    from .read_level import _local_tpu_present
-    return _local_tpu_present()
-
-
 def _native_module():
     if (os.environ.get("ARRIBA_TPU_NO_NATIVE") == "1"
             or os.environ.get("ARRIBA_TPU_NO_NATIVE_CASCADE") == "1"
-            # TPU offload (explicit or local-chip auto) routes the per-read
-            # math through the jax ops in read_level.py instead of the C++
-            # cascade
-            or _device_offload_active()):
+            # EXPLICIT TPU offload routes the per-read math through the jax
+            # ops in read_level.py instead of the C++ cascade. The
+            # local-chip auto-detection deliberately does NOT bypass the
+            # native engine: the C++ cascade beats device offload
+            # end-to-end, so auto offload only applies when the native
+            # engine is unavailable (pure-Python installs on a TPU VM,
+            # where read_level picks it up by itself).
+            or os.environ.get("ARRIBA_TPU_DEVICE") == "1"):
         return None
     try:
         from .. import _native
