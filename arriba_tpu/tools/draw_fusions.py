@@ -18,8 +18,8 @@ import re
 import sys
 import urllib.parse
 from collections import defaultdict
-from dataclasses import dataclass, field, replace
-from typing import Dict, List, Optional, Tuple
+from dataclasses import dataclass, replace
+from typing import List, Optional, Tuple
 
 COLOR1 = "#e5a5a5"
 COLOR2 = "#a7c4e5"
@@ -150,10 +150,6 @@ def parse_options(argv: List[str]) -> dict:
 
 def remove_chr(contig: str) -> str:
     return re.sub(r"^chr", "", re.sub(r"^chrM$", "MT", contig))
-
-
-def add_chr(contig: str) -> str:
-    return "chrM" if contig == "MT" else "chr" + contig
 
 
 @dataclass
