@@ -92,3 +92,19 @@ def test_binomial_coefficient():
     assert calculate_binomial_coefficient(0, 7) == pytest.approx(1.0)
     # k > n degenerates to 0 via multiplication by zero (reference semantics)
     assert calculate_binomial_coefficient(5, 3) == 0.0
+
+
+def test_device_offload_gating(monkeypatch):
+    """ARRIBA_TPU_DEVICE=1 forces offload, =0 forces host, unset defers to
+    the local-chip probe (read_level._device_offload_enabled)."""
+    from arriba_tpu.filters import read_level
+
+    monkeypatch.setenv("ARRIBA_TPU_DEVICE", "1")
+    assert read_level._device_offload_enabled(1)
+    monkeypatch.setenv("ARRIBA_TPU_DEVICE", "0")
+    assert not read_level._device_offload_enabled(1)
+    monkeypatch.delenv("ARRIBA_TPU_DEVICE", raising=False)
+    monkeypatch.setattr(read_level, "_local_tpu_present", lambda: True)
+    assert read_level._device_offload_enabled(1)
+    monkeypatch.setattr(read_level, "_local_tpu_present", lambda: False)
+    assert not read_level._device_offload_enabled(1)
