@@ -1302,17 +1302,32 @@ def write_fusions_to_file(fusions: Fusions, output_file: str,
         else:
             columns.append(".")
 
-        # count reads discarded per filter
+        # count reads discarded per filter (and pre-build the
+        # read_identifiers column natively when the store is live)
         filters: Dict[str, int] = {}
         if f.filter != FILTER_NONE:
             filters[FILTER_NAMES[f.filter]] = 0
         all_supporting_reads = (f.split_read1_list + f.split_read2_list
                                 + f.discordant_mate_list)
-        for name in all_supporting_reads:
-            read_filter = read_filter_of(name)
-            if read_filter != FILTER_NONE:
-                filters[FILTER_NAMES[read_filter]] = \
-                    filters.get(FILTER_NAMES[read_filter], 0) + 1
+        joined_read_names = None
+        if (native_filters is not None
+                and hasattr(_native_obj, "extract_supporting_reads")):
+            joined_read_names, filter_pairs = \
+                _native_obj.extract_supporting_reads(
+                    np.fromiter((name_to_index[n]
+                                 for n in all_supporting_reads), np.int64,
+                                len(all_supporting_reads)).tobytes())
+            pairs = np.frombuffer(filter_pairs, np.int64)
+            for k in range(0, len(pairs), 2):
+                filter_name = FILTER_NAMES[int(pairs[k])]
+                filters[filter_name] = (filters.get(filter_name, 0)
+                                        + int(pairs[k + 1]))
+        else:
+            for name in all_supporting_reads:
+                read_filter = read_filter_of(name)
+                if read_filter != FILTER_NONE:
+                    filters[FILTER_NAMES[read_filter]] = \
+                        filters.get(FILTER_NAMES[read_filter], 0) + 1
 
         columns.append("." if genes.is_dummy[gene_5] else genes.gene_id[gene_5])
         columns.append("." if genes.is_dummy[gene_3] else genes.gene_id[gene_3])
@@ -1334,8 +1349,10 @@ def write_fusions_to_file(fusions: Fusions, output_file: str,
         columns.append(fusion_peptide_sequence)
 
         if print_extra_info and all_supporting_reads:
-            columns.append(",".join(strip_hi_tag_from_read_name(n)
-                                    for n in all_supporting_reads))
+            columns.append(joined_read_names
+                           if joined_read_names is not None
+                           else ",".join(strip_hi_tag_from_read_name(n)
+                                         for n in all_supporting_reads))
         else:
             columns.append(".")
 

@@ -11,6 +11,7 @@
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <map>
 #include <vector>
 
 #include "cascade.h"
@@ -216,6 +217,49 @@ PyObject *extract_release(PyObject *, PyObject *) {
 
 // Per-fragment filter ids (from the adopted cascade store when ready) in one
 // array, so the writer's per-read filter counts never materialize fragments.
+// the writer's supporting-read columns in one call: comma-joined read
+// names with the ",HI" suffix stripped (common.hpp:222), plus a
+// (filter_id, count) histogram over the reads' cascade filters
+// (output_fusions.cpp:820-1060 "filters" / "read_identifiers" columns)
+PyObject *extract_supporting_reads(PyObject *, PyObject *args) {
+    const char *idx_data;
+    Py_ssize_t idx_len;
+    if (!PyArg_ParseTuple(args, "y#", &idx_data, &idx_len)) return nullptr;
+    extract_store::ExtractStore &s = extract_store::store();
+    if (!s.ready) {
+        PyErr_SetString(PyExc_RuntimeError, "extract store not populated");
+        return nullptr;
+    }
+    const int64_t *indices = (const int64_t *)idx_data;
+    int64_t n = idx_len / 8;
+    std::string names;
+    std::map<int64_t, int64_t> counts;
+    for (int64_t k = 0; k < n; ++k) {
+        int64_t index = indices[k];
+        if (index < 0 || index >= (int64_t)s.fragments.size()) {
+            PyErr_SetString(PyExc_IndexError, "fragment index out of range");
+            return nullptr;
+        }
+        const std::string &name = s.fragments[index].name;
+        size_t comma = name.rfind(',');
+        if (!names.empty()) names += ',';
+        names.append(name, 0,
+                     comma == std::string::npos ? name.size() : comma);
+        int64_t filter = fragment_filter((size_t)index);
+        if (filter != 0) counts[filter] += 1;
+    }
+    std::vector<int64_t> pairs;
+    pairs.reserve(counts.size() * 2);
+    for (const auto &entry : counts) {
+        pairs.push_back(entry.first);
+        pairs.push_back(entry.second);
+    }
+    return Py_BuildValue(
+        "(s#y#)", names.data(), (Py_ssize_t)names.size(),
+        pairs.empty() ? "" : (const char *)pairs.data(),
+        (Py_ssize_t)(pairs.size() * 8));
+}
+
 PyObject *extract_fragment_filters(PyObject *, PyObject *) {
     extract_store::ExtractStore &s = extract_store::store();
     if (!s.ready) {

@@ -2622,6 +2622,7 @@ extern PyObject *extract_export_all(PyObject *, PyObject *);
 extern PyObject *extract_cluster_ids(PyObject *, PyObject *);
 extern PyObject *extract_release(PyObject *, PyObject *);
 extern PyObject *extract_fragment_filters(PyObject *, PyObject *);
+extern PyObject *extract_supporting_reads(PyObject *, PyObject *);
 extern PyObject *ev_transcript_pileups(PyObject *, PyObject *);
 extern PyObject *ev_transcript_consensus(PyObject *, PyObject *);
 extern PyObject *ev_bind_transcript_tables(PyObject *, PyObject *);
@@ -2750,6 +2751,8 @@ static PyMethodDef methods[] = {
      "Release the retained extraction store."},
     {"extract_fragment_filters", extract_fragment_filters, METH_NOARGS,
      "Per-fragment filter ids of the retained store as int64 bytes."},
+    {"extract_supporting_reads", extract_supporting_reads, METH_VARARGS,
+     "Joined stripped read names + filter histogram for given indices."},
     {"ev_transcript_consensus", ev_transcript_consensus, METH_VARARGS,
      "pileups + both consensus sequences over the native store"},
     {"ev_bind_transcript_tables", ev_bind_transcript_tables, METH_VARARGS,
