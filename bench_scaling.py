@@ -67,6 +67,57 @@ def main() -> None:
             "unit": "reads/s",
         }))
 
+    _pipeline_scaling(mesh_sizes)
+
+
+def _pipeline_scaling(mesh_sizes) -> None:
+    """Second metric: the PRODUCT pipeline with its mid-cascade global
+    statistics computed as sharded device reductions
+    (ARRIBA_TPU_SHARDED_STATS=n) at each mesh size — chimeric reads/s of
+    the full run, outputs byte-identical to the host path (the BASELINE
+    scaling row measured on real pipeline data structures)."""
+    import os
+    import pathlib
+    import re
+    import subprocess
+    import sys
+    import tempfile
+    import time as time_mod
+
+    repo = pathlib.Path(__file__).resolve().parent
+    sys.path.insert(0, str(repo))
+    from tests.scenario import multi_event_sample
+
+    sample_dir = pathlib.Path(tempfile.mkdtemp(prefix="arriba_scaling_"))
+    args = multi_event_sample(sample_dir)
+    reference_bytes = None
+    for n_devices in mesh_sizes:
+        out = sample_dir / f"fusions_{n_devices}.tsv"
+        env = dict(os.environ)
+        env["PYTHONPATH"] = str(repo)
+        env["ARRIBA_TPU_SHARDED_STATS"] = str(n_devices)
+        start = time_mod.perf_counter()
+        result = subprocess.run(
+            [sys.executable, "-m", "arriba_tpu"] + args + ["-o", str(out)],
+            env=env, capture_output=True, text=True)
+        elapsed = time_mod.perf_counter() - start
+        if result.returncode != 0:
+            print(json.dumps({"metric": "sharded_pipeline_reads_per_s",
+                              "devices": n_devices, "error": True}))
+            continue
+        total_match = re.search(r"\(total=(\d+)\)", result.stdout)
+        total = int(total_match.group(1)) if total_match else 0
+        content = out.read_bytes()
+        if reference_bytes is None:
+            reference_bytes = content
+        print(json.dumps({
+            "metric": "sharded_pipeline_reads_per_s",
+            "devices": n_devices,
+            "value": round(total / elapsed, 1),
+            "unit": "chimeric reads/s",
+            "byte_equal": content == reference_bytes,
+        }))
+
 
 if __name__ == "__main__":
     main()
