@@ -1784,7 +1784,10 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
          * hardware_concurrency-1 oversubscribes and thrashes the scheduler */
         int hw = (int)std::thread::hardware_concurrency();
         n_shards = std::min(threads, 8);
-        if (hw > 2)
+        const char *cap = getenv("ARRIBA_TPU_SCAN_SHARDS");
+        if (cap != nullptr && atoi(cap) > 0)
+            n_shards = std::min(n_shards, atoi(cap));
+        else if (hw > 2)
             n_shards = std::min(n_shards, hw - 1);
     }
     std::vector<Scanner> shard_sc;
