@@ -25,7 +25,85 @@ Usage: arriba_tpu -x rna.bam -g annotation.gtf -a assembly.fa -o fusions.tsv \\
                   [-b blacklist.tsv] [-k known_fusions.tsv] [-t tags.tsv] \\
                   [-p protein_domains.gff3] [-d structural_variants.tsv] \\
                   [-O fusions.discarded.tsv] [OPTIONS]
-Run with the same flags as the reference arriba binary (see its -h output).
+
+Mandatory:
+  -x FILE      main alignment file (SAM/BAM/CRAM, sorted or unsorted, file
+               or pipe); chimeric reads as supplementary alignments
+               (--chimOutType WithinBAM) unless -c is given
+  -g FILE      gene annotation in GTF format (gzip accepted)
+  -a FILE      assembly in FASTA format (gzip accepted)
+  -o FILE      output file for predicted fusions (fusions.tsv)
+  -b FILE      blacklist of recurrent artifacts/benign transcripts
+               (omit only together with '-f blacklist')
+
+Input options:
+  -c FILE      separate chimeric alignments file (old STAR
+               'Chimeric.out.sam' mode; deprecated upstream)
+  -d FILE      WGS structural-variant calls (4-column TSV or VCF) used by
+               the genomic-support confidence logic
+  -k FILE      known/recurrent fusions: relaxed evidence thresholds
+  -t FILE      tag file: matching fusions are labeled in the 'tags' column
+  -p FILE      protein domain annotation (GFF3) for the
+               retained_protein_domains column
+  -G STRING    GTF feature/attribute aliases (default: gene_name=gene_name|
+               gene_id gene_id=gene_id transcript_id=transcript_id
+               feature_exon=exon feature_CDS=CDS)
+  -i CONTIGS   interesting contigs (space-separated, '*' wildcards;
+               default: 1 2 ... X Y AC_* NC_*)
+  -v CONTIGS   viral contigs (default: AC_* NC_*)
+  -s STRAND    strandedness: auto/yes/no/reverse (default: auto)
+  -u           reads are already duplicate-marked (BAM_FDUP); disable the
+               internal coordinate-based duplicate marking
+  -@ N         worker threads: shards the native extraction scan and the
+               parallel cascade stages by read-name hash (output is
+               byte-identical at any thread count; default: 1)
+
+Output options:
+  -O FILE      discarded fusions output (fusions.discarded.tsv)
+  -I           fill gaps in assembled fusion transcripts from the assembly
+               (uppercase = supported by reads, lowercase = filled)
+  -X           also fill the fusion_transcript/peptide_sequence/
+               read_identifiers columns of the discarded-fusions file
+               (left empty by default to reduce runtime and file size)
+
+Filtering & scoring options:
+  -f FILTERS   disable the given filters (space-separated registry names)
+  -E FLOAT     e-value cutoff for filter relative_support (default: 0.3)
+  -S N         min supporting reads for filter min_support (default: 2)
+  -m FLOAT     max fraction of mis-mapping supporting reads before filter
+               mismappers discards an event (default: 0.8)
+  -L FLOAT     max gene-identity fraction before filter homologs
+               (default: 0.3)
+  -H N         homopolymer length for filter homopolymer (default: 6)
+  -D DIST      max distance between a breakpoint and a -d genomic call to
+               count as genomic support (default: 100000)
+  -R N         min distance from the gene boundary for read-through
+               events (filter marginal_read_through; default: 10000)
+  -A N         min anchor length for filter short_anchor (default: 23)
+  -M N         min spliced breakpoints for the many_spliced recovery
+               (default: 4)
+  -K FLOAT     max recurrent k-mer content for filter low_entropy
+               (default: 0.6)
+  -V FLOAT     max mismatch p-value for filter mismatches (default: 0.01)
+  -F N         fragment length for single-end data (default: 200)
+  -U N         subsample events with more supporting reads than this
+               (default: 300)
+  -Q FLOAT     expression quantile above which a gene counts as highly
+               expressed (filter in_vitro; default: 0.998)
+  -e FLOAT     max exonic fraction for intragenic events (filter
+               intragenic_exonic; default: 0.33)
+  -T N         report viral integration only for the top N most expressed
+               viral contigs (default: 5)
+  -C FLOAT     min transcribed fraction of a viral contig (filter
+               low_coverage_viral_contigs; default: 0.05)
+  -l N         max internal-tandem-duplication length (default: 100)
+  -z FLOAT     min ITD supporting-read allele fraction (default: 0.07)
+  -Z N         min ITD supporting reads (default: 10)
+
+  -h           print this help and exit
+
+Every flag matches the reference arriba binary's semantics; outputs are
+byte-identical on the same inputs (see PARITY.md).
 """
 
 
