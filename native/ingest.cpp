@@ -1787,8 +1787,8 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         const char *cap = getenv("ARRIBA_TPU_SCAN_SHARDS");
         if (cap != nullptr && atoi(cap) > 0)
             n_shards = std::min(n_shards, atoi(cap));
-        else if (hw > 2)
-            n_shards = std::min(n_shards, hw - 1);
+        else if (hw > 1)
+            n_shards = std::min(n_shards, hw);  /* main thread works shard 0 */
     }
     std::vector<Scanner> shard_sc;
     std::vector<Extractor> shard_ex;
@@ -1919,8 +1919,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     std::atomic<int> parsed{0};
                     std::atomic<bool> partitioned{false};
                     std::vector<std::thread> pool;
-                    for (int s = 0; s < n_shards; ++s)
-                        pool.emplace_back([&, s]() {
+                    auto shard_worker = [&](int s) {
                             for (size_t i = s; i < batch.count; i += n_shards) {
                                 batch.ok[i] = decode_bam_record(
                                     batch.bodies[i], batch.decoded[i]) ? 1 : 0;
@@ -1955,12 +1954,15 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                                       batch.decoded[i],
                                                       read_name);
                             }
-                        });
-                    /* overlap: read batch k+1 while the pool works batch k */
+                        };
+                    for (int s = 1; s < n_shards; ++s)
+                        pool.emplace_back(shard_worker, s);
+                    /* overlap: read batch k+1, then work shard 0 inline */
                     if (!eof)
                         read_batch(buffers[1 - cur]);
                     else
                         buffers[1 - cur].count = 0;
+                    shard_worker(0);
                     for (std::thread &worker : pool)
                         worker.join();
                     cur = 1 - cur;
@@ -2138,9 +2140,11 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     std::atomic<int> parsed{0};
                     std::atomic<bool> partitioned{false};
                     double t_pool_start = timing ? now() : 0;
+                    /* shards 1..n-1 run on the pool; the main thread reads
+                     * the next chunk, then works shard 0 itself — every
+                     * core gets a shard with no oversubscription */
                     std::vector<std::thread> pool;
-                    for (int s = 0; s < n_shards; ++s)
-                        pool.emplace_back([&, s]() {
+                    auto shard_worker = [&](int s) {
                             double w0 = (timing && s == 0) ? now() : 0;
                             const char *base = batch.data.data();
                             for (size_t i = s; i < batch.count; i += n_shards) {
@@ -2195,13 +2199,16 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                 t_barrier0 += w2 - w1;
                                 t_handle0 += w3 - w2;
                             }
-                        });
+                        };
+                    for (int s = 1; s < n_shards; ++s)
+                        pool.emplace_back(shard_worker, s);
                     double t_read_start = timing ? now() : 0;
                     if (!done)
                         read_batch(buffers[1 - cur]);
                     else
                         buffers[1 - cur].count = 0;
                     if (timing) t_read += now() - t_read_start;
+                    shard_worker(0);
                     for (std::thread &worker : pool)
                         worker.join();
                     if (timing) t_pool += now() - t_pool_start;
