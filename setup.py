@@ -9,7 +9,11 @@ setup(
               "arriba_tpu.ingest", "arriba_tpu.io", "arriba_tpu.ops",
               "arriba_tpu.output", "arriba_tpu.parallel", "arriba_tpu.tools"],
     ext_modules=[
-        Extension("arriba_tpu._native", sources=["native/ingest.cpp", "native/realign.cpp", "native/annotate.cpp", "native/filters.cpp", "native/cascade.cpp", "native/fusions.cpp"],
+        Extension("arriba_tpu._native",
+                  sources=["native/ingest.cpp", "native/realign.cpp",
+                           "native/annotate.cpp", "native/filters.cpp",
+                           "native/cascade.cpp", "native/fusions.cpp",
+                           "native/event.cpp", "native/extract.cpp"],
                   extra_compile_args=["-O3", "-std=c++17"], libraries=["z"]),
     ],
 )
