@@ -732,3 +732,55 @@ def gene_id_fallback_sample(tmp_path, seed=141) -> List[str]:
     content = _re.sub(r'gene_name "[^"]*"; ', "", content)
     Path(gtf_path).write_text(content)
     return args
+
+
+def large_fuzz_sample(tmp_path, seed: int, n_events: int = 60,
+                      n_background: int = 3000) -> List[str]:
+    """A scaled-up randomized sample (hundreds of events incl. heavy
+    subsampling pressure, thousands of background pairs) for stress-level
+    oracle parity — exercises the sharded scan and the event cascade at a
+    size the small fuzz families never reach."""
+    import numpy as _np
+    rng = _np.random.default_rng(seed)
+    lengths = {"1": 900000, "2": 900000, "3": 600000}
+    b = SampleBuilder(tmp_path, lengths, seed)
+    gene_positions = {}
+    row = 0
+    for contig, length in (("1", 900000), ("2", 900000), ("3", 600000)):
+        starts = []
+        for g in range(40):
+            start = 5000 + g * 20000
+            if start + 6000 >= length:
+                break
+            strand = "+" if rng.integers(0, 2) else "-"
+            b.add_gene(contig, start, start + 5999, strand, f"G{row}",
+                       f"GENE{row}", f"T{row}",
+                       exons=[(start, start + 1499),
+                              (start + 4000, start + 5999)])
+            starts.append(start)
+            row += 1
+        gene_positions[contig] = starts
+    contigs = list(gene_positions)
+    fid = 0
+    for event in range(n_events):
+        c1, c2 = rng.choice(contigs, 2, replace=True)
+        g1 = int(rng.integers(0, len(gene_positions[c1])))
+        g2 = int(rng.integers(0, len(gene_positions[c2])))
+        bp1 = gene_positions[c1][g1] + 1200
+        bp2 = gene_positions[c2][g2] + 4100
+        if c1 == c2 and abs(bp1 - bp2) < 10000:
+            continue
+        support = int(rng.integers(2, 40))
+        for k in range(support):
+            b.add_split_fragment(f"f{fid}", c1, bp1 - 120 - (k % 37),
+                                 bp1 - 30, 30, 40, c2, bp2)
+            fid += 1
+        for k in range(int(rng.integers(0, 6))):
+            b.add_discordant_fragment(f"d{fid}", c1, bp1 - 100 - k * 7,
+                                      c2, bp2 + 30 + k * 11)
+            fid += 1
+    for i in range(n_background):
+        contig = contigs[int(rng.integers(0, len(contigs)))]
+        pos = int(rng.integers(2000, lengths[contig] - 2000))
+        b.add_proper_pair(f"n{i}", contig, pos)
+    return b.write()

@@ -159,3 +159,12 @@ def test_no_chimeric_reads_error_parity(tmp_path):
     assert oracle.returncode == ours.returncode == 1
     assert (oracle.stderr.strip().splitlines()[-1]
             == ours.stderr.strip().splitlines()[-1])
+
+
+@pytest.mark.parametrize("seed", [9001])
+def test_large_sample_parity(tmp_path, seed):
+    """Stress-scale oracle parity: hundreds of events (with subsampling
+    pressure) and thousands of background pairs, run with the sharded
+    scan (-@ 4) — sizes the small fuzz families never reach."""
+    from .scenario import large_fuzz_sample
+    assert_parity(tmp_path, large_fuzz_sample(tmp_path, seed), ("-@", "4"))
