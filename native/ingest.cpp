@@ -1824,7 +1824,10 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         if (threads > 1) {
             raw_file = fopen(path, "rb");
             if (raw_file != nullptr && bgzf_parallel::Reader::is_bgzf(raw_file)) {
-                parallel = new bgzf_parallel::Reader(raw_file, threads);
+                /* the shard pool and the BGZF inflate pool share the
+                 * cores: give decompression half the budget */
+                int bgzf_threads = threads > 2 ? (threads + 1) / 2 : threads;
+                parallel = new bgzf_parallel::Reader(raw_file, bgzf_threads);
                 char bam_magic[4];
                 parallel->read_exact(bam_magic, 4);  /* skip "BAM\1" */
             } else if (raw_file != nullptr) {
