@@ -45,9 +45,16 @@ from ..model import Alignment, ChimericAlignments, Fragment
 from .stats import Coverage
 
 def _path_is_bam(path: str) -> bool:
+    """BAM = gzip/BGZF wrapping the 'BAM\\1' magic; a gzipped SAM is gzip
+    too, so sniff the decompressed leading bytes (read_chimeric_alignments
+    .cpp defers this to htslib's format detection)."""
     try:
         with open(path, "rb") as fh:
-            return fh.read(2) == b"\x1f\x8b"
+            if fh.read(2) != b"\x1f\x8b":
+                return False
+        import gzip
+        with gzip.open(path, "rb") as gz:
+            return gz.read(4) == b"BAM\x01"
     except OSError:
         return False
 

@@ -143,9 +143,16 @@ def _parse_sam_tag(tag_field: str) -> Tuple[str, object]:
 
 
 def read_sam_text(path: str) -> Tuple[SamHeader, Iterator[BamRecord]]:
-    """Parse a SAM text file; returns the header and a lazy record iterator."""
+    """Parse a SAM text file (optionally gzipped); returns the header and a
+    lazy record iterator."""
     header = SamHeader()
-    fh = open(path, "rt")
+    with open(path, "rb") as probe:
+        gzipped = probe.read(2) == b"\x1f\x8b"
+    if gzipped:
+        import gzip
+        fh = gzip.open(path, "rt")
+    else:
+        fh = open(path, "rt")
     body_lines: List[str] = []
     for line in fh:
         if line.startswith("@"):
@@ -355,7 +362,14 @@ def open_alignment_file(path: str, reference_by_name=None
     with open(path, "rb") as fh:
         magic = fh.read(4)
     if magic[:2] == b"\x1f\x8b":
-        return read_bam(path)
+        # gzip wraps either BAM or plain SAM text: sniff the decompressed
+        # magic the way htslib's format detection does
+        import gzip
+        with gzip.open(path, "rb") as gz:
+            inner = gz.read(4)
+        if inner == b"BAM\x01":
+            return read_bam(path)
+        return read_sam_text(path)
     if magic == b"CRAM":
         from .cram import read_cram
         return read_cram(path, reference_by_name)

@@ -79,3 +79,38 @@ def test_bam_bgzf_roundtrip_and_native_parity(tmp_path):
         outputs.append(out.read_text())
     assert outputs[0] == outputs[1]
     assert "GENE1\tGENE2" in outputs[0]
+
+
+def test_gzipped_sam_input(tmp_path):
+    """A gzip-compressed SAM is gzip like BAM is, so format detection must
+    sniff the decompressed magic (htslib parity); outputs must match the
+    plain-text run at any thread count."""
+    import gzip
+    import os
+    import subprocess
+    import sys
+
+    from .oracle_util import REPO
+    from .scenario import translocation_sample
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    args = translocation_sample(tmp_path)
+    sam = tmp_path / "aligned.sam"
+    gz = tmp_path / "aligned.sam.gz"
+    gz.write_bytes(gzip.compress(sam.read_bytes()))
+    outputs = {}
+    for label, path, threads in (("plain", sam, "1"), ("gz1", gz, "1"),
+                                 ("gz4", gz, "4")):
+        run_args = list(args)
+        run_args[run_args.index("-x") + 1] = str(path)
+        out = tmp_path / f"fusions_{label}.tsv"
+        result = subprocess.run(
+            [sys.executable, "-m", "arriba_tpu"] + run_args
+            + ["-o", str(out), "-@", threads],
+            capture_output=True, text=True, timeout=300,
+            cwd=str(tmp_path), env=env)
+        assert result.returncode == 0, result.stderr[-1500:]
+        outputs[label] = out.read_bytes()
+    assert outputs["plain"] == outputs["gz1"] == outputs["gz4"]
+    assert b"GENE1" in outputs["plain"]
