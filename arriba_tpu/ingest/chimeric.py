@@ -52,11 +52,17 @@ def _path_is_bam(path: str) -> bool:
         with open(path, "rb") as fh:
             if fh.read(2) != b"\x1f\x8b":
                 return False
-        import gzip
-        with gzip.open(path, "rb") as gz:
-            return gz.read(4) == b"BAM\x01"
     except OSError:
         return False
+    import gzip
+    import zlib
+    try:
+        with gzip.open(path, "rb") as gz:
+            return gz.read(4) == b"BAM\x01"
+    except (OSError, EOFError, zlib.error):
+        # corrupt gzip: route to the BAM reader, whose corruption handling
+        # raises the proper IOError
+        return True
 
 
 def _native_loader_supported(path: str) -> bool:

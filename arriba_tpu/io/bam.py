@@ -363,10 +363,15 @@ def open_alignment_file(path: str, reference_by_name=None
         magic = fh.read(4)
     if magic[:2] == b"\x1f\x8b":
         # gzip wraps either BAM or plain SAM text: sniff the decompressed
-        # magic the way htslib's format detection does
+        # magic the way htslib's format detection does (undecodable gzip
+        # routes to the BAM reader, whose corruption handling raises)
         import gzip
-        with gzip.open(path, "rb") as gz:
-            inner = gz.read(4)
+        import zlib
+        try:
+            with gzip.open(path, "rb") as gz:
+                inner = gz.read(4)
+        except (OSError, EOFError, zlib.error):
+            inner = b"BAM\x01"
         if inner == b"BAM\x01":
             return read_bam(path)
         return read_sam_text(path)
