@@ -65,6 +65,21 @@ def _path_is_bam(path: str) -> bool:
         return True
 
 
+def _path_is_stream(path: str) -> bool:
+    """True for readable non-regular-file inputs (a FIFO or /dev/stdin fed
+    by a pipe): they can be consumed only once, so header sniffing and the
+    record scan must share a single open stream (the reference lets htslib
+    stream `STAR ... | arriba -x /dev/stdin` the same way,
+    read_chimeric_alignments.cpp:560)."""
+    import stat as _stat
+    try:
+        mode = _os.stat(path).st_mode
+    except OSError:
+        return False
+    return (_stat.S_ISFIFO(mode) or _stat.S_ISCHR(mode)
+            or _stat.S_ISSOCK(mode))
+
+
 def _native_loader_supported(path: str) -> bool:
     """True when the input is a regular SAM/SAM.gz/BAM file (the formats the
     native loader parses; it sniffs BAM vs SAM after decompression)."""
@@ -747,10 +762,50 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
     global _GENES
     _GENES = genes
 
-    native_eligible = (_native is not None and is_rna_bam_file
-                       and not separate_chimeric_bam_file
-                       and _native_loader_supported(path))
-    if native_eligible and _path_is_bam(path):
+    is_stream = _path_is_stream(path)
+    stream_native = (is_stream and _native is not None
+                     and hasattr(_native, "scan_open")
+                     and is_rna_bam_file and not separate_chimeric_bam_file)
+    if is_stream and not stream_native:
+        # a single-consumer stream the native streaming scan cannot take
+        # (pure-Python install, or the separate-chimeric path): spool it to
+        # a temporary file and run the regular seekable path on that
+        import shutil
+        import tempfile
+        with open(path, "rb") as src, tempfile.NamedTemporaryFile(
+                prefix="arriba_tpu_stream_", delete=False) as spool:
+            shutil.copyfileobj(src, spool, 1 << 20)
+            spooled = spool.name
+        try:
+            return read_chimeric_alignments(
+                spooled, assembly, chimeric_alignments, contigs,
+                interesting_contigs, viral_contigs, genes, gene_index,
+                coverage, mapped_viral_reads_by_contig,
+                separate_chimeric_bam_file, is_rna_bam_file,
+                external_duplicate_marking, max_itd_length, threads,
+                retain_native)
+        finally:
+            _os.unlink(spooled)
+
+    native_eligible = stream_native or (
+        _native is not None and is_rna_bam_file
+        and not separate_chimeric_bam_file
+        and _native_loader_supported(path))
+    if stream_native:
+        # consume only the header from the stream; scan_sam(resume=1) below
+        # continues from where scan_open() left the pipe positioned
+        kind, header_text, target_names, target_lengths = \
+            _native.scan_open(path)
+        if kind == 2:
+            raise RuntimeError(
+                f"CRAM input cannot be read from a pipe ('{path}'); "
+                "provide a regular file")
+        from ..io.bam import SamHeader
+        header = SamHeader(target_names=list(target_names),
+                           target_lengths=list(target_lengths),
+                           text=header_text)
+        records = iter(())  # replaced by the forwarded stream below
+    elif native_eligible and _path_is_bam(path):
         from ..io.bam import read_bam_header
         header = read_bam_header(path)
         records = iter(())  # replaced by the forwarded stream below
@@ -839,7 +894,7 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
             result = _native.scan_sam(
                 path, name_to_tid, boundaries, bytes(interesting_per_tid),
                 bytes(viral_per_tid), planes, external_duplicate_marking,
-                threads, extract_tables)
+                threads, extract_tables, 1 if stream_native else 0)
             if retain:
                 (_header_bytes, total_mapped, viral_counts, _n_records,
                  (missing_hi_tag, malformed_count, no_chimeric_flag),
@@ -880,7 +935,8 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
         _, forwarded, native_boring_mapped, viral_counts, _n_records = \
             _native.scan_sam(path, name_to_tid, boundaries,
                              bytes(interesting_per_tid), bytes(viral_per_tid),
-                             planes, external_duplicate_marking, threads)
+                             planes, external_duplicate_marking, threads,
+                             None, 1 if stream_native else 0)
         for tid, count in enumerate(viral_counts):
             mapped_viral_reads_by_contig[tid_to_contig[tid]] += count
         records = (parse_sam_record(line, name_to_tid)

@@ -20,6 +20,7 @@
 
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
+#include <sys/stat.h>
 
 #include <zlib.h>
 
@@ -1113,6 +1114,14 @@ class GzLineReader {
 public:
     explicit GzLineReader(gzFile gz) : gz_(gz), buffer_(1 << 20) {}
 
+    /* preload: already-consumed bytes (scan_open header sniffing) that must
+     * be served before the next gzread */
+    GzLineReader(gzFile gz, const std::string &preload)
+        : gz_(gz), buffer_(std::max((size_t)(1 << 20), preload.size())) {
+        memcpy(buffer_.data(), preload.data(), preload.size());
+        end_ = preload.size();
+    }
+
     bool corrupt() const { return corrupt_; }
 
     bool next_line(std::string &line) {
@@ -1151,6 +1160,9 @@ class GzChunkReader {
 
 public:
     explicit GzChunkReader(gzFile gz) : gz_(gz) {}
+    GzChunkReader(gzFile gz, const std::string &preload) : gz_(gz) {
+        carry_ = preload;
+    }
     bool corrupt() const { return corrupt_; }
     bool exhausted() const { return eof_ && carry_.empty(); }
 
@@ -1560,6 +1572,207 @@ static bool fill_plane(PyObject *obj, Py_buffer *view, void **data,
     return true;
 }
 
+namespace {
+
+/* state carried from scan_open() to a resumed scan_sam(): the header has
+ * been consumed from the (possibly non-seekable) stream, so the scan must
+ * continue from here instead of reopening the path — this is what makes
+ * the recommended `STAR ... | arriba_tpu -x /dev/stdin` pipe workflow run
+ * through the native scanner (read_chimeric_alignments.cpp lets htslib
+ * stream the same way) */
+struct OpenScanState {
+    gzFile gz = nullptr;
+    bool active = false;
+    bool is_bam = false;
+    bool is_regular_file = false;
+    std::string sam_carry;    /* bytes read past the SAM header */
+    std::string header_text;
+    std::vector<std::string> bam_targets;
+    std::string path;
+
+    void reset() {
+        if (gz != nullptr) gzclose(gz);
+        gz = nullptr;
+        active = false;
+        is_bam = false;
+        is_regular_file = false;
+        sam_carry.clear();
+        header_text.clear();
+        bam_targets.clear();
+        path.clear();
+    }
+};
+
+OpenScanState &open_scan() {
+    static OpenScanState state;
+    return state;
+}
+
+}  // namespace
+
+/* Open an alignment stream and consume only its header. Returns
+ * (kind, header_text, target_names, target_lengths) with kind 0=SAM,
+ * 1=BAM, 2=CRAM (stream closed; caller must use the seekable path). The
+ * stream stays open positioned at the first record; the next
+ * scan_sam(..., resume=1) continues from it. */
+static PyObject *scan_open(PyObject *, PyObject *args) {
+    const char *path;
+    if (!PyArg_ParseTuple(args, "s", &path)) return nullptr;
+    OpenScanState &state = open_scan();
+    state.reset();
+
+    gzFile gz = gzopen(path, "rb");
+    if (gz == nullptr) {
+        PyErr_Format(PyExc_IOError, "failed to open alignment file '%s'",
+                     path);
+        return nullptr;
+    }
+    gzbuffer(gz, 1 << 20);
+    struct stat st;
+    state.is_regular_file = stat(path, &st) == 0 && S_ISREG(st.st_mode);
+    state.path = path;
+    state.gz = gz;
+
+    char magic[4] = {0, 0, 0, 0};
+    int magic_got = gzread(gz, magic, 4);
+    std::vector<int64_t> lengths;
+    int kind;
+    if (magic_got == 4 && memcmp(magic, "CRAM", 4) == 0) {
+        kind = 2;
+        state.reset();
+    } else if (magic_got == 4 && memcmp(magic, "BAM\1", 4) == 0) {
+        kind = 1;
+        state.is_bam = true;
+        GzBlockReader serial(gz);
+        int32_t l_text = 0, n_ref = 0;
+        bool ok = serial.read_exact(&l_text, 4) && l_text >= 0;
+        if (ok && l_text > 0) {
+            std::vector<char> text(l_text);
+            ok = serial.read_exact(text.data(), l_text);
+            if (ok)
+                state.header_text.assign(text.data(),
+                                         strnlen(text.data(), l_text));
+        }
+        ok = ok && serial.read_exact(&n_ref, 4) && n_ref >= 0;
+        for (int32_t i = 0; ok && i < n_ref; ++i) {
+            int32_t l_name = 0, l_ref = 0;
+            ok = serial.read_exact(&l_name, 4) && l_name > 0;
+            if (!ok) break;
+            std::vector<char> name(l_name);
+            ok = serial.read_exact(name.data(), l_name)
+                 && serial.read_exact(&l_ref, 4);
+            if (ok) {
+                state.bam_targets.emplace_back(
+                    name.data(), strnlen(name.data(), l_name));
+                lengths.push_back(l_ref);
+            }
+        }
+        if (!ok) {
+            state.reset();
+            PyErr_Format(PyExc_IOError,
+                         "truncated or corrupt BAM header in '%s'", path);
+            return nullptr;
+        }
+        state.active = true;
+    } else {
+        kind = 0;
+        /* SAM text: collect '@' header lines; the first record line (and
+         * everything buffered after it) becomes the carry for the scan */
+        std::string buffered(magic, (size_t)std::max(magic_got, 0));
+        size_t line_start = 0;
+        bool done = false;
+        while (!done) {
+            size_t pos = line_start;
+            while (pos < buffered.size()) {
+                size_t nl = buffered.find('\n', pos);
+                if (nl == std::string::npos) break;
+                size_t len = nl - pos;
+                if (len > 0 && buffered[pos] != '@') {
+                    state.sam_carry = buffered.substr(pos);
+                    done = true;
+                    break;
+                }
+                if (len > 0) {
+                    size_t text_len =
+                        buffered[nl - 1] == '\r' ? len - 1 : len;
+                    state.header_text.append(buffered, pos, text_len);
+                    state.header_text += '\n';
+                }
+                pos = nl + 1;
+            }
+            if (done) break;
+            /* drop fully-consumed header bytes, keep the partial line */
+            buffered.erase(0, pos);
+            line_start = 0;
+            size_t old = buffered.size();
+            buffered.resize(old + (1 << 20));
+            int got = gzread(gz, &buffered[old], 1 << 20);
+            if (got <= 0) {
+                buffered.resize(old);
+                if (gz_stream_corrupt(gz, got)) {
+                    state.reset();
+                    PyErr_Format(PyExc_IOError,
+                                 "corrupt gzip stream in SAM input '%s'",
+                                 path);
+                    return nullptr;
+                }
+                /* EOF: a trailing newline-less record line still counts */
+                if (!buffered.empty() && buffered[0] != '@') {
+                    state.sam_carry = buffered;
+                } else if (!buffered.empty()) {
+                    state.header_text.append(buffered);
+                    state.header_text += '\n';
+                }
+                break;
+            }
+            buffered.resize(old + (size_t)got);
+        }
+        /* parse @SQ lines for target names/lengths */
+        size_t pos = 0;
+        while (pos < state.header_text.size()) {
+            size_t nl = state.header_text.find('\n', pos);
+            size_t end = nl == std::string::npos ? state.header_text.size()
+                                                 : nl;
+            if (state.header_text.compare(pos, 3, "@SQ") == 0) {
+                std::string name;
+                int64_t length = 0;
+                size_t field = pos;
+                while (field < end) {
+                    size_t tab = state.header_text.find('\t', field);
+                    if (tab == std::string::npos || tab > end) tab = end;
+                    if (state.header_text.compare(field, 3, "SN:") == 0)
+                        name = state.header_text.substr(field + 3,
+                                                        tab - field - 3);
+                    else if (state.header_text.compare(field, 3, "LN:") == 0)
+                        length = atoll(state.header_text.c_str() + field + 3);
+                    field = tab + 1;
+                }
+                if (!name.empty()) {
+                    state.bam_targets.push_back(name);
+                    lengths.push_back(length);
+                }
+            }
+            if (nl == std::string::npos) break;
+            pos = nl + 1;
+        }
+        state.active = true;
+    }
+
+    PyObject *names_list = PyList_New((Py_ssize_t)state.bam_targets.size());
+    PyObject *lengths_list = PyList_New((Py_ssize_t)lengths.size());
+    for (size_t i = 0; i < state.bam_targets.size(); ++i)
+        PyList_SetItem(names_list, (Py_ssize_t)i,
+                       PyUnicode_FromStringAndSize(
+                           state.bam_targets[i].data(),
+                           (Py_ssize_t)state.bam_targets[i].size()));
+    for (size_t i = 0; i < lengths.size(); ++i)
+        PyList_SetItem(lengths_list, (Py_ssize_t)i,
+                       PyLong_FromLongLong(lengths[i]));
+    return Py_BuildValue("(is#NN)", kind, state.header_text.data(),
+                         (Py_ssize_t)state.header_text.size(), names_list,
+                         lengths_list);
+}
+
 static PyObject *scan_sam(PyObject *, PyObject *args) {
     const char *path;
     PyObject *name_to_tid_obj;      /* dict: contig name (str) -> tid (int) */
@@ -1573,19 +1786,46 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                         gene_start, gene_end, assembly_list,
                                         tid_to_contig, max_itd_length) enabling
                                         full-native extraction */
+    int resume = 0;                  /* continue the stream scan_open() left
+                                        positioned at the first record */
 
-    if (!PyArg_ParseTuple(args, "sOOOOOpi|O", &path, &name_to_tid_obj,
+    if (!PyArg_ParseTuple(args, "sOOOOOpi|Oi", &path, &name_to_tid_obj,
                           &boundaries_obj, &interesting_obj, &viral_obj,
                           &coverage_obj, &external_duplicate_marking, &threads,
-                          &extract_obj))
+                          &extract_obj, &resume))
         return nullptr;
 
-    gzFile gz = gzopen(path, "rb");
-    if (gz == nullptr) {
-        PyErr_SetString(PyExc_IOError, "failed to open alignment file");
-        return nullptr;
+    gzFile gz;
+    std::string resume_carry;               /* SAM bytes past the header */
+    std::vector<std::string> resume_targets;
+    std::string resume_header;
+    bool resume_is_bam = false;
+    bool resume_regular = false;
+    if (resume) {
+        OpenScanState &state = open_scan();
+        if (!state.active || state.path != path) {
+            PyErr_SetString(PyExc_RuntimeError,
+                            "scan_sam(resume=1) without a matching "
+                            "scan_open()");
+            return nullptr;
+        }
+        /* take ownership of the open stream and header state */
+        gz = state.gz;
+        state.gz = nullptr;
+        resume_carry = std::move(state.sam_carry);
+        resume_targets = std::move(state.bam_targets);
+        resume_header = std::move(state.header_text);
+        resume_is_bam = state.is_bam;
+        resume_regular = state.is_regular_file;
+        state.reset();
+    } else {
+        gz = gzopen(path, "rb");
+        if (gz == nullptr) {
+            PyErr_SetString(PyExc_IOError, "failed to open alignment file");
+            return nullptr;
+        }
+        gzbuffer(gz, 1 << 20);
     }
-    gzbuffer(gz, 1 << 20);
 
     Scanner scanner;
     scanner.external_duplicate_marking = external_duplicate_marking != 0;
@@ -1811,17 +2051,26 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
     }
     std::hash<std::string_view> shard_hash;
 
-    /* sniff the (decompressed) leading bytes: BAM or SAM text */
-    char magic[4] = {0, 0, 0, 0};
-    int magic_got = gzread(gz, magic, 4);
-    bool is_bam = (magic_got == 4 && memcmp(magic, "BAM\1", 4) == 0);
+    /* sniff the (decompressed) leading bytes: BAM or SAM text (already
+     * done by scan_open when resuming) */
+    bool is_bam;
+    if (resume) {
+        is_bam = resume_is_bam;
+        header_text = resume_header;
+    } else {
+        char magic[4] = {0, 0, 0, 0};
+        int magic_got = gzread(gz, magic, 4);
+        is_bam = (magic_got == 4 && memcmp(magic, "BAM\1", 4) == 0);
+    }
 
     if (is_bam) {
         /* multithreaded BGZF decompression when requested (the reference's
-         * -@ decompression pool) */
+         * -@ decompression pool); a resumed non-seekable stream (pipe) can
+         * only be read serially from the handle scan_open() left open —
+         * reopening the path would steal bytes from the pipe */
         FILE *raw_file = nullptr;
         bgzf_parallel::Reader *parallel = nullptr;
-        if (threads > 1) {
+        if (threads > 1 && (!resume || resume_regular)) {
             raw_file = fopen(path, "rb");
             if (raw_file != nullptr && bgzf_parallel::Reader::is_bgzf(raw_file)) {
                 /* the shard pool and the BGZF inflate pool share the
@@ -1850,26 +2099,30 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
             }
         } cleanup{raw_file, parallel, &stream_error};
 
-        int32_t l_text = 0;
-        if (!read_exact(&l_text, 4)) { gzclose(gz); goto done; }
-        {
-            std::vector<char> text(l_text);
-            if (l_text && !read_exact(text.data(), l_text)) { gzclose(gz); goto done; }
-            header_text.assign(text.data(), strnlen(text.data(), l_text));
+        if (resume && parallel == nullptr) {
+            /* scan_open() already consumed the header from this stream */
+            bam_targets = std::move(resume_targets);
+        } else {
+            int32_t l_text = 0;
+            if (!read_exact(&l_text, 4)) { gzclose(gz); goto done; }
+            {
+                std::vector<char> text(l_text);
+                if (l_text && !read_exact(text.data(), l_text)) { gzclose(gz); goto done; }
+                header_text.assign(text.data(), strnlen(text.data(), l_text));
+            }
+            int32_t n_ref = 0;
+            if (!read_exact(&n_ref, 4)) { gzclose(gz); goto done; }
+            bam_targets.resize(n_ref);
+            for (int32_t i = 0; i < n_ref; ++i) {
+                int32_t l_name = 0, l_ref = 0;
+                if (!read_exact(&l_name, 4)) { gzclose(gz); goto done; }
+                std::vector<char> name(l_name);
+                if (!read_exact(name.data(), l_name)) { gzclose(gz); goto done; }
+                if (!read_exact(&l_ref, 4)) { gzclose(gz); goto done; }
+                bam_targets[i].assign(name.data(), strnlen(name.data(), l_name));
+            }
         }
-        int32_t n_ref = 0;
-        if (!read_exact(&n_ref, 4)) { gzclose(gz); goto done; }
-        std::vector<std::string> &target_names = bam_targets;
-        target_names.resize(n_ref);
-        for (int32_t i = 0; i < n_ref; ++i) {
-            int32_t l_name = 0, l_ref = 0;
-            if (!read_exact(&l_name, 4)) { gzclose(gz); goto done; }
-            std::vector<char> name(l_name);
-            if (!read_exact(name.data(), l_name)) { gzclose(gz); goto done; }
-            if (!read_exact(&l_ref, 4)) { gzclose(gz); goto done; }
-            target_names[i].assign(name.data(), strnlen(name.data(), l_name));
-        }
-        bam_target_names = &target_names;
+        bam_target_names = &bam_targets;
         if (threads > 1) {
             /* batch-parallel decode: bodies read serially, decoded by a
              * worker pool, handled sequentially in order */
@@ -2037,8 +2290,11 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
             stream_error = "corrupt gzip/BGZF stream in BAM input";
         gzclose(gz);
     } else {
-        gzrewind(gz);
-        GzLineReader reader(gz);
+        /* resumed streams (pipes) cannot rewind: scan_open() consumed the
+         * header and hands us the overshoot bytes as the reader preload */
+        if (!resume)
+            gzrewind(gz);
+        GzLineReader reader(gz, resume_carry);
         if (threads > 1) {
             /* batch-parallel parse: lines read serially, parsed by a worker
              * pool, handled sequentially in order */
@@ -2066,7 +2322,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     batch.data.reserve(CHUNK + (1 << 20));
                     batch.by_shard.resize(n_shards);
                 }
-                GzChunkReader chunk_reader(gz);
+                GzChunkReader chunk_reader(gz, resume_carry);
                 bool done = false;
 
                 auto resolve_tid_view = [&](const char *data, size_t n,
@@ -2783,6 +3039,10 @@ static PyMethodDef methods[] = {
     {"scan_sam", scan_sam, METH_VARARGS,
      "Scan a SAM/SAM.gz file: decode, collate, handle boring pairs natively, "
      "forward the rest as SAM text."},
+    {"scan_open", scan_open, METH_VARARGS,
+     "Open an alignment stream (works on pipes), consume its header, return "
+     "(kind, header_text, target_names, target_lengths); scan_sam(resume=1) "
+     "continues from the open stream."},
     {nullptr, nullptr, 0, nullptr},
 };
 
