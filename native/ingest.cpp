@@ -100,7 +100,28 @@ struct Scanner {
     bool has_pending = false;
     std::string pending_name;
     Record pending;
+    std::string name_scratch;  /* per-call "qname,HI" build buffer: reused
+                                  capacity instead of a heap string per record */
 };
+
+/* copy into recycled storage: unlike a move, this leaves the source's heap
+ * buffers in place (the decoded[] batch slots recycle them every chunk) and
+ * reuses the destination's — the collation hot path stays allocation-free */
+inline void record_assign(Record &dst, const Record &src) {
+    dst.line.assign(src.line);
+    dst.bam_body.assign(src.bam_body.begin(), src.bam_body.end());
+    dst.flag = src.flag;
+    dst.tid = src.tid;
+    dst.pos = src.pos;
+    dst.end_pos = src.end_pos;
+    dst.mtid = src.mtid;
+    dst.cigar.assign(src.cigar.begin(), src.cigar.end());
+    dst.seq.assign(src.seq);
+    dst.has_sa = src.has_sa;
+    dst.hi_present = src.hi_present;
+    dst.hi_value = src.hi_value;
+    dst.max_soft_clip = src.max_soft_clip;
+}
 
 inline void coverage_increment(uint16_t *slot, bool atomic) {
     if (!atomic) {
@@ -787,7 +808,7 @@ void append_int(std::string &out, long long value);
  * all records of one read name must go to the same shard (mate collation,
  * supplementary joins and ITD fragments key on the name). */
 void handle_record_extract(Scanner &scanner, Extractor &extractor,
-                           Record &record, const std::string &qname) {
+                           Record &record, std::string_view qname) {
     scanner.n_records += 1;
 
     if ((record.flag & FUNMAP) ||
@@ -801,7 +822,8 @@ void handle_record_extract(Scanner &scanner, Extractor &extractor,
         extractor.missing_hi += 1;
         return;
     }
-    std::string read_name = qname;
+    std::string &read_name = scanner.name_scratch;
+    read_name.assign(qname.data(), qname.size());
     read_name += ',';
     append_int(read_name, hit_index);
 
@@ -834,24 +856,29 @@ void handle_record_extract(Scanner &scanner, Extractor &extractor,
     }
 
     if (record.flag & FPAIRED) {
-        Record mate;
+        /* the mate stays where it lives (pending slot or extracted map
+         * node) — no per-pair Record moves, so the decoded[] batch slots
+         * keep their recycled heap buffers */
+        Record *mate_slot;
+        std::unordered_map<std::string, Record>::node_type node;
         if (scanner.has_pending && scanner.pending_name == read_name) {
-            mate = std::move(scanner.pending);
             scanner.has_pending = false;
+            mate_slot = &scanner.pending;
         } else {
             auto found = scanner.collated.find(read_name);
             if (found == scanner.collated.end()) {
                 if (scanner.has_pending)
                     scanner.collated.emplace(std::move(scanner.pending_name),
                                              std::move(scanner.pending));
-                scanner.pending_name = std::move(read_name);
-                scanner.pending = std::move(record);
+                scanner.pending_name.assign(read_name);
+                record_assign(scanner.pending, record);
                 scanner.has_pending = true;
                 return;
             }
-            mate = std::move(found->second);
-            scanner.collated.erase(found);
+            node = scanner.collated.extract(found);
+            mate_slot = &node.mapped();
         }
+        Record &mate = *mate_slot;
         if (pair_is_boring(scanner, record, mate)) {
             /* mapped reads already counted at arrival; coverage + viral */
             if (record.tid >= 0 && record.tid < (int)scanner.viral.size() &&
@@ -2203,12 +2230,12 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                     std::this_thread::yield();
                             }
                             for (uint32_t i : batch.by_shard[s]) {
-                                std::string read_name(
-                                    (const char *)batch.decoded[i]
-                                        .bam_body.data() + 32);
-                                handle_record_extract(shard_sc[s], shard_ex[s],
-                                                      batch.decoded[i],
-                                                      read_name);
+                                handle_record_extract(
+                                    shard_sc[s], shard_ex[s], batch.decoded[i],
+                                    std::string_view((const char *)batch
+                                                         .decoded[i]
+                                                         .bam_body.data() +
+                                                     32));
                             }
                         };
                     for (int s = 1; s < n_shards; ++s)
@@ -2450,7 +2477,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                     tab ? (size_t)(tab - line) : len;
                                 handle_record_extract(
                                     shard_sc[s], shard_ex[s], batch.decoded[i],
-                                    std::string(line, name_end));
+                                    std::string_view(line, name_end));
                             }
                             if (timing && s == 0) {
                                 double w3 = now();
