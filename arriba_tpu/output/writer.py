@@ -253,12 +253,39 @@ def get_sequence_from_pileup(pileup: Pileup, breakpoint: int, direction: bool,
 # fusion transcript assembly (output_fusions.cpp:242-466)
 
 
+def _native_pileup_args(fusion: Fusion, index) -> tuple:
+    """Argument tuple for event.cpp ev_transcript_pileups/_consensus."""
+    return (
+        np.array([index[n] for n in fusion.split_read1_list],
+                 np.int64).tobytes(),
+        np.array([index[n] for n in fusion.split_read2_list],
+                 np.int64).tobytes(),
+        np.array([index[n] for n in fusion.discordant_mate_list],
+                 np.int64).tobytes(),
+        1 if fusion.direction1 else 0, 1 if fusion.direction2 else 0,
+        int(fusion.breakpoint1), int(fusion.breakpoint2))
+
+
+def _finish_native_consensus(fusion: Fusion, result: tuple
+                             ) -> Tuple[str, List[int]]:
+    (sequence1, positions1_b, clipped1, sequence2, positions2_b, clipped2,
+     non_template_bases) = result
+    return _finish_transcript_sequence(
+        fusion, sequence1, np.frombuffer(positions1_b, np.int64).tolist(),
+        clipped1, sequence2, np.frombuffer(positions2_b, np.int64).tolist(),
+        clipped2, non_template_bases)
+
+
 def get_fusion_transcript_sequence(fusion: Fusion,
                                    chimeric_alignments: ChimericAlignments,
-                                   genes: GeneTable, assembly: Assembly
+                                   genes: GeneTable, assembly: Assembly,
+                                   precomputed: Optional[tuple] = None
                                    ) -> Tuple[str, List[int]]:
     if fusion.predicted_strands_ambiguous or fusion.transcript_start_ambiguous:
         return ".", [-1]
+    if precomputed is not None:
+        # consensus already computed by ev_transcript_consensus_batch
+        return _finish_native_consensus(fusion, precomputed)
 
     native = getattr(chimeric_alignments, "native", None)
     if (native is not None and hasattr(native, "ev_transcript_pileups")
@@ -266,27 +293,13 @@ def get_fusion_transcript_sequence(fusion: Fusion,
         # the fragments still live in the native store: run all ten pileup
         # passes + the non-template-base scan there (event.cpp)
         index = chimeric_alignments._index
-        pileup_args = (
-            np.array([index[n] for n in fusion.split_read1_list],
-                     np.int64).tobytes(),
-            np.array([index[n] for n in fusion.split_read2_list],
-                     np.int64).tobytes(),
-            np.array([index[n] for n in fusion.discordant_mate_list],
-                     np.int64).tobytes(),
-            1 if fusion.direction1 else 0, 1 if fusion.direction2 else 0,
-            int(fusion.breakpoint1), int(fusion.breakpoint2))
+        pileup_args = _native_pileup_args(fusion, index)
         if hasattr(native, "ev_transcript_consensus"):
             # ... and the per-pileup consensus as well (event.cpp
             # consensus_from_pileup); only the string assembly tail runs here
-            (sequence1, positions1_b, clipped1, sequence2, positions2_b,
-             clipped2, non_template_bases) = native.ev_transcript_consensus(
-                *pileup_args, int(fusion.gene1), int(fusion.gene2))
-            return _finish_transcript_sequence(
-                fusion, sequence1, np.frombuffer(positions1_b,
-                                                 np.int64).tolist(),
-                clipped1, sequence2,
-                np.frombuffer(positions2_b, np.int64).tolist(), clipped2,
-                non_template_bases)
+            return _finish_native_consensus(
+                fusion, native.ev_transcript_consensus(
+                    *pileup_args, int(fusion.gene1), int(fusion.gene2)))
         pileup1, pileup2, non_template_bases = \
             native.ev_transcript_pileups(*pileup_args)
         return _assemble_transcript_sequence(fusion, pileup1, pileup2,
@@ -1103,7 +1116,8 @@ def write_fusions_to_file(fusions: Fusions, output_file: str,
                           protein_domains: Optional[ProteinDomains],
                           max_mate_gap: int, max_itd_length: int,
                           print_extra_info: bool, fill_sequence_gaps: bool,
-                          write_discarded_fusions: bool) -> None:
+                          write_discarded_fusions: bool,
+                          threads: int = 1) -> None:
     genes = annotation.genes
     exons = annotation.exons
     transcripts_table = annotation.transcripts
@@ -1180,6 +1194,22 @@ def write_fusions_to_file(fusions: Fusions, output_file: str,
             return int(native_filters[name_to_index[name]])
         return chimeric_alignments[name].filter
 
+    # prefetch every fusion's transcript consensus in ONE native call (the
+    # per-fusion pileups are independent, so they run on a thread pool)
+    consensus_cache: Dict[int, tuple] = {}
+    if (print_extra_info and native is not None
+            and hasattr(native, "ev_transcript_consensus_batch")
+            and not getattr(chimeric_alignments, "_materialized", True)):
+        index = chimeric_alignments._index
+        eligible = [f for f in sorted_fusions
+                    if not (f.predicted_strands_ambiguous
+                            or f.transcript_start_ambiguous)]
+        if eligible:
+            results = native.ev_transcript_consensus_batch(
+                [(*_native_pileup_args(f, index), int(f.gene1), int(f.gene2))
+                 for f in eligible], int(threads))
+            consensus_cache = {id(f): r for f, r in zip(eligible, results)}
+
     lines = [HEADER]
     for f in sorted_fusions:
         site_5 = get_fusion_site(f.gene1, f.spliced1, f.exonic1, f.contig1,
@@ -1217,7 +1247,8 @@ def write_fusions_to_file(fusions: Fusions, output_file: str,
         reading_frame = "."
         if print_extra_info:
             transcript_sequence, positions = get_fusion_transcript_sequence(
-                f, chimeric_alignments, genes, assembly)
+                f, chimeric_alignments, genes, assembly,
+                consensus_cache.get(id(f)))
             transcript_sequence_backup = transcript_sequence
             positions_backup = list(positions)
 

@@ -209,7 +209,7 @@ def run(options: Options) -> PipelineState:
         from .annotation.native_annotate import (bind_annotation_engine,
                                                  bind_gene_index)
         dummy_contig_b, dummy_start_b, dummy_end_b = \
-            ca.native.annotate_store_phase1()
+            ca.native.annotate_store_phase1(options.threads)
         for dummy_contig, dummy_start, dummy_end in zip(
                 np.frombuffer(dummy_contig_b, np.int64).tolist(),
                 np.frombuffer(dummy_start_b, np.int64).tolist(),
@@ -574,7 +574,8 @@ def _run_cascades(state, options, enabled, ca, annotation, genes, exons,
                           state.assembly, annotation, gene_index, state.exon_index,
                           state.contigs.original, state.tags, state.protein_domains,
                           state.max_mate_gap, options.max_itd_length, True,
-                          options.fill_sequence_gaps, False)
+                          options.fill_sequence_gaps, False,
+                          threads=options.threads)
 
     if options.discarded_output_file:
         log(f"Writing discarded fusions to file '{options.discarded_output_file}'")
@@ -586,6 +587,7 @@ def _run_cascades(state, options, enabled, ca, annotation, genes, exons,
                                   state.protein_domains, state.max_mate_gap,
                                   options.max_itd_length,
                                   options.print_extra_info_for_discarded_fusions,
-                                  options.fill_sequence_gaps, True)
+                                  options.fill_sequence_gaps, True,
+                                  threads=options.threads)
 
     return state

@@ -14,6 +14,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #include "annotate.h"
@@ -634,53 +635,80 @@ PyObject *assign_strands_native(PyObject *, PyObject *args) {
 
 // arriba.cpp:186-260: exon annotation, gene-level fallback, and dummy-gene
 // range construction. Returns (dummy_contig_b, dummy_start_b, dummy_end_b).
-PyObject *annotate_store_phase1(PyObject *, PyObject *) {
+PyObject *annotate_store_phase1(PyObject *, PyObject *args) {
+    int threads = 1;
+    if (!PyArg_ParseTuple(args, "|i", &threads)) return nullptr;
     if (!require_stores()) return nullptr;
     extract_store::ExtractStore &s = extract_store::store();
     const annotate_engine::Engine &eng = engine();
 
-    std::vector<int64_t> scratch;
-    for (ExtractFragment &fragment : s.fragments) {
-        // exon-level annotation via the shared core (annotation.cpp:505-555)
-        annotate_engine::MateState states[3];
-        int n_mates = (int)fragment.mates.size();
-        for (int m = 0; m < n_mates; ++m) {
-            const ExtractMate &mate = fragment.mates[m];
-            states[m].contig = mate.contig;
-            states[m].start = mate.start;
-            states[m].end = mate.end;
-            states[m].strand = mate.strand;
-            states[m].predicted_strand = mate.predicted_strand;
-            states[m].predicted_strand_ambiguous =
-                mate.predicted_strand_ambiguous;
-            states[m].cigar = mate.cigar.data();
-            states[m].n_cigar = (int64_t)mate.cigar.size();
-        }
-        annotate_engine::annotate_fragment(states, n_mates);
-        for (int m = 0; m < n_mates; ++m) {
-            ExtractMate &mate = fragment.mates[m];
-            mate.genes = std::move(states[m].genes);
-            mate.exonic = states[m].exonic;
-            mate.predicted_strand = states[m].predicted_strand;
-            mate.predicted_strand_ambiguous =
-                states[m].predicted_strand_ambiguous;
-        }
+    // each fragment is annotated independently against the immutable engine
+    // tables (no lazy caches on this path), so the loop parallelizes over
+    // block ranges with per-worker scratch; results land only in the
+    // fragment's own mates => byte-identical to the serial walk
+    auto annotate_range = [&s, &eng](size_t lo, size_t hi) {
+        std::vector<int64_t> scratch;
+        for (size_t f = lo; f < hi; ++f) {
+            ExtractFragment &fragment = s.fragments[f];
+            // exon-level annotation via the shared core
+            // (annotation.cpp:505-555)
+            annotate_engine::MateState states[3];
+            int n_mates = (int)fragment.mates.size();
+            for (int m = 0; m < n_mates; ++m) {
+                const ExtractMate &mate = fragment.mates[m];
+                states[m].contig = mate.contig;
+                states[m].start = mate.start;
+                states[m].end = mate.end;
+                states[m].strand = mate.strand;
+                states[m].predicted_strand = mate.predicted_strand;
+                states[m].predicted_strand_ambiguous =
+                    mate.predicted_strand_ambiguous;
+                states[m].cigar = mate.cigar.data();
+                states[m].n_cigar = (int64_t)mate.cigar.size();
+            }
+            annotate_engine::annotate_fragment(states, n_mates);
+            for (int m = 0; m < n_mates; ++m) {
+                ExtractMate &mate = fragment.mates[m];
+                mate.genes = std::move(states[m].genes);
+                mate.exonic = states[m].exonic;
+                mate.predicted_strand = states[m].predicted_strand;
+                mate.predicted_strand_ambiguous =
+                    states[m].predicted_strand_ambiguous;
+            }
 
-        // gene-level fallback (arriba.cpp:190-205)
-        for (ExtractMate &mate : fragment.mates)
-            if (mate.genes.empty())
-                annotate_engine::range_query_in(eng.gene_index, mate.contig,
-                                                mate.start, mate.end,
-                                                mate.genes);
-        if (n_mates == 3) {
-            ExtractMate &split = fragment.mates[EXT_SPLIT];
-            ExtractMate &m1 = fragment.mates[EXT_MATE1];
-            annotate_engine::combine_annotations(split.genes, m1.genes, scratch);
-            if (m1.genes.empty() || scratch.size() < m1.genes.size())
-                m1.genes = scratch;
-            if (split.genes.empty() || scratch.size() < split.genes.size())
-                split.genes = scratch;
+            // gene-level fallback (arriba.cpp:190-205)
+            for (ExtractMate &mate : fragment.mates)
+                if (mate.genes.empty())
+                    annotate_engine::range_query_in(eng.gene_index,
+                                                    mate.contig, mate.start,
+                                                    mate.end, mate.genes);
+            if (n_mates == 3) {
+                ExtractMate &split = fragment.mates[EXT_SPLIT];
+                ExtractMate &m1 = fragment.mates[EXT_MATE1];
+                annotate_engine::combine_annotations(split.genes, m1.genes,
+                                                     scratch);
+                if (m1.genes.empty() || scratch.size() < m1.genes.size())
+                    m1.genes = scratch;
+                if (split.genes.empty() || scratch.size() < split.genes.size())
+                    split.genes = scratch;
+            }
         }
+    };
+    size_t n_fragments = s.fragments.size();
+    int n_workers = threads > 1 ? std::min<int>(threads, 8) : 1;
+    if (n_workers > 1 && n_fragments >= 1024) {
+        Py_BEGIN_ALLOW_THREADS
+        std::vector<std::thread> pool;
+        size_t chunk = (n_fragments + n_workers - 1) / n_workers;
+        for (int w = 1; w < n_workers; ++w)
+            pool.emplace_back(annotate_range,
+                              std::min(n_fragments, w * chunk),
+                              std::min(n_fragments, (w + 1) * chunk));
+        annotate_range(0, std::min(n_fragments, chunk));
+        for (std::thread &worker : pool) worker.join();
+        Py_END_ALLOW_THREADS
+    } else {
+        annotate_range(0, n_fragments);
     }
 
     // unmapped alignment positions (arriba.cpp:207-226)

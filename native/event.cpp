@@ -15,6 +15,7 @@
 #include <cstring>
 #include <map>
 #include <set>
+#include <atomic>
 #include <thread>
 #include <unordered_map>
 #include <unordered_set>
@@ -3884,6 +3885,114 @@ PyObject *ev_transcript_consensus(PyObject *, PyObject *args) {
         pos2_data, (Py_ssize_t)(positions2.size() * 8),
         clipped2.data(), (Py_ssize_t)clipped2.size(),
         (long long)non_template_bases);
+}
+
+// batched form of ev_transcript_consensus: one call for the whole fusion
+// list, pileup+consensus computed on a thread pool with the GIL released
+// (every input is decoded up front; the per-fusion work reads only the
+// immutable cascade/engine stores, so cross-fusion parallelism is exact)
+PyObject *ev_transcript_consensus_batch(PyObject *, PyObject *args) {
+    PyObject *items;
+    int threads = 1;
+    if (!PyArg_ParseTuple(args, "O|i", &items, &threads)) return nullptr;
+    if (!cascade_store::cascade().ready) {
+        PyErr_SetString(PyExc_RuntimeError, "fragment store not populated");
+        return nullptr;
+    }
+    if (!PyList_Check(items)) {
+        PyErr_SetString(PyExc_TypeError, "expected a list of tuples");
+        return nullptr;
+    }
+    struct Job {
+        std::vector<int64_t> split1, split2, discordant;
+        bool d1 = false, d2 = false;
+        int64_t breakpoint1 = 0, breakpoint2 = 0, gene1 = -1, gene2 = -1;
+        std::string sequence1, clipped1, sequence2, clipped2;
+        std::vector<int64_t> positions1, positions2;
+        int64_t non_template_bases = 0;
+    };
+    Py_ssize_t n = PyList_Size(items);
+    std::vector<Job> jobs((size_t)n);
+    for (Py_ssize_t i = 0; i < n; ++i) {
+        PyObject *item = PyList_GetItem(items, i);
+        PyObject *split1_obj, *split2_obj, *discordant_obj;
+        int direction1, direction2;
+        long long breakpoint1, breakpoint2, gene1, gene2;
+        if (!PyArg_ParseTuple(item, "SSSiiLLLL", &split1_obj, &split2_obj,
+                              &discordant_obj, &direction1, &direction2,
+                              &breakpoint1, &breakpoint2, &gene1, &gene2))
+            return nullptr;
+        Job &job = jobs[i];
+        if (!indices_from_bytes(split1_obj, job.split1)
+            || !indices_from_bytes(split2_obj, job.split2)
+            || !indices_from_bytes(discordant_obj, job.discordant))
+            return nullptr;
+        job.d1 = direction1 != 0;
+        job.d2 = direction2 != 0;
+        job.breakpoint1 = breakpoint1;
+        job.breakpoint2 = breakpoint2;
+        job.gene1 = gene1;
+        job.gene2 = gene2;
+    }
+
+    auto run_job = [](Job &job) {
+        PileupMap pileup1, pileup2;
+        build_transcript_pileups(job.split1, job.split2, job.discordant,
+                                 job.d1, job.d2, job.breakpoint1,
+                                 job.breakpoint2, pileup1, pileup2,
+                                 job.non_template_bases);
+        consensus_from_pileup(pileup1, job.breakpoint1, job.d1, job.gene1,
+                              job.sequence1, job.positions1, job.clipped1);
+        consensus_from_pileup(pileup2, job.breakpoint2, job.d2, job.gene2,
+                              job.sequence2, job.positions2, job.clipped2);
+    };
+    int n_workers = std::min<int>(std::max(threads, 1), 8);
+    if (n_workers > 1 && n > 1) {
+        Py_BEGIN_ALLOW_THREADS
+        std::atomic<size_t> next{0};
+        std::vector<std::thread> pool;
+        auto worker = [&jobs, &next, run_job]() {
+            for (;;) {
+                size_t i = next.fetch_add(1, std::memory_order_relaxed);
+                if (i >= jobs.size()) break;
+                run_job(jobs[i]);
+            }
+        };
+        for (int w = 1; w < n_workers; ++w) pool.emplace_back(worker);
+        worker();
+        for (std::thread &thread : pool) thread.join();
+        Py_END_ALLOW_THREADS
+    } else {
+        for (Job &job : jobs) run_job(job);
+    }
+
+    static const char empty[1] = {0};
+    PyObject *results = PyList_New(n);
+    if (results == nullptr) return nullptr;
+    for (Py_ssize_t i = 0; i < n; ++i) {
+        Job &job = jobs[i];
+        const char *pos1_data = job.positions1.empty()
+                                    ? empty
+                                    : (const char *)job.positions1.data();
+        const char *pos2_data = job.positions2.empty()
+                                    ? empty
+                                    : (const char *)job.positions2.data();
+        PyObject *entry = Py_BuildValue(
+            "(s#y#s#s#y#s#L)",
+            job.sequence1.data(), (Py_ssize_t)job.sequence1.size(),
+            pos1_data, (Py_ssize_t)(job.positions1.size() * 8),
+            job.clipped1.data(), (Py_ssize_t)job.clipped1.size(),
+            job.sequence2.data(), (Py_ssize_t)job.sequence2.size(),
+            pos2_data, (Py_ssize_t)(job.positions2.size() * 8),
+            job.clipped2.data(), (Py_ssize_t)job.clipped2.size(),
+            (long long)job.non_template_bases);
+        if (entry == nullptr) {
+            Py_DECREF(results);
+            return nullptr;
+        }
+        PyList_SetItem(results, i, entry);
+    }
+    return results;
 }
 
 // ---------------------------------------------------------------------------

@@ -2921,6 +2921,7 @@ extern PyObject *extract_fragment_filters(PyObject *, PyObject *);
 extern PyObject *extract_supporting_reads(PyObject *, PyObject *);
 extern PyObject *ev_transcript_pileups(PyObject *, PyObject *);
 extern PyObject *ev_transcript_consensus(PyObject *, PyObject *);
+extern PyObject *ev_transcript_consensus_batch(PyObject *, PyObject *);
 extern PyObject *ev_bind_transcript_tables(PyObject *, PyObject *);
 extern PyObject *ev_get_transcripts(PyObject *, PyObject *);
 
@@ -3032,7 +3033,7 @@ static PyMethodDef methods[] = {
      "Detect strandedness over the retained store (read_stats.cpp:94-143)."},
     {"assign_strands_native", assign_strands_native, METH_VARARGS,
      "Assign predicted strands from strandedness over the retained store."},
-    {"annotate_store_phase1", annotate_store_phase1, METH_NOARGS,
+    {"annotate_store_phase1", annotate_store_phase1, METH_VARARGS,
      "Exon + gene-fallback annotation of the retained store; returns dummy "
      "gene ranges."},
     {"annotate_store_phase2", annotate_store_phase2, METH_NOARGS,
@@ -3049,6 +3050,9 @@ static PyMethodDef methods[] = {
      "Per-fragment filter ids of the retained store as int64 bytes."},
     {"extract_supporting_reads", extract_supporting_reads, METH_VARARGS,
      "Joined stripped read names + filter histogram for given indices."},
+    {"ev_transcript_consensus_batch", ev_transcript_consensus_batch,
+     METH_VARARGS,
+     "Batched ev_transcript_consensus over a list of fusions (thread pool)."},
     {"ev_transcript_consensus", ev_transcript_consensus, METH_VARARGS,
      "pileups + both consensus sequences over the native store"},
     {"ev_bind_transcript_tables", ev_bind_transcript_tables, METH_VARARGS,
