@@ -207,6 +207,44 @@ def _device_step_metric() -> dict:
             "unit": "reads/s"}
 
 
+def _head_to_head_metric(our_elapsed: float) -> dict:
+    """Secondary metric: wall-time ratio vs the reference arriba binary
+    (built in-tree against the clean-room htslib shim by the oracle test
+    harness) on the SAME sample, with byte-equal fusions.tsv required.
+    Skipped when the oracle binary has not been built."""
+    oracle = pathlib.Path("/tmp/arriba_oracle/arriba")
+    if not oracle.exists():
+        print("head-to-head skipped: oracle binary not built "
+              "(run tests/test_oracle_parity.py first)", file=sys.stderr)
+        return None
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    cmd = [str(oracle),
+           "-x", str(SAMPLE_DIR / "aligned.sam"),
+           "-g", str(SAMPLE_DIR / "genes.gtf"),
+           "-a", str(SAMPLE_DIR / "genome.fa"),
+           "-b", str(SAMPLE_DIR / "blacklist.tsv"),
+           "-o", str(SAMPLE_DIR / "fusions.reference.tsv"),
+           "-O", str(SAMPLE_DIR / "fusions.discarded.reference.tsv"),
+           "-i", "1 2", "-s", "no"]
+    times = []
+    for _ in range(3):
+        start = time.perf_counter()
+        result = subprocess.run(cmd, env=env, capture_output=True, text=True)
+        times.append(time.perf_counter() - start)
+        if result.returncode != 0:
+            raise RuntimeError(f"reference binary failed: {result.stderr}")
+    reference_elapsed = min(times)
+    ours = (SAMPLE_DIR / "fusions.tsv").read_bytes()
+    theirs = (SAMPLE_DIR / "fusions.reference.tsv").read_bytes()
+    return {"metric": "head_to_head_speedup_vs_reference_binary",
+            "value": round(reference_elapsed / our_elapsed, 2),
+            "unit": "x (reference wall / ours, same sample)",
+            "reference_s": round(reference_elapsed, 2),
+            "ours_s": round(our_elapsed, 2),
+            "fusions_byte_equal": ours == theirs}
+
+
 def main() -> None:
     _ensure_sample()
     # best-of-5: throughput benchmarks report the least-noisy observation
@@ -231,6 +269,13 @@ def main() -> None:
         print(f"secondary: {json.dumps(device)}", file=sys.stderr)
     except Exception as error:  # noqa: BLE001 - accelerator optional
         print(f"secondary device metric skipped: {error}", file=sys.stderr)
+
+    try:
+        head_to_head = _head_to_head_metric(elapsed)
+        if head_to_head is not None:
+            print(f"secondary: {json.dumps(head_to_head)}", file=sys.stderr)
+    except Exception as error:  # noqa: BLE001 - oracle binary optional
+        print(f"secondary head-to-head skipped: {error}", file=sys.stderr)
 
     reads_per_s = total / elapsed
     print(json.dumps({
