@@ -113,6 +113,19 @@ def test_fifo_pure_python_spools(sample, tmp_path):
     assert got[1] == baseline[1]
 
 
+@pytest.mark.parametrize("seed", [17, 401])
+def test_fifo_fuzz_family(tmp_path, seed):
+    """Randomized fuzz samples must be stream-invariant too (the pipe path
+    only changes how bytes reach the scanner, never what they mean)."""
+    from .scenario import fuzz_sample2
+    args = fuzz_sample2(tmp_path, seed)
+    input_path = args[args.index("-x") + 1]
+    baseline = _run(tmp_path / "file", args, input_path)
+    got = _run(tmp_path / "fifo", args, input_path, threads=4, via_fifo=True)
+    assert got[0] == baseline[0]
+    assert got[1] == baseline[1]
+
+
 def test_dev_stdin(sample, tmp_path):
     """`... | arriba_tpu -x /dev/stdin` — the documented STAR pipe."""
     args, paths, baseline = sample
