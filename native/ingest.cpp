@@ -2203,7 +2203,12 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     std::atomic<bool> partitioned{false};
                     std::vector<std::thread> pool;
                     auto shard_worker = [&](int s) {
-                            for (size_t i = s; i < batch.count; i += n_shards) {
+                            /* contiguous block per worker: strided access
+                             * false-shares the byte-wide ok/shard arrays */
+                            size_t lo = (size_t)s * batch.count / n_shards;
+                            size_t hi = (size_t)(s + 1) * batch.count
+                                        / n_shards;
+                            for (size_t i = lo; i < hi; ++i) {
                                 batch.ok[i] = decode_bam_record(
                                     batch.bodies[i], batch.decoded[i]) ? 1 : 0;
                                 if (batch.ok[i]) {
@@ -2433,7 +2438,12 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     auto shard_worker = [&](int s) {
                             double w0 = (timing && s == 0) ? now() : 0;
                             const char *base = batch.data.data();
-                            for (size_t i = s; i < batch.count; i += n_shards) {
+                            /* contiguous block per worker: strided access
+                             * false-shares the byte-wide ok/shard arrays */
+                            size_t lo = (size_t)s * batch.count / n_shards;
+                            size_t hi = (size_t)(s + 1) * batch.count
+                                        / n_shards;
+                            for (size_t i = lo; i < hi; ++i) {
                                 const char *line = base + batch.spans[i].first;
                                 size_t len = batch.spans[i].second;
                                 batch.ok[i] = parse_sam_view(
