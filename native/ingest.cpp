@@ -1042,6 +1042,46 @@ bool normalize_fragment(FragmentData &fragment) {
 /* pointer-slice SAM parser: `data` need not be NUL-terminated at data+n
  * (numeric fields always end at a tab/newline/NUL within the enclosing
  * buffer, which terminates atoi/atoll) */
+/* one-pass field splitter: collect every tab offset of the line with an
+ * AVX2 sweep (32 bytes / iteration, one compare + movemask) instead of a
+ * memchr call per field; falls back to memchr on non-AVX2 hosts */
+#if defined(__x86_64__) || defined(__i386__)
+#include <immintrin.h>
+__attribute__((target("avx2")))
+static int collect_tabs_avx2(const char *data, size_t n, uint32_t *tabs,
+                             int max_tabs) {
+    int count = 0;
+    const __m256i needle = _mm256_set1_epi8('\t');
+    size_t i = 0;
+    for (; i + 32 <= n; i += 32) {
+        __m256i chunk =
+            _mm256_loadu_si256((const __m256i *)(data + i));
+        uint32_t mask = (uint32_t)_mm256_movemask_epi8(
+            _mm256_cmpeq_epi8(chunk, needle));
+        while (mask) {
+            if (count >= max_tabs) return -1;  /* caller falls back */
+            tabs[count++] = (uint32_t)(i + (unsigned)__builtin_ctz(mask));
+            mask &= mask - 1;
+        }
+    }
+    for (; i < n; ++i)
+        if (data[i] == '\t') {
+            if (count >= max_tabs) return -1;
+            tabs[count++] = (uint32_t)i;
+        }
+    return count;
+}
+static bool cpu_has_avx2() {
+    static const bool result = __builtin_cpu_supports("avx2");
+    return result;
+}
+#else
+static int collect_tabs_avx2(const char *, size_t, uint32_t *, int) {
+    return -1;
+}
+static bool cpu_has_avx2() { return false; }
+#endif
+
 bool parse_sam_view(const char *data, size_t n, Record &record,
                     bool keep_line) {
     /* the raw line is only needed when records may be forwarded as text
@@ -1054,37 +1094,71 @@ bool parse_sam_view(const char *data, size_t n, Record &record,
     record.hi_value = 0;
     record.max_soft_clip = 0;
 
-    size_t field_start = 0;
     int field_index = 0;
     int64_t ref_consumed = 0;
     size_t cigar_start = 0, cigar_end = 0;
     record.seq.clear();
-    while (field_start <= n) {
-        const char *tab_pos = (const char *)memchr(data + field_start, '\t',
-                                                   n - field_start);
-        bool has_tab = tab_pos != nullptr;
-        size_t field_end = has_tab ? (size_t)(tab_pos - data) : n;
-        switch (field_index) {
-            case 1: record.flag = (uint16_t)atoi(data + field_start); break;
-            case 3: record.pos = atoll(data + field_start) - 1; break;
-            case 5: cigar_start = field_start; cigar_end = field_end; break;
-            case 9: record.seq.assign(data + field_start, field_end - field_start); break;
-            default:
-                if (field_index >= 11 && field_end - field_start >= 5 &&
-                    data[field_start] == 'S' && data[field_start + 1] == 'A' &&
-                    data[field_start + 2] == ':')
-                    record.has_sa = true;
-                if (field_index >= 11 && field_end - field_start >= 6 &&
-                    data[field_start] == 'H' && data[field_start + 1] == 'I' &&
-                    data[field_start + 2] == ':' && data[field_start + 3] == 'i' &&
-                    data[field_start + 4] == ':') {
-                    record.hi_present = true;
-                    record.hi_value = atoll(data + field_start + 5);
-                }
+
+    uint32_t tabs[96];
+    int n_tabs = cpu_has_avx2() ? collect_tabs_avx2(data, n, tabs, 96) : -1;
+    if (n_tabs >= 0) {
+        /* fast path: field f spans (tabs[f-1]+1, tabs[f]) */
+        if (n_tabs < 10)
+            return false;  /* SAM needs 11 tab-separated columns */
+        field_index = n_tabs + 1;
+        auto field_at = [&](int f, size_t &start, size_t &end) {
+            start = f == 0 ? 0 : (size_t)tabs[f - 1] + 1;
+            end = f < n_tabs ? (size_t)tabs[f] : n;
+        };
+        size_t start, end;
+        field_at(1, start, end);
+        record.flag = (uint16_t)atoi(data + start);
+        field_at(3, start, end);
+        record.pos = atoll(data + start) - 1;
+        field_at(5, cigar_start, cigar_end);
+        field_at(9, start, end);
+        record.seq.assign(data + start, end - start);
+        for (int f = 11; f <= n_tabs; ++f) {
+            field_at(f, start, end);
+            if (end - start >= 5 && data[start] == 'S' &&
+                data[start + 1] == 'A' && data[start + 2] == ':')
+                record.has_sa = true;
+            if (end - start >= 6 && data[start] == 'H' &&
+                data[start + 1] == 'I' && data[start + 2] == ':' &&
+                data[start + 3] == 'i' && data[start + 4] == ':') {
+                record.hi_present = true;
+                record.hi_value = atoll(data + start + 5);
+            }
         }
-        field_index++;
-        if (!has_tab) break;
-        field_start = field_end + 1;
+    } else {
+        size_t field_start = 0;
+        while (field_start <= n) {
+            const char *tab_pos = (const char *)memchr(data + field_start, '\t',
+                                                       n - field_start);
+            bool has_tab = tab_pos != nullptr;
+            size_t field_end = has_tab ? (size_t)(tab_pos - data) : n;
+            switch (field_index) {
+                case 1: record.flag = (uint16_t)atoi(data + field_start); break;
+                case 3: record.pos = atoll(data + field_start) - 1; break;
+                case 5: cigar_start = field_start; cigar_end = field_end; break;
+                case 9: record.seq.assign(data + field_start, field_end - field_start); break;
+                default:
+                    if (field_index >= 11 && field_end - field_start >= 5 &&
+                        data[field_start] == 'S' && data[field_start + 1] == 'A' &&
+                        data[field_start + 2] == ':')
+                        record.has_sa = true;
+                    if (field_index >= 11 && field_end - field_start >= 6 &&
+                        data[field_start] == 'H' && data[field_start + 1] == 'I' &&
+                        data[field_start + 2] == ':' && data[field_start + 3] == 'i' &&
+                        data[field_start + 4] == ':') {
+                        record.hi_present = true;
+                        record.hi_value = atoll(data + field_start + 5);
+                    }
+            }
+            field_index++;
+            if (!has_tab) break;
+            field_start = field_end + 1;
+        }
     }
     if (field_index < 11)
         return false;
