@@ -69,6 +69,11 @@ struct Record {
     bool hi_present = false;
     int64_t hi_value = 0;
     int max_soft_clip = 0;
+    /* QNAME/RNAME spans within the just-parsed SAM line (valid only while
+     * the caller still holds that line; let the caller shard by name and
+     * resolve tid without re-scanning fields) */
+    uint32_t qname_len = 0;
+    uint32_t rname_start = 0, rname_len = 0;
 };
 
 struct CoveragePlane {
@@ -1111,8 +1116,12 @@ bool parse_sam_view(const char *data, size_t n, Record &record,
             end = f < n_tabs ? (size_t)tabs[f] : n;
         };
         size_t start, end;
+        record.qname_len = tabs[0];
         field_at(1, start, end);
         record.flag = (uint16_t)atoi(data + start);
+        field_at(2, start, end);
+        record.rname_start = (uint32_t)start;
+        record.rname_len = (uint32_t)(end - start);
         field_at(3, start, end);
         record.pos = atoll(data + start) - 1;
         field_at(5, cigar_start, cigar_end);
@@ -1138,7 +1147,12 @@ bool parse_sam_view(const char *data, size_t n, Record &record,
             bool has_tab = tab_pos != nullptr;
             size_t field_end = has_tab ? (size_t)(tab_pos - data) : n;
             switch (field_index) {
+                case 0: record.qname_len = (uint32_t)field_end; break;
                 case 1: record.flag = (uint16_t)atoi(data + field_start); break;
+                case 2:
+                    record.rname_start = (uint32_t)field_start;
+                    record.rname_len = (uint32_t)(field_end - field_start);
+                    break;
                 case 3: record.pos = atoll(data + field_start) - 1; break;
                 case 5: cigar_start = field_start; cigar_end = field_end; break;
                 case 9: record.seq.assign(data + field_start, field_end - field_start); break;
@@ -2033,15 +2047,31 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         return nullptr;
     }
 
-    /* name -> tid map */
+    /* name -> tid map (plus a view-keyed twin over stable storage, so the
+     * hot scan resolves tids from line slices without a temp std::string) */
     std::unordered_map<std::string, int32_t> name_to_tid;
+    std::vector<std::string> tid_name_storage;
+    std::unordered_map<std::string_view, int32_t> name_to_tid_view;
     {
         PyObject *key, *value;
         Py_ssize_t dict_pos = 0;
         while (PyDict_Next(name_to_tid_obj, &dict_pos, &key, &value)) {
             name_to_tid[PyUnicode_AsUTF8(key)] = (int32_t)PyLong_AsLong(value);
         }
+        tid_name_storage.reserve(name_to_tid.size());
+        for (const auto &entry : name_to_tid) {
+            tid_name_storage.push_back(entry.first);
+            name_to_tid_view[tid_name_storage.back()] = entry.second;
+        }
     }
+    auto resolve_rname_view = [&](std::string_view name) -> int32_t {
+        if (name.size() == 1) {
+            if (name[0] == '*') return -1;
+            if (name[0] == '=') return -2;  /* same as RNAME */
+        }
+        auto it = name_to_tid_view.find(name);
+        return it == name_to_tid_view.end() ? -1 : it->second;
+    };
 
     auto resolve_tid = [&](const std::string &line, int field) -> int32_t {
         /* extract field (2=RNAME, 6=RNEXT) */
@@ -2431,25 +2461,6 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                 GzChunkReader chunk_reader(gz, resume_carry);
                 bool done = false;
 
-                auto resolve_tid_view = [&](const char *data, size_t n,
-                                            int field) -> int32_t {
-                    size_t start = 0;
-                    for (int i = 0; i < field; ++i) {
-                        const char *tab = (const char *)memchr(
-                            data + start, '\t', n - start);
-                        if (tab == nullptr) return -1;
-                        start = (size_t)(tab - data) + 1;
-                    }
-                    const char *tab = (const char *)memchr(data + start, '\t',
-                                                           n - start);
-                    size_t end = tab ? (size_t)(tab - data) : n;
-                    std::string name(data + start, end - start);
-                    if (name == "*") return -1;
-                    if (name == "=") return -2;
-                    auto it = name_to_tid.find(name);
-                    return it == name_to_tid.end() ? -1 : it->second;
-                };
-
                 auto read_batch = [&](SamBatch &batch) {
                     batch.count = 0;
                     batch.spans.clear();
@@ -2524,15 +2535,14 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                     line, len, batch.decoded[i],
                                     !extractor.enabled) ? 1 : 0;
                                 if (batch.ok[i]) {
-                                    batch.decoded[i].tid =
-                                        resolve_tid_view(line, len, 2);
-                                    const char *tab = (const char *)memchr(
-                                        line, '\t', len);
-                                    size_t name_end =
-                                        tab ? (size_t)(tab - line) : len;
+                                    Record &rec = batch.decoded[i];
+                                    rec.tid = resolve_rname_view(
+                                        std::string_view(
+                                            line + rec.rname_start,
+                                            rec.rname_len));
                                     batch.shard[i] = (uint16_t)(
-                                        shard_hash(std::string_view(line,
-                                                                    name_end))
+                                        shard_hash(std::string_view(
+                                            line, rec.qname_len))
                                         % n_shards);
                                 }
                             }
@@ -2554,14 +2564,10 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                             double w2 = (timing && s == 0) ? now() : 0;
                             for (uint32_t i : batch.by_shard[s]) {
                                 const char *line = base + batch.spans[i].first;
-                                size_t len = batch.spans[i].second;
-                                const char *tab = (const char *)memchr(
-                                    line, '\t', len);
-                                size_t name_end =
-                                    tab ? (size_t)(tab - line) : len;
                                 handle_record_extract(
                                     shard_sc[s], shard_ex[s], batch.decoded[i],
-                                    std::string_view(line, name_end));
+                                    std::string_view(
+                                        line, batch.decoded[i].qname_len));
                             }
                             if (timing && s == 0) {
                                 double w3 = now();
