@@ -2452,6 +2452,11 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     std::vector<uint16_t> shard;
                     std::vector<std::vector<uint32_t>> by_shard;
                     size_t count = 0;
+                    /* work-stealing parse cursor: the main thread joins the
+                     * parse late (after reading the next chunk), so static
+                     * blocks would leave the pool spinning at the barrier
+                     * for the duration of the read */
+                    std::atomic<uint32_t> next_tile{0};
                 };
                 SamBatch buffers[2];
                 for (SamBatch &batch : buffers) {
@@ -2496,6 +2501,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                         batch.ok.resize(batch.count);
                         batch.shard.resize(batch.count);
                     }
+                    batch.next_tile.store(0, std::memory_order_relaxed);
                 };
 
                 const bool timing =
@@ -2523,12 +2529,21 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     auto shard_worker = [&](int s) {
                             double w0 = (timing && s == 0) ? now() : 0;
                             const char *base = batch.data.data();
-                            /* contiguous block per worker: strided access
-                             * false-shares the byte-wide ok/shard arrays */
-                            size_t lo = (size_t)s * batch.count / n_shards;
-                            size_t hi = (size_t)(s + 1) * batch.count
-                                        / n_shards;
-                            for (size_t i = lo; i < hi; ++i) {
+                            /* work-stealing 256-record tiles: the pool
+                             * drains the chunk while the main thread is
+                             * still reading; whoever is free parses next
+                             * (contiguous within a tile — no false sharing
+                             * on the byte-wide ok/shard arrays) */
+                            const uint32_t TILE = 256;
+                            for (;;) {
+                                size_t lo =
+                                    (size_t)batch.next_tile.fetch_add(
+                                        1, std::memory_order_relaxed)
+                                    * TILE;
+                                if (lo >= batch.count) break;
+                                size_t hi =
+                                    std::min(batch.count, lo + TILE);
+                                for (size_t i = lo; i < hi; ++i) {
                                 const char *line = base + batch.spans[i].first;
                                 size_t len = batch.spans[i].second;
                                 batch.ok[i] = parse_sam_view(
@@ -2544,6 +2559,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                         shard_hash(std::string_view(
                                             line, rec.qname_len))
                                         % n_shards);
+                                }
                                 }
                             }
                             double w1 = (timing && s == 0) ? now() : 0;
