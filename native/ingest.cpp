@@ -21,6 +21,9 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 #include <sys/stat.h>
+#include <sys/mman.h>
+#include <fcntl.h>
+#include <unistd.h>
 
 #include <zlib.h>
 
@@ -86,6 +89,10 @@ struct CoveragePlane {
 struct Scanner {
     std::vector<CoveragePlane> planes;                 /* per tid */
     std::vector<std::vector<int64_t>> boundaries;      /* per tid, sorted */
+    /* 2 kb-resolution occupancy map over `boundaries`: the boring-pair test
+     * probes 1-2 bytes instead of running two binary searches per fragment
+     * (the exact search only runs when a boundary is nearby) */
+    std::vector<std::vector<uint8_t>> boundary_map;    /* per tid */
     std::vector<uint8_t> interesting;                  /* per tid */
     std::vector<uint8_t> viral;                        /* per tid */
     std::vector<int64_t> viral_counts;                 /* per tid */
@@ -122,6 +129,25 @@ inline void record_assign(Record &dst, const Record &src) {
     dst.mtid = src.mtid;
     dst.cigar.assign(src.cigar.begin(), src.cigar.end());
     dst.seq.assign(src.seq);
+    dst.has_sa = src.has_sa;
+    dst.hi_present = src.hi_present;
+    dst.hi_value = src.hi_value;
+    dst.max_soft_clip = src.max_soft_clip;
+}
+
+/* swap variant for the pending-mate slot: exchanges heap buffers instead of
+ * copying their bytes (the source is a decoded[] batch slot that is dead
+ * until the next chunk's parse recycles whatever capacity it holds) */
+inline void record_swap(Record &dst, Record &src) {
+    dst.line.swap(src.line);
+    dst.bam_body.swap(src.bam_body);
+    dst.cigar.swap(src.cigar);
+    dst.seq.swap(src.seq);
+    dst.flag = src.flag;
+    dst.tid = src.tid;
+    dst.pos = src.pos;
+    dst.end_pos = src.end_pos;
+    dst.mtid = src.mtid;
     dst.has_sa = src.has_sa;
     dst.hi_present = src.hi_present;
     dst.hi_value = src.hi_value;
@@ -189,6 +215,59 @@ void add_fragment(Scanner &scanner, const Record &mate1_in, const Record *mate2_
     const std::vector<uint32_t> &cigar1 = mate1.cigar;
     const std::vector<uint32_t> &cigar2 = mate2.cigar;
     const size_t n1 = cigar1.size(), n2 = cigar2.size();
+
+    /* fast path for the overwhelming majority: both mates a single
+     * query+ref-consuming op (plain xM) on one contig. The dual-CIGAR merge
+     * walk then reduces to two contiguous window-range increments — windows
+     * [min-start .. min-end] counted against the nearer end, the remainder
+     * up to the farther end against it, each window once per fragment, and
+     * a window only while the governing end reaches >= half into it. */
+    if (n1 == 1 && n2 == 1 && mate1.tid == mate2.tid) {
+        const uint32_t op1 = cigar1[0] & 0xf, op2 = cigar2[0] & 0xf;
+        if (((CONSUMES_REF >> op1) & (CONSUMES_QUERY >> op1) &
+             (CONSUMES_REF >> op2) & (CONSUMES_QUERY >> op2)) & 1) {
+            /* derive ends from the op itself: some callers (the Python
+             * coverage_add binding) never populate end_pos */
+            const int64_t end1 = mate1.pos + (int64_t)(cigar1[0] >> 4);
+            const int64_t end2 = mate2.pos + (int64_t)(cigar2[0] >> 4);
+            const int64_t near_end = std::min(end1, end2);
+            const int64_t far_end = std::max(end1, end2);
+            /* start of the mate that ends farther: after the nearer mate is
+             * exhausted the walk jumps there, skipping inter-mate gap
+             * windows (ties process mate2 first, then mate1 adds nothing) */
+            const int64_t far_start = end1 < end2 ? mate2.pos : mate1.pos;
+            const int64_t half = COVERAGE_RESOLUTION / 2;
+            CoveragePlane &plane = plane1;
+            int64_t w = std::max(window, (int64_t)0);
+            int64_t top = std::min(near_end >= half
+                                       ? (near_end - half) / COVERAGE_RESOLUTION
+                                       : (int64_t)-1,
+                                   (int64_t)plane.windows - 1);
+            for (; w <= top; ++w)
+                coverage_increment(&plane.coverage[w], scanner.atomic_coverage);
+            w = std::max(near_end / COVERAGE_RESOLUTION + 1,
+                         std::max(far_start / COVERAGE_RESOLUTION,
+                                  (int64_t)0));
+            top = std::min(far_end >= half
+                               ? (far_end - half) / COVERAGE_RESOLUTION
+                               : (int64_t)-1,
+                           (int64_t)plane.windows - 1);
+            for (; w <= top; ++w)
+                coverage_increment(&plane.coverage[w], scanner.atomic_coverage);
+            if (!is_chimeric) {
+                if ((flag1 & FREVERSE) || !(flag1 & FPAIRED)) {
+                    int64_t we = (end1 - 1) / COVERAGE_RESOLUTION;
+                    if (we >= 0 && we < plane1.windows)
+                        flag_store(&plane1.ends[we], scanner.atomic_coverage);
+                } else {
+                    int64_t we = (end2 - 1) / COVERAGE_RESOLUTION;
+                    if (we >= 0 && we < plane2.windows)
+                        flag_store(&plane2.ends[we], scanner.atomic_coverage);
+                }
+            }
+            return;
+        }
+    }
 
     for (;;) {
         int64_t op_length1 = 0, op_length2 = 0;
@@ -293,6 +372,18 @@ bool spans_gene_boundary(const Scanner &scanner, int tid, int64_t lo, int64_t hi
         return false;
     const std::vector<int64_t> &bounds = scanner.boundaries[tid];
     if (bounds.empty())
+        return false;
+    /* coarse occupancy prefilter: a boundary in [lo-3, hi+2] implies a set
+     * byte in the 2 kb map — most fragments probe 1-2 bytes and exit */
+    const std::vector<uint8_t> &bmap = scanner.boundary_map[tid];
+    int64_t from = (lo - 3) >> 11;
+    if (from < 0) from = 0;
+    int64_t to = (hi + 2) >> 11;
+    if (to >= (int64_t)bmap.size()) to = (int64_t)bmap.size() - 1;
+    bool nearby = false;
+    for (int64_t b = from; b <= to; ++b)
+        if (bmap[b]) { nearby = true; break; }
+    if (!nearby)
         return false;
     /* forward if the (slack-padded) interval contains a boundary, meaning the
      * gene set can change inside the fragment */
@@ -876,7 +967,7 @@ void handle_record_extract(Scanner &scanner, Extractor &extractor,
                     scanner.collated.emplace(std::move(scanner.pending_name),
                                              std::move(scanner.pending));
                 scanner.pending_name.assign(read_name);
-                record_assign(scanner.pending, record);
+                record_swap(scanner.pending, record);
                 scanner.has_pending = true;
                 return;
             }
@@ -1312,6 +1403,43 @@ public:
             return true;
         }
     }
+};
+
+/* read-only whole-file mapping for plain (uncompressed, regular-file) SAM
+ * input: chunks become views into the mapping, removing the main-thread
+ * gzread memcpy from the scan's critical path (page faults distribute onto
+ * the parse workers touching the pages) */
+class MappedFile {
+    const char *data_ = nullptr;
+    size_t size_ = 0;
+
+public:
+    bool open_file(const char *path) {
+        int fd = ::open(path, O_RDONLY);
+        if (fd < 0)
+            return false;
+        struct stat st;
+        if (fstat(fd, &st) != 0 || !S_ISREG(st.st_mode) || st.st_size == 0) {
+            ::close(fd);
+            return false;
+        }
+        void *map = mmap(nullptr, (size_t)st.st_size, PROT_READ, MAP_PRIVATE,
+                         fd, 0);
+        ::close(fd);
+        if (map == MAP_FAILED)
+            return false;
+        madvise(map, (size_t)st.st_size, MADV_SEQUENTIAL);
+        data_ = (const char *)map;
+        size_ = (size_t)st.st_size;
+        return true;
+    }
+    ~MappedFile() {
+        if (data_ != nullptr)
+            munmap((void *)data_, size_);
+    }
+    bool ok() const { return data_ != nullptr; }
+    const char *data() const { return data_; }
+    size_t size() const { return size_; }
 };
 
 /* ---- BAM binary parsing (BGZF decompressed by zlib's gzread) ------------ */
@@ -1959,6 +2087,17 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         const int64_t *values = (const int64_t *)data;
         scanner.boundaries[tid].assign(values, values + size / 8);
     }
+    scanner.boundary_map.resize(n_tids);
+    for (Py_ssize_t tid = 0; tid < n_tids; ++tid) {
+        const std::vector<int64_t> &bounds = scanner.boundaries[tid];
+        if (bounds.empty() || bounds.back() < 0)
+            continue;
+        std::vector<uint8_t> &bmap = scanner.boundary_map[tid];
+        bmap.assign((size_t)(bounds.back() >> 11) + 1, 0);
+        for (int64_t value : bounds)
+            if (value >= 0)
+                bmap[(size_t)(value >> 11)] = 1;
+    }
     {
         char *data; Py_ssize_t size;
         if (PyBytes_AsStringAndSize(interesting_obj, &data, &size) != 0) { gzclose(gz); return nullptr; }
@@ -2170,6 +2309,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         for (int s = 0; s < n_shards; ++s) {
             shard_sc[s].planes = scanner.planes;
             shard_sc[s].boundaries = scanner.boundaries;
+            shard_sc[s].boundary_map = scanner.boundary_map;
             shard_sc[s].interesting = scanner.interesting;
             shard_sc[s].viral = scanner.viral;
             shard_sc[s].viral_counts.assign(n_tids, 0);
@@ -2446,6 +2586,8 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                 const size_t CHUNK = 8u << 20;
                 struct SamBatch {
                     std::string data;
+                    const char *src = nullptr;  /* line base: mapped chunk
+                                                   or data.data() */
                     std::vector<std::pair<uint32_t, uint32_t>> spans;
                     std::vector<Record> decoded;
                     std::vector<uint8_t> ok;
@@ -2465,16 +2607,46 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                 }
                 GzChunkReader chunk_reader(gz, resume_carry);
                 bool done = false;
+                /* plain regular files skip zlib entirely: map once, hand out
+                 * chunk views (resume mode keeps the stream reader — the
+                 * header bytes were already consumed from the gz handle) */
+                MappedFile mapped;
+                size_t map_pos = 0;
+                if (!resume && gzdirect(gz))
+                    mapped.open_file(path);
 
                 auto read_batch = [&](SamBatch &batch) {
                     batch.count = 0;
                     batch.spans.clear();
-                    if (done || !chunk_reader.next_chunk(batch.data, CHUNK)) {
-                        done = true;
-                        return;
+                    const char *base;
+                    size_t n;
+                    if (mapped.ok()) {
+                        if (done || map_pos >= mapped.size()) {
+                            done = true;
+                            return;
+                        }
+                        size_t end = std::min(map_pos + CHUNK, mapped.size());
+                        if (end < mapped.size()) {
+                            /* cut the chunk at a line boundary */
+                            const char *nl = (const char *)memchr(
+                                mapped.data() + end, '\n',
+                                mapped.size() - end);
+                            end = nl ? (size_t)(nl - mapped.data()) + 1
+                                     : mapped.size();
+                        }
+                        base = mapped.data() + map_pos;
+                        n = end - map_pos;
+                        map_pos = end;
+                    } else {
+                        if (done || !chunk_reader.next_chunk(batch.data,
+                                                             CHUNK)) {
+                            done = true;
+                            return;
+                        }
+                        base = batch.data.data();
+                        n = batch.data.size();
                     }
-                    const char *base = batch.data.data();
-                    size_t n = batch.data.size();
+                    batch.src = base;
                     size_t pos = 0;
                     while (pos < n) {
                         const char *nl = (const char *)memchr(base + pos, '\n',
@@ -2528,7 +2700,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     std::vector<std::thread> pool;
                     auto shard_worker = [&](int s) {
                             double w0 = (timing && s == 0) ? now() : 0;
-                            const char *base = batch.data.data();
+                            const char *base = batch.src;
                             /* work-stealing 256-record tiles: the pool
                              * drains the chunk while the main thread is
                              * still reading; whoever is free parses next
@@ -2578,7 +2750,18 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                     std::this_thread::yield();
                             }
                             double w2 = (timing && s == 0) ? now() : 0;
-                            for (uint32_t i : batch.by_shard[s]) {
+                            const std::vector<uint32_t> &mine =
+                                batch.by_shard[s];
+                            for (size_t k = 0; k < mine.size(); ++k) {
+                                if (k + 4 < mine.size()) {
+                                    /* shard order hops around the chunk;
+                                     * hide the line + Record misses */
+                                    uint32_t j = mine[k + 4];
+                                    __builtin_prefetch(
+                                        base + batch.spans[j].first);
+                                    __builtin_prefetch(&batch.decoded[j]);
+                                }
+                                uint32_t i = mine[k];
                                 const char *line = base + batch.spans[i].first;
                                 handle_record_extract(
                                     shard_sc[s], shard_ex[s], batch.decoded[i],
@@ -2607,7 +2790,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     for (size_t i = 0; i < batch.count; ++i) {
                         if (batch.ok[i]) continue;
                         scanner.forwarded.append(
-                            batch.data.data() + batch.spans[i].first,
+                            batch.src + batch.spans[i].first,
                             batch.spans[i].second);
                         scanner.forwarded += '\n';
                         forwarded_records += 1;
