@@ -86,6 +86,121 @@ struct CoveragePlane {
     Py_ssize_t windows = 0;
 };
 
+inline void record_swap(Record &dst, Record &src);
+
+/* allocation-free mate collation for the extract path: an open-addressing
+ * index (linear probing, backward-shift deletion) over a Record pool with a
+ * freelist. The std::unordered_map version paid a node malloc per first
+ * mate and a full node free (line/seq/cigar buffers included) per completed
+ * pair; here the pool entry's heap buffers are recycled through the
+ * freelist, so steady state performs no allocation at all. Leftover
+ * entries at EOF are simply dropped (the extract path never iterates
+ * unmatched first-mates — chimeric.py drops them too). */
+struct Collator {
+    struct Entry {
+        std::string name;
+        Record rec;
+    };
+    std::vector<Entry> pool;
+    std::vector<uint32_t> freelist;
+    std::vector<uint64_t> hashes;  /* valid where index[slot] != 0 */
+    std::vector<uint32_t> index;   /* pool idx + 1; 0 = empty */
+    size_t mask = 0;
+    size_t count = 0;
+
+    void init(size_t capacity_hint) {
+        size_t cap = 1024;
+        while (cap < capacity_hint * 2)
+            cap <<= 1;
+        hashes.assign(cap, 0);
+        index.assign(cap, 0);
+        mask = cap - 1;
+        count = 0;
+        pool.clear();
+        freelist.clear();
+    }
+
+    void grow() {
+        std::vector<uint64_t> old_hashes(std::move(hashes));
+        std::vector<uint32_t> old_index(std::move(index));
+        size_t cap = (mask + 1) << 1;
+        hashes.assign(cap, 0);
+        index.assign(cap, 0);
+        mask = cap - 1;
+        for (size_t j = 0; j < old_index.size(); ++j) {
+            if (old_index[j] == 0)
+                continue;
+            size_t slot = (size_t)(old_hashes[j] & mask);
+            while (index[slot] != 0)
+                slot = (slot + 1) & mask;
+            index[slot] = old_index[j];
+            hashes[slot] = old_hashes[j];
+        }
+    }
+
+    /* backward-shift deletion keeps probe chains contiguous (no tombstones) */
+    void remove_slot(size_t i) {
+        size_t j = i;
+        for (;;) {
+            j = (j + 1) & mask;
+            if (index[j] == 0)
+                break;
+            size_t ideal = (size_t)(hashes[j] & mask);
+            bool fits = (j > i) ? (ideal <= i || ideal > j)
+                                : (ideal <= i && ideal > j);
+            if (fits) {
+                index[i] = index[j];
+                hashes[i] = hashes[j];
+                i = j;
+            }
+        }
+        index[i] = 0;
+    }
+
+    /* pool idx+1 if found (unlinked from the table; the caller must
+     * release() when done with the entry) or 0 */
+    uint32_t find_extract(uint64_t h, std::string_view name) {
+        size_t slot = (size_t)(h & mask);
+        while (index[slot] != 0) {
+            if (hashes[slot] == h) {
+                Entry &entry = pool[index[slot] - 1];
+                if (entry.name == name) {
+                    uint32_t idx = index[slot];
+                    remove_slot(slot);
+                    count -= 1;
+                    return idx;
+                }
+            }
+            slot = (slot + 1) & mask;
+        }
+        return 0;
+    }
+
+    void insert(uint64_t h, std::string_view name, Record &rec) {
+        if ((count + 1) * 10 > (mask + 1) * 7)
+            grow();
+        uint32_t idx;
+        if (!freelist.empty()) {
+            idx = freelist.back();
+            freelist.pop_back();
+        } else {
+            pool.emplace_back();
+            idx = (uint32_t)pool.size();
+        }
+        Entry &entry = pool[idx - 1];
+        entry.name.assign(name.data(), name.size());
+        record_swap(entry.rec, rec);
+        size_t slot = (size_t)(h & mask);
+        while (index[slot] != 0)
+            slot = (slot + 1) & mask;
+        index[slot] = idx;
+        hashes[slot] = h;
+        count += 1;
+    }
+
+    void release(uint32_t idx) { freelist.push_back(idx); }
+};
+
 struct Scanner {
     std::vector<CoveragePlane> planes;                 /* per tid */
     std::vector<std::vector<int64_t>> boundaries;      /* per tid, sorted */
@@ -106,11 +221,14 @@ struct Scanner {
     long n_records = 0;
     std::string forwarded;
     std::unordered_map<std::string, Record> collated;
-    /* one-slot cache in front of `collated`: STAR writes mates adjacently,
-     * so most pairs complete without ever touching the map (same pairing
-     * semantics — the slot spills into the map when displaced) */
+    Collator coll;  /* extract path: pooled, allocation-free collation */
+    /* one-slot cache in front of the collation map: STAR writes mates
+     * adjacently, so most pairs complete without ever touching the map
+     * (same pairing semantics — the slot spills into the map when
+     * displaced) */
     bool has_pending = false;
     std::string pending_name;
+    uint64_t pending_hash = 0;
     Record pending;
     std::string name_scratch;  /* per-call "qname,HI" build buffer: reused
                                   capacity instead of a heap string per record */
@@ -952,27 +1070,30 @@ void handle_record_extract(Scanner &scanner, Extractor &extractor,
     }
 
     if (record.flag & FPAIRED) {
-        /* the mate stays where it lives (pending slot or extracted map
-         * node) — no per-pair Record moves, so the decoded[] batch slots
+        /* the mate stays where it lives (pending slot or collator pool
+         * entry) — no per-pair Record moves, so the decoded[] batch slots
          * keep their recycled heap buffers */
         Record *mate_slot;
-        std::unordered_map<std::string, Record>::node_type node;
+        uint32_t pool_idx = 0;
         if (scanner.has_pending && scanner.pending_name == read_name) {
             scanner.has_pending = false;
             mate_slot = &scanner.pending;
         } else {
-            auto found = scanner.collated.find(read_name);
-            if (found == scanner.collated.end()) {
+            uint64_t h = std::hash<std::string_view>{}(
+                std::string_view(read_name));
+            pool_idx = scanner.coll.find_extract(h, read_name);
+            if (pool_idx == 0) {
                 if (scanner.has_pending)
-                    scanner.collated.emplace(std::move(scanner.pending_name),
-                                             std::move(scanner.pending));
+                    scanner.coll.insert(scanner.pending_hash,
+                                        scanner.pending_name,
+                                        scanner.pending);
                 scanner.pending_name.assign(read_name);
+                scanner.pending_hash = h;
                 record_swap(scanner.pending, record);
                 scanner.has_pending = true;
                 return;
             }
-            node = scanner.collated.extract(found);
-            mate_slot = &node.mapped();
+            mate_slot = &scanner.coll.pool[pool_idx - 1].rec;
         }
         Record &mate = *mate_slot;
         if (pair_is_boring(scanner, record, mate)) {
@@ -989,6 +1110,8 @@ void handle_record_extract(Scanner &scanner, Extractor &extractor,
         } else {
             handle_extract_pair(scanner, extractor, read_name, record, &mate);
         }
+        if (pool_idx != 0)
+            scanner.coll.release(pool_idx);
     } else {
         handle_extract_pair(scanner, extractor, read_name, record, nullptr);
     }
@@ -2072,7 +2195,6 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
 
     Scanner scanner;
     scanner.external_duplicate_marking = external_duplicate_marking != 0;
-    scanner.collated.reserve(1 << 20);  /* avoid rehash churn on big runs */
     std::string stream_error;  /* corruption detected while reading the input;
                                   raised as IOError instead of silently
                                   truncating the scan (htslib parity) */
@@ -2156,6 +2278,10 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
             extractor.retain = PyObject_IsTrue(retain_obj) == 1;
         }
     }
+    if (extractor.enabled)
+        scanner.coll.init(1 << 16);
+    else
+        scanner.collated.reserve(1 << 20);  /* avoid rehash churn */
     scanner.planes.resize(n_tids);
     bool buffer_error = false;
     for (Py_ssize_t tid = 0; tid < n_tids && !buffer_error; ++tid) {
@@ -2316,7 +2442,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
             shard_sc[s].external_duplicate_marking =
                 scanner.external_duplicate_marking;
             shard_sc[s].atomic_coverage = true;
-            shard_sc[s].collated.reserve((1 << 20) / n_shards);
+            shard_sc[s].coll.init((1 << 17) / n_shards);
             shard_ex[s] = extractor;  /* read-only tables; empty fragments */
         }
     }
