@@ -253,6 +253,16 @@ def main() -> None:
     runs.sort(key=lambda r: r[0])
     elapsed, total, stdout = runs[0]
 
+    # the headline metric prints FIRST: the secondary metrics depend on an
+    # accelerator tunnel / oracle binary and must never cost the headline
+    reads_per_s = total / elapsed
+    print(json.dumps({
+        "metric": "end_to_end_chimeric_reads_per_s",
+        "value": round(reads_per_s, 1),
+        "unit": "chimeric reads/s",
+        "vs_baseline": round(reads_per_s / ARRIBA_BASELINE_READS_PER_S, 2),
+    }), flush=True)
+
     # per-stage wall-time breakdown (1 s log resolution) to stderr
     previous = None
     for line in stdout.splitlines():
@@ -264,11 +274,22 @@ def main() -> None:
                 print(f"  {stamp - previous[0]:5.0f}s  {previous[1][:72]}",
                       file=sys.stderr)
             previous = (stamp, match.group(2))
+
+    # the device metric runs in a child with a hard timeout: a wedged
+    # accelerator tunnel hangs inside the runtime where no in-process
+    # exception can rescue it
     try:
-        device = _device_step_metric()
-        print(f"secondary: {json.dumps(device)}", file=sys.stderr)
-    except Exception as error:  # noqa: BLE001 - accelerator optional
-        print(f"secondary device metric skipped: {error}", file=sys.stderr)
+        child = subprocess.run(
+            [sys.executable, __file__, "--device-metric"],
+            capture_output=True, text=True, timeout=300)
+        if child.returncode == 0 and child.stdout.strip():
+            print(f"secondary: {child.stdout.strip()}", file=sys.stderr)
+        else:
+            print(f"secondary device metric skipped: "
+                  f"{child.stderr.strip()[-300:]}", file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print("secondary device metric skipped: accelerator unreachable "
+              "(300s timeout)", file=sys.stderr)
 
     try:
         head_to_head = _head_to_head_metric(elapsed)
@@ -277,14 +298,9 @@ def main() -> None:
     except Exception as error:  # noqa: BLE001 - oracle binary optional
         print(f"secondary head-to-head skipped: {error}", file=sys.stderr)
 
-    reads_per_s = total / elapsed
-    print(json.dumps({
-        "metric": "end_to_end_chimeric_reads_per_s",
-        "value": round(reads_per_s, 1),
-        "unit": "chimeric reads/s",
-        "vs_baseline": round(reads_per_s / ARRIBA_BASELINE_READS_PER_S, 2),
-    }))
-
 
 if __name__ == "__main__":
-    main()
+    if "--device-metric" in sys.argv:
+        print(json.dumps(_device_step_metric()))
+    else:
+        main()
