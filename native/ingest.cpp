@@ -2428,12 +2428,51 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
     }
     std::vector<Scanner> shard_sc;
     std::vector<Extractor> shard_ex;
+    /* private per-shard coverage planes when affordable: shared planes cost
+     * an atomic RMW per window increment (~10M per 2M records) contending
+     * on hot cache lines. Per-shard planes merged once at the end are
+     * byte-identical — every increment is +1, so clamping a wide sum at the
+     * merge equals per-increment saturation, and the start/end flags OR.
+     * Falls back to shared+atomic when the copies would be too large
+     * (human-scale genomes: ~640 MB per shard at 20 bp resolution). */
+    size_t plane_bytes = 0;
+    for (const CoveragePlane &plane : scanner.planes)
+        plane_bytes += (size_t)plane.windows * 4;
+    bool private_planes =
+        n_shards > 0 && plane_bytes * (size_t)n_shards <= ((size_t)256 << 20);
+    {
+        const char *env = getenv("ARRIBA_TPU_PRIVATE_PLANES");
+        if (env != nullptr && n_shards > 0)
+            private_planes = atoi(env) != 0;
+    }
+    /* [s * n_tids + tid] backing storage, empty where the master has none */
+    std::vector<std::vector<uint16_t>> priv_cov;
+    std::vector<std::vector<uint8_t>> priv_starts, priv_ends;
     if (n_shards > 0) {
         scanner.atomic_coverage = true;
         shard_sc.resize(n_shards);
         shard_ex.resize(n_shards);
+        if (private_planes) {
+            priv_cov.resize((size_t)n_shards * n_tids);
+            priv_starts.resize((size_t)n_shards * n_tids);
+            priv_ends.resize((size_t)n_shards * n_tids);
+        }
         for (int s = 0; s < n_shards; ++s) {
             shard_sc[s].planes = scanner.planes;
+            if (private_planes) {
+                for (Py_ssize_t tid = 0; tid < n_tids; ++tid) {
+                    CoveragePlane &plane = shard_sc[s].planes[tid];
+                    if (plane.windows == 0 || plane.coverage == nullptr)
+                        continue;
+                    size_t at = (size_t)s * n_tids + tid;
+                    priv_cov[at].assign((size_t)plane.windows, 0);
+                    priv_starts[at].assign((size_t)plane.windows, 0);
+                    priv_ends[at].assign((size_t)plane.windows, 0);
+                    plane.coverage = priv_cov[at].data();
+                    plane.starts = priv_starts[at].data();
+                    plane.ends = priv_ends[at].data();
+                }
+            }
             shard_sc[s].boundaries = scanner.boundaries;
             shard_sc[s].boundary_map = scanner.boundary_map;
             shard_sc[s].interesting = scanner.interesting;
@@ -2441,7 +2480,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
             shard_sc[s].viral_counts.assign(n_tids, 0);
             shard_sc[s].external_duplicate_marking =
                 scanner.external_duplicate_marking;
-            shard_sc[s].atomic_coverage = true;
+            shard_sc[s].atomic_coverage = !private_planes;
             shard_sc[s].coll.init((1 << 17) / n_shards);
             shard_ex[s] = extractor;  /* read-only tables; empty fragments */
         }
@@ -3044,6 +3083,27 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         for (int s = 0; s < n_shards; ++s) {
             scanner.n_records += shard_sc[s].n_records;
             scanner.boring_mapped_reads += shard_sc[s].boring_mapped_reads;
+            if (private_planes) {
+                /* fold the shard's private planes into the master buffers:
+                 * wide-sum + clamp == per-increment saturation (all +1),
+                 * flags OR */
+                for (Py_ssize_t tid = 0; tid < n_tids; ++tid) {
+                    CoveragePlane &master = scanner.planes[tid];
+                    size_t at = (size_t)s * n_tids + tid;
+                    if (master.windows == 0 || priv_cov[at].empty())
+                        continue;
+                    const uint16_t *cov = priv_cov[at].data();
+                    const uint8_t *starts = priv_starts[at].data();
+                    const uint8_t *ends = priv_ends[at].data();
+                    for (Py_ssize_t w = 0; w < master.windows; ++w) {
+                        uint32_t sum = (uint32_t)master.coverage[w] + cov[w];
+                        master.coverage[w] =
+                            sum > 0xFFFF ? (uint16_t)0xFFFF : (uint16_t)sum;
+                        master.starts[w] |= starts[w];
+                        master.ends[w] |= ends[w];
+                    }
+                }
+            }
             for (Py_ssize_t tid = 0; tid < n_tids; ++tid)
                 scanner.viral_counts[tid] += shard_sc[s].viral_counts[tid];
             extractor.mapped_reads += shard_ex[s].mapped_reads;
