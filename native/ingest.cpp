@@ -2416,10 +2416,11 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
      * the result is byte-identical to the serial scan at any shard count. */
     int n_shards = 0;
     if (threads > 1 && extractor.enabled) {
-        /* leave one core for the reader thread: an extra shard beyond
-         * hardware_concurrency-1 oversubscribes and thrashes the scheduler */
+        /* one shard per core up to 16 (work-stealing parse tiles keep the
+         * tail small; collation and coverage merge are shard-count
+         * invariant, so the only cost of more shards is their state) */
         int hw = (int)std::thread::hardware_concurrency();
-        n_shards = std::min(threads, 8);
+        n_shards = std::min(threads, 16);
         const char *cap = getenv("ARRIBA_TPU_SCAN_SHARDS");
         if (cap != nullptr && atoi(cap) > 0)
             n_shards = std::min(n_shards, atoi(cap));
@@ -2918,13 +2919,23 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                             const std::vector<uint32_t> &mine =
                                 batch.by_shard[s];
                             for (size_t k = 0; k < mine.size(); ++k) {
-                                if (k + 4 < mine.size()) {
+                                if (k + 8 < mine.size()) {
                                     /* shard order hops around the chunk;
-                                     * hide the line + Record misses */
-                                    uint32_t j = mine[k + 4];
+                                     * hide the line + Record misses (parse
+                                     * ran on another core, so every heap
+                                     * block arrives cold) */
+                                    uint32_t j = mine[k + 8];
                                     __builtin_prefetch(
                                         base + batch.spans[j].first);
                                     __builtin_prefetch(&batch.decoded[j]);
+                                }
+                                if (k + 3 < mine.size()) {
+                                    /* the Record itself arrived via the
+                                     * k+8 prefetch; now chase its cigar
+                                     * heap block */
+                                    __builtin_prefetch(
+                                        batch.decoded[mine[k + 3]]
+                                            .cigar.data());
                                 }
                                 uint32_t i = mine[k];
                                 const char *line = base + batch.spans[i].first;
