@@ -13,4 +13,12 @@ os.environ.setdefault("MKL_NUM_THREADS", "1")
 from .cli import main  # noqa: E402
 
 if __name__ == "__main__":
-    sys.exit(main())
+    status = main()
+    # Skip interpreter finalization: teardown of the multi-million-object
+    # alignment graph costs ~0.3s of pure refcount churn after all outputs
+    # are already written and flushed (the reference binary's C++ destructors
+    # are effectively free; Python's are not). In-process callers (tests,
+    # library use) still get normal teardown via cli.main().
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(status)

@@ -10,6 +10,8 @@ reference.
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 from dataclasses import dataclass, field
 from typing import List, Optional
@@ -61,7 +63,18 @@ def _time_string() -> str:
     return time.strftime("[%Y-%m-%dT%H:%M:%S]")
 
 
+_STAGE_TIMES = os.environ.get("ARRIBA_TPU_STAGE_TIMES", "") not in ("", "0")
+_last_log_time: List[float] = []
+
+
 def log(message: str, end: str = "\n") -> None:
+    if _STAGE_TIMES:
+        now = time.perf_counter()
+        if _last_log_time:
+            print(f"[stage +{now - _last_log_time[0]:7.3f}s]",
+                  file=sys.stderr, flush=True)
+        _last_log_time[:] = [now]
+        print(f"[stage] {message}", file=sys.stderr, flush=True)
     print(f"{_time_string()} {message}", end=end, flush=True)
 
 
