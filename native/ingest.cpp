@@ -98,7 +98,8 @@ inline void record_swap(Record &dst, Record &src);
  * unmatched first-mates — chimeric.py drops them too). */
 struct Collator {
     struct Entry {
-        std::string name;
+        std::string name;      /* QNAME only (no ",HI" suffix) */
+        long long hit = 0;     /* HI tag value (1 when absent) */
         Record rec;
     };
     std::vector<Entry> pool;
@@ -159,12 +160,12 @@ struct Collator {
 
     /* pool idx+1 if found (unlinked from the table; the caller must
      * release() when done with the entry) or 0 */
-    uint32_t find_extract(uint64_t h, std::string_view name) {
+    uint32_t find_extract(uint64_t h, std::string_view name, long long hit) {
         size_t slot = (size_t)(h & mask);
         while (index[slot] != 0) {
             if (hashes[slot] == h) {
                 Entry &entry = pool[index[slot] - 1];
-                if (entry.name == name) {
+                if (entry.hit == hit && entry.name == name) {
                     uint32_t idx = index[slot];
                     remove_slot(slot);
                     count -= 1;
@@ -176,7 +177,8 @@ struct Collator {
         return 0;
     }
 
-    void insert(uint64_t h, std::string_view name, Record &rec) {
+    void insert(uint64_t h, std::string_view name, long long hit,
+                Record &rec) {
         if ((count + 1) * 10 > (mask + 1) * 7)
             grow();
         uint32_t idx;
@@ -189,6 +191,7 @@ struct Collator {
         }
         Entry &entry = pool[idx - 1];
         entry.name.assign(name.data(), name.size());
+        entry.hit = hit;
         record_swap(entry.rec, rec);
         size_t slot = (size_t)(h & mask);
         while (index[slot] != 0)
@@ -227,8 +230,8 @@ struct Scanner {
      * (same pairing semantics — the slot spills into the map when
      * displaced) */
     bool has_pending = false;
-    std::string pending_name;
-    uint64_t pending_hash = 0;
+    std::string pending_name;      /* QNAME only */
+    long long pending_hit = 0;
     Record pending;
     std::string name_scratch;  /* per-call "qname,HI" build buffer: reused
                                   capacity instead of a heap string per record */
@@ -1021,6 +1024,20 @@ void append_int(std::string &out, long long value);
  * private to a shard and scanner.atomic_coverage guards the shared planes;
  * all records of one read name must go to the same shard (mate collation,
  * supplementary joins and ITD fragments key on the name). */
+/* fine-grained handle-phase breakdown under ARRIBA_TPU_SCAN_TIMING=2 */
+static bool g_handle_timing = false;
+static thread_local uint64_t g_t_name, g_t_pend, g_t_boring, g_t_cov,
+    g_t_chim, g_n_pairs, g_n_pend_hit;
+static inline uint64_t handle_tsc() {
+#if defined(__x86_64__)
+    unsigned lo, hi;
+    __asm__ volatile("rdtsc" : "=a"(lo), "=d"(hi));
+    return ((uint64_t)hi << 32) | lo;
+#else
+    return 0;
+#endif
+}
+
 void handle_record_extract(Scanner &scanner, Extractor &extractor,
                            Record &record, std::string_view qname) {
     scanner.n_records += 1;
@@ -1036,17 +1053,26 @@ void handle_record_extract(Scanner &scanner, Extractor &extractor,
         extractor.missing_hi += 1;
         return;
     }
-    std::string &read_name = scanner.name_scratch;
-    read_name.assign(qname.data(), qname.size());
-    read_name += ',';
-    append_int(read_name, hit_index);
+    uint64_t ht0 = g_handle_timing ? handle_tsc() : 0;
+    /* the "qname,HI" key string is only materialized for records that reach
+     * the chimeric extract path (~1-10% of a typical sample); collation of
+     * the boring majority keys on the (qname view, HI) pair directly */
+    auto build_name = [&]() -> std::string & {
+        std::string &read_name = scanner.name_scratch;
+        read_name.assign(qname.data(), qname.size());
+        read_name += ',';
+        append_int(read_name, hit_index);
+        return read_name;
+    };
 
     if (record.seq == "*")
         record.seq.clear();
+    if (g_handle_timing) { uint64_t t = handle_tsc(); g_t_name += t - ht0; ht0 = t; }
 
     if (record.flag & FSUPPLEMENTARY) {
         if (is_clipped_at_correct_end(record))
-            add_chimeric_alignment(extractor, fragment_for(extractor, read_name),
+            add_chimeric_alignment(extractor,
+                                   fragment_for(extractor, build_name()),
                                    record, true, 0, CLIP_NONE);
         else
             extractor.malformed += 1;
@@ -1059,7 +1085,8 @@ void handle_record_extract(Scanner &scanner, Extractor &extractor,
         extractor.mapped_reads += 1;
 
     if ((record.flag & FPAIRED) && !(record.flag & FPROPER_PAIR)) {
-        add_chimeric_alignment(extractor, fragment_for(extractor, read_name),
+        add_chimeric_alignment(extractor,
+                               fragment_for(extractor, build_name()),
                                record, false, 0, CLIP_NONE);
         extractor.no_chimeric = false;
         if (!scanner.external_duplicate_marking || !(record.flag & FDUP))
@@ -1075,28 +1102,52 @@ void handle_record_extract(Scanner &scanner, Extractor &extractor,
          * keep their recycled heap buffers */
         Record *mate_slot;
         uint32_t pool_idx = 0;
-        if (scanner.has_pending && scanner.pending_name == read_name) {
+        if (scanner.has_pending && scanner.pending_hit == hit_index &&
+            std::string_view(scanner.pending_name) == qname) {
             scanner.has_pending = false;
             mate_slot = &scanner.pending;
+            if (g_handle_timing) {
+                uint64_t t = handle_tsc();
+                g_t_pend += t - ht0; ht0 = t; g_n_pend_hit += 1;
+            }
         } else {
-            uint64_t h = std::hash<std::string_view>{}(
-                std::string_view(read_name));
-            pool_idx = scanner.coll.find_extract(h, read_name);
+            /* probe the spill table only when it has entries: with
+             * mate-adjacent input (STAR's layout) it stays empty and first
+             * mates go straight to the pending slot, no hash computed */
+            if (scanner.coll.count != 0) {
+                uint64_t h = std::hash<std::string_view>{}(qname) * 1000003u
+                             + (uint64_t)hit_index;
+                pool_idx = scanner.coll.find_extract(h, qname, hit_index);
+            }
             if (pool_idx == 0) {
-                if (scanner.has_pending)
-                    scanner.coll.insert(scanner.pending_hash,
-                                        scanner.pending_name,
+                if (scanner.has_pending) {
+                    uint64_t hp = std::hash<std::string_view>{}(
+                                      std::string_view(scanner.pending_name))
+                                  * 1000003u + (uint64_t)scanner.pending_hit;
+                    scanner.coll.insert(hp, scanner.pending_name,
+                                        scanner.pending_hit,
                                         scanner.pending);
-                scanner.pending_name.assign(read_name);
-                scanner.pending_hash = h;
+                }
+                scanner.pending_name.assign(qname.data(), qname.size());
+                scanner.pending_hit = hit_index;
                 record_swap(scanner.pending, record);
                 scanner.has_pending = true;
+                if (g_handle_timing) g_t_pend += handle_tsc() - ht0;
                 return;
             }
             mate_slot = &scanner.coll.pool[pool_idx - 1].rec;
+            if (g_handle_timing) {
+                uint64_t t = handle_tsc();
+                g_t_pend += t - ht0; ht0 = t;
+            }
         }
         Record &mate = *mate_slot;
-        if (pair_is_boring(scanner, record, mate)) {
+        bool boring = pair_is_boring(scanner, record, mate);
+        if (g_handle_timing) {
+            uint64_t t = handle_tsc();
+            g_t_boring += t - ht0; ht0 = t; g_n_pairs += 1;
+        }
+        if (boring) {
             /* mapped reads already counted at arrival; coverage + viral */
             if (record.tid >= 0 && record.tid < (int)scanner.viral.size() &&
                 scanner.viral[record.tid]) {
@@ -1107,13 +1158,17 @@ void handle_record_extract(Scanner &scanner, Extractor &extractor,
             }
             if (!scanner.external_duplicate_marking || !(record.flag & FDUP))
                 add_fragment(scanner, record, &mate, false, 0, false);
+            if (g_handle_timing) g_t_cov += handle_tsc() - ht0;
         } else {
-            handle_extract_pair(scanner, extractor, read_name, record, &mate);
+            handle_extract_pair(scanner, extractor, build_name(), record,
+                                &mate);
+            if (g_handle_timing) g_t_chim += handle_tsc() - ht0;
         }
         if (pool_idx != 0)
             scanner.coll.release(pool_idx);
     } else {
-        handle_extract_pair(scanner, extractor, read_name, record, nullptr);
+        handle_extract_pair(scanner, extractor, build_name(), record,
+                            nullptr);
     }
 }
 
@@ -2842,8 +2897,11 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     batch.next_tile.store(0, std::memory_order_relaxed);
                 };
 
-                const bool timing =
-                    getenv("ARRIBA_TPU_SCAN_TIMING") != nullptr;
+                const char *timing_env = getenv("ARRIBA_TPU_SCAN_TIMING");
+                const bool timing = timing_env != nullptr;
+                g_handle_timing = timing && atoi(timing_env) >= 2;
+                g_t_name = g_t_pend = g_t_boring = g_t_cov = g_t_chim = 0;
+                g_n_pairs = g_n_pend_hit = 0;
                 auto now = []() {
                     struct timespec ts;
                     clock_gettime(CLOCK_MONOTONIC, &ts);
@@ -2927,7 +2985,15 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                     uint32_t j = mine[k + 8];
                                     __builtin_prefetch(
                                         base + batch.spans[j].first);
-                                    __builtin_prefetch(&batch.decoded[j]);
+                                    /* the Record spans ~3 cache lines; all
+                                     * of it is cold (parsed on another
+                                     * core) and the handle path reads most
+                                     * fields */
+                                    const char *rec =
+                                        (const char *)&batch.decoded[j];
+                                    __builtin_prefetch(rec);
+                                    __builtin_prefetch(rec + 64);
+                                    __builtin_prefetch(rec + 128);
                                 }
                                 if (k + 3 < mine.size()) {
                                     /* the Record itself arrived via the
@@ -2980,6 +3046,16 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                             "worker0: parse=%.2fs barrier=%.2fs "
                             "handle=%.2fs\n",
                             t_pool, t_read, t_parse0, t_barrier0, t_handle0);
+                if (g_handle_timing)
+                    fprintf(stderr,
+                            "worker0 handle cycles: name=%.2e pend=%.2e "
+                            "boring=%.2e cov=%.2e chim=%.2e pairs=%llu "
+                            "pend_hit=%llu\n",
+                            (double)g_t_name, (double)g_t_pend,
+                            (double)g_t_boring, (double)g_t_cov,
+                            (double)g_t_chim,
+                            (unsigned long long)g_n_pairs,
+                            (unsigned long long)g_n_pend_hit);
                 if (chunk_reader.corrupt() && stream_error.empty())
                     stream_error = "corrupt gzip stream in SAM input";
             } else {
