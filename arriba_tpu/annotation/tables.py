@@ -54,6 +54,26 @@ class GeneTable:
         self.is_protein_coding = np.append(self.is_protein_coding, False)
         return g
 
+    def append_dummies(self, contigs, starts, ends) -> int:
+        """Bulk form of append_dummy: one concatenate per column instead of
+        a full-table copy per dummy gene. Returns the first new row."""
+        g = len(self)
+        n = len(contigs)
+        self.contig = np.concatenate(
+            [self.contig, np.asarray(contigs, np.int32)])
+        self.start = np.concatenate([self.start, np.asarray(starts, np.int64)])
+        self.end = np.concatenate([self.end, np.asarray(ends, np.int64)])
+        self.strand = np.concatenate(
+            [self.strand, np.ones(n, np.bool_)])  # FORWARD
+        self.gene_id.extend([""] * n)
+        self.name.extend([""] * n)
+        self.exonic_length = np.concatenate(
+            [self.exonic_length, np.full(n, 10000, np.int64)])
+        self.is_dummy = np.concatenate([self.is_dummy, np.ones(n, np.bool_)])
+        self.is_protein_coding = np.concatenate(
+            [self.is_protein_coding, np.zeros(n, np.bool_)])
+        return g
+
 
 @dataclass
 class TranscriptTable:

@@ -1345,9 +1345,9 @@ def write_fusions_to_file(fusions: Fusions, output_file: str,
                 and hasattr(_native_obj, "extract_supporting_reads")):
             joined_read_names, filter_pairs = \
                 _native_obj.extract_supporting_reads(
-                    np.fromiter((name_to_index[n]
-                                 for n in all_supporting_reads), np.int64,
-                                len(all_supporting_reads)).tobytes())
+                    np.array([name_to_index[n]
+                              for n in all_supporting_reads],
+                             np.int64).tobytes())
             pairs = np.frombuffer(filter_pairs, np.int64)
             for k in range(0, len(pairs), 2):
                 filter_name = FILTER_NAMES[int(pairs[k])]

@@ -223,11 +223,10 @@ def run(options: Options) -> PipelineState:
                                                  bind_gene_index)
         dummy_contig_b, dummy_start_b, dummy_end_b = \
             ca.native.annotate_store_phase1(options.threads)
-        for dummy_contig, dummy_start, dummy_end in zip(
-                np.frombuffer(dummy_contig_b, np.int64).tolist(),
-                np.frombuffer(dummy_start_b, np.int64).tolist(),
-                np.frombuffer(dummy_end_b, np.int64).tolist()):
-            genes.append_dummy(dummy_contig, dummy_start, dummy_end)
+        if len(dummy_contig_b) > 0:
+            genes.append_dummies(np.frombuffer(dummy_contig_b, np.int64),
+                                 np.frombuffer(dummy_start_b, np.int64),
+                                 np.frombuffer(dummy_end_b, np.int64))
         state.gene_index = IntervalIndex(genes.contig, genes.start, genes.end,
                                          len(state.contigs))
         gene_index = state.gene_index
