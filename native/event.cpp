@@ -2439,63 +2439,94 @@ PyObject *ev_make_kmer_index(PyObject *, PyObject *args) {
     for (int64_t gene : genes_to_filter)
         genes_by_contig[eng.gene_contig[gene]].push_back(gene);
 
-    auto index_contig = [&](int64_t contig, const std::vector<int64_t> &genes) {
-        auto found = realign_engine::engine().contigs.find((int)contig);
-        if (found == realign_engine::engine().contigs.end()) return;
-        realign_engine::Contig &engine_contig = found->second;
-        int64_t total_window = 0;
-        for (int64_t gene : genes)
-            total_window += c.gene_end[gene] - c.gene_start[gene]
-                            + 2 * (int64_t)padding;
-        engine_contig.pending.reserve((size_t)std::max(total_window,
-                                                       (int64_t)0));
-        for (int64_t gene : genes) {
-            int64_t gene_start =
-                std::max(c.gene_start[gene] - (int64_t)padding, (int64_t)0);
-            int64_t gene_end = std::min(c.gene_end[gene] + (int64_t)padding,
-                                        (int64_t)engine_contig.length - 1);
-            for (int64_t pos = gene_start;
-                 pos + realign_engine::REALIGN_KMER_LENGTH < gene_end; ++pos)
-                if (engine_contig.data[pos] != 'N')
-                    engine_contig.pending.emplace_back(
-                        realign_engine::kmer_at(engine_contig.data, pos),
-                        pos);
-        }
-        realign_engine::finalize_kmer_index(engine_contig);
+    auto fill_gene = [&](realign_engine::Contig &engine_contig, int64_t gene,
+                         std::vector<std::pair<uint32_t, int64_t>> &out) {
+        int64_t gene_start =
+            std::max(c.gene_start[gene] - (int64_t)padding, (int64_t)0);
+        int64_t gene_end = std::min(c.gene_end[gene] + (int64_t)padding,
+                                    (int64_t)engine_contig.length - 1);
+        realign_engine::append_window_kmers(engine_contig.data, gene_start,
+                                            gene_end, out);
     };
 
-    int workers = std::min(threads, (int)genes_by_contig.size());
+    // gene-level LPT across threads (finer than per-contig: a 2-contig
+    // genome still uses every core). finalize_kmer_index sorts + uniques
+    // each bucket, so the pending fill order is immaterial — the built
+    // index is byte-identical at any thread count / partition.
+    std::vector<std::pair<int64_t, int64_t>> items;  /* (weight, gene) */
+    for (const auto &entry : genes_by_contig)
+        for (int64_t gene : entry.second)
+            if (realign_engine::engine().contigs.count((int)entry.first))
+                items.emplace_back(c.gene_end[gene] - c.gene_start[gene]
+                                       + 2 * (int64_t)padding,
+                                   gene);
+    int workers = std::max(1, std::min(threads, (int)items.size()));
     if (workers <= 1) {
-        for (const auto &entry : genes_by_contig)
-            index_contig(entry.first, entry.second);
-    } else {
-        // greedy LPT assignment by total window length per contig
-        std::vector<std::pair<int64_t, int64_t>> weighted;  /* (weight, contig) */
-        for (const auto &entry : genes_by_contig) {
-            int64_t weight = 0;
-            for (int64_t gene : entry.second)
-                weight += c.gene_end[gene] - c.gene_start[gene]
-                          + 2 * (int64_t)padding;
-            weighted.emplace_back(weight, entry.first);
+        for (const auto &item : items) {
+            int64_t gene = item.second;
+            realign_engine::Contig &engine_contig =
+                realign_engine::engine().contigs.at(
+                    (int)eng.gene_contig[gene]);
+            fill_gene(engine_contig, gene, engine_contig.pending);
         }
-        std::sort(weighted.rbegin(), weighted.rend());
+        for (const auto &entry : genes_by_contig) {
+            auto found = realign_engine::engine().contigs.find(
+                (int)entry.first);
+            if (found != realign_engine::engine().contigs.end())
+                realign_engine::finalize_kmer_index(found->second);
+        }
+    } else {
+        std::sort(items.rbegin(), items.rend());
         std::vector<int64_t> load(workers, 0);
         std::vector<std::vector<int64_t>> assignment(workers);
-        for (const auto &entry : weighted) {
+        for (const auto &item : items) {
             int target = 0;
             for (int w = 1; w < workers; ++w)
                 if (load[w] < load[target]) target = w;
-            load[target] += entry.first;
-            assignment[target].push_back(entry.second);
+            load[target] += item.first;
+            assignment[target].push_back(item.second);
         }
+        /* per-(worker, contig) private buffers, concatenated after the join */
+        std::vector<std::map<int64_t,
+                             std::vector<std::pair<uint32_t, int64_t>>>>
+            locals(workers);
         std::vector<std::thread> pool;
         pool.reserve(workers);
         for (int w = 0; w < workers; ++w)
             pool.emplace_back([&, w]() {
-                for (int64_t contig : assignment[w])
-                    index_contig(contig, genes_by_contig.at(contig));
+                /* reserve each (worker, contig) buffer to its exact upper
+                 * bound so the fill never reallocates */
+                std::map<int64_t, size_t> bound;
+                for (int64_t gene : assignment[w])
+                    bound[eng.gene_contig[gene]] +=
+                        (size_t)std::max((int64_t)0,
+                                         c.gene_end[gene] - c.gene_start[gene]
+                                             + 2 * (int64_t)padding + 1);
+                for (const auto &entry : bound)
+                    locals[w][entry.first].reserve(entry.second);
+                for (int64_t gene : assignment[w]) {
+                    int64_t contig = eng.gene_contig[gene];
+                    realign_engine::Contig &engine_contig =
+                        realign_engine::engine().contigs.at((int)contig);
+                    fill_gene(engine_contig, gene, locals[w][contig]);
+                }
             });
         for (std::thread &worker : pool) worker.join();
+        /* finalize each contig straight from the per-worker buffers (no
+         * merge copy); the finalize itself runs multithreaded */
+        for (const auto &entry : genes_by_contig) {
+            auto found = realign_engine::engine().contigs.find(
+                (int)entry.first);
+            if (found == realign_engine::engine().contigs.end()) continue;
+            std::vector<const std::vector<std::pair<uint32_t, int64_t>>*>
+                spans;
+            for (int w = 0; w < workers; ++w) {
+                auto local = locals[w].find(entry.first);
+                if (local != locals[w].end()) spans.push_back(&local->second);
+            }
+            realign_engine::finalize_kmer_index_spans(found->second, spans,
+                                                      threads);
+        }
     }
     Py_RETURN_NONE;
 }

@@ -12,6 +12,7 @@
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -42,6 +43,25 @@ uint32_t kmer_at(const uint8_t *sequence, Py_ssize_t position) {
     return value;
 }
 
+void append_window_kmers(const uint8_t *data, int64_t start, int64_t end,
+                         std::vector<std::pair<uint32_t, int64_t>> &out) {
+    int64_t pos = start;
+    if (pos + KMER_LENGTH >= end)
+        return;
+    constexpr uint32_t mask = (1u << (2 * KMER_LENGTH)) - 1;
+    uint32_t value = 0;
+    for (int j = 0; j < KMER_LENGTH; ++j)
+        value = (value << 2) | kmer_code(data[pos + j]);
+    for (;;) {
+        if (data[pos] != 'N')
+            out.emplace_back(value, pos);
+        ++pos;
+        if (pos + KMER_LENGTH >= end)
+            break;
+        value = ((value << 2) | kmer_code(data[pos + KMER_LENGTH - 1])) & mask;
+    }
+}
+
 void set_contig_raw(int cid, const uint8_t *data, Py_ssize_t length) {
     Contig &contig = engine().contigs[cid];
     Py_XDECREF(contig.owner);
@@ -53,9 +73,15 @@ void set_contig_raw(int cid, const uint8_t *data, Py_ssize_t length) {
     contig.kmer_positions.clear();
 }
 
-void finalize_kmer_index(Contig &contig) {
-    if (contig.pending.empty() && !contig.kmer_offsets.empty())
-        return;  /* already finalized; nothing new to fold in */
+/* multithreaded finalize over the contig's pending pairs plus any number of
+ * extra span buffers (per-worker fill outputs consumed in place — no merge
+ * copy). Every bucket ends sorted + deduplicated, so the result is
+ * byte-identical for any span order, partition, or thread count. */
+void finalize_kmer_index_spans(
+    Contig &contig,
+    const std::vector<const std::vector<std::pair<uint32_t, int64_t>>*> &extra,
+    int threads) {
+    typedef std::pair<uint32_t, int64_t> Pair;
     if (!contig.kmer_offsets.empty()) {
         /* incremental add after a finalize: fold the built index back into
          * the pending pairs so nothing is lost */
@@ -66,34 +92,134 @@ void finalize_kmer_index(Contig &contig) {
         contig.kmer_offsets.clear();
         contig.kmer_positions.clear();
     }
-    std::vector<int64_t> counts(KMER_BUCKETS + 1, 0);
-    for (const auto &entry : contig.pending) counts[entry.first + 1] += 1;
-    for (uint32_t k = 0; k < KMER_BUCKETS; ++k) counts[k + 1] += counts[k];
-    std::vector<int64_t> filled(counts.begin(), counts.end());
-    std::vector<int64_t> raw(contig.pending.size());
-    for (const auto &entry : contig.pending)
-        raw[filled[entry.first]++] = entry.second;
+    std::vector<std::pair<const Pair *, size_t>> spans;
+    if (!contig.pending.empty())
+        spans.emplace_back(contig.pending.data(), contig.pending.size());
+    size_t total = contig.pending.size();
+    for (const auto *buffer : extra)
+        if (buffer != nullptr && !buffer->empty()) {
+            spans.emplace_back(buffer->data(), buffer->size());
+            total += buffer->size();
+        }
+    int W = std::max(1, std::min(threads, (int)((total >> 18) + 1)));
+
+    /* per-worker item ranges over the concatenated spans */
+    auto for_range = [&](size_t lo, size_t hi, auto &&body) {
+        size_t at = 0;
+        for (const auto &span : spans) {
+            size_t span_lo = at, span_hi = at + span.second;
+            at = span_hi;
+            if (span_hi <= lo) continue;
+            if (span_lo >= hi) break;
+            size_t from = std::max(lo, span_lo) - span_lo;
+            size_t to = std::min(hi, span_hi) - span_lo;
+            for (size_t i = from; i < to; ++i) body(span.first[i]);
+        }
+    };
+
+    /* 1. per-worker bucket counts */
+    std::vector<std::vector<int64_t>> wcounts(
+        W, std::vector<int64_t>(KMER_BUCKETS, 0));
+    {
+        std::vector<std::thread> pool;
+        for (int w = 0; w < W; ++w)
+            pool.emplace_back([&, w]() {
+                for_range((size_t)w * total / W, (size_t)(w + 1) * total / W,
+                          [&](const Pair &entry) {
+                              wcounts[w][entry.first] += 1;
+                          });
+            });
+        for (std::thread &worker : pool) worker.join();
+    }
+    /* global bucket starts + per-worker write cursors */
+    std::vector<int64_t> starts(KMER_BUCKETS + 1, 0);
+    for (uint32_t k = 0; k < KMER_BUCKETS; ++k) {
+        int64_t count = 0;
+        for (int w = 0; w < W; ++w) {
+            int64_t mine = wcounts[w][k];
+            wcounts[w][k] = starts[k] + count;  /* becomes the write cursor */
+            count += mine;
+        }
+        starts[k + 1] = starts[k] + count;
+    }
+    /* 2. scatter into bucket-grouped raw positions */
+    std::vector<int64_t> raw(total);
+    {
+        std::vector<std::thread> pool;
+        for (int w = 0; w < W; ++w)
+            pool.emplace_back([&, w]() {
+                std::vector<int64_t> &cursor = wcounts[w];
+                for_range((size_t)w * total / W, (size_t)(w + 1) * total / W,
+                          [&](const Pair &entry) {
+                              raw[cursor[entry.first]++] = entry.second;
+                          });
+            });
+        for (std::thread &worker : pool) worker.join();
+    }
     contig.pending.clear();
     contig.pending.shrink_to_fit();
-    contig.kmer_offsets.assign(KMER_BUCKETS + 1, 0);
-    /* sort each bucket and deduplicate with an in-place compaction (the
-     * write cursor never overtakes the read cursor) */
-    int64_t write = 0;
-    for (uint32_t k = 0; k < KMER_BUCKETS; ++k) {
-        int64_t lo = counts[k], hi = counts[k + 1];
-        if (lo < hi) {
-            std::sort(raw.begin() + lo, raw.begin() + hi);
-            int64_t previous = raw[lo] - 1;
-            for (int64_t i = lo; i < hi; ++i)
-                if (raw[i] != previous) {
-                    previous = raw[i];
-                    raw[write++] = raw[i];
-                }
-        }
-        contig.kmer_offsets[k + 1] = write;
+
+    /* bucket ranges balanced by item count for the sort/compact phases */
+    std::vector<uint32_t> cut(W + 1, 0);
+    for (int w = 1; w < W; ++w) {
+        int64_t want = (int64_t)((size_t)w * total / W);
+        cut[w] = (uint32_t)(std::lower_bound(starts.begin(),
+                                             starts.begin() + KMER_BUCKETS,
+                                             want)
+                            - starts.begin());
+        if (cut[w] < cut[w - 1]) cut[w] = cut[w - 1];
     }
-    raw.resize(write);
-    contig.kmer_positions = std::move(raw);
+    cut[W] = KMER_BUCKETS;
+
+    /* 3. sort + dedupe each bucket in place (gaps remain), record sizes */
+    std::vector<int64_t> unique_count(KMER_BUCKETS, 0);
+    {
+        std::vector<std::thread> pool;
+        for (int w = 0; w < W; ++w)
+            pool.emplace_back([&, w]() {
+                for (uint32_t k = cut[w]; k < cut[w + 1]; ++k) {
+                    int64_t lo = starts[k], hi = starts[k + 1];
+                    if (lo >= hi) continue;
+                    std::sort(raw.begin() + lo, raw.begin() + hi);
+                    int64_t write = lo;
+                    int64_t previous = raw[lo] - 1;
+                    for (int64_t i = lo; i < hi; ++i)
+                        if (raw[i] != previous) {
+                            previous = raw[i];
+                            raw[write++] = raw[i];
+                        }
+                    unique_count[k] = write - lo;
+                }
+            });
+        for (std::thread &worker : pool) worker.join();
+    }
+    /* 4. final offsets + parallel compaction into a fresh array (in-place
+     * left-shifts would alias across worker boundaries) */
+    contig.kmer_offsets.assign(KMER_BUCKETS + 1, 0);
+    for (uint32_t k = 0; k < KMER_BUCKETS; ++k)
+        contig.kmer_offsets[k + 1] = contig.kmer_offsets[k] + unique_count[k];
+    std::vector<int64_t> out((size_t)contig.kmer_offsets[KMER_BUCKETS]);
+    {
+        std::vector<std::thread> pool;
+        for (int w = 0; w < W; ++w)
+            pool.emplace_back([&, w]() {
+                for (uint32_t k = cut[w]; k < cut[w + 1]; ++k) {
+                    int64_t n = unique_count[k];
+                    if (n > 0)
+                        memcpy(out.data() + contig.kmer_offsets[k],
+                               raw.data() + starts[k],
+                               (size_t)n * sizeof(int64_t));
+                }
+            });
+        for (std::thread &worker : pool) worker.join();
+    }
+    contig.kmer_positions = std::move(out);
+}
+
+void finalize_kmer_index(Contig &contig) {
+    if (contig.pending.empty() && !contig.kmer_offsets.empty())
+        return;  /* already finalized; nothing new to fold in */
+    finalize_kmer_index_spans(contig, {}, 1);
 }
 
 void reset_engine() {

@@ -31,6 +31,14 @@ constexpr uint32_t KMER_BUCKETS = 1u << (2 * REALIGN_KMER_LENGTH);
 
 void finalize_kmer_index(Contig &contig);
 
+/* multithreaded finalize consuming extra per-worker span buffers in place
+ * (no merge copy); byte-identical to finalize_kmer_index for any span
+ * order, partition, or thread count */
+void finalize_kmer_index_spans(
+    Contig &contig,
+    const std::vector<const std::vector<std::pair<uint32_t, int64_t>>*> &extra,
+    int threads);
+
 struct Engine {
     std::unordered_map<int, Contig> contigs;
     std::unordered_map<long, std::vector<int64_t>> splice_sites; /* per gene */
@@ -39,6 +47,12 @@ struct Engine {
 Engine &engine();
 
 uint32_t kmer_at(const uint8_t *sequence, Py_ssize_t position);
+
+/* append (kmer, pos) for every pos in [start, end) with pos + K < end and
+ * data[pos] != 'N', using a rolling 2-bit window (one base decode per
+ * position instead of K) — identical pairs to the kmer_at loop */
+void append_window_kmers(const uint8_t *data, int64_t start, int64_t end,
+                         std::vector<std::pair<uint32_t, int64_t>> &out);
 
 // filter_mismappers.cpp:86-187
 bool align_recursive(int score, const uint8_t *read, Py_ssize_t read_length,
