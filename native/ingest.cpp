@@ -2915,7 +2915,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                 int cur = 0;
                 while (buffers[cur].count > 0) {
                     SamBatch &batch = buffers[cur];
-                    std::atomic<int> parsed{0};
+                    std::atomic<uint32_t> tiles_done{0};
                     std::atomic<bool> partitioned{false};
                     double t_pool_start = timing ? now() : 0;
                     /* shards 1..n-1 run on the pool; the main thread reads
@@ -2931,6 +2931,8 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                              * (contiguous within a tile — no false sharing
                              * on the byte-wide ok/shard arrays) */
                             const uint32_t TILE = 256;
+                            const uint32_t n_tiles =
+                                (uint32_t)((batch.count + TILE - 1) / TILE);
                             for (;;) {
                                 size_t lo =
                                     (size_t)batch.next_tile.fetch_add(
@@ -2957,32 +2959,38 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                         % n_shards);
                                 }
                                 }
+                                /* partition as soon as the LAST tile is
+                                 * parsed — whoever parses it does the
+                                 * partition; workers that arrive late (the
+                                 * main thread after reading the next chunk)
+                                 * skip straight to their shard's handle */
+                                if (tiles_done.fetch_add(
+                                        1, std::memory_order_acq_rel)
+                                    + 1 == n_tiles) {
+                                    for (auto &list : batch.by_shard)
+                                        list.clear();
+                                    for (size_t i = 0; i < batch.count; ++i)
+                                        if (batch.ok[i])
+                                            batch.by_shard[batch.shard[i]]
+                                                .push_back((uint32_t)i);
+                                    partitioned.store(
+                                        true, std::memory_order_release);
+                                }
                             }
                             double w1 = (timing && s == 0) ? now() : 0;
-                            if (parsed.fetch_add(1, std::memory_order_acq_rel)
-                                + 1 == n_shards) {
-                                for (auto &list : batch.by_shard) list.clear();
-                                for (size_t i = 0; i < batch.count; ++i)
-                                    if (batch.ok[i])
-                                        batch.by_shard[batch.shard[i]]
-                                            .push_back((uint32_t)i);
-                                partitioned.store(true,
-                                                  std::memory_order_release);
-                            } else {
-                                while (!partitioned.load(
-                                    std::memory_order_acquire))
-                                    std::this_thread::yield();
-                            }
+                            while (!partitioned.load(
+                                std::memory_order_acquire))
+                                std::this_thread::yield();
                             double w2 = (timing && s == 0) ? now() : 0;
                             const std::vector<uint32_t> &mine =
                                 batch.by_shard[s];
                             for (size_t k = 0; k < mine.size(); ++k) {
-                                if (k + 8 < mine.size()) {
+                                if (k + 12 < mine.size()) {
                                     /* shard order hops around the chunk;
                                      * hide the line + Record misses (parse
                                      * ran on another core, so every heap
                                      * block arrives cold) */
-                                    uint32_t j = mine[k + 8];
+                                    uint32_t j = mine[k + 12];
                                     __builtin_prefetch(
                                         base + batch.spans[j].first);
                                     /* the Record spans ~3 cache lines; all
@@ -2995,12 +3003,12 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                     __builtin_prefetch(rec + 64);
                                     __builtin_prefetch(rec + 128);
                                 }
-                                if (k + 3 < mine.size()) {
+                                if (k + 5 < mine.size()) {
                                     /* the Record itself arrived via the
                                      * k+8 prefetch; now chase its cigar
                                      * heap block */
                                     __builtin_prefetch(
-                                        batch.decoded[mine[k + 3]]
+                                        batch.decoded[mine[k + 5]]
                                             .cigar.data());
                                 }
                                 uint32_t i = mine[k];
