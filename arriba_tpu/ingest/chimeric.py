@@ -586,6 +586,14 @@ def _build_fragment(frag_flags: int, filter_id: int, mate_rows) -> Fragment:
     return mates
 
 
+def _split_names(names_blob: bytes, name_offsets_b: bytes) -> List[str]:
+    """Fallback name-list build when extract_fill_names is unavailable."""
+    names_text = names_blob.decode("latin-1")
+    name_offsets = np.frombuffer(name_offsets_b, np.int64).tolist()
+    return [names_text[name_offsets[i]:name_offsets[i + 1]]
+            for i in range(len(name_offsets) - 1)]
+
+
 class LazyChimericAlignments(dict):
     """Read-name -> Fragment mapping over the retained native extraction
     store (native/extract.cpp). Keys are in store (byte-sorted) order;
@@ -601,9 +609,13 @@ class LazyChimericAlignments(dict):
         self.native = native
         self.multimapper_count = multimapper_count
         self._index: Dict[str, int] = {}
-        for i, name in enumerate(names):
-            self._index[name] = i
-            dict.__setitem__(self, name, None)
+        if names is None:
+            # one C pass over the retained store fills both dicts
+            native.extract_fill_names(self, self._index)
+        else:
+            for i, name in enumerate(names):
+                self._index[name] = i
+                dict.__setitem__(self, name, None)
         self._materialized = False
 
     def __getitem__(self, name: str) -> Fragment:
@@ -898,11 +910,9 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
             if retain:
                 (_header_bytes, total_mapped, viral_counts, _n_records,
                  (missing_hi_tag, malformed_count, no_chimeric_flag),
-                 names_blob, name_offsets_b, multimapper_count) = result
-                names_text = names_blob.decode("latin-1")
-                name_offsets = np.frombuffer(name_offsets_b, np.int64).tolist()
-                names = [names_text[name_offsets[i]:name_offsets[i + 1]]
-                         for i in range(len(name_offsets) - 1)]
+                 _names_blob, _name_offsets_b, multimapper_count) = result
+                names = (None if hasattr(_native, "extract_fill_names")
+                         else _split_names(_names_blob, _name_offsets_b))
                 lazy = LazyChimericAlignments(_native, names, multimapper_count)
                 retained_result = lazy
             else:

@@ -3484,6 +3484,7 @@ extern PyObject *assign_strands_native(PyObject *, PyObject *);
 extern PyObject *annotate_store_phase1(PyObject *, PyObject *);
 extern PyObject *annotate_store_phase2(PyObject *, PyObject *);
 extern PyObject *extract_export_fragment(PyObject *, PyObject *);
+extern PyObject *extract_fill_names(PyObject *, PyObject *);
 extern PyObject *extract_export_all(PyObject *, PyObject *);
 extern PyObject *extract_cluster_ids(PyObject *, PyObject *);
 extern PyObject *extract_release(PyObject *, PyObject *);
@@ -3608,6 +3609,8 @@ static PyMethodDef methods[] = {
      "gene ranges."},
     {"annotate_store_phase2", annotate_store_phase2, METH_NOARGS,
      "Re-annotate unmapped alignments and disambiguate dummy genes."},
+    {"extract_fill_names", extract_fill_names, METH_VARARGS,
+     "Fill {name: None} and {name: row} dicts from the retained store"},
     {"extract_export_fragment", extract_export_fragment, METH_VARARGS,
      "Lazily export one retained fragment for Python materialization."},
     {"extract_export_all", extract_export_all, METH_NOARGS,
