@@ -4,10 +4,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The measured quantity is the product: the full arriba_tpu pipeline (CLI
 surface, native engine + device offload defaults) over a deterministic
-synthetic RNA-Seq sample of ~2M alignment records with ~10% chimeric
-fragments (split reads + discordant mates across two contigs, the same
-shape as the reference's own workloads; see BASELINE.md "Typical
-chimeric-read fraction 1-10%").
+synthetic RNA-Seq sample of ~10M alignment records with ~3.5% chimeric
+records (split reads + discordant mates across two contigs, the same
+shape and depth class as the reference's own workloads; see BASELINE.md
+"Typical chimeric-read fraction 1-10%" and the ~20M-read samples behind
+the published ~2-minute figure).
 
 Baseline derivation (BASELINE.md): the reference processes a full RNA-Seq
 sample in "typically ~2 minutes" single-threaded post-alignment
@@ -34,11 +35,11 @@ import numpy as np
 
 ARRIBA_BASELINE_READS_PER_S = 8000.0
 REPO = pathlib.Path(__file__).resolve().parent
-SAMPLE_DIR = pathlib.Path("/tmp/arriba_tpu_bench_sample_v2")
+SAMPLE_DIR = pathlib.Path("/tmp/arriba_tpu_bench_sample_v3")
 
-N_PROPER_PAIRS = 900_000
-N_SPLIT_FRAGMENTS = 55_000
-N_DISCORDANT = 12_000
+N_PROPER_PAIRS = 4_500_000
+N_SPLIT_FRAGMENTS = 275_000
+N_DISCORDANT = 60_000
 CONTIG_LEN = 5_000_000
 READ_LEN = 50
 N_JUNCTIONS = 400
@@ -139,7 +140,7 @@ def _build_sample() -> None:
 
     with open(SAMPLE_DIR / "aligned.sam", "w") as out:
         out.write("\n".join(lines) + "\n")
-    (SAMPLE_DIR / ".complete").write_text("v2\n")
+    (SAMPLE_DIR / ".complete").write_text("v3\n")
 
 
 def _ensure_sample() -> None:
