@@ -25,6 +25,7 @@
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -1220,9 +1221,18 @@ PyObject *cascade_begin_retained(PyObject *, PyObject *args) {
         c.params.filter_ids[i] = PyLong_AsLongLong(PyTuple_GetItem(ids_obj, i));
 
     // adopt the retained fragments in place
+    const bool timing = getenv("ARRIBA_TPU_SCAN_TIMING") != nullptr;
+    auto cb_now = []() {
+        struct timespec ts;
+        clock_gettime(CLOCK_MONOTONIC, &ts);
+        return ts.tv_sec + ts.tv_nsec * 1e-9;
+    };
+    double cb_t0 = timing ? cb_now() : 0;
     size_t n_frags = retained.fragments.size();
     c.fragments.resize(n_frags);
-    for (size_t f = 0; f < n_frags; ++f) {
+    /* each index writes only its own slot: embarrassingly parallel */
+    auto adopt_range = [&](size_t lo, size_t hi) {
+    for (size_t f = lo; f < hi; ++f) {
         const extract_store::ExtractFragment &source = retained.fragments[f];
         Fragment &fragment = c.fragments[f];
         fragment.filter = 0;
@@ -1249,19 +1259,44 @@ PyObject *cascade_begin_retained(PyObject *, PyObject *args) {
             mate.n_genes = (int64_t)source_mate.genes.size();
         }
     }
+    };
+    {
+        unsigned hw = std::thread::hardware_concurrency();
+        size_t W = std::max(1u, std::min({hw ? hw : 1u, 8u,
+                                          (unsigned)(n_frags / 65536 + 1)}));
+        if (W <= 1) {
+            adopt_range(0, n_frags);
+        } else {
+            std::vector<std::thread> pool;
+            for (size_t w = 0; w < W; ++w)
+                pool.emplace_back(adopt_range, w * n_frags / W,
+                                  (w + 1) * n_frags / W);
+            for (std::thread &worker : pool) worker.join();
+        }
+    }
     c.ready = true;
+    double cb_t1 = timing ? cb_now() : 0;
+    double cb_t2 = 0, cb_t3 = 0;
 
     int64_t counts[5] = {-1, -1, -1, -1, -1};
     if (stage_enabled(0)) counts[0] = filter_duplicates();
+    cb_t2 = timing ? cb_now() : 0;
     if (stage_enabled(1)) counts[1] = filter_uninteresting_contigs();
     if (stage_enabled(2)) counts[2] = filter_viral_contigs();
     if (stage_enabled(3)) counts[3] = filter_top_expressed_viral_contigs();
     if (stage_enabled(4)) counts[4] = filter_low_coverage_viral_contigs();
+    cb_t3 = timing ? cb_now() : 0;
 
     std::vector<int64_t> gaps;
     double read_length_sum;
     int64_t read_length_count;
     collect_mate_gaps(gaps, read_length_sum, read_length_count);
+    if (timing)
+        fprintf(stderr,
+                "cascade_begin timing: adopt=%.3fs dup=%.3fs stages=%.3fs "
+                "gaps=%.3fs\n",
+                cb_t1 - cb_t0, cb_t2 - cb_t1, cb_t3 - cb_t2,
+                cb_now() - cb_t3);
 
     return Py_BuildValue(
         "(y#y#dL)", (const char *)counts, (Py_ssize_t)sizeof(counts),
