@@ -1172,6 +1172,53 @@ void handle_record_extract(Scanner &scanner, Extractor &extractor,
     }
 }
 
+/* Consume two adjacent records as one boring proper pair entirely in the
+ * parse phase: the overwhelming majority of records in aligner output are
+ * mate-adjacent proper pairs that never touch the chimeric extract path, so
+ * handling them here skips the shard partition, the per-shard handle loop,
+ * and the pending-slot store. Every side effect (n_records, mapped_reads,
+ * viral pristine counts, coverage walk) is a commutative reduction into the
+ * calling worker's private scanner/extractor, so the merged result is
+ * byte-identical to routing both records through handle_record_extract.
+ * Only valid-SAM inputs are consumed (exactly two primary proper-pair
+ * records per (QNAME, HI)); everything else falls through to the exact
+ * handle path. Returns true when the pair was consumed. */
+bool consume_adjacent_boring_pair(Scanner &sc, Extractor &ex,
+                                  Record &r1, Record &r2,
+                                  const char *line1, const char *line2) {
+    const uint16_t bad = FUNMAP | FMUNMAP | FSECONDARY | FSUPPLEMENTARY;
+    const uint16_t need = FPAIRED | FPROPER_PAIR;
+    if ((r1.flag & bad) || (r2.flag & bad))
+        return false;
+    if ((r1.flag & need) != need || (r2.flag & need) != need)
+        return false;
+    if (r1.qname_len != r2.qname_len ||
+        memcmp(line1, line2, r1.qname_len) != 0)
+        return false;
+    long long hit1 = r1.hi_present ? r1.hi_value : 1;
+    long long hit2 = r2.hi_present ? r2.hi_value : 1;
+    if (hit1 != hit2)
+        return false;
+    /* same predicate and argument order as the handle path (record = the
+     * later arrival r2, mate = r1) */
+    if (!pair_is_boring(sc, r2, r1))
+        return false;
+    sc.n_records += 2;
+    for (const Record *r : {&r1, &r2})
+        if (r->tid >= 0 && r->tid < (int)sc.interesting.size() &&
+            sc.interesting[r->tid])
+            ex.mapped_reads += 1;
+    if (r1.seq == "*") r1.seq.clear();
+    if (r2.seq == "*") r2.seq.clear();
+    if (r2.tid >= 0 && r2.tid < (int)sc.viral.size() && sc.viral[r2.tid]) {
+        if (is_pristine_alignment(r2)) sc.viral_counts[r2.tid] += 1;
+        if (is_pristine_alignment(r1)) sc.viral_counts[r1.tid] += 1;
+    }
+    if (!sc.external_duplicate_marking || !(r2.flag & FDUP))
+        add_fragment(sc, r2, &r1, false, 0, false);
+    return true;
+}
+
 /* read_chimeric_alignments.cpp:340-373 (chimeric.py disjoin_split_read_segments) */
 bool disjoin_split_read_segments(AlignmentData &split_read, AlignmentData &supplementary) {
     const int64_t min_remaining = 10;
@@ -2959,6 +3006,25 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                         % n_shards);
                                 }
                                 }
+                                /* consume adjacent boring proper pairs in
+                                 * place (the cache-hot fast path for the
+                                 * non-chimeric majority); consumed records
+                                 * never enter the shard partition */
+                                for (size_t i = lo; i + 1 < hi; ++i) {
+                                    if (batch.ok[i] != 1 ||
+                                        batch.ok[i + 1] != 1)
+                                        continue;
+                                    if (consume_adjacent_boring_pair(
+                                            shard_sc[s], shard_ex[s],
+                                            batch.decoded[i],
+                                            batch.decoded[i + 1],
+                                            base + batch.spans[i].first,
+                                            base + batch.spans[i + 1].first)) {
+                                        batch.ok[i] = 2;
+                                        batch.ok[i + 1] = 2;
+                                        ++i;
+                                    }
+                                }
                                 /* partition as soon as the LAST tile is
                                  * parsed — whoever parses it does the
                                  * partition; workers that arrive late (the
@@ -2970,7 +3036,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                     for (auto &list : batch.by_shard)
                                         list.clear();
                                     for (size_t i = 0; i < batch.count; ++i)
-                                        if (batch.ok[i])
+                                        if (batch.ok[i] == 1)
                                             batch.by_shard[batch.shard[i]]
                                                 .push_back((uint32_t)i);
                                     partitioned.store(
