@@ -1185,15 +1185,15 @@ void handle_record_extract(Scanner &scanner, Extractor &extractor,
  * handle path. Returns true when the pair was consumed. */
 bool consume_adjacent_boring_pair(Scanner &sc, Extractor &ex,
                                   Record &r1, Record &r2,
-                                  const char *line1, const char *line2) {
+                                  std::string_view qname1,
+                                  std::string_view qname2) {
     const uint16_t bad = FUNMAP | FMUNMAP | FSECONDARY | FSUPPLEMENTARY;
     const uint16_t need = FPAIRED | FPROPER_PAIR;
     if ((r1.flag & bad) || (r2.flag & bad))
         return false;
     if ((r1.flag & need) != need || (r2.flag & need) != need)
         return false;
-    if (r1.qname_len != r2.qname_len ||
-        memcmp(line1, line2, r1.qname_len) != 0)
+    if (qname1 != qname2)
         return false;
     long long hit1 = r1.hi_present ? r1.hi_value : 1;
     long long hit2 = r2.hi_present ? r2.hi_value : 1;
@@ -2674,6 +2674,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     std::vector<uint8_t> ok;
                     std::vector<uint16_t> shard;
                     std::vector<std::vector<uint32_t>> by_shard;
+                    std::atomic<uint32_t> next_tile{0};
                     size_t count = 0;
                 };
                 BamBatch buffers[2];
@@ -2688,6 +2689,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                 bool eof = false;
                 auto read_batch = [&](BamBatch &batch) {
                     batch.count = 0;
+                    batch.next_tile.store(0, std::memory_order_relaxed);
                     while (batch.count < BATCH) {
                         int32_t block_size = 0;
                         if (!read_exact(&block_size, 4) || block_size <= 0) {
@@ -2711,41 +2713,74 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                 int cur = 0;
                 while (buffers[cur].count > 0) {
                     BamBatch &batch = buffers[cur];
-                    std::atomic<int> parsed{0};
+                    std::atomic<uint32_t> tiles_done{0};
                     std::atomic<bool> partitioned{false};
                     std::vector<std::thread> pool;
                     auto shard_worker = [&](int s) {
-                            /* contiguous block per worker: strided access
-                             * false-shares the byte-wide ok/shard arrays */
-                            size_t lo = (size_t)s * batch.count / n_shards;
-                            size_t hi = (size_t)(s + 1) * batch.count
-                                        / n_shards;
-                            for (size_t i = lo; i < hi; ++i) {
-                                batch.ok[i] = decode_bam_record(
-                                    batch.bodies[i], batch.decoded[i]) ? 1 : 0;
-                                if (batch.ok[i]) {
-                                    batch.decoded[i].bam_body = batch.bodies[i];
-                                    batch.shard[i] = (uint16_t)(
-                                        shard_hash(std::string_view(
-                                            (const char *)batch.bodies[i].data()
-                                            + 32))
-                                        % n_shards);
+                            /* work-stealing 256-record decode tiles (like
+                             * the SAM branch): the pool drains the batch
+                             * while the main thread reads the next one,
+                             * adjacent boring pairs are consumed in place,
+                             * and whoever decodes the last tile partitions */
+                            const uint32_t TILE = 256;
+                            const uint32_t n_tiles =
+                                (uint32_t)((batch.count + TILE - 1) / TILE);
+                            auto qname_of = [&](size_t i) {
+                                return std::string_view(
+                                    (const char *)batch.decoded[i]
+                                        .bam_body.data() + 32);
+                            };
+                            for (;;) {
+                                size_t lo =
+                                    (size_t)batch.next_tile.fetch_add(
+                                        1, std::memory_order_relaxed)
+                                    * TILE;
+                                if (lo >= batch.count) break;
+                                size_t hi = std::min(batch.count, lo + TILE);
+                                for (size_t i = lo; i < hi; ++i) {
+                                    batch.ok[i] = decode_bam_record(
+                                        batch.bodies[i], batch.decoded[i])
+                                                      ? 1 : 0;
+                                    if (batch.ok[i]) {
+                                        batch.decoded[i].bam_body =
+                                            batch.bodies[i];
+                                        batch.shard[i] = (uint16_t)(
+                                            shard_hash(std::string_view(
+                                                (const char *)batch.bodies[i]
+                                                    .data() + 32))
+                                            % n_shards);
+                                    }
+                                }
+                                for (size_t i = lo; i + 1 < hi; ++i) {
+                                    if (batch.ok[i] != 1 ||
+                                        batch.ok[i + 1] != 1)
+                                        continue;
+                                    if (consume_adjacent_boring_pair(
+                                            shard_sc[s], shard_ex[s],
+                                            batch.decoded[i],
+                                            batch.decoded[i + 1],
+                                            qname_of(i), qname_of(i + 1))) {
+                                        batch.ok[i] = 2;
+                                        batch.ok[i + 1] = 2;
+                                        ++i;
+                                    }
+                                }
+                                if (tiles_done.fetch_add(
+                                        1, std::memory_order_acq_rel)
+                                    + 1 == n_tiles) {
+                                    for (auto &list : batch.by_shard)
+                                        list.clear();
+                                    for (size_t i = 0; i < batch.count; ++i)
+                                        if (batch.ok[i] == 1)
+                                            batch.by_shard[batch.shard[i]]
+                                                .push_back((uint32_t)i);
+                                    partitioned.store(
+                                        true, std::memory_order_release);
                                 }
                             }
-                            if (parsed.fetch_add(1, std::memory_order_acq_rel)
-                                + 1 == n_shards) {
-                                for (auto &list : batch.by_shard) list.clear();
-                                for (size_t i = 0; i < batch.count; ++i)
-                                    if (batch.ok[i])
-                                        batch.by_shard[batch.shard[i]]
-                                            .push_back((uint32_t)i);
-                                partitioned.store(true,
-                                                  std::memory_order_release);
-                            } else {
-                                while (!partitioned.load(
-                                    std::memory_order_acquire))
-                                    std::this_thread::yield();
-                            }
+                            while (!partitioned.load(
+                                std::memory_order_acquire))
+                                std::this_thread::yield();
                             for (uint32_t i : batch.by_shard[s]) {
                                 handle_record_extract(
                                     shard_sc[s], shard_ex[s], batch.decoded[i],
@@ -3018,8 +3053,14 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                             shard_sc[s], shard_ex[s],
                                             batch.decoded[i],
                                             batch.decoded[i + 1],
-                                            base + batch.spans[i].first,
-                                            base + batch.spans[i + 1].first)) {
+                                            std::string_view(
+                                                base + batch.spans[i].first,
+                                                batch.decoded[i].qname_len),
+                                            std::string_view(
+                                                base +
+                                                    batch.spans[i + 1].first,
+                                                batch.decoded[i + 1]
+                                                    .qname_len))) {
                                         batch.ok[i] = 2;
                                         batch.ok[i + 1] = 2;
                                         ++i;
