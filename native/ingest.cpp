@@ -1396,11 +1396,31 @@ static bool cpu_has_avx2() {
     static const bool result = __builtin_cpu_supports("avx2");
     return result;
 }
+/* invoke `cut` with the offset of every newline in data[0, n) ascending */
+template <typename Cut>
+__attribute__((target("avx2")))
+static void newline_sweep_avx2(const char *data, size_t n, Cut &&cut) {
+    const __m256i needle = _mm256_set1_epi8('\n');
+    size_t i = 0;
+    for (; i + 32 <= n; i += 32) {
+        __m256i chunk = _mm256_loadu_si256((const __m256i *)(data + i));
+        uint32_t mask = (uint32_t)_mm256_movemask_epi8(
+            _mm256_cmpeq_epi8(chunk, needle));
+        while (mask) {
+            cut(i + (unsigned)__builtin_ctz(mask));
+            mask &= mask - 1;
+        }
+    }
+    for (; i < n; ++i)
+        if (data[i] == '\n') cut(i);
+}
 #else
 static int collect_tabs_avx2(const char *, size_t, uint32_t *, int) {
     return -1;
 }
 static bool cpu_has_avx2() { return false; }
+template <typename Cut>
+static void newline_sweep_avx2(const char *, size_t, Cut &&) {}
 #endif
 
 bool parse_sam_view(const char *data, size_t n, Record &record,
@@ -1654,6 +1674,7 @@ public:
         if (map == MAP_FAILED)
             return false;
         madvise(map, (size_t)st.st_size, MADV_SEQUENTIAL);
+        madvise(map, (size_t)st.st_size, MADV_WILLNEED);
         data_ = (const char *)map;
         size_ = (size_t)st.st_size;
         return true;
@@ -2951,25 +2972,32 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     }
                     batch.src = base;
                     size_t pos = 0;
-                    while (pos < n) {
-                        const char *nl = (const char *)memchr(base + pos, '\n',
-                                                              n - pos);
-                        size_t end = nl ? (size_t)(nl - base) : n;
+                    /* one AVX2 sweep collects every newline offset (32
+                     * bytes / compare) instead of a memchr call per line */
+                    auto cut_line = [&](size_t end) {
                         size_t len = end - pos;
                         if (len > 0 && base[pos + len - 1] == '\r') len -= 1;
                         if (len == 0) {
-                            pos = end + 1;
-                            continue;
-                        }
-                        if (base[pos] == '@') {
+                        } else if (base[pos] == '@') {
                             header_text.append(base + pos, len);
                             header_text += '\n';
-                            pos = end + 1;
-                            continue;
+                        } else {
+                            batch.spans.emplace_back((uint32_t)pos,
+                                                     (uint32_t)len);
                         }
-                        batch.spans.emplace_back((uint32_t)pos, (uint32_t)len);
                         pos = end + 1;
+                    };
+                    if (cpu_has_avx2()) {
+                        newline_sweep_avx2(base, n, cut_line);
+                    } else {
+                        while (pos < n) {
+                            const char *nl = (const char *)memchr(
+                                base + pos, '\n', n - pos);
+                            cut_line(nl ? (size_t)(nl - base) : n);
+                        }
                     }
+                    if (pos < n)
+                        cut_line(n);
                     batch.count = batch.spans.size();
                     if (batch.decoded.size() < batch.count) {
                         batch.decoded.resize(batch.count);
