@@ -32,6 +32,9 @@ class Reader {
     FILE *file_ = nullptr;
     int n_threads_;
     std::vector<Block> batch_;
+    std::vector<Block> staged_;   /* filled by the prefetch thread */
+    std::thread prefetch_;
+    bool prefetch_active_ = false;
     size_t batch_index_ = 0;      /* next block to serve */
     size_t cursor_ = 0;           /* offset within current block */
     bool eof_ = false;
@@ -128,12 +131,13 @@ class Reader {
         }
     }
 
-    bool refill() {
-        batch_.clear();
-        batch_index_ = 0;
-        cursor_ = 0;
+    /* read + inflate one batch of blocks into `out`. All file reads and
+     * eof_/error_ mutations happen here — either synchronously from
+     * refill() or on the single prefetch thread, never both at once. */
+    void fill(std::vector<Block> &out) {
+        out.clear();
         if (eof_ || !error_.empty())
-            return false;
+            return;
         const size_t batch_blocks = 256;
         for (size_t i = 0; i < batch_blocks; ++i) {
             Block block;
@@ -163,46 +167,72 @@ class Reader {
                 ungetc(next, file_);
                 continue;  /* legal empty mid-file block; contributes no bytes */
             }
-            batch_.push_back(std::move(block));
+            out.push_back(std::move(block));
         }
-        if (batch_.empty())
-            return false;
+        if (out.empty())
+            return;
 
         int workers = n_threads_;
-        if (workers > (int)batch_.size())
-            workers = (int)batch_.size();
+        if (workers > (int)out.size())
+            workers = (int)out.size();
         if (workers <= 1) {
-            for (Block &block : batch_)
+            for (Block &block : out)
                 inflate_block(block);
         } else {
             std::atomic<size_t> next(0);
             std::vector<std::thread> threads;
             threads.reserve(workers);
             for (int t = 0; t < workers; ++t)
-                threads.emplace_back([this, &next]() {
+                threads.emplace_back([&out, &next]() {
                     for (;;) {
                         size_t index = next.fetch_add(1);
-                        if (index >= batch_.size())
+                        if (index >= out.size())
                             return;
-                        inflate_block(batch_[index]);
+                        inflate_block(out[index]);
                     }
                 });
             for (std::thread &thread : threads)
                 thread.join();
         }
-        for (Block &block : batch_)
+        for (Block &block : out)
             if (!block.ok) {
                 error_ = "BGZF block failed decompression or CRC check "
                          "(corrupt file)";
-                batch_.clear();
-                return false;
+                out.clear();
+                return;
             }
+    }
+
+    /* double-buffered: serve the staged batch and immediately start
+     * prefetching the next one, so block inflation overlaps the caller's
+     * record decoding instead of stalling it */
+    bool refill() {
+        batch_index_ = 0;
+        cursor_ = 0;
+        if (prefetch_active_) {
+            prefetch_.join();
+            prefetch_active_ = false;
+            batch_.swap(staged_);
+        } else {
+            fill(batch_);
+        }
+        if (batch_.empty())
+            return false;
+        if (!eof_ && error_.empty()) {
+            prefetch_active_ = true;
+            prefetch_ = std::thread([this]() { fill(staged_); });
+        }
         return true;
     }
 
 public:
     Reader(FILE *file, int n_threads)
         : file_(file), n_threads_(n_threads > 0 ? n_threads : 1) {}
+
+    ~Reader() {
+        if (prefetch_active_)
+            prefetch_.join();
+    }
 
     /* nonempty after a failed read iff the failure was corruption or
      * truncation rather than a clean end of file */

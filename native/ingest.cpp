@@ -2633,9 +2633,10 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         if (threads > 1 && (!resume || resume_regular)) {
             raw_file = fopen(path, "rb");
             if (raw_file != nullptr && bgzf_parallel::Reader::is_bgzf(raw_file)) {
-                /* the shard pool and the BGZF inflate pool share the
-                 * cores: give decompression half the budget */
-                int bgzf_threads = threads > 2 ? (threads + 1) / 2 : threads;
+                /* inflate workers sleep when the ring is full, so the
+                 * shard pool and the inflate pool can share the full
+                 * budget; phases interleave instead of competing */
+                int bgzf_threads = threads;
                 parallel = new bgzf_parallel::Reader(raw_file, bgzf_threads);
                 char bam_magic[4];
                 parallel->read_exact(bam_magic, 4);  /* skip "BAM\1" */
@@ -2730,7 +2731,17 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                         batch.count += 1;
                     }
                 };
+                const bool bam_timing =
+                    getenv("ARRIBA_TPU_SCAN_TIMING") != nullptr;
+                auto bam_now = []() {
+                    struct timespec ts;
+                    clock_gettime(CLOCK_MONOTONIC, &ts);
+                    return ts.tv_sec + ts.tv_nsec * 1e-9;
+                };
+                double bam_read = 0, bam_pool = 0;
+                double bam_t0 = bam_timing ? bam_now() : 0;
                 read_batch(buffers[0]);
+                if (bam_timing) bam_read += bam_now() - bam_t0;
                 int cur = 0;
                 while (buffers[cur].count > 0) {
                     BamBatch &batch = buffers[cur];
@@ -2811,18 +2822,25 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                                      32));
                             }
                         };
+                    double pool_t0 = bam_timing ? bam_now() : 0;
                     for (int s = 1; s < n_shards; ++s)
                         pool.emplace_back(shard_worker, s);
                     /* overlap: read batch k+1, then work shard 0 inline */
+                    double read_t0 = bam_timing ? bam_now() : 0;
                     if (!eof)
                         read_batch(buffers[1 - cur]);
                     else
                         buffers[1 - cur].count = 0;
+                    if (bam_timing) bam_read += bam_now() - read_t0;
                     shard_worker(0);
                     for (std::thread &worker : pool)
                         worker.join();
+                    if (bam_timing) bam_pool += bam_now() - pool_t0;
                     cur = 1 - cur;
                 }
+                if (bam_timing)
+                    fprintf(stderr, "bam scan timing: pool=%.2fs read=%.2fs\n",
+                            bam_pool, bam_read);
             } else {
             std::vector<std::vector<uint8_t>> bodies(BATCH);
             std::vector<Record> decoded(BATCH);
