@@ -580,7 +580,17 @@ struct Extractor {
     int64_t max_itd_length = 0;
 
     std::vector<FragmentData> fragments;
-    std::unordered_map<std::string, size_t> by_name;
+    /* flat open-addressing name index over `fragments` (idx+1; 0=empty):
+     * the std::unordered_map<string,size_t> it replaces paid a node malloc
+     * per insert and a string copy per key — names already live in
+     * FragmentData, so slots only store (hash, index) */
+    struct NameIndex {
+        std::vector<uint32_t> slots;
+        std::vector<uint64_t> hashes;
+        size_t mask = 0;
+        size_t count = 0;
+        void clear() { slots.clear(); hashes.clear(); mask = 0; count = 0; }
+    } by_name;
     long mapped_reads = 0, missing_hi = 0, malformed = 0;
     bool no_chimeric = true;
     bool retain = false;
@@ -611,11 +621,56 @@ int64_t cigar2rlen(const std::vector<uint32_t> &cigar, int64_t n_ops) {
     return length;
 }
 
+static inline uint64_t fragment_name_hash(const std::string &read_name) {
+    return std::hash<std::string_view>{}(std::string_view(read_name));
+}
+
+/* fragment index + 1, or 0 when absent */
+size_t fragment_lookup(const Extractor &ext, const std::string &read_name,
+                       uint64_t h) {
+    const Extractor::NameIndex &ni = ext.by_name;
+    if (ni.mask == 0)
+        return 0;
+    size_t slot = (size_t)(h & ni.mask);
+    while (ni.slots[slot] != 0) {
+        if (ni.hashes[slot] == h &&
+            ext.fragments[ni.slots[slot] - 1].name == read_name)
+            return ni.slots[slot];
+        slot = (slot + 1) & ni.mask;
+    }
+    return 0;
+}
+
+void fragment_index_insert(Extractor &ext, uint64_t h, uint32_t idx) {
+    Extractor::NameIndex &ni = ext.by_name;
+    if (ni.mask == 0 || (ni.count + 1) * 10 > (ni.mask + 1) * 7) {
+        size_t cap = ni.mask == 0 ? 4096 : (ni.mask + 1) * 2;
+        std::vector<uint32_t> old_slots(std::move(ni.slots));
+        std::vector<uint64_t> old_hashes(std::move(ni.hashes));
+        ni.slots.assign(cap, 0);
+        ni.hashes.assign(cap, 0);
+        ni.mask = cap - 1;
+        for (size_t j = 0; j < old_slots.size(); ++j) {
+            if (old_slots[j] == 0) continue;
+            size_t slot = (size_t)(old_hashes[j] & ni.mask);
+            while (ni.slots[slot] != 0) slot = (slot + 1) & ni.mask;
+            ni.slots[slot] = old_slots[j];
+            ni.hashes[slot] = old_hashes[j];
+        }
+    }
+    size_t slot = (size_t)(h & ni.mask);
+    while (ni.slots[slot] != 0) slot = (slot + 1) & ni.mask;
+    ni.slots[slot] = idx;
+    ni.hashes[slot] = h;
+    ni.count += 1;
+}
+
 FragmentData &fragment_for(Extractor &ext, const std::string &read_name) {
-    auto found = ext.by_name.find(read_name);
-    if (found != ext.by_name.end())
-        return ext.fragments[found->second];
-    ext.by_name.emplace(read_name, ext.fragments.size());
+    uint64_t h = fragment_name_hash(read_name);
+    size_t idx = fragment_lookup(ext, read_name, h);
+    if (idx != 0)
+        return ext.fragments[idx - 1];
+    fragment_index_insert(ext, h, (uint32_t)ext.fragments.size() + 1);
     ext.fragments.emplace_back();
     ext.fragments.back().name = read_name;
     return ext.fragments.back();
@@ -793,7 +848,8 @@ bool extract_read_through_alignment(Scanner &scanner, Extractor &ext,
 
     if (fwd_has_intron &&
         (!rev_has_intron || fwd_read_pos < seq_length(*reverse_mate) - rev_read_pos)) {
-        if (ext.by_name.find(read_name) == ext.by_name.end()) {
+        if (fragment_lookup(ext, read_name,
+                            fragment_name_hash(read_name)) == 0) {
             FragmentData &mates = fragment_for(ext, read_name);
             add_chimeric_alignment(ext, mates, *forward_mate, false, fwd_op + 1, CLIP_START);
             add_chimeric_alignment(ext, mates, *forward_mate, true, fwd_op - 1, CLIP_END);
@@ -806,7 +862,8 @@ bool extract_read_through_alignment(Scanner &scanner, Extractor &ext,
             return true;
         }
     } else if (rev_has_intron) {
-        if (ext.by_name.find(read_name) == ext.by_name.end()) {
+        if (fragment_lookup(ext, read_name,
+                            fragment_name_hash(read_name)) == 0) {
             FragmentData &mates = fragment_for(ext, read_name);
             add_chimeric_alignment(ext, mates, *reverse_mate, true, rev_op + 1, CLIP_START);
             add_chimeric_alignment(ext, mates, *reverse_mate, false, rev_op - 1, CLIP_END);
@@ -821,7 +878,8 @@ bool extract_read_through_alignment(Scanner &scanner, Extractor &ext,
     } else if (forward_mate != nullptr && reverse_mate != nullptr &&
                reverse_mate->pos >= reverse_gene_start &&
                endpos_htslib(*forward_mate) <= forward_gene_end) {
-        if (ext.by_name.find(read_name) == ext.by_name.end()) {
+        if (fragment_lookup(ext, read_name,
+                            fragment_name_hash(read_name)) == 0) {
             FragmentData &mates = fragment_for(ext, read_name);
             add_chimeric_alignment(ext, mates, *forward_mate, false, 0, CLIP_NONE);
             add_chimeric_alignment(ext, mates, *reverse_mate, false, 0, CLIP_NONE);
