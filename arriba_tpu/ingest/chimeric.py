@@ -586,6 +586,23 @@ def _build_fragment(frag_flags: int, filter_id: int, mate_rows) -> Fragment:
     return mates
 
 
+class _RowIndexView:
+    """Read-only name -> store-row mapping over LazyChimericAlignments:
+    pre-materialization rows live as the dict values themselves."""
+
+    __slots__ = ("_d",)
+
+    def __init__(self, d) -> None:
+        self._d = d
+
+    def __getitem__(self, name: str) -> int:
+        value = dict.__getitem__(self._d, name)
+        return value if type(value) is int else self._d._overlay_rows[name]
+
+    def __contains__(self, name: str) -> bool:
+        return dict.__contains__(self._d, name)
+
+
 def _split_names(names_blob: bytes, name_offsets_b: bytes) -> List[str]:
     """Fallback name-list build when extract_fill_names is unavailable."""
     names_text = names_blob.decode("latin-1")
@@ -608,21 +625,28 @@ class LazyChimericAlignments(dict):
         super().__init__()
         self.native = native
         self.multimapper_count = multimapper_count
-        self._index: Dict[str, int] = {}
+        # a not-yet-materialized entry stores its store row as an int (one
+        # dict instead of a names dict plus a separate index dict); rows of
+        # individually materialized entries move to the overlay
+        self._overlay_rows: Dict[str, int] = {}
         if names is None:
-            # one C pass over the retained store fills both dicts
-            native.extract_fill_names(self, self._index)
+            native.extract_fill_names(self)
         else:
             for i, name in enumerate(names):
-                self._index[name] = i
-                dict.__setitem__(self, name, None)
+                dict.__setitem__(self, name, i)
         self._materialized = False
+
+    @property
+    def _index(self):
+        """name -> store row view for the native writer paths."""
+        return _RowIndexView(self)
 
     def __getitem__(self, name: str) -> Fragment:
         value = dict.__getitem__(self, name)
-        if value is None:
+        if type(value) is int:
             frag_flags, filter_id, mate_rows = \
-                self.native.extract_export_fragment(self._index[name])
+                self.native.extract_export_fragment(value)
+            self._overlay_rows[name] = value
             value = _build_fragment(frag_flags, filter_id, mate_rows)
             dict.__setitem__(self, name, value)
         return value
@@ -670,7 +694,7 @@ class LazyChimericAlignments(dict):
         new_fragment = Fragment.__new__
         for f in range(len(frag_flags)):
             name = names[name_offsets[f]:name_offsets[f + 1]]
-            if dict.__getitem__(self, name) is not None:
+            if type(dict.__getitem__(self, name)) is not int:
                 continue  # keep the already-materialized object (identity)
             mates = new_fragment(Fragment)
             mates.single_end = bool(frag_flags[f] & 1)

@@ -54,14 +54,14 @@ int64_t mate_flags(const ExtractMate &mate) {
 
 }  // namespace
 
-// Fill `mapping` (a dict or dict subclass) with {name: None} and `index`
-// with {name: row} for every retained fragment, creating each name string
-// once — replaces a 2-dict Python fill loop over ~100k names.
+// Fill `mapping` (a dict or dict subclass) with {name: row} for every
+// retained fragment in store order, creating each name string once. The
+// row int doubles as the "not yet materialized" sentinel of the lazy view.
 PyObject *extract_fill_names(PyObject *, PyObject *args) {
-    PyObject *mapping, *index;
-    if (!PyArg_ParseTuple(args, "OO", &mapping, &index)) return nullptr;
-    if (!PyDict_Check(mapping) || !PyDict_Check(index)) {
-        PyErr_SetString(PyExc_TypeError, "expected two dicts");
+    PyObject *mapping;
+    if (!PyArg_ParseTuple(args, "O", &mapping)) return nullptr;
+    if (!PyDict_Check(mapping)) {
+        PyErr_SetString(PyExc_TypeError, "expected a dict");
         return nullptr;
     }
     extract_store::ExtractStore &s = extract_store::store();
@@ -76,8 +76,7 @@ PyObject *extract_fill_names(PyObject *, PyObject *args) {
                                                nullptr);
         if (key == nullptr) return nullptr;
         PyObject *row = PyLong_FromSsize_t((Py_ssize_t)f);
-        if (row == nullptr || PyDict_SetItem(mapping, key, Py_None) < 0 ||
-            PyDict_SetItem(index, key, row) < 0) {
+        if (row == nullptr || PyDict_SetItem(mapping, key, row) < 0) {
             Py_XDECREF(row);
             Py_DECREF(key);
             return nullptr;
