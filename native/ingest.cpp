@@ -2832,12 +2832,15 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                         batch.bodies[i], batch.decoded[i])
                                                       ? 1 : 0;
                                     if (batch.ok[i]) {
-                                        batch.decoded[i].bam_body =
-                                            batch.bodies[i];
+                                        /* hand the body over (swap keeps
+                                         * both buffers' capacity recycled)
+                                         * instead of a ~200B copy/record */
+                                        batch.decoded[i].bam_body.swap(
+                                            batch.bodies[i]);
                                         batch.shard[i] = (uint16_t)(
                                             shard_hash(std::string_view(
-                                                (const char *)batch.bodies[i]
-                                                    .data() + 32))
+                                                (const char *)batch.decoded[i]
+                                                    .bam_body.data() + 32))
                                             % n_shards);
                                     }
                                 }
@@ -2929,7 +2932,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                         for (size_t i = w; i < count; i += n_workers) {
                             ok[i] = decode_bam_record(bodies[i], decoded[i]) ? 1 : 0;
                             if (ok[i])
-                                decoded[i].bam_body = bodies[i];
+                                decoded[i].bam_body.swap(bodies[i]);
                         }
                     });
                 for (std::thread &worker : pool)
