@@ -506,6 +506,11 @@ class ReadLevelCascade:
                 "split_read1_list": [names[j] for j in items[off1[i]:off1[i + 1]]],
                 "split_read2_list": [names[j] for j in items[off2[i]:off2[i + 1]]],
                 "discordant_mate_list": [names[j] for j in items[off3[i]:off3[i + 1]]],
+                # the same lists as native-store rows, so the writer can
+                # feed the native pileup/supporting-read calls directly
+                "support_rows": (items[off1[i]:off1[i + 1]],
+                                 items[off2[i]:off2[i + 1]],
+                                 items[off3[i]:off3[i + 1]]),
             }
             fusions[(gene1, gene2, contig1, contig2, breakpoint1, breakpoint2,
                      direction1, direction2)] = fusion

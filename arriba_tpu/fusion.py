@@ -10,7 +10,7 @@ unordered_map hash order as the canonical iteration order.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from .annotation.tables import GeneTable
 from .constants import (CONFIDENCE_LOW, CONTIG_NONE, DOWNSTREAM, FILTER_NONE,
@@ -54,6 +54,10 @@ class Fusion:
     split_read1_list: List[str] = field(default_factory=list)
     split_read2_list: List[str] = field(default_factory=list)
     discordant_mate_list: List[str] = field(default_factory=list)
+    # native-store row indices of the same three lists (set by
+    # materialize_fusions in retained mode; None on the Python path) —
+    # lets the writer skip per-name index lookups
+    support_rows: Optional[tuple] = None
 
     def supporting_reads(self) -> int:
         return self.split_reads1 + self.split_reads2 + self.discordant_mates

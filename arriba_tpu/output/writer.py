@@ -255,13 +255,16 @@ def get_sequence_from_pileup(pileup: Pileup, breakpoint: int, direction: bool,
 
 def _native_pileup_args(fusion: Fusion, index) -> tuple:
     """Argument tuple for event.cpp ev_transcript_pileups/_consensus."""
+    rows = fusion.support_rows
+    if rows is not None:
+        sr1, sr2, dm = (np.asarray(r, np.int64) for r in rows)
+    else:
+        sr1 = np.array([index[n] for n in fusion.split_read1_list], np.int64)
+        sr2 = np.array([index[n] for n in fusion.split_read2_list], np.int64)
+        dm = np.array([index[n] for n in fusion.discordant_mate_list],
+                      np.int64)
     return (
-        np.array([index[n] for n in fusion.split_read1_list],
-                 np.int64).tobytes(),
-        np.array([index[n] for n in fusion.split_read2_list],
-                 np.int64).tobytes(),
-        np.array([index[n] for n in fusion.discordant_mate_list],
-                 np.int64).tobytes(),
+        sr1.tobytes(), sr2.tobytes(), dm.tobytes(),
         1 if fusion.direction1 else 0, 1 if fusion.direction2 else 0,
         int(fusion.breakpoint1), int(fusion.breakpoint2))
 
@@ -1343,11 +1346,18 @@ def write_fusions_to_file(fusions: Fusions, output_file: str,
         joined_read_names = None
         if (native_filters is not None
                 and hasattr(_native_obj, "extract_supporting_reads")):
+            if f.support_rows is not None:
+                supporting_rows = np.concatenate(
+                    [np.asarray(r, np.int64) for r in f.support_rows]) \
+                    if any(len(r) for r in f.support_rows) \
+                    else np.empty(0, np.int64)
+            else:
+                supporting_rows = np.array(
+                    [name_to_index[n] for n in all_supporting_reads],
+                    np.int64)
             joined_read_names, filter_pairs = \
                 _native_obj.extract_supporting_reads(
-                    np.array([name_to_index[n]
-                              for n in all_supporting_reads],
-                             np.int64).tobytes())
+                    supporting_rows.tobytes())
             pairs = np.frombuffer(filter_pairs, np.int64)
             for k in range(0, len(pairs), 2):
                 filter_name = FILTER_NAMES[int(pairs[k])]
