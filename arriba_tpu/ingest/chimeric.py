@@ -603,14 +603,6 @@ class _RowIndexView:
         return dict.__contains__(self._d, name)
 
 
-def _split_names(names_blob: bytes, name_offsets_b: bytes) -> List[str]:
-    """Fallback name-list build when extract_fill_names is unavailable."""
-    names_text = names_blob.decode("latin-1")
-    name_offsets = np.frombuffer(name_offsets_b, np.int64).tolist()
-    return [names_text[name_offsets[i]:name_offsets[i + 1]]
-            for i in range(len(name_offsets) - 1)]
-
-
 class LazyChimericAlignments(dict):
     """Read-name -> Fragment mapping over the retained native extraction
     store (native/extract.cpp). Keys are in store (byte-sorted) order;
@@ -935,9 +927,9 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
                 (_header_bytes, total_mapped, viral_counts, _n_records,
                  (missing_hi_tag, malformed_count, no_chimeric_flag),
                  _names_blob, _name_offsets_b, multimapper_count) = result
-                names = (None if hasattr(_native, "extract_fill_names")
-                         else _split_names(_names_blob, _name_offsets_b))
-                lazy = LazyChimericAlignments(_native, names, multimapper_count)
+                # the scan no longer serializes a name blob (always empty);
+                # the lazy view fills its dict straight from the store
+                lazy = LazyChimericAlignments(_native, None, multimapper_count)
                 retained_result = lazy
             else:
                 main, seq_part = result

@@ -3434,11 +3434,34 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
     if (extractor.enabled) {
         /* leftover collated first-mates are dropped, like the Python loop */
 
-        /* remove_malformed_alignments (chimeric.py:392-403) */
-        for (FragmentData &fragment : extractor.fragments) {
-            if (!normalize_fragment(fragment)) {
-                fragment.dead = true;
-                extractor.malformed += 1;
+        /* remove_malformed_alignments (chimeric.py:392-403) — each
+         * fragment normalizes independently; malformed counts sum */
+        {
+            size_t n_frags = extractor.fragments.size();
+            unsigned hw = std::thread::hardware_concurrency();
+            size_t W = std::max(1u, std::min({hw ? hw : 1u, 8u,
+                                              (unsigned)(n_frags / 16384 + 1)}));
+            if (W <= 1) {
+                for (FragmentData &fragment : extractor.fragments)
+                    if (!normalize_fragment(fragment)) {
+                        fragment.dead = true;
+                        extractor.malformed += 1;
+                    }
+            } else {
+                std::vector<long> malformed(W, 0);
+                std::vector<std::thread> pool;
+                for (size_t w = 0; w < W; ++w)
+                    pool.emplace_back([&, w]() {
+                        for (size_t i = w * n_frags / W;
+                             i < (w + 1) * n_frags / W; ++i)
+                            if (!normalize_fragment(extractor.fragments[i])) {
+                                extractor.fragments[i].dead = true;
+                                malformed[w] += 1;
+                            }
+                    });
+                for (std::thread &worker : pool) worker.join();
+                for (size_t w = 0; w < W; ++w)
+                    extractor.malformed += malformed[w];
             }
         }
 
@@ -3452,9 +3475,46 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
             order.reserve(extractor.fragments.size());
             for (size_t i = 0; i < extractor.fragments.size(); ++i)
                 if (!extractor.fragments[i].dead) order.push_back(i);
-            std::sort(order.begin(), order.end(), [&](size_t a, size_t b) {
+            auto by_name = [&](size_t a, size_t b) {
                 return extractor.fragments[a].name < extractor.fragments[b].name;
-            });
+            };
+            /* 4-way parallel sort + pairwise merges (same total order) */
+            if (order.size() >= 1u << 16 &&
+                std::thread::hardware_concurrency() > 1) {
+                size_t n = order.size();
+                size_t cuts[5] = {0, n / 4, n / 2, 3 * n / 4, n};
+                {
+                    std::vector<std::thread> pool;
+                    for (int p = 0; p < 4; ++p)
+                        pool.emplace_back([&, p]() {
+                            std::sort(order.begin() + cuts[p],
+                                      order.begin() + cuts[p + 1], by_name);
+                        });
+                    for (std::thread &worker : pool) worker.join();
+                }
+                std::vector<size_t> merged(n);
+                {
+                    std::vector<std::thread> pool;
+                    pool.emplace_back([&]() {
+                        std::merge(order.begin(), order.begin() + cuts[1],
+                                   order.begin() + cuts[1],
+                                   order.begin() + cuts[2],
+                                   merged.begin(), by_name);
+                    });
+                    pool.emplace_back([&]() {
+                        std::merge(order.begin() + cuts[2],
+                                   order.begin() + cuts[3],
+                                   order.begin() + cuts[3], order.end(),
+                                   merged.begin() + cuts[2], by_name);
+                    });
+                    for (std::thread &worker : pool) worker.join();
+                }
+                std::merge(merged.begin(), merged.begin() + cuts[2],
+                           merged.begin() + cuts[2], merged.end(),
+                           order.begin(), by_name);
+            } else {
+                std::sort(order.begin(), order.end(), by_name);
+            }
             retained.fragments.reserve(order.size());
             for (size_t i : order)
                 retained.fragments.push_back(std::move(extractor.fragments[i]));
@@ -3462,8 +3522,9 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
             long multimapper_count = 0;
             auto stripped = [](const std::string &name) {
                 size_t comma = name.rfind(',');
-                return comma == std::string::npos ? name
-                                                  : name.substr(0, comma);
+                return std::string_view(name.data(),
+                                        comma == std::string::npos
+                                            ? name.size() : comma);
             };
             for (size_t i = 0; i + 1 < retained.fragments.size(); ++i) {
                 if (stripped(retained.fragments[i].name)
@@ -3475,12 +3536,11 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
             }
             retained.ready = true;
 
+            /* Python fills its name dict via extract_fill_names (always
+             * present in this build); the blob fields stay in the tuple
+             * shape but empty */
             std::string names_blob;
-            std::vector<int64_t> name_offsets(retained.fragments.size() + 1, 0);
-            for (size_t i = 0; i < retained.fragments.size(); ++i) {
-                names_blob += retained.fragments[i].name;
-                name_offsets[i + 1] = (int64_t)names_blob.size();
-            }
+            std::vector<int64_t> name_offsets(1, 0);
             PyObject *result = Py_BuildValue(
                 "y#lNl(lli)y#y#l",
                 header_text.data(), (Py_ssize_t)header_text.size(),
