@@ -413,10 +413,11 @@ void collect_mate_gaps(std::vector<int64_t> &gaps, double &read_length_sum,
 
 // ---- stage 6: proximal read-through (filter_proximal_read_through.cpp) ---
 
-int64_t filter_proximal_read_through() {
+int64_t filter_proximal_read_through(size_t range_lo, size_t range_hi) {
     Cascade &c = cascade();
     int64_t remaining = 0;
-    for (Fragment &fragment : c.fragments) {
+    for (size_t frag_i = range_lo; frag_i < range_hi; ++frag_i) {
+        Fragment &fragment = c.fragments[frag_i];
         if (fragment.filter != 0) continue;
         const Mate *forward_mate, *reverse_mate;
         if (fragment.n_mates == 2) {
@@ -455,10 +456,11 @@ int64_t filter_proximal_read_through() {
 
 // ---- stage 7: inconsistently clipped -------------------------------------
 
-int64_t filter_inconsistently_clipped() {
+int64_t filter_inconsistently_clipped(size_t range_lo, size_t range_hi) {
     Cascade &c = cascade();
     int64_t remaining = 0;
-    for (Fragment &fragment : c.fragments) {
+    for (size_t frag_i = range_lo; frag_i < range_hi; ++frag_i) {
+        Fragment &fragment = c.fragments[frag_i];
         if (fragment.filter != 0) continue;
         if (fragment.n_mates == 3) {
             const Mate &m1 = fragment.mates[MATE1];
@@ -485,12 +487,13 @@ bool is_split_read_spliced(const Mate &split) {
     return false;
 }
 
-int64_t filter_homopolymer() {
+int64_t filter_homopolymer(size_t range_lo, size_t range_hi) {
     Cascade &c = cascade();
     const int64_t homopolymer_length = c.params.homopolymer_length;
     int64_t remaining = 0;
     std::string sequence;
-    for (Fragment &fragment : c.fragments) {
+    for (size_t frag_i = range_lo; frag_i < range_hi; ++frag_i) {
+        Fragment &fragment = c.fragments[frag_i];
         if (fragment.filter != 0) continue;
         bool filtered = false;
         if (fragment.n_mates == 3) {
@@ -543,11 +546,12 @@ int64_t filter_homopolymer() {
 
 // ---- stage 9: small insert size ------------------------------------------
 
-int64_t filter_small_insert_size() {
+int64_t filter_small_insert_size(size_t range_lo, size_t range_hi) {
     Cascade &c = cascade();
     const int64_t max_overhang = 5;
     int64_t remaining = 0;
-    for (Fragment &fragment : c.fragments) {
+    for (size_t frag_i = range_lo; frag_i < range_hi; ++frag_i) {
+        Fragment &fragment = c.fragments[frag_i];
         if (fragment.filter != 0) continue;
         if (fragment.n_mates == 2) {
             const Mate &m1 = fragment.mates[MATE1], &m2 = fragment.mates[MATE2];
@@ -565,11 +569,12 @@ int64_t filter_small_insert_size() {
 
 // ---- stage 10: long gap (filter_long_gap.cpp:7-89) -----------------------
 
-int64_t filter_long_gap() {
+int64_t filter_long_gap(size_t range_lo, size_t range_hi) {
     Cascade &c = cascade();
     const int64_t min_long_gap = 700000, max_long_gap = 1500000, short_segment = 15;
     int64_t remaining = 0;
-    for (Fragment &fragment : c.fragments) {
+    for (size_t frag_i = range_lo; frag_i < range_hi; ++frag_i) {
+        Fragment &fragment = c.fragments[frag_i];
         if (fragment.filter != 0) continue;
         int64_t size_of_deletion = 0;
         if (fragment.n_mates == 3) {
@@ -627,10 +632,11 @@ int64_t filter_long_gap() {
 
 // ---- stage 11: same gene -------------------------------------------------
 
-int64_t filter_same_gene() {
+int64_t filter_same_gene(size_t range_lo, size_t range_hi) {
     Cascade &c = cascade();
     int64_t remaining = 0;
-    for (Fragment &fragment : c.fragments) {
+    for (size_t frag_i = range_lo; frag_i < range_hi; ++frag_i) {
+        Fragment &fragment = c.fragments[frag_i];
         if (fragment.filter != 0) continue;
         bool common;
         if (fragment.n_mates == 2)
@@ -678,10 +684,11 @@ bool breakpoint_within_aligned_segment(int64_t breakpoint, const Mate &alignment
     return false;
 }
 
-int64_t filter_hairpin() {
+int64_t filter_hairpin(size_t range_lo, size_t range_hi) {
     Cascade &c = cascade();
     int64_t remaining = 0;
-    for (Fragment &fragment : c.fragments) {
+    for (size_t frag_i = range_lo; frag_i < range_hi; ++frag_i) {
+        Fragment &fragment = c.fragments[frag_i];
         if (fragment.filter != 0) continue;
         if (fragment.n_mates == 2) {
             if (!genes_intersect(fragment.mates[MATE1], fragment.mates[MATE2])
@@ -817,11 +824,12 @@ void reverse_complement(const char *seq, int64_t len, std::string &out) {
     }
 }
 
-int64_t filter_mismatches_stage(const MismatchParams &p) {
+int64_t filter_mismatches_stage(const MismatchParams &p, size_t range_lo, size_t range_hi) {
     Cascade &c = cascade();
     int64_t remaining = 0;
     std::string supp_sequence;
-    for (Fragment &fragment : c.fragments) {
+    for (size_t frag_i = range_lo; frag_i < range_hi; ++frag_i) {
+        Fragment &fragment = c.fragments[frag_i];
         if (fragment.filter != 0) continue;
         auto test = [&](const Mate &mate, const char *seq, int64_t seq_len,
                         bool is_multimapper) {
@@ -908,10 +916,12 @@ bool low_entropy_scan_one(const char *seq, int64_t length, int64_t a1s, int64_t 
 }
 
 int64_t filter_low_entropy_stage(double kmer_content, int64_t kmer_length,
-                                 int64_t max_itd_length, int64_t duplicates_filter_id) {
+                                 int64_t max_itd_length, int64_t duplicates_filter_id,
+                                 size_t range_lo, size_t range_hi) {
     Cascade &c = cascade();
     std::vector<int32_t> scratch;
-    for (Fragment &fragment : c.fragments) {
+    for (size_t frag_i = range_lo; frag_i < range_hi; ++frag_i) {
+        Fragment &fragment = c.fragments[frag_i];
         const Mate &split = fragment.mates[SPLIT_READ];
         const Mate &supp = fragment.mates[SUPPLEMENTARY];
         bool is_itd =
@@ -1323,22 +1333,47 @@ PyObject *cascade_finish(PyObject *, PyObject *args) {
         return nullptr;
     }
 
+    // stages 6-14 are per-fragment against read-only tables, so each worker
+    // runs the full stage sequence over its own fragment range in one fused
+    // pass; per-stage remaining counts are order-independent sums
     int64_t counts[9] = {-1, -1, -1, -1, -1, -1, -1, -1, -1};
-    if (stage_enabled(5)) counts[0] = filter_proximal_read_through();
-    if (stage_enabled(6)) counts[1] = filter_inconsistently_clipped();
-    if (stage_enabled(7)) counts[2] = filter_homopolymer();
-    if (stage_enabled(8)) counts[3] = filter_small_insert_size();
-    if (stage_enabled(9)) counts[4] = filter_long_gap();
-    if (stage_enabled(10)) counts[5] = filter_same_gene();
-    if (stage_enabled(11)) counts[6] = filter_hairpin();
-    if (stage_enabled(12)) {
-        MismatchParams p{mismatch_probability, pvalue_cutoff, genome_size};
-        counts[7] = filter_mismatches_stage(p);
+    MismatchParams p{mismatch_probability, pvalue_cutoff, genome_size};
+    auto run_range = [&](size_t lo, size_t hi, int64_t out[9]) {
+        if (stage_enabled(5)) out[0] = filter_proximal_read_through(lo, hi);
+        if (stage_enabled(6)) out[1] = filter_inconsistently_clipped(lo, hi);
+        if (stage_enabled(7)) out[2] = filter_homopolymer(lo, hi);
+        if (stage_enabled(8)) out[3] = filter_small_insert_size(lo, hi);
+        if (stage_enabled(9)) out[4] = filter_long_gap(lo, hi);
+        if (stage_enabled(10)) out[5] = filter_same_gene(lo, hi);
+        if (stage_enabled(11)) out[6] = filter_hairpin(lo, hi);
+        if (stage_enabled(12)) out[7] = filter_mismatches_stage(p, lo, hi);
+        if (stage_enabled(13))
+            out[8] = filter_low_entropy_stage(kmer_content, kmer_length,
+                                              max_itd_length,
+                                              c.params.filter_ids[0], lo, hi);
+    };
+    size_t n_frags = c.fragments.size();
+    unsigned hw = std::thread::hardware_concurrency();
+    size_t W = std::max(1u, std::min({hw ? hw : 1u, 8u,
+                                      (unsigned)(n_frags / 32768 + 1)}));
+    if (W <= 1) {
+        run_range(0, n_frags, counts);
+    } else {
+        std::vector<std::array<int64_t, 9>> wcounts(
+            W, {-1, -1, -1, -1, -1, -1, -1, -1, -1});
+        std::vector<std::thread> pool;
+        for (size_t w = 0; w < W; ++w)
+            pool.emplace_back([&, w]() {
+                run_range(w * n_frags / W, (w + 1) * n_frags / W,
+                          wcounts[w].data());
+            });
+        for (std::thread &worker : pool) worker.join();
+        for (int k = 0; k < 9; ++k)
+            if (stage_enabled(k + 5)) {
+                counts[k] = 0;
+                for (size_t w = 0; w < W; ++w) counts[k] += wcounts[w][k];
+            }
     }
-    if (stage_enabled(13))
-        counts[8] = filter_low_entropy_stage(kmer_content, kmer_length,
-                                             max_itd_length,
-                                             c.params.filter_ids[0]);
 
     std::vector<int64_t> filters(c.fragments.size());
     for (size_t f = 0; f < c.fragments.size(); ++f)
