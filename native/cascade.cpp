@@ -969,8 +969,8 @@ int64_t filter_low_entropy_stage(double kmer_content, int64_t kmer_length,
         }
     }
     int64_t remaining = 0;
-    for (Fragment &fragment : c.fragments)
-        if (fragment.filter == 0) remaining += 1;
+    for (size_t frag_i = range_lo; frag_i < range_hi; ++frag_i)
+        if (c.fragments[frag_i].filter == 0) remaining += 1;
     return remaining;
 }
 
