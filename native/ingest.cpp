@@ -72,11 +72,13 @@ struct Record {
     bool hi_present = false;
     int64_t hi_value = 0;
     int max_soft_clip = 0;
-    /* QNAME/RNAME spans within the just-parsed SAM line (valid only while
-     * the caller still holds that line; let the caller shard by name and
-     * resolve tid without re-scanning fields) */
+    /* QNAME/RNAME/SEQ spans within the just-parsed SAM line (valid only
+     * while the caller still holds that line; let the caller shard by
+     * name, resolve tid, and materialize seq lazily without re-scanning
+     * fields) */
     uint32_t qname_len = 0;
     uint32_t rname_start = 0, rname_len = 0;
+    uint32_t seq_start = 0, seq_len_span = 0;
 };
 
 struct CoveragePlane {
@@ -1230,6 +1232,16 @@ void handle_record_extract(Scanner &scanner, Extractor &extractor,
     }
 }
 
+/* materialize a lazily-parsed sequence from its line span ("*" spans stay
+ * empty — the handle path's seq=="*" clear collapses to the same state) */
+static inline void ensure_seq(Record &record, const char *line) {
+    if (!record.seq.empty() || record.seq_len_span == 0)
+        return;
+    if (record.seq_len_span == 1 && line[record.seq_start] == '*')
+        return;
+    record.seq.assign(line + record.seq_start, record.seq_len_span);
+}
+
 /* Consume two adjacent records as one boring proper pair entirely in the
  * parse phase: the overwhelming majority of records in aligner output are
  * mate-adjacent proper pairs that never touch the chimeric extract path, so
@@ -1269,6 +1281,8 @@ bool consume_adjacent_boring_pair(Scanner &sc, Extractor &ex,
     if (r1.seq == "*") r1.seq.clear();
     if (r2.seq == "*") r2.seq.clear();
     if (r2.tid >= 0 && r2.tid < (int)sc.viral.size() && sc.viral[r2.tid]) {
+        ensure_seq(r1, qname1.data());
+        ensure_seq(r2, qname2.data());
         if (is_pristine_alignment(r2)) sc.viral_counts[r2.tid] += 1;
         if (is_pristine_alignment(r1)) sc.viral_counts[r1.tid] += 1;
     }
@@ -1482,7 +1496,7 @@ static void newline_sweep_avx2(const char *, size_t, Cut &&) {}
 #endif
 
 bool parse_sam_view(const char *data, size_t n, Record &record,
-                    bool keep_line) {
+                    bool keep_line, bool lazy_seq = false) {
     /* the raw line is only needed when records may be forwarded as text
      * (non-extract mode); the extraction path skips the 100-byte copy */
     if (keep_line) record.line.assign(data, n);
@@ -1520,7 +1534,12 @@ bool parse_sam_view(const char *data, size_t n, Record &record,
         record.pos = atoll(data + start) - 1;
         field_at(5, cigar_start, cigar_end);
         field_at(9, start, end);
-        record.seq.assign(data + start, end - start);
+        record.seq_start = (uint32_t)start;
+        record.seq_len_span = (uint32_t)(end - start);
+        if (lazy_seq)
+            record.seq.clear();
+        else
+            record.seq.assign(data + start, end - start);
         for (int f = 11; f <= n_tabs; ++f) {
             field_at(f, start, end);
             if (end - start >= 5 && data[start] == 'S' &&
@@ -1549,7 +1568,15 @@ bool parse_sam_view(const char *data, size_t n, Record &record,
                     break;
                 case 3: record.pos = atoll(data + field_start) - 1; break;
                 case 5: cigar_start = field_start; cigar_end = field_end; break;
-                case 9: record.seq.assign(data + field_start, field_end - field_start); break;
+                case 9:
+                    record.seq_start = (uint32_t)field_start;
+                    record.seq_len_span = (uint32_t)(field_end - field_start);
+                    if (lazy_seq)
+                        record.seq.clear();
+                    else
+                        record.seq.assign(data + field_start,
+                                          field_end - field_start);
+                    break;
                 default:
                     if (field_index >= 11 && field_end - field_start >= 5 &&
                         data[field_start] == 'S' && data[field_start + 1] == 'A' &&
@@ -3135,7 +3162,8 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                 size_t len = batch.spans[i].second;
                                 batch.ok[i] = parse_sam_view(
                                     line, len, batch.decoded[i],
-                                    !extractor.enabled) ? 1 : 0;
+                                    !extractor.enabled,
+                                    /*lazy_seq=*/extractor.enabled) ? 1 : 0;
                                 if (batch.ok[i]) {
                                     Record &rec = batch.decoded[i];
                                     rec.tid = resolve_rname_view(
@@ -3227,6 +3255,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                 }
                                 uint32_t i = mine[k];
                                 const char *line = base + batch.spans[i].first;
+                                ensure_seq(batch.decoded[i], line);
                                 handle_record_extract(
                                     shard_sc[s], shard_ex[s], batch.decoded[i],
                                     std::string_view(
