@@ -287,7 +287,7 @@ def main() -> None:
     try:
         child = subprocess.run(
             [sys.executable, __file__, "--device-metric"],
-            capture_output=True, text=True, timeout=300)
+            capture_output=True, text=True, timeout=150)
         if child.returncode == 0 and child.stdout.strip():
             print(f"secondary: {child.stdout.strip()}", file=sys.stderr)
         else:
@@ -295,7 +295,7 @@ def main() -> None:
                   f"{child.stderr.strip()[-300:]}", file=sys.stderr)
     except subprocess.TimeoutExpired:
         print("secondary device metric skipped: accelerator unreachable "
-              "(300s timeout)", file=sys.stderr)
+              "(150s timeout)", file=sys.stderr)
 
     try:
         head_to_head = _head_to_head_metric(elapsed)
