@@ -52,7 +52,7 @@ def _genome(rng: np.random.Generator) -> dict:
 
 
 def _build_sample() -> None:
-    """Deterministic ~2M-record SAM with ~10% chimeric fragments."""
+    """Deterministic ~10M-record SAM with ~3.5% chimeric records."""
     SAMPLE_DIR.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(20260817)
     genome = _genome(rng)
