@@ -55,6 +55,15 @@ constexpr uint32_t CONSUMES_REF = (1u << CMATCH) | (1u << CDEL) | (1u << CREF_SK
                                   (1u << CEQUAL) | (1u << CDIFF);
 
 const char CIGAR_CHARS[] = "MIDNSHP=XB";
+/* op char -> op code (+1; 0 = invalid), avoiding a strchr per CIGAR op */
+struct CigarOpLut {
+    uint8_t code[256] = {};
+    CigarOpLut() {
+        for (int i = 0; CIGAR_CHARS[i] != 0; ++i)
+            code[(uint8_t)CIGAR_CHARS[i]] = (uint8_t)(i + 1);
+    }
+};
+const CigarOpLut CIGAR_OP_LUT;
 const char NT16[] = "=ACMGRSVTWYHKDBN";
 
 struct Record {
@@ -1606,9 +1615,9 @@ bool parse_sam_view(const char *data, size_t n, Record &record,
             if (c >= '0' && c <= '9') {
                 oplen = oplen * 10 + (uint32_t)(c - '0');
             } else {
-                const char *op_pos = strchr(CIGAR_CHARS, c);
-                if (op_pos == nullptr) return false;
-                uint32_t op = (uint32_t)(op_pos - CIGAR_CHARS);
+                uint8_t coded = CIGAR_OP_LUT.code[(uint8_t)c];
+                if (coded == 0) return false;
+                uint32_t op = (uint32_t)(coded - 1);
                 record.cigar.push_back((oplen << 4) | op);
                 if (op == CSOFT_CLIP && (int)oplen > record.max_soft_clip)
                     record.max_soft_clip = (int)oplen;
