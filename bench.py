@@ -203,9 +203,30 @@ def _device_step_metric() -> dict:
     checksum = float(jnp.sum(out["pvalue"]))
     elapsed = time.perf_counter() - start
     assert checksum >= 0.0
+
+    # roofline accounting: the fused step is elementwise scans + reductions
+    # over [N, L] int8/bool planes (no matmuls -> VPU, not MXU). Traffic per
+    # iteration = the input planes once plus the small per-read outputs;
+    # arithmetic is ~40 simple ops per base (mismatch compare/mask/sum,
+    # rolling 3-mer histogram, homopolymer run, binomial tail term), so the
+    # intensity sits at ~8 flop/byte — firmly memory-bound, and the right
+    # ceiling to compare against is HBM bandwidth (v5e: ~819 GB/s).
+    in_bytes = sum(int(np.asarray(a).nbytes) for a in args)
+    out_bytes = sum(int(np.asarray(v).nbytes) for v in out.values())
+    bytes_per_iter = in_bytes + out_bytes
+    ops_per_base = 40.0
+    flops = ops_per_base * n_reads * read_length
+    achieved_gbps = bytes_per_iter * iters / elapsed / 1e9
     return {"metric": "device_read_filter_chimeric_reads_per_s",
             "value": round(n_reads * iters / elapsed, 1),
-            "unit": "reads/s"}
+            "unit": "reads/s",
+            "roofline": {
+                "bytes_per_iter": bytes_per_iter,
+                "achieved_GBps": round(achieved_gbps, 1),
+                "hbm_fraction_v5e": round(achieved_gbps / 819.0, 3),
+                "arithmetic_intensity_flop_per_byte":
+                    round(flops / bytes_per_iter, 1),
+                "regime": "memory-bound (no MXU work in this op)"}}
 
 
 def _head_to_head_metric(our_elapsed: float) -> dict:
