@@ -229,9 +229,15 @@ public:
     Reader(FILE *file, int n_threads)
         : file_(file), n_threads_(n_threads > 0 ? n_threads : 1) {}
 
-    ~Reader() {
-        if (prefetch_active_)
+    ~Reader() { join_prefetch(); }
+
+    /* settle any in-flight prefetch so error()/eof state is safe to read
+     * (early-abort paths inspect error() before destroying the reader) */
+    void join_prefetch() {
+        if (prefetch_active_) {
             prefetch_.join();
+            prefetch_active_ = false;
+        }
     }
 
     /* nonempty after a failed read iff the failure was corruption or

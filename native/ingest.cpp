@@ -2747,6 +2747,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         struct Cleanup {
             FILE *file; bgzf_parallel::Reader *reader; std::string *error_out;
             ~Cleanup() {
+                if (reader) reader->join_prefetch();
                 if (reader && !reader->error().empty() && error_out->empty())
                     *error_out = reader->error();
                 delete reader;
