@@ -9,6 +9,12 @@
 #define ARRIBA_TPU_BGZF_PARALLEL_H
 
 #include <zlib.h>
+#if defined(__has_include)
+#  if __has_include(<libdeflate.h>)
+#    include <libdeflate.h>
+#    define ARRIBA_TPU_HAVE_LIBDEFLATE 1
+#  endif
+#endif
 
 #include <atomic>
 #include <cstdint>
@@ -108,27 +114,52 @@ class Reader {
         return HEADER_OK;
     }
 
-    static void inflate_block(Block &block) {
-        block.decompressed.resize(block.isize);
-        if (block.isize == 0)
-            return;
+    static bool inflate_block_zlib(Block &block) {
         z_stream stream{};
-        if (inflateInit2(&stream, -15) != Z_OK) {
-            block.ok = false;
-            return;
-        }
+        if (inflateInit2(&stream, -15) != Z_OK)
+            return false;
         stream.next_in = block.compressed.data();
         stream.avail_in = (uInt)block.compressed.size();
         stream.next_out = block.decompressed.data();
         stream.avail_out = block.isize;
         int status = inflate(&stream, Z_FINISH);
         inflateEnd(&stream);
-        block.ok = (status == Z_STREAM_END && stream.avail_out == 0);
-        if (block.ok) {
-            uint32_t crc = (uint32_t)crc32(
-                0L, block.decompressed.data(), block.isize);
-            block.ok = (crc == block.crc);
+        if (status != Z_STREAM_END || stream.avail_out != 0)
+            return false;
+        uint32_t crc = (uint32_t)crc32(0L, block.decompressed.data(),
+                                       block.isize);
+        return crc == block.crc;
+    }
+
+    static void inflate_block(Block &block) {
+        block.decompressed.resize(block.isize);
+        if (block.isize == 0)
+            return;
+#ifdef ARRIBA_TPU_HAVE_LIBDEFLATE
+        /* libdeflate is ~2-3x faster than zlib on 64 KB BGZF members; the
+         * block CRC validates every output, and any failure (including a
+         * CRC mismatch) retries through zlib before the block is declared
+         * corrupt, so this path can only improve throughput, never change
+         * results */
+        static thread_local struct Scoped {
+            struct libdeflate_decompressor *d;
+            Scoped() : d(libdeflate_alloc_decompressor()) {}
+            ~Scoped() { if (d) libdeflate_free_decompressor(d); }
+        } scoped;
+        if (scoped.d != nullptr) {
+            size_t actual = 0;
+            enum libdeflate_result result = libdeflate_deflate_decompress(
+                scoped.d, block.compressed.data(), block.compressed.size(),
+                block.decompressed.data(), block.isize, &actual);
+            if (result == LIBDEFLATE_SUCCESS && actual == block.isize &&
+                libdeflate_crc32(0, block.decompressed.data(), block.isize)
+                    == block.crc) {
+                block.ok = true;
+                return;
+            }
         }
+#endif
+        block.ok = inflate_block_zlib(block);
     }
 
     /* read + inflate one batch of blocks into `out`. All file reads and

@@ -27,7 +27,7 @@ g++ -O1 -g -shared -fPIC -std=c++17 $FLAG $(python3-config --includes) \
     native/ingest.cpp native/realign.cpp native/annotate.cpp \
     native/filters.cpp native/cascade.cpp native/fusions.cpp \
     native/event.cpp native/extract.cpp \
-    -o "$BUILD_DIR/_native$(python3-config --extension-suffix)" -lz
+    -o "$BUILD_DIR/_native$(python3-config --extension-suffix)" -lz $( [ -e /usr/include/libdeflate.h ] && echo -ldeflate )
 cp -r arriba_tpu "$BUILD_DIR/pkg_arriba_tpu"
 mkdir -p "$BUILD_DIR/pkg"
 mv "$BUILD_DIR/pkg_arriba_tpu" "$BUILD_DIR/pkg/arriba_tpu"

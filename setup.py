@@ -1,6 +1,13 @@
 """Build configuration: the native data-loader extension."""
 
+import os
+
 from setuptools import Extension, setup
+
+# libdeflate (when present) accelerates BGZF block decompression; the code
+# falls back to zlib-only via __has_include when the header is absent
+_LIBS = ["z"] + (["deflate"] if os.path.exists("/usr/include/libdeflate.h")
+                 else [])
 
 setup(
     name="arriba_tpu",
@@ -14,6 +21,6 @@ setup(
                            "native/annotate.cpp", "native/filters.cpp",
                            "native/cascade.cpp", "native/fusions.cpp",
                            "native/event.cpp", "native/extract.cpp"],
-                  extra_compile_args=["-O3", "-std=c++17"], libraries=["z"]),
+                  extra_compile_args=["-O3", "-std=c++17"], libraries=_LIBS),
     ],
 )
