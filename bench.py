@@ -290,17 +290,37 @@ def main() -> None:
         "vs_baseline": round(reads_per_s / ARRIBA_BASELINE_READS_PER_S, 2),
     }), flush=True)
 
-    # per-stage wall-time breakdown (1 s log resolution) to stderr
-    previous = None
-    for line in stdout.splitlines():
-        match = re.match(r"\[(.*?)\] (.*)", line)
-        if match:
-            stamp = time.mktime(time.strptime(match.group(1),
-                                              "%Y-%m-%dT%H:%M:%S"))
-            if previous is not None and stamp - previous[0] > 0:
-                print(f"  {stamp - previous[0]:5.0f}s  {previous[1][:72]}",
-                      file=sys.stderr)
-            previous = (stamp, match.group(2))
+    # precise per-stage wall-time breakdown to stderr: one extra
+    # instrumented run (ARRIBA_TPU_STAGE_TIMES prints perf_counter deltas)
+    try:
+        env = dict(os.environ)
+        env["PYTHONPATH"] = str(REPO)
+        env["ARRIBA_TPU_STAGE_TIMES"] = "1"
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        cmd = [sys.executable, "-m", "arriba_tpu",
+               "-x", str(SAMPLE_DIR / "aligned.sam"),
+               "-g", str(SAMPLE_DIR / "genes.gtf"),
+               "-a", str(SAMPLE_DIR / "genome.fa"),
+               "-b", str(SAMPLE_DIR / "blacklist.tsv"),
+               "-o", str(SAMPLE_DIR / "fusions.tsv"),
+               "-O", str(SAMPLE_DIR / "fusions.discarded.tsv"),
+               "-i", "1 2", "-s", "no", "-@", str(os.cpu_count() or 1)]
+        traced = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                                timeout=300)
+        stages = []
+        pending = None
+        for line in traced.stderr.splitlines():
+            if line.startswith("[stage] "):
+                pending = line[len("[stage] "):].strip()
+            elif line.startswith("[stage +") and pending is not None:
+                stages.append((float(line[len("[stage +"):-2]), pending))
+        stages.sort(reverse=True)
+        print("per-stage breakdown (instrumented run):", file=sys.stderr)
+        for seconds, stage in stages[:8]:
+            if seconds >= 0.02:
+                print(f"  {seconds:6.2f}s  {stage[:68]}", file=sys.stderr)
+    except Exception as error:  # noqa: BLE001 - diagnostics only
+        print(f"stage breakdown skipped: {error}", file=sys.stderr)
 
     # the device metric runs in a child with a hard timeout: a wedged
     # accelerator tunnel hangs inside the runtime where no in-process
