@@ -3420,6 +3420,14 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         return nullptr;
     }
 
+    const bool tail_timing = getenv("ARRIBA_TPU_SCAN_TIMING") != nullptr;
+    auto tail_now = []() {
+        struct timespec ts;
+        clock_gettime(CLOCK_MONOTONIC, &ts);
+        return ts.tv_sec + ts.tv_nsec * 1e-9;
+    };
+    double tt0 = tail_timing ? tail_now() : 0, tt_merge = 0, tt_norm = 0,
+           tt_sort = 0, tt_end = 0;
     if (n_shards > 0) {
         /* fold the shard states back into the master scanner/extractor; the
          * fragment concatenation order is irrelevant because both export
@@ -3466,6 +3474,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         }
     }
 
+    if (tail_timing) tt_merge = tail_now();
     PyObject *viral_list = PyList_New(n_tids);
     for (Py_ssize_t tid = 0; tid < n_tids; ++tid)
         PyList_SetItem(viral_list, tid, PyLong_FromLongLong(scanner.viral_counts[tid]));
@@ -3504,6 +3513,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
             }
         }
 
+        if (tail_timing) tt_norm = tail_now();
         if (extractor.retain) {
             /* retained mode: sort by name (the reference's std::map order),
              * mark multimappers (read_chimeric_alignments.cpp:792-802), and
@@ -3554,6 +3564,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
             } else {
                 std::sort(order.begin(), order.end(), by_name);
             }
+            if (tail_timing) tt_sort = tail_now();
             retained.fragments.reserve(order.size());
             for (size_t i : order)
                 retained.fragments.push_back(std::move(extractor.fragments[i]));
@@ -3580,6 +3591,14 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
              * shape but empty */
             std::string names_blob;
             std::vector<int64_t> name_offsets(1, 0);
+            if (tail_timing) {
+                tt_end = tail_now();
+                fprintf(stderr,
+                        "scan tail timing: merge=%.3fs normalize=%.3fs "
+                        "sort=%.3fs store+mark=%.3fs\n",
+                        tt_merge - tt0, tt_norm - tt_merge,
+                        tt_sort - tt_norm, tt_end - tt_sort);
+            }
             PyObject *result = Py_BuildValue(
                 "y#lNl(lli)y#y#l",
                 header_text.data(), (Py_ssize_t)header_text.size(),
