@@ -9,6 +9,14 @@ from setuptools import Extension, setup
 _LIBS = ["z"] + (["deflate"] if os.path.exists("/usr/include/libdeflate.h")
                  else [])
 
+# profile-guided optimization: ARRIBA_TPU_PGO=gen builds an instrumented
+# extension (run the workload, .gcda lands next to the objects), then
+# ARRIBA_TPU_PGO=use rebuilds against the collected profile
+_PGO = os.environ.get("ARRIBA_TPU_PGO", "")
+_PGO_FLAGS = {"gen": ["-fprofile-generate"],
+              "use": ["-fprofile-use", "-fprofile-correction",
+                      "-Wno-missing-profile"]}.get(_PGO, [])
+
 setup(
     name="arriba_tpu",
     version="0.1.0",
@@ -21,6 +29,7 @@ setup(
                            "native/annotate.cpp", "native/filters.cpp",
                            "native/cascade.cpp", "native/fusions.cpp",
                            "native/event.cpp", "native/extract.cpp"],
-                  extra_compile_args=["-O3", "-std=c++17"], libraries=_LIBS),
+                  extra_compile_args=["-O3", "-std=c++17"] + _PGO_FLAGS,
+                  extra_link_args=list(_PGO_FLAGS), libraries=_LIBS),
     ],
 )
