@@ -639,6 +639,8 @@ class EventCascade:
         if not n:
             return None
         if getattr(self, "_stats_mesh", None) is None:
+            from .read_level import _apply_jax_platform_env
+            _apply_jax_platform_env()
             import jax
             from ..parallel.dp import make_mesh
             self._stats_mesh = make_mesh(min(int(n), len(jax.devices())))
