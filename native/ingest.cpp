@@ -2921,18 +2921,27 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                             }
                         };
                     double pool_t0 = bam_timing ? bam_now() : 0;
+                    /* batch k+1 reads on its own thread (draining the BGZF
+                     * prefetch pipeline) so shard 0 joins the pool
+                     * immediately; the reader owns eof/stream_error and
+                     * buffers[1-cur], ordered by the join below */
+                    std::thread reader;
+                    if (!eof) {
+                        double read_t0 = bam_timing ? bam_now() : 0;
+                        reader = std::thread([&, read_t0]() {
+                            read_batch(buffers[1 - cur]);
+                            if (bam_timing) bam_read += bam_now() - read_t0;
+                        });
+                    } else {
+                        buffers[1 - cur].count = 0;
+                    }
                     for (int s = 1; s < n_shards; ++s)
                         pool.emplace_back(shard_worker, s);
-                    /* overlap: read batch k+1, then work shard 0 inline */
-                    double read_t0 = bam_timing ? bam_now() : 0;
-                    if (!eof)
-                        read_batch(buffers[1 - cur]);
-                    else
-                        buffers[1 - cur].count = 0;
-                    if (bam_timing) bam_read += bam_now() - read_t0;
                     shard_worker(0);
                     for (std::thread &worker : pool)
                         worker.join();
+                    if (reader.joinable())
+                        reader.join();
                     if (bam_timing) bam_pool += bam_now() - pool_t0;
                     cur = 1 - cur;
                 }
@@ -3278,17 +3287,29 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                 t_handle0 += w3 - w2;
                             }
                         };
+                    /* the next chunk reads on its own thread so shard 0
+                     * starts with the pool instead of one read-time late;
+                     * the reader touches only buffers[1-cur] and the
+                     * stream cursor (done/map_pos/chunk_reader), and the
+                     * join below orders those writes before the loop test
+                     * reads them */
+                    std::thread reader;
+                    if (!done) {
+                        double t_read_start = timing ? now() : 0;
+                        reader = std::thread([&, t_read_start]() {
+                            read_batch(buffers[1 - cur]);
+                            if (timing) t_read += now() - t_read_start;
+                        });
+                    } else {
+                        buffers[1 - cur].count = 0;
+                    }
                     for (int s = 1; s < n_shards; ++s)
                         pool.emplace_back(shard_worker, s);
-                    double t_read_start = timing ? now() : 0;
-                    if (!done)
-                        read_batch(buffers[1 - cur]);
-                    else
-                        buffers[1 - cur].count = 0;
-                    if (timing) t_read += now() - t_read_start;
                     shard_worker(0);
                     for (std::thread &worker : pool)
                         worker.join();
+                    if (reader.joinable())
+                        reader.join();
                     if (timing) t_pool += now() - t_pool_start;
                     for (size_t i = 0; i < batch.count; ++i) {
                         if (batch.ok[i]) continue;
