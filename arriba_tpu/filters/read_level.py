@@ -731,6 +731,15 @@ def _apply_jax_platform_env() -> None:
     platform = os.environ.get("JAX_PLATFORMS")
     if not platform:
         return
+    # only force built-in platforms (the tests' virtual-cpu meshes): a
+    # request naming a dynamically-registered plugin platform (e.g. a
+    # tunneled chip) cannot be re-initialized after clear_backends() —
+    # the site hook's registration would be lost — so honor the site
+    # configuration as-is
+    builtin = {"cpu", "tpu", "cuda", "gpu", "rocm"}
+    if not all(p.strip() in builtin
+               for p in platform.split(",") if p.strip()):
+        return
     import jax
     if jax.config.jax_platforms != platform:
         jax.config.update("jax_platforms", platform)
