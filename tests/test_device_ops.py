@@ -546,3 +546,25 @@ def test_screen_pairs_chunks_long_windows():
         seq = window[anchor:anchor + 12].tobytes().decode()
         hit = realign.screen_pairs([seq], [window])
         assert hit[0], anchor
+
+
+def test_platform_env_guard_leaves_plugin_platforms_alone(monkeypatch):
+    """_apply_jax_platform_env must not force (and clear backends for) a
+    JAX_PLATFORMS request naming a non-built-in platform: such platforms
+    are registered dynamically by site hooks (e.g. a tunneled-chip PJRT
+    plugin), and re-initialization after clear_backends() loses the
+    registration, killing every later device call in the process."""
+    import jax
+
+    from arriba_tpu.filters.read_level import _apply_jax_platform_env
+
+    before = jax.config.jax_platforms
+    monkeypatch.setenv("JAX_PLATFORMS", "someplugin")
+    _apply_jax_platform_env()
+    assert jax.config.jax_platforms == before
+
+    # built-in requests still force (the virtual-CPU test meshes rely on
+    # it); here the config already matches, so it must stay a no-op too
+    monkeypatch.setenv("JAX_PLATFORMS", before or "cpu")
+    _apply_jax_platform_env()
+    assert jax.config.jax_platforms == before or jax.config.jax_platforms in (None, "cpu")
