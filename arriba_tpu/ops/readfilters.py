@@ -83,10 +83,12 @@ def low_entropy_batch(bases: jnp.ndarray, length: jnp.ndarray,
 
     The reference's greedy non-overlapping selection has a key property for
     K=3: whether position p is selected depends only on whether the SAME
-    k-mer was selected at p-1 or p-2. Selection is therefore a per-row scan
-    with two bits of state — computed here as a chunked scan (4 entry-state
-    lanes per chunk, sequential only over the chunk length and the chunk
-    count), followed by chunked one-hot reductions into [N, 64] per-k-mer
+    k-mer was selected at p-1 or p-2. Selection therefore carries two bits
+    of state (selected at p-1, selected at p) through the read — computed
+    here as an ASSOCIATIVE scan over per-position 4-state transition tables
+    (each table packed as 4 x 2 bits of one int32), so the whole selection
+    is O(log L) depth of dense [N, L] int32 ops with perfect (8, 128)
+    tiling, followed by chunked one-hot reductions into [N, 64] per-k-mer
     counters. The early-exit check of the reference is
     monotone in the counters, so evaluating it on the final counters
     (restricted to k-mers counted at least once) is equivalent.
@@ -113,67 +115,58 @@ def low_entropy_batch(bases: jnp.ndarray, length: jnp.ndarray,
         [false_col, false_col, kmer_values[:, 2:] == kmer_values[:, :-2]],
         axis=1)
 
-    chunk = 16
-    n_chunks = -(-L // chunk)
-    pad = n_chunks * chunk - L
+    # per-position transition table over state s = (sel[p-2] << 1) | sel[p-1]:
+    # new bit nb(s) = eligible & !(sel[p-1] & same1) & !(sel[p-2] & same2),
+    # next state = ((s & 1) << 1) | nb(s). Entry s lives at bits [2s+1 : 2s].
+    e = eligible.astype(jnp.int32)
+    ns1 = (~same1).astype(jnp.int32)
+    ns2 = (~same2).astype(jnp.int32)
+    nb0 = e                      # s=0: no neighbor selected
+    nb1 = e & ns1                # s=1: sel[p-1]
+    nb2 = e & ns2                # s=2: sel[p-2]
+    nb3 = e & ns1 & ns2          # s=3: both
+    tables = (nb0 | ((2 | nb1) << 2) | (nb2 << 4) | ((2 | nb3) << 6))
 
-    def to_chunks(array):
-        padded = jnp.pad(array, ((0, 0), (0, pad)))
-        return padded.reshape(n_reads, n_chunks, chunk)
+    def compose(f, g):
+        """(g o f): entrywise table lookup, vectorized over [N, L] int32."""
+        out = jnp.zeros_like(f)
+        for s in range(4):
+            fs = (f >> (2 * s)) & 3
+            gs = (g >> (fs << 1)) & 3
+            out = out | (gs << (2 * s))
+        return out
 
-    eligible_c = to_chunks(eligible)
-    same1_c = to_chunks(same1)
-    same2_c = to_chunks(same2)
-
-    # 4 entry lanes: (selected at p-1, selected at p-2) before the chunk
-    lane_prev1 = jnp.array([False, False, True, True])[None, None, :]
-    lane_prev2 = jnp.array([False, True, False, True])[None, None, :]
-    selected_steps = []
-    for step in range(chunk):
-        prev1 = selected_steps[step - 1] if step >= 1 else lane_prev1
-        prev2 = selected_steps[step - 2] if step >= 2 else (
-            lane_prev1 if step == 1 else lane_prev2)
-        selected = (eligible_c[:, :, step, None]
-                    & ~(prev1 & same1_c[:, :, step, None])
-                    & ~(prev2 & same2_c[:, :, step, None]))   # [N, C, 4]
-        selected_steps.append(selected)
-    lanes = jnp.stack(selected_steps, axis=2)                  # [N, C, S, 4]
-
-    # fold over chunks: pick each chunk's lane from the carried 2-bit state
-    zero_bit = (length * 0).astype(jnp.bool_)
-
-    def fold(carry, chunk_lanes):
-        prev1, prev2 = carry                                   # [N] each
-        lane = prev1.astype(jnp.int32) * 2 + prev2.astype(jnp.int32)
-        picked = jnp.take_along_axis(
-            chunk_lanes, lane[:, None, None], axis=2)[:, :, 0]  # [N, S]
-        return (picked[:, -1], picked[:, -2]), picked
-
-    lanes_by_chunk = jnp.moveaxis(lanes, 1, 0)                 # [C, N, S, 4]
-    _, picked = jax.lax.scan(fold, (zero_bit, zero_bit), lanes_by_chunk)
-    selected = jnp.moveaxis(picked, 0, 1).reshape(n_reads, n_chunks * chunk)
-    selected = selected[:, :L]
+    prefix = jax.lax.associative_scan(compose, tables, axis=1)
+    # initial state 0 (nothing selected before the read): entry 0, low bit
+    selected = (prefix & 1).astype(jnp.bool_)
 
     # per-k-mer counters: chunked one-hot reductions over the 64-k-mer axis
-    # (scatter-add lowers poorly on TPU; masked reductions ride the VPU)
+    # (scatter-add lowers poorly on TPU; masked reductions ride the VPU).
+    # The three counters (whole read / aligned segment 1 / aligned segment 2)
+    # ride 10-bit lanes of ONE int32 accumulator so the [N, S, 64] one-hot
+    # plane is touched once, not three times: a non-overlapping 3-mer count
+    # is at most ceil(L/3) <= 341 < 1024 for any read the pipeline feeds
+    # (L < 1024), so the lanes cannot carry into each other.
     in_a1 = ((positions + 1 >= aligned_start1[:, None])
              & (positions < aligned_end1[:, None]))
     in_a2 = ((positions + 1 >= aligned_start2[:, None])
              & (positions < aligned_end2[:, None]))
+    weight = jnp.where(
+        selected,
+        1 + (in_a1.astype(jnp.int32) << 10) + (in_a2.astype(jnp.int32) << 20),
+        0)                                                      # [N, L]
     kmer_iota = jnp.arange(N_KMERS, dtype=jnp.int32)[None, None, :]
-    c_all = jnp.zeros((n_reads, N_KMERS), jnp.int32)
-    c_a1 = jnp.zeros((n_reads, N_KMERS), jnp.int32)
-    c_a2 = jnp.zeros((n_reads, N_KMERS), jnp.int32)
+    chunk = 16
+    c_packed = jnp.zeros((n_reads, N_KMERS), jnp.int32)
     for chunk_start in range(0, L, chunk):
         sl = slice(chunk_start, min(chunk_start + chunk, L))
         one_hot = (kmer_values[:, sl, None] == kmer_iota)      # [N, S, 64]
-        sel = selected[:, sl]
-        c_all = c_all + jnp.sum(one_hot & sel[:, :, None], axis=1,
-                                dtype=jnp.int32)
-        c_a1 = c_a1 + jnp.sum(one_hot & (sel & in_a1[:, sl])[:, :, None],
-                              axis=1, dtype=jnp.int32)
-        c_a2 = c_a2 + jnp.sum(one_hot & (sel & in_a2[:, sl])[:, :, None],
-                              axis=1, dtype=jnp.int32)
+        c_packed = c_packed + jnp.sum(
+            jnp.where(one_hot, weight[:, sl, None], 0), axis=1,
+            dtype=jnp.int32)
+    c_all = c_packed & 0x3FF
+    c_a1 = (c_packed >> 10) & 0x3FF
+    c_a2 = (c_packed >> 20) & 0x3FF
 
     counted = c_all >= 1
     crossed = counted & ((c_all >= th_all[:, None])
