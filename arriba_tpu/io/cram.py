@@ -1,4 +1,4 @@
-"""CRAM 3.0 reader (and a writer used for tests).
+"""CRAM 3.0/3.1 reader (and a writer used for tests).
 
 Reference parity: the reference binary reads CRAM through htslib
 (read_chimeric_alignments.cpp:588 sam_read1 — format dispatch inside
@@ -228,6 +228,8 @@ def rans_decode(data: bytes) -> bytes:
 # blocks
 
 METHOD_RAW, METHOD_GZIP, METHOD_BZIP2, METHOD_LZMA, METHOD_RANS = 0, 1, 2, 3, 4
+# CRAM 3.1 additions (decoders in cram31.py)
+METHOD_RANS4X16, METHOD_ARITH, METHOD_FQZCOMP, METHOD_TOK3 = 5, 6, 7, 8
 CT_FILE_HEADER, CT_COMPRESSION_HEADER, CT_SLICE_HEADER = 0, 1, 2
 CT_EXTERNAL, CT_CORE = 4, 5
 
@@ -260,10 +262,26 @@ def read_block(buf: io.BytesIO) -> Block:
         data = lzma.decompress(payload)
     elif method == METHOD_RANS:
         data = rans_decode(payload)
+    elif method == METHOD_RANS4X16:
+        from .cram31 import rans4x16_decode
+        data = rans4x16_decode(payload, raw_size)
+    elif method == METHOD_ARITH:
+        from .cram31 import arith_decode
+        data = arith_decode(payload, raw_size)
+    elif method == METHOD_TOK3:
+        from .cram31 import tok3_decode_names
+        data = tok3_decode_names(payload, raw_size)
+    elif method == METHOD_FQZCOMP:
+        # quality strings are unused by every pipeline stage (the reference
+        # never inspects qual either); serve placeholder qualities rather
+        # than failing the whole file
+        import sys
+        print("WARNING: CRAM 3.1 fqzcomp quality block skipped "
+              "(qualities are not used by the pipeline)", file=sys.stderr)
+        data = bytes(raw_size)
     else:
         raise NotImplementedError(
-            f"CRAM block compression method {method} not supported "
-            "(CRAM 3.1 codecs: re-encode with samtools view -O cram,version=3.0)")
+            f"CRAM block compression method {method} not supported")
     if len(data) != raw_size:
         raise ValueError("CRAM block size mismatch")
     return Block(method, content_type, content_id, data)
