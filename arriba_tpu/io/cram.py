@@ -272,13 +272,17 @@ def read_block(buf: io.BytesIO) -> Block:
         from .cram31 import tok3_decode_names
         data = tok3_decode_names(payload, raw_size)
     elif method == METHOD_FQZCOMP:
-        # quality strings are unused by every pipeline stage (the reference
-        # never inspects qual either); serve placeholder qualities rather
-        # than failing the whole file
-        import sys
-        print("WARNING: CRAM 3.1 fqzcomp quality block skipped "
-              "(qualities are not used by the pipeline)", file=sys.stderr)
-        data = bytes(raw_size)
+        from .cram31 import fqzcomp_decode
+        try:
+            data = fqzcomp_decode(payload, raw_size)
+        except NotImplementedError as error:
+            # qualities are unused by every pipeline stage (the reference
+            # never inspects qual either); serve placeholder qualities
+            # rather than failing the whole file on an unknown version
+            import sys
+            print(f"WARNING: CRAM 3.1 fqzcomp quality block skipped "
+                  f"({error})", file=sys.stderr)
+            data = bytes(raw_size)
     else:
         raise NotImplementedError(
             f"CRAM block compression method {method} not supported")

@@ -681,13 +681,179 @@ def tok3_decode_names(data, out_len: Optional[int] = None,
 # ---------------------------------------------------------------------------
 # fqzcomp (method 7)
 
+# gflags
+FQZ_GFLAG_MULTI_PARAM = 0x01
+FQZ_GFLAG_HAVE_STAB = 0x02
+FQZ_GFLAG_DO_REV = 0x04
+# pflags
+FQZ_PFLAG_DO_DEDUP = 0x02
+FQZ_PFLAG_DO_LEN = 0x04
+FQZ_PFLAG_DO_SEL = 0x08
+FQZ_PFLAG_HAVE_QMAP = 0x10
+FQZ_PFLAG_HAVE_PTAB = 0x20
+FQZ_PFLAG_HAVE_DTAB = 0x40
+FQZ_PFLAG_HAVE_QTAB = 0x80
+
+
+def _fqz_read_array(src: ByteStream, n: int) -> List[int]:
+    """Context-mapping array stored as run lengths of the ascending values
+    0, 1, 2, ... — each run length byte-extended while 255 (spec: fqzcomp
+    ReadArray)."""
+    out = [0] * n
+    j = 0
+    value = 0
+    while j < n:
+        run = 0
+        while True:
+            x = src.byte()
+            run += x
+            if x != 255:
+                break
+        for _ in range(min(run, n - j)):
+            out[j] = value
+            j += 1
+        value += 1
+    return out
+
+
+class _FqzParam:
+    __slots__ = ("context", "pflags", "max_sym", "qbits", "qshift", "qloc",
+                 "sloc", "ploc", "dloc", "qmap", "qtab", "ptab", "dtab",
+                 "do_dedup", "do_len", "do_sel", "have_qmap")
+
+    def __init__(self, src: ByteStream):
+        self.context = src.uint16le()
+        self.pflags = src.byte()
+        self.do_dedup = bool(self.pflags & FQZ_PFLAG_DO_DEDUP)
+        self.do_len = bool(self.pflags & FQZ_PFLAG_DO_LEN)
+        self.do_sel = bool(self.pflags & FQZ_PFLAG_DO_SEL)
+        self.have_qmap = bool(self.pflags & FQZ_PFLAG_HAVE_QMAP)
+        self.max_sym = src.byte()
+        x = src.byte()
+        self.qbits = x >> 4
+        self.qshift = x & 15
+        x = src.byte()
+        self.qloc = x >> 4
+        self.sloc = x & 15
+        x = src.byte()
+        self.ploc = x >> 4
+        self.dloc = x & 15
+        if self.have_qmap:
+            self.qmap = [src.byte() for _ in range(self.max_sym + 1)]
+        else:
+            self.qmap = None
+        if self.pflags & FQZ_PFLAG_HAVE_QTAB:
+            self.qtab = _fqz_read_array(src, 256)
+        else:
+            self.qtab = list(range(256))
+        if self.pflags & FQZ_PFLAG_HAVE_PTAB:
+            self.ptab = _fqz_read_array(src, 1024)
+        else:
+            self.ptab = None
+        if self.pflags & FQZ_PFLAG_HAVE_DTAB:
+            self.dtab = _fqz_read_array(src, 256)
+        else:
+            self.dtab = None
+
+
+class _LazyModels(dict):
+    """Quality-context models created on first use (2^16 possible contexts,
+    a handful touched in practice)."""
+
+    def __init__(self, n_sym: int):
+        super().__init__()
+        self.n_sym = n_sym
+
+    def __missing__(self, ctx):
+        model = AdaptiveModel(self.n_sym)
+        self[ctx] = model
+        return model
+
+
 def fqzcomp_decode(data, out_len: Optional[int] = None) -> bytes:
-    """fqzcomp quality codec: not implemented. Quality strings are not used
-    by any pipeline stage (the reference discards them too: read
-    extraction keeps sequence and CIGAR only, read_chimeric_alignments.cpp
-    never inspects qual), so a CRAM 3.1 file with fqzcomp quality blocks
-    still loads as long as the QS data series is skipped lazily."""
-    raise NotImplementedError(
-        "CRAM 3.1 fqzcomp quality blocks are not supported; qualities are "
-        "unused by the pipeline (re-encode with samtools view -O "
-        "cram,version=3.0 if decoding them is required)")
+    """Decode an fqzcomp quality block (CRAM 3.1 method 7, format vers 5):
+    adaptive range coding of quality symbols under a 16-bit context mixing
+    previous qualities, position, delta count and selector, with optional
+    per-record length/dedup/reversal streams."""
+    src = ByteStream(data)
+    vers = src.byte()
+    if vers != 5:
+        raise NotImplementedError(f"fqzcomp version {vers} not supported")
+    gflags = src.byte()
+    n_param = src.byte() if gflags & FQZ_GFLAG_MULTI_PARAM else 1
+    if gflags & FQZ_GFLAG_HAVE_STAB:
+        max_sel = src.byte()
+        stab = _fqz_read_array(src, 256)
+    else:
+        max_sel = n_param - 1
+        stab = list(range(n_param)) + [n_param - 1] * (256 - n_param)
+    params = [_FqzParam(src) for _ in range(n_param)]
+
+    max_sym = max(p.max_sym for p in params)
+    rc = RangeDecoder(src)
+    qual_models = _LazyModels(max_sym + 1)
+    len_models = [AdaptiveModel(256) for _ in range(4)]
+    sel_model = AdaptiveModel(max_sel + 1) if max_sel > 0 else None
+    rev_model = AdaptiveModel(2)
+    dup_model = AdaptiveModel(2)
+
+    if out_len is None:
+        raise ValueError("fqzcomp: the block's raw size is required")
+    out = bytearray()
+    rec_bounds: List[Tuple[int, int, bool]] = []   # (start, len, reversed)
+    last_len = 0
+    prev_rec: bytes = b""
+    while len(out) < out_len:
+        sel = sel_model.decode(rc) if sel_model is not None else 0
+        pm = params[stab[sel]]
+        if pm.do_len or last_len == 0:
+            rec_len = (len_models[0].decode(rc)
+                       | (len_models[1].decode(rc) << 8)
+                       | (len_models[2].decode(rc) << 16)
+                       | (len_models[3].decode(rc) << 24))
+            last_len = rec_len
+        else:
+            rec_len = last_len
+        is_rev = bool(rev_model.decode(rc)) if gflags & FQZ_GFLAG_DO_REV \
+            else False
+        if pm.do_dedup and dup_model.decode(rc):
+            rec = prev_rec
+            rec_bounds.append((len(out), rec_len, is_rev))
+            out += rec
+            prev_rec = rec
+            continue
+
+        qctx = 0
+        prevq = 0
+        delta = 0
+        p = rec_len
+        ctx = pm.context
+        start = len(out)
+        for _ in range(rec_len):
+            q = qual_models[ctx].decode(rc)
+            out.append(pm.qmap[q] if pm.have_qmap else q)
+            # context update (spec: fqz_update_ctx — position is read
+            # before its countdown)
+            qctx = ((qctx << pm.qshift) + pm.qtab[q]) & 0xFFFFFFFF
+            ctx = (qctx & ((1 << pm.qbits) - 1)) << pm.qloc
+            if pm.ptab is not None:
+                ctx += pm.ptab[min(1023, p)] << pm.ploc
+            if pm.dtab is not None:
+                ctx += pm.dtab[min(255, delta)] << pm.dloc
+            if pm.do_sel:
+                ctx += sel << pm.sloc
+            ctx &= 0xFFFF
+            p -= 1
+            delta += 1 if prevq != q else 0
+            prevq = q
+        prev_rec = bytes(out[start:])
+        rec_bounds.append((start, rec_len, is_rev))
+
+    if gflags & FQZ_GFLAG_DO_REV:
+        for start, rec_len, is_rev in rec_bounds:
+            if is_rev:
+                out[start:start + rec_len] = \
+                    out[start:start + rec_len][::-1]
+    if out_len is not None and len(out) != out_len:
+        raise ValueError("fqzcomp: output size mismatch")
+    return bytes(out)

@@ -689,6 +689,210 @@ def test_tok3_fuzz():
 
 
 # ---------------------------------------------------------------------------
+# fqzcomp quality codec
+
+from arriba_tpu.io.cram31 import (FQZ_GFLAG_DO_REV, FQZ_GFLAG_HAVE_STAB,
+                                  FQZ_GFLAG_MULTI_PARAM, FQZ_PFLAG_DO_DEDUP,
+                                  FQZ_PFLAG_DO_LEN, FQZ_PFLAG_DO_SEL,
+                                  FQZ_PFLAG_HAVE_DTAB, FQZ_PFLAG_HAVE_PTAB,
+                                  FQZ_PFLAG_HAVE_QMAP, FQZ_PFLAG_HAVE_QTAB,
+                                  fqzcomp_decode)
+
+
+def _fqz_write_array(values) -> bytes:
+    """Inverse of cram31._fqz_read_array: run lengths of ascending values
+    0,1,2,... with 255-extension."""
+    out = bytearray()
+    value = 0
+    i = 0
+    n = len(values)
+    while i < n or value <= (values[-1] if n else -1):
+        run = 0
+        while i < n and values[i] == value:
+            run += 1
+            i += 1
+        while run >= 255:
+            out.append(255)
+            run -= 255
+        out.append(run)
+        value += 1
+        if i >= n:
+            break
+    return bytes(out)
+
+
+def test_fqz_array_roundtrip():
+    from arriba_tpu.io.cram31 import ByteStream, _fqz_read_array
+    cases = [[0] * 256,
+             [min(i // 16, 15) for i in range(256)],
+             [0] * 300 + [1] * 724,
+             [i // 100 for i in range(1024)]]
+    for values in cases:
+        blob = _fqz_write_array(values)
+        assert _fqz_read_array(ByteStream(blob), len(values)) == values
+
+
+def fqz_encode(records, qshift=5, qbits=9, qloc=7, ploc=0, dloc=16,
+               do_len=True, do_dedup=False, do_rev=None, use_ptab=True,
+               use_dtab=False, use_qmap=False) -> bytes:
+    """Test-local fqzcomp encoder, the exact inverse of fqzcomp_decode.
+    `records` is a list of (quals: bytes, reversed: bool) or plain bytes."""
+    recs = [(r, False) if isinstance(r, (bytes, bytearray)) else r
+            for r in records]
+    have_rev = any(rev for _, rev in recs) if do_rev is None else do_rev
+
+    syms = sorted({q for quals, _ in recs for q in quals} | {0})
+    if use_qmap:
+        qmap = syms                       # decoded symbol i -> qmap[i]
+        sym_to_code = {s: i for i, s in enumerate(qmap)}
+        max_sym = len(qmap) - 1
+    else:
+        qmap = None
+        sym_to_code = None
+        max_sym = max(syms)
+
+    pflags = 0
+    if do_dedup:
+        pflags |= FQZ_PFLAG_DO_DEDUP
+    if do_len:
+        pflags |= FQZ_PFLAG_DO_LEN
+    if use_qmap:
+        pflags |= FQZ_PFLAG_HAVE_QMAP
+    if use_ptab:
+        pflags |= FQZ_PFLAG_HAVE_PTAB
+    if use_dtab:
+        pflags |= FQZ_PFLAG_HAVE_DTAB
+    qtab = list(range(256))
+    ptab = [min(p // 32, 15) for p in range(1024)] if use_ptab else None
+    dtab = [min(d, 15) for d in range(256)] if use_dtab else None
+
+    out = bytearray()
+    out.append(5)                      # vers
+    gflags = FQZ_GFLAG_DO_REV if have_rev else 0
+    out.append(gflags)
+    context0 = 0
+    out += struct.pack("<H", context0)
+    out.append(pflags)
+    out.append(max_sym)
+    out.append((qbits << 4) | qshift)
+    out.append((qloc << 4) | 0)        # sloc unused (single param)
+    out.append((ploc << 4) | (dloc & 15))
+    if use_qmap:
+        out += bytes(qmap)
+    if use_ptab:
+        out += _fqz_write_array(ptab)
+    if use_dtab:
+        out += _fqz_write_array(dtab)
+
+    from arriba_tpu.io.cram31 import AdaptiveModel, _LazyModels
+    rc = RangeEncoder()
+    qual_models = _LazyModels(max_sym + 1)
+    len_models = [AdaptiveModel(256) for _ in range(4)]
+    rev_model = AdaptiveModel(2)
+    dup_model = AdaptiveModel(2)
+
+    last_len = 0
+    prev = None
+    for quals, rev in recs:
+        if do_len or last_len == 0:
+            for b in range(4):
+                model_encode(len_models[b], rc, (len(quals) >> (8 * b)) & 0xFF)
+            last_len = len(quals)
+        if have_rev:
+            model_encode(rev_model, rc, 1 if rev else 0)
+        if do_dedup:
+            dup = prev is not None and quals == prev
+            model_encode(dup_model, rc, 1 if dup else 0)
+            if dup:
+                prev = quals
+                continue
+        qctx = 0
+        prevq = 0
+        delta = 0
+        p = len(quals)
+        ctx = context0
+        for q_raw in quals:
+            q = sym_to_code[q_raw] if use_qmap else q_raw
+            model_encode(qual_models[ctx], rc, q)
+            qctx = ((qctx << qshift) + qtab[q]) & 0xFFFFFFFF
+            ctx = (qctx & ((1 << qbits) - 1)) << qloc
+            if ptab is not None:
+                ctx += ptab[min(1023, p)] << ploc
+            if dtab is not None:
+                ctx += dtab[min(255, delta)] << dloc
+            ctx &= 0xFFFF
+            p -= 1
+            delta += 1 if prevq != q else 0
+            prevq = q
+        prev = quals
+    out += rc.finish()
+    return bytes(out)
+
+
+def _expected_quals(records):
+    parts = []
+    for r in records:
+        quals, rev = (r, False) if isinstance(r, (bytes, bytearray)) else r
+        parts.append(bytes(quals[::-1]) if rev else bytes(quals))
+    return b"".join(parts)
+
+
+def test_fqzcomp_roundtrip_basic():
+    rng = np.random.default_rng(77)
+    records = [bytes((rng.integers(0, 40, 100)).astype(np.uint8))
+               for _ in range(25)]
+    blob = fqz_encode(records)
+    expected = _expected_quals(records)
+    assert fqzcomp_decode(blob, len(expected)) == expected
+
+
+def test_fqzcomp_fixed_length_stream():
+    rng = np.random.default_rng(3)
+    records = [bytes((rng.integers(0, 45, 60)).astype(np.uint8))
+               for _ in range(15)]
+    blob = fqz_encode(records, do_len=False)
+    expected = _expected_quals(records)
+    assert fqzcomp_decode(blob, len(expected)) == expected
+
+
+def test_fqzcomp_dedup_and_rev():
+    rng = np.random.default_rng(8)
+    base = bytes((rng.integers(0, 40, 80)).astype(np.uint8))
+    records = [(base, False), (base, False), (base, True),
+               (bytes((rng.integers(0, 40, 80)).astype(np.uint8)), True)]
+    blob = fqz_encode(records, do_dedup=True)
+    expected = _expected_quals(records)
+    assert fqzcomp_decode(blob, len(expected)) == expected
+
+
+def test_fqzcomp_qmap_and_dtab():
+    rng = np.random.default_rng(12)
+    # few distinct symbols spread widely -> qmap compresses the symbol space
+    alphabet = np.array([2, 12, 25, 38], np.uint8)
+    records = [bytes(rng.choice(alphabet, 90).astype(np.uint8))
+               for _ in range(12)]
+    blob = fqz_encode(records, use_qmap=True, use_dtab=True, dloc=13)
+    expected = _expected_quals(records)
+    assert fqzcomp_decode(blob, len(expected)) == expected
+
+
+def test_fqzcomp_fuzz():
+    rng = np.random.default_rng(5150)
+    for trial in range(10):
+        n = int(rng.integers(1, 20))
+        records = []
+        for _ in range(n):
+            ln = int(rng.integers(1, 150))
+            spread = int(rng.integers(2, 60))
+            records.append((bytes(rng.integers(0, spread, ln)
+                                  .astype(np.uint8)),
+                            bool(rng.random() < 0.3)))
+        blob = fqz_encode(records, do_dedup=bool(rng.random() < 0.5))
+        expected = _expected_quals(records)
+        assert fqzcomp_decode(blob, len(expected)) == expected, trial
+
+
+# ---------------------------------------------------------------------------
 # whole-file remix with 3.1 methods
 
 from arriba_tpu.io.cram import METHOD_RANS4X16, METHOD_ARITH, METHOD_TOK3
