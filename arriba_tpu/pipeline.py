@@ -221,8 +221,11 @@ def run(options: Options) -> PipelineState:
         # re-index/re-bind, and re-annotate + disambiguate (phase 2)
         from .annotation.native_annotate import (bind_annotation_engine,
                                                  bind_gene_index)
+        annotate_timing = os.environ.get("ARRIBA_TPU_SCAN_TIMING")
+        t0 = time.perf_counter() if annotate_timing else 0.0
         dummy_contig_b, dummy_start_b, dummy_end_b = \
             ca.native.annotate_store_phase1(options.threads)
+        t1 = time.perf_counter() if annotate_timing else 0.0
         if len(dummy_contig_b) > 0:
             genes.append_dummies(np.frombuffer(dummy_contig_b, np.int64),
                                  np.frombuffer(dummy_start_b, np.int64),
@@ -230,9 +233,16 @@ def run(options: Options) -> PipelineState:
         state.gene_index = IntervalIndex(genes.contig, genes.start, genes.end,
                                          len(state.contigs))
         gene_index = state.gene_index
+        t2 = time.perf_counter() if annotate_timing else 0.0
         bind_annotation_engine(ca.native, state.exon_index, exons, genes)
         bind_gene_index(ca.native, gene_index, genes)
+        t3 = time.perf_counter() if annotate_timing else 0.0
         ca.native.annotate_store_phase2()
+        if annotate_timing:
+            print(f"annotate timing: phase1={t1 - t0:.3f}s "
+                  f"reindex={t2 - t1:.3f}s bind={t3 - t2:.3f}s "
+                  f"phase2={time.perf_counter() - t3:.3f}s",
+                  file=sys.stderr)
         return _run_cascades(state, options, enabled, ca, annotation, genes,
                              exons, gene_index)
 
