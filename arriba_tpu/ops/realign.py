@@ -106,48 +106,75 @@ def smith_waterman_scores(reads: jnp.ndarray, windows: jnp.ndarray,
 
 def smith_waterman_scores_pallas(reads: jnp.ndarray, windows: jnp.ndarray,
                                  match: int = 1, mismatch: int = -1,
-                                 gap: int = -1, block_n: int = 8,
+                                 gap: int = -1, block_n: int = 256,
                                  interpret: bool = False) -> jnp.ndarray:
     """Pallas version of the wavefront: one grid step per block of reads;
     the carry diagonals and the running best live in VMEM scratch so the
-    whole DP runs without HBM round-trips."""
+    whole DP runs without HBM round-trips.
+
+    The window diagonal is maintained as a SHIFT REGISTER: at step d the
+    register holds window_diag_d[i] = windows[d - i], and step d+1 rotates
+    it one lane and injects windows[d + 1] at lane 0. Window elements are
+    consumed sequentially from 128-aligned block loads (Mosaic cannot
+    prove alignment of the per-diagonal dynamic slice the previous version
+    used — it failed to compile on real TPU hardware; caught in round 3)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n, L = reads.shape
     W = windows.shape[1]
-    padded_w = W + 2 * L
+    n_steps = L + W - 1
+    n_wblocks = (n_steps + 127) // 128
+    padded_w = n_wblocks * 128
+    windows_padded = jnp.pad(windows, ((0, 0), (0, padded_w - W)),
+                             constant_values=PAD_CODE)
 
-    def kernel(reads_ref, wrev_ref, out_ref, h_prev, h_prev2, best):
+    def kernel(reads_ref, windows_ref, out_ref, h_prev, h_prev2, best, wd):
         h_prev[:] = jnp.zeros((block_n, L), jnp.int32)
         h_prev2[:] = jnp.zeros((block_n, L), jnp.int32)
         best[:] = jnp.zeros((block_n, L), jnp.int32)
-        read_block = reads_ref[:]
+        wd[:] = jnp.full((block_n, L), PAD_CODE, jnp.int32)
+        read_block = reads_ref[:].astype(jnp.int32)
         read_valid = read_block != PAD_CODE
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (block_n, 128), 1)
+        lane_l = jax.lax.broadcasted_iota(jnp.int32, (block_n, L), 1)
 
-        def body(d, _):
-            window_diag = wrev_ref[:, pl.ds(W - 1 - d + L, L)]
-            substitution = jnp.where(read_block == window_diag, match, mismatch)
-            valid = read_valid & (window_diag != PAD_CODE)
-            hp = h_prev[:]
-            hp2 = h_prev2[:]
-            hp_shift = jnp.pad(hp, ((0, 0), (1, 0)))[:, :L]
-            hp2_shift = jnp.pad(hp2, ((0, 0), (1, 0)))[:, :L]
-            h = jnp.maximum(
-                jnp.maximum(hp2_shift + substitution, 0),
-                jnp.maximum(hp_shift + gap, hp + gap))
-            h = jnp.where(valid, h, 0)
-            h_prev2[:] = hp
-            h_prev[:] = h
-            best[:] = jnp.maximum(best[:], h)
+        def outer(b, _):
+            wblock = windows_ref[:, pl.ds(pl.multiple_of(b * 128, 128),
+                                          128)].astype(jnp.int32)
+
+            def inner(s, _):
+                # inject windows[b*128 + s] at lane 0 of the rotated register
+                elem = jnp.sum(jnp.where(lane128 == s, wblock, 0),
+                               axis=1, keepdims=True)       # [bn, 1]
+                rotated = pltpu.roll(wd[:], 1, 1)
+                window_diag = jnp.where(lane_l == 0, elem, rotated)
+                wd[:] = window_diag
+                substitution = jnp.where(read_block == window_diag,
+                                         match, mismatch)
+                valid = read_valid & (window_diag != PAD_CODE)
+                # h_prev holds h_{d-1}; h_prev2 holds roll(h_{d-2}) with
+                # lane 0 already zeroed, so only ONE fresh roll per step
+                hp = h_prev[:]
+                hp2_shift = h_prev2[:]
+                hp_shift = jnp.where(lane_l == 0, 0, pltpu.roll(hp, 1, 1))
+                h = jnp.maximum(
+                    jnp.maximum(hp2_shift + substitution, 0),
+                    jnp.maximum(hp_shift + gap, hp + gap))
+                h = jnp.where(valid, h, 0)
+                h_prev2[:] = hp_shift
+                h_prev[:] = h
+                best[:] = jnp.maximum(best[:], h)
+                return 0
+
+            # full blocks: steps past n_steps only feed PAD elements, which
+            # decode as invalid columns and leave the DP and best unchanged
+            jax.lax.fori_loop(0, 128, inner, 0)
             return 0
 
-        jax.lax.fori_loop(0, L + W - 1, body, 0)
+        jax.lax.fori_loop(0, n_wblocks, outer, 0)
         out_ref[:] = jnp.broadcast_to(jnp.max(best[:], axis=1, keepdims=True),
                                       (block_n, 128))
-
-    wrev = jnp.flip(windows, axis=1)
-    wrev = jnp.pad(wrev, ((0, 0), (L, L)), constant_values=PAD_CODE)
 
     grid = ((n + block_n - 1) // block_n,)
     result = pl.pallas_call(
@@ -163,9 +190,10 @@ def smith_waterman_scores_pallas(reads: jnp.ndarray, windows: jnp.ndarray,
             pltpu.VMEM((block_n, L), jnp.int32),
             pltpu.VMEM((block_n, L), jnp.int32),
             pltpu.VMEM((block_n, L), jnp.int32),
+            pltpu.VMEM((block_n, L), jnp.int32),
         ],
         interpret=interpret,
-    )(reads, wrev)
+    )(reads, windows_padded)
     return result[:, 0]
 
 

@@ -259,6 +259,59 @@ def _device_step_metric() -> dict:
                           "selection scan dominate)"}}
 
 
+def _device_realign_metric() -> dict:
+    """Secondary metric: the batched Smith-Waterman realignment wavefront
+    (ops/realign.py Pallas kernel, VMEM-resident carries) in GCUPS (giga
+    cell updates/s, cells = reads x read_len x window_len). Timing is the
+    marginal cost between a 24-iteration and a 4-iteration in-jit scan on
+    distinct inputs, cancelling the tunnel dispatch/transfer overhead."""
+    import jax
+    import jax.numpy as jnp
+
+    from arriba_tpu.ops.realign import smith_waterman_scores_pallas
+
+    rng = np.random.default_rng(1)
+    n_pairs, read_len, window_len = 1024, 128, 1024
+
+    def make(iters):
+        @jax.jit
+        def rep(reads, windows):
+            def body(carry, _):
+                r = reads.at[:, 0].set(
+                    (reads[:, 0] ^ (carry[:, 0] & 1).astype(reads.dtype)) & 3)
+                out = smith_waterman_scores_pallas(r, windows, block_n=512)
+                return (carry + out[:, None]) % 7, None
+            c, _ = jax.lax.scan(body, jnp.zeros((n_pairs, 1), jnp.int32),
+                                None, length=iters)
+            return jnp.sum(c)
+        return rep
+
+    def inputs():
+        return (jnp.asarray(rng.integers(0, 4, (n_pairs, read_len))
+                            .astype(np.uint8)),
+                jnp.asarray(rng.integers(0, 4, (n_pairs, window_len))
+                            .astype(np.uint8)))
+
+    hi, lo = make(24), make(4)
+    float(np.asarray(hi(*inputs())))   # compile + warm
+    float(np.asarray(lo(*inputs())))
+    start = time.perf_counter()
+    float(np.asarray(hi(*inputs())))
+    t_hi = time.perf_counter() - start
+    start = time.perf_counter()
+    float(np.asarray(lo(*inputs())))
+    t_lo = time.perf_counter() - start
+    per_iter = max((t_hi - t_lo) / 20.0, 1e-9)
+    cells = n_pairs * read_len * window_len
+    gcups = cells / per_iter / 1e9
+    return {"metric": "device_realign_sw_gcups",
+            "value": round(gcups, 1),
+            "unit": "GCUPS (cells = pairs x read_len x window_len)",
+            "pairs_per_s": round(n_pairs / per_iter, 1),
+            "note": "Pallas wavefront, VMEM-resident carry diagonals; "
+                    "sequential-depth-bound on the VPU (no MXU work)"}
+
+
 def _head_to_head_metric(our_elapsed: float) -> dict:
     """Secondary metric: wall-time ratio vs the reference arriba binary
     (built in-tree against the clean-room htslib shim by the oracle test
@@ -369,6 +422,19 @@ def main() -> None:
               "(150s timeout)", file=sys.stderr)
 
     try:
+        child = subprocess.run(
+            [sys.executable, __file__, "--realign-metric"],
+            capture_output=True, text=True, timeout=150)
+        if child.returncode == 0 and child.stdout.strip():
+            print(f"secondary: {child.stdout.strip()}", file=sys.stderr)
+        else:
+            print(f"secondary realign metric skipped: "
+                  f"{child.stderr.strip()[-300:]}", file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print("secondary realign metric skipped: accelerator unreachable "
+              "(150s timeout)", file=sys.stderr)
+
+    try:
         head_to_head = _head_to_head_metric(elapsed)
         if head_to_head is not None:
             print(f"secondary: {json.dumps(head_to_head)}", file=sys.stderr)
@@ -379,5 +445,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--device-metric" in sys.argv:
         print(json.dumps(_device_step_metric()))
+    elif "--realign-metric" in sys.argv:
+        print(json.dumps(_device_realign_metric()))
     else:
         main()
