@@ -236,16 +236,114 @@ def _iter_item_pair_lines(path: str) -> Iterable[Tuple[str, str]]:
         yield columns[0], columns[1]
 
 
+def _device_blacklist_triage(candidates, items, genes: GeneTable,
+                             n_contigs: int, max_mate_gap: int):
+    """Batch-screen candidate fusions on the jax device (ops/blacklist.py):
+    a fusion whose breakpoint/gene-span genome bins overlap NO range-typed
+    blacklist item's (mate-gap-padded) bins can never be matched by any
+    item pair — bin membership is a necessary condition for the host's
+    per-item matching loop — so it can skip bin registration entirely.
+    Returns bool[n_candidates] ("may match") or None when no device triage
+    applies (no range-typed items / coordinate overflow)."""
+    import numpy as np
+
+    from .read_level import _device_offload_enabled
+    if not _device_offload_enabled(0) or not candidates:
+        return None
+    rangeish = [item for pair in items for item in pair
+                if item.type in (BLACKLIST_POSITION, BLACKLIST_RANGE,
+                                 BLACKLIST_GENE)]
+    if not rangeish:
+        return np.zeros(len(candidates), bool)
+
+    from ..ops.blacklist import (build_range_index, contig_offsets,
+                                 query_intervals)
+    B = GENOME_BIN_SIZE
+
+    def bin_span(start: int, end: int):
+        """Quantize to whole genome bins, clamped at 0 (bin -1 can never
+        hold a fusion, whose coordinates are non-negative)."""
+        lo = max(0, start) // B * B
+        hi = (max(0, end) // B + 1) * B - 1
+        return lo, hi
+
+    # synthetic contig lengths: everything is quantized to bins, so one
+    # bin of slack past the largest coordinate seen suffices
+    lengths = np.zeros(n_contigs, np.int64)
+    r_contig, r_lo, r_hi = [], [], []
+    for item in rangeish:
+        lo, hi = bin_span(item.start - max_mate_gap, item.end + max_mate_gap)
+        r_contig.append(item.contig)
+        r_lo.append(lo)
+        r_hi.append(hi)
+        lengths[item.contig] = max(lengths[item.contig], hi + B)
+    q_contig, q_lo, q_hi = [], [], []
+    for f in candidates:
+        for contig, start, end in (
+                (f.contig1, f.breakpoint1, f.breakpoint1),
+                (f.contig2, f.breakpoint2, f.breakpoint2),
+                (f.contig1, int(genes.start[f.gene1]), int(genes.end[f.gene1])),
+                (f.contig2, int(genes.start[f.gene2]), int(genes.end[f.gene2]))):
+            lo, hi = bin_span(start, end)
+            q_contig.append(contig)
+            q_lo.append(lo)
+            q_hi.append(hi)
+            lengths[contig] = max(lengths[contig], hi + B)
+    try:
+        offsets = contig_offsets(lengths)
+    except ValueError:
+        return None  # genome too large for the uint32 layout; host path
+    starts, prefix_max_end = build_range_index(
+        np.asarray(r_contig), np.asarray(r_lo), np.asarray(r_hi), offsets)
+    q_contig = np.asarray(q_contig, np.int64)
+    q_global_lo = (np.asarray(q_lo, np.uint64)
+                   + offsets[q_contig]).astype(np.uint32)
+    q_global_hi = (np.asarray(q_hi, np.uint64)
+                   + offsets[q_contig]).astype(np.uint32)
+    hits = np.asarray(query_intervals(starts, prefix_max_end,
+                                      q_global_lo, q_global_hi))
+    return hits.reshape(len(candidates), 4).any(axis=1)
+
+
 def filter_blacklisted_ranges(fusions: Fusions, blacklist_file_path: str,
                               contigs: ContigRegistry, gene_names: Dict[str, int],
                               genes: GeneTable, evalue_cutoff: float,
                               max_mate_gap: int) -> int:
     """filter_blacklisted_ranges.cpp:233-300."""
+    from .read_level import _device_offload_enabled
+    device = _device_offload_enabled(0)
+
+    items: List[Tuple[BlacklistItem, BlacklistItem]] = []
+    item_pairs: Iterable[Tuple[BlacklistItem, BlacklistItem]]
+    if device:
+        # materialize the parsed items so the device triage sees all
+        # range coordinates before fusions are binned
+        for range1, range2 in _iter_item_pair_lines(blacklist_file_path):
+            item1 = parse_blacklist_item(range1, contigs, gene_names, genes,
+                                         False)
+            if item1 is None:
+                continue
+            item2 = parse_blacklist_item(range2, contigs, gene_names, genes,
+                                         True)
+            if item2 is None:
+                continue
+            items.append((item1, item2))
+
     # index fusions by coordinate (100 kb genome bins)
+    candidates = [f for f in fusions.values()
+                  if f.filter == FILTER_NONE or f.closest_genomic_breakpoint1 >= 0]
+    may_match = _device_blacklist_triage(candidates, items, genes,
+                                         len(contigs), max_mate_gap) \
+        if device else None
     fusions_by_coordinate: Dict[GenomeBin, Dict[int, Fusion]] = defaultdict(dict)
+    candidate_index = 0
     for order, f in enumerate(fusions.values()):
         if f.filter != FILTER_NONE and f.closest_genomic_breakpoint1 < 0:
             continue  # already filtered and not recoverable by genomic_support
+        skip = may_match is not None and not may_match[candidate_index]
+        candidate_index += 1
+        if skip:
+            continue  # device-triaged: overlaps no range-typed item's bins
         genome_bins: List[GenomeBin] = []
         get_genome_bins_from_range(f.contig1, f.breakpoint1, f.breakpoint1, genome_bins)
         get_genome_bins_from_range(f.contig2, f.breakpoint2, f.breakpoint2, genome_bins)
@@ -256,14 +354,23 @@ def filter_blacklisted_ranges(fusions: Fusions, blacklist_file_path: str,
         for genome_bin in genome_bins:
             fusions_by_coordinate[genome_bin][order] = f
 
-    for range1, range2 in _iter_item_pair_lines(blacklist_file_path):
-        item1 = parse_blacklist_item(range1, contigs, gene_names, genes, False)
-        if item1 is None:
-            continue
-        item2 = parse_blacklist_item(range2, contigs, gene_names, genes, True)
-        if item2 is None:
-            continue
+    if device:
+        item_pairs = items
+    else:
+        def _stream():
+            for range1, range2 in _iter_item_pair_lines(blacklist_file_path):
+                item1 = parse_blacklist_item(range1, contigs, gene_names,
+                                             genes, False)
+                if item1 is None:
+                    continue
+                item2 = parse_blacklist_item(range2, contigs, gene_names,
+                                             genes, True)
+                if item2 is None:
+                    continue
+                yield item1, item2
+        item_pairs = _stream()
 
+    for item1, item2 in item_pairs:
         genome_bins = []
         if item1.type in (BLACKLIST_POSITION, BLACKLIST_RANGE, BLACKLIST_GENE):
             get_genome_bins_from_range(item1.contig, item1.start - max_mate_gap,

@@ -51,3 +51,43 @@ def point_query_batch(boundaries: jnp.ndarray, offsets: jnp.ndarray,
     (-1 padded)."""
     starts, lengths = point_query_spans(boundaries, offsets, positions)
     return gather_sets(items, starts, lengths, max_items)
+
+
+def interval_overlap_triage(queries, feature_contig, feature_start,
+                            feature_end, n_contigs: int, slack: int = 2):
+    """bool[len(queries)] per (contig, start, end) query: could any feature
+    lie within `slack` bp of the interval? A sound emptiness prefilter for
+    IntervalIndex.range_query (annotation.t.hpp:70-99): every feature that
+    query can return overlaps [start-slack, end+slack], so a False here
+    means the host query is guaranteed EMPTY and can be skipped. Batched
+    over the whole mate set via the same sorted-global-coordinate ranges
+    as the blacklist triage (ops/blacklist.py). Returns None when the
+    coordinate space overflows uint32 (caller falls back to the host)."""
+    import numpy as np
+
+    from .blacklist import build_range_index, contig_offsets, query_intervals
+
+    if not queries:
+        return np.zeros(0, bool)
+    q_contig = np.asarray([q[0] for q in queries], np.int64)
+    q_lo = np.maximum(np.asarray([q[1] for q in queries], np.int64)
+                      - slack, 0)
+    q_hi = np.asarray([q[2] for q in queries], np.int64) + slack
+    feature_contig = np.asarray(feature_contig, np.int64)
+    feature_start = np.asarray(feature_start, np.int64)
+    feature_end = np.asarray(feature_end, np.int64)
+
+    lengths = np.zeros(n_contigs, np.int64)
+    for contig, hi in ((feature_contig, feature_end), (q_contig, q_hi)):
+        if len(contig):
+            np.maximum.at(lengths, contig, hi + 8)
+    try:
+        offsets = contig_offsets(lengths)
+    except ValueError:
+        return None
+    starts, prefix_max_end = build_range_index(
+        feature_contig, feature_start, feature_end, offsets)
+    q_global_lo = (q_lo.astype(np.uint64) + offsets[q_contig]).astype(np.uint32)
+    q_global_hi = (q_hi.astype(np.uint64) + offsets[q_contig]).astype(np.uint32)
+    return np.asarray(query_intervals(starts, prefix_max_end,
+                                      q_global_lo, q_global_hi))

@@ -61,3 +61,15 @@ def query_points(sorted_starts, prefix_max_end, query_global):
                          prefix_max_end[jnp.maximum(idx - 1, 0)],
                          jnp.uint32(0))
     return (idx > 0) & (best_end >= query_global)
+
+
+@jax.jit
+def query_intervals(sorted_starts, prefix_max_end, query_lo, query_hi):
+    """bool[N]: does each global-coordinate interval [lo, hi] overlap any
+    range? Overlap iff some range with start <= hi has end >= lo — the
+    same prefix-max argument as query_points with the interval's two ends."""
+    idx = jnp.searchsorted(sorted_starts, query_hi, side="right")
+    best_end = jnp.where(idx > 0,
+                         prefix_max_end[jnp.maximum(idx - 1, 0)],
+                         jnp.uint32(0))
+    return (idx > 0) & (best_end >= query_lo)

@@ -42,6 +42,18 @@ def _histogram(codes, positions, fusion_ids, n_fusions: int, window: int):
     return histogram.reshape(n_fusions, window, N_SYMBOLS)
 
 
+@functools.partial(jax.jit, static_argnames=("n_rows", "window"))
+def pileup_histogram(codes: jnp.ndarray, positions: jnp.ndarray,
+                     row_ids: jnp.ndarray, n_rows: int,
+                     window: int) -> jnp.ndarray:
+    """Batched per-position symbol counts: the segment-op core shared by
+    pileup_consensus, exposed for the writer's device path
+    (output/writer.py build_device_pileups) — the host keeps the reference's
+    exact consensus/trimming semantics and consumes these integer counts
+    in place of its per-base dict increments."""
+    return _histogram(codes, positions, row_ids, n_rows, window)
+
+
 @functools.partial(jax.jit, static_argnames=("n_fusions", "window",
                                              "majority_fraction"))
 def pileup_consensus(codes: jnp.ndarray, positions: jnp.ndarray,

@@ -48,7 +48,12 @@ def _complement_char(base: int) -> str:
 def pileup_chimeric_alignments(read_names: List[str],
                                chimeric_alignments: ChimericAlignments, mate: int,
                                reverse_complement: bool, direction: bool,
-                               breakpoint: int, pileup: Pileup) -> None:
+                               breakpoint: int, pileup: Pileup,
+                               base_runs: Optional[list] = None) -> None:
+    """When `base_runs` is given, the per-base M/=/X/S observations are
+    appended to it as (read_sequence, read_offset, reference_offset, length)
+    runs instead of incrementing the pileup dict — the device path
+    (build_device_pileups) turns them into one batched histogram."""
     introns: Dict[Tuple[int, int], int] = defaultdict(int)
 
     for name in read_names:
@@ -115,12 +120,20 @@ def pileup_chimeric_alignments(read_names: List[str],
                     else:
                         read_offset += op_length - subtract_from_next_element
                         continue
-                for _ in range(op_length - subtract_from_next_element):
-                    key = read_sequence[read_offset:read_offset + 1]
-                    bucket = pileup.setdefault(reference_offset, {})
-                    bucket[key] = bucket.get(key, 0) + 1
-                    read_offset += 1
-                    reference_offset += 1
+                run_length = op_length - subtract_from_next_element
+                if base_runs is not None:
+                    if run_length > 0:
+                        base_runs.append((read_sequence, read_offset,
+                                          reference_offset, run_length))
+                    read_offset += run_length
+                    reference_offset += run_length
+                else:
+                    for _ in range(run_length):
+                        key = read_sequence[read_offset:read_offset + 1]
+                        bucket = pileup.setdefault(reference_offset, {})
+                        bucket[key] = bucket.get(key, 0) + 1
+                        read_offset += 1
+                        reference_offset += 1
                 subtract_from_next_element = 0
 
     for (intron_start, intron_end), frequency in introns.items():
@@ -279,10 +292,151 @@ def _finish_native_consensus(fusion: Fusion, result: tuple
         clipped2, non_template_bases)
 
 
+def _run_pileup_passes(fusion: Fusion, ca: ChimericAlignments,
+                       runs1: Optional[list] = None,
+                       runs2: Optional[list] = None
+                       ) -> Tuple[Pileup, Pileup]:
+    """The reference's ten pileup passes over both fusion sides
+    (output_fusions.cpp:246-260). With runs1/runs2, the per-base M/=/X/S
+    observations are collected instead of accumulated (device path)."""
+    pileup1: Pileup = {}
+    pileup2: Pileup = {}
+    pileup_chimeric_alignments(fusion.split_read1_list, ca, SPLIT_READ, False,
+                               fusion.direction1, fusion.breakpoint1, pileup1,
+                               runs1)
+    pileup_chimeric_alignments(fusion.split_read1_list, ca, MATE1, False,
+                               fusion.direction1, fusion.breakpoint1, pileup1,
+                               runs1)
+    pileup_chimeric_alignments(fusion.split_read1_list, ca, SUPPLEMENTARY,
+                               fusion.direction1 == fusion.direction2,
+                               fusion.direction2, fusion.breakpoint2, pileup2,
+                               runs2)
+    pileup_chimeric_alignments(fusion.split_read2_list, ca, SPLIT_READ, False,
+                               fusion.direction2, fusion.breakpoint2, pileup2,
+                               runs2)
+    pileup_chimeric_alignments(fusion.split_read2_list, ca, MATE1, False,
+                               fusion.direction2, fusion.breakpoint2, pileup2,
+                               runs2)
+    pileup_chimeric_alignments(fusion.split_read2_list, ca, SUPPLEMENTARY,
+                               fusion.direction1 == fusion.direction2,
+                               fusion.direction1, fusion.breakpoint1, pileup1,
+                               runs1)
+    pileup_chimeric_alignments(fusion.discordant_mate_list, ca, MATE1, False,
+                               fusion.direction1, fusion.breakpoint1, pileup1,
+                               runs1)
+    pileup_chimeric_alignments(fusion.discordant_mate_list, ca, MATE2, False,
+                               fusion.direction1, fusion.breakpoint1, pileup1,
+                               runs1)
+    pileup_chimeric_alignments(fusion.discordant_mate_list, ca, MATE1, False,
+                               fusion.direction2, fusion.breakpoint2, pileup2,
+                               runs2)
+    pileup_chimeric_alignments(fusion.discordant_mate_list, ca, MATE2, False,
+                               fusion.direction2, fusion.breakpoint2, pileup2,
+                               runs2)
+    return pileup1, pileup2
+
+
+# device-path symbol coding for build_device_pileups: the four plain bases
+# ride the device histogram; any other observation (N, lowercase, ...) is
+# folded into the pileup dict on the host, so counts stay exact
+_DEVICE_BASE_CODE = {"T": 0, "G": 1, "C": 2, "A": 3}
+_DEVICE_CODE_BASE = "TGCA"
+_DEVICE_WINDOW_CAP = 4096
+_DEVICE_ROW_CHUNK = 256
+
+
+def build_device_pileups(eligible: List[Fusion], ca: ChimericAlignments
+                         ) -> Dict[int, Tuple[Pileup, Pileup]]:
+    """Batch the per-base pileup accumulation of every eligible fusion
+    through the device histogram (ops/pileup.pileup_histogram): the host
+    walks CIGARs collecting (sequence, offset, position, length) runs, the
+    device scatter-adds all base observations at once, and the integer
+    counts merge back into the exact host Pileup dicts (the consensus
+    walk in get_sequence_from_pileup iterates keys in sorted order, so
+    dict insertion order cannot affect output)."""
+    import numpy as np
+
+    from ..ops.pileup import pileup_histogram
+
+    rows = []      # (pileup dict, [runs])
+    cache: Dict[int, Tuple[Pileup, Pileup]] = {}
+    for f in eligible:
+        runs1: list = []
+        runs2: list = []
+        pileup1, pileup2 = _run_pileup_passes(f, ca, runs1, runs2)
+        cache[id(f)] = (pileup1, pileup2)
+        rows.append((pileup1, runs1))
+        rows.append((pileup2, runs2))
+
+    def host_replay(pileup: Pileup, runs: list) -> None:
+        for seq, off, ref, length in runs:
+            for k in range(length):
+                bucket = pileup.setdefault(ref + k, {})
+                key = seq[off + k]
+                bucket[key] = bucket.get(key, 0) + 1
+
+    pending = []   # (row_slot, pileup, lo) for device rows, chunked
+    codes_parts, cols_parts, row_parts = [], [], []
+    window = 256
+    for pileup, runs in rows:
+        if not runs:
+            continue
+        lo = min(ref for _, _, ref, _ in runs)
+        hi = max(ref + length for _, _, ref, length in runs)
+        if hi - lo > _DEVICE_WINDOW_CAP:
+            host_replay(pileup, runs)   # pathological span: exact host path
+            continue
+        slot = len(pending)
+        pending.append((pileup, lo))
+        window = max(window, hi - lo)
+        for seq, off, ref, length in runs:
+            raw = np.frombuffer(seq[off:off + length].encode("latin-1"),
+                                np.uint8)
+            codes = np.full(length, 255, np.int32)
+            for ch, code in _DEVICE_BASE_CODE.items():
+                codes[raw == ord(ch)] = code
+            other = codes == 255
+            if other.any():
+                for k in np.nonzero(other)[0]:
+                    bucket = pileup.setdefault(ref + int(k), {})
+                    key = seq[off + int(k)]
+                    bucket[key] = bucket.get(key, 0) + 1
+                codes = codes[~other]
+                cols = (np.arange(length, dtype=np.int32)
+                        + (ref - lo))[~other]
+            else:
+                cols = np.arange(length, dtype=np.int32) + (ref - lo)
+            codes_parts.append(codes)
+            cols_parts.append(cols)
+            row_parts.append(np.full(len(codes), slot, np.int32))
+
+    if pending:
+        window = -(-window // 256) * 256
+        all_codes = np.concatenate(codes_parts).astype(np.int32)
+        all_cols = np.concatenate(cols_parts).astype(np.int32)
+        all_rows = np.concatenate(row_parts).astype(np.int32)
+        for base in range(0, len(pending), _DEVICE_ROW_CHUNK):
+            chunk = pending[base:base + _DEVICE_ROW_CHUNK]
+            mask = (all_rows >= base) & (all_rows < base + len(chunk))
+            histogram = np.asarray(pileup_histogram(
+                all_codes[mask], all_cols[mask], all_rows[mask] - base,
+                len(chunk), window))
+            for local, (pileup, lo) in enumerate(chunk):
+                nz_col, nz_sym = np.nonzero(histogram[local, :, :4])
+                counts = histogram[local, nz_col, nz_sym]
+                for col, sym, count in zip(nz_col, nz_sym, counts):
+                    bucket = pileup.setdefault(lo + int(col), {})
+                    key = _DEVICE_CODE_BASE[int(sym)]
+                    bucket[key] = bucket.get(key, 0) + int(count)
+    return cache
+
+
 def get_fusion_transcript_sequence(fusion: Fusion,
                                    chimeric_alignments: ChimericAlignments,
                                    genes: GeneTable, assembly: Assembly,
-                                   precomputed: Optional[tuple] = None
+                                   precomputed: Optional[tuple] = None,
+                                   prebuilt_pileups: Optional[
+                                       Tuple[Pileup, Pileup]] = None
                                    ) -> Tuple[str, List[int]]:
     if fusion.predicted_strands_ambiguous or fusion.transcript_start_ambiguous:
         return ".", [-1]
@@ -309,31 +463,11 @@ def get_fusion_transcript_sequence(fusion: Fusion,
                                              non_template_bases, genes,
                                              assembly)
 
-    pileup1: Pileup = {}
-    pileup2: Pileup = {}
+    if prebuilt_pileups is not None:
+        pileup1, pileup2 = prebuilt_pileups   # from build_device_pileups
+    else:
+        pileup1, pileup2 = _run_pileup_passes(fusion, chimeric_alignments)
     ca = chimeric_alignments
-    pileup_chimeric_alignments(fusion.split_read1_list, ca, SPLIT_READ, False,
-                               fusion.direction1, fusion.breakpoint1, pileup1)
-    pileup_chimeric_alignments(fusion.split_read1_list, ca, MATE1, False,
-                               fusion.direction1, fusion.breakpoint1, pileup1)
-    pileup_chimeric_alignments(fusion.split_read1_list, ca, SUPPLEMENTARY,
-                               fusion.direction1 == fusion.direction2,
-                               fusion.direction2, fusion.breakpoint2, pileup2)
-    pileup_chimeric_alignments(fusion.split_read2_list, ca, SPLIT_READ, False,
-                               fusion.direction2, fusion.breakpoint2, pileup2)
-    pileup_chimeric_alignments(fusion.split_read2_list, ca, MATE1, False,
-                               fusion.direction2, fusion.breakpoint2, pileup2)
-    pileup_chimeric_alignments(fusion.split_read2_list, ca, SUPPLEMENTARY,
-                               fusion.direction1 == fusion.direction2,
-                               fusion.direction1, fusion.breakpoint1, pileup1)
-    pileup_chimeric_alignments(fusion.discordant_mate_list, ca, MATE1, False,
-                               fusion.direction1, fusion.breakpoint1, pileup1)
-    pileup_chimeric_alignments(fusion.discordant_mate_list, ca, MATE2, False,
-                               fusion.direction1, fusion.breakpoint1, pileup1)
-    pileup_chimeric_alignments(fusion.discordant_mate_list, ca, MATE1, False,
-                               fusion.direction2, fusion.breakpoint2, pileup2)
-    pileup_chimeric_alignments(fusion.discordant_mate_list, ca, MATE2, False,
-                               fusion.direction2, fusion.breakpoint2, pileup2)
 
     # non-template bases inserted between the fused genes
     non_template_bases = 0
@@ -1213,6 +1347,22 @@ def write_fusions_to_file(fusions: Fusions, output_file: str,
                  for f in eligible], int(threads))
             consensus_cache = {id(f): r for f, r in zip(eligible, results)}
 
+    # device path (pure-Python install + accelerator): batch every
+    # fusion's per-base pileup accumulation through ONE device histogram
+    pileup_cache: Dict[int, Tuple[Pileup, Pileup]] = {}
+    if print_extra_info and not consensus_cache:
+        python_transcript_path = not (
+            native is not None and hasattr(native, "ev_transcript_pileups")
+            and not getattr(chimeric_alignments, "_materialized", True))
+        from ..filters.read_level import _device_offload_enabled
+        if python_transcript_path and _device_offload_enabled(0):
+            eligible = [f for f in sorted_fusions
+                        if not (f.predicted_strands_ambiguous
+                                or f.transcript_start_ambiguous)]
+            if eligible:
+                pileup_cache = build_device_pileups(eligible,
+                                                    chimeric_alignments)
+
     lines = [HEADER]
     for f in sorted_fusions:
         site_5 = get_fusion_site(f.gene1, f.spliced1, f.exonic1, f.contig1,
@@ -1251,7 +1401,8 @@ def write_fusions_to_file(fusions: Fusions, output_file: str,
         if print_extra_info:
             transcript_sequence, positions = get_fusion_transcript_sequence(
                 f, chimeric_alignments, genes, assembly,
-                consensus_cache.get(id(f)))
+                consensus_cache.get(id(f)),
+                prebuilt_pileups=pileup_cache.get(id(f)))
             transcript_sequence_backup = transcript_sequence
             positions_backup = list(positions)
 

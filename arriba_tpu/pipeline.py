@@ -246,10 +246,26 @@ def run(options: Options) -> PipelineState:
         return _run_cascades(state, options, enabled, ca, annotation, genes,
                              exons, gene_index)
 
-    # fall back to gene-level annotation (arriba.cpp:190-205)
+    # fall back to gene-level annotation (arriba.cpp:190-205); under device
+    # offload, a batched emptiness triage (ops/annotation.py) skips the
+    # host range_query for every mate with no gene within the 2 bp slack
+    from .filters.read_level import _device_offload_enabled
+    gene_triage = None
+    if _device_offload_enabled(0):
+        from .ops.annotation import interval_overlap_triage
+        pending = [mate for mates in ca.values() for mate in mates
+                   if len(mate.genes) == 0]
+        hits = interval_overlap_triage(
+            [(mate.contig, mate.start, mate.end) for mate in pending],
+            genes.contig, genes.start, genes.end, len(state.contigs))
+        if hits is not None:
+            gene_triage = {id(mate): bool(hit)
+                           for mate, hit in zip(pending, hits)}
     for mates in ca.values():
         for mate in mates:
             if len(mate.genes) == 0:
+                if gene_triage is not None and not gene_triage[id(mate)]:
+                    continue  # device-triaged: the range query is empty
                 mate.genes = state.gene_index.range_query(mate.contig, mate.start,
                                                           mate.end)
         if len(mates) == 3:

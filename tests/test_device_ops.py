@@ -193,6 +193,26 @@ def test_sharded_realign_step_on_mesh():
     assert int(total) == int(can_align.sum())
 
 
+def test_pileup_histogram_matches_numpy():
+    """ops/pileup.pileup_histogram (the writer device path's core) must
+    count exactly like a host bincount over (row, column, symbol)."""
+    import numpy as np
+
+    from arriba_tpu.ops.pileup import N_SYMBOLS, pileup_histogram
+
+    rng = np.random.default_rng(3)
+    n_rows, window, n_obs = 5, 64, 4000
+    codes = rng.integers(0, N_SYMBOLS, n_obs).astype(np.int32)
+    cols = rng.integers(-4, window + 4, n_obs).astype(np.int32)  # some invalid
+    rows = rng.integers(0, n_rows, n_obs).astype(np.int32)
+    device = np.asarray(pileup_histogram(codes, cols, rows, n_rows, window))
+    expected = np.zeros((n_rows, window, N_SYMBOLS), np.int32)
+    for c, p, r in zip(codes, cols, rows):
+        if 0 <= p < window:
+            expected[r, p, c] += 1
+    assert np.array_equal(device, expected)
+
+
 def test_pileup_consensus():
     from arriba_tpu.ops.pileup import pileup_consensus
 

@@ -167,6 +167,78 @@ def test_device_offload_equivalence(sample, tmp_path):
     assert outputs["host"] == outputs["device"]
 
 
+def test_device_blacklist_triage_scenario(tmp_path):
+    """ARRIBA_TPU_DEVICE=1 routes the blacklist filter through the device
+    range triage (ops/blacklist.query_intervals); a blacklist mixing
+    matching ranges, gene names, keyword pairs and far-away decoys must
+    produce identical fusions.tsv and stage counters to the host path."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    from .scenario import multi_event_sample
+
+    args = multi_event_sample(tmp_path)
+    # overwrite the default no-op blacklist with a matching + decoy mix:
+    # a range pair matching the ALPHA->GAMMA translocation breakpoints, a
+    # gene/keyword pair, and decoys in empty bins (device-triaged away)
+    (tmp_path / "blacklist.tsv").write_text(
+        "1:900-3100\t2:4800-8100\n"             # covers ALPHA and GAMMA
+        "DELTA\tany\n"                           # gene name + keyword
+        "1:35000-36000\t2:35000-36000\n"        # decoy: empty bins
+        "3:25000\t3:26000\n")                    # decoy: positions
+    results = {}
+    for label, env_extra in (("host", {}), ("device", {"ARRIBA_TPU_DEVICE": "1"})):
+        out = str(tmp_path / f"bl_{label}.tsv")
+        env = dict(os.environ, JAX_PLATFORMS=os.environ.get(
+            "ARRIBA_TPU_TEST_PLATFORM", "cpu"), **env_extra)
+        result = subprocess.run(
+            [sys.executable, "-m", "arriba_tpu"] + args + ["-o", out],
+            env=env, capture_output=True, text=True, timeout=420)
+        assert result.returncode == 0, result.stderr[-2000:]
+        counters = re.findall(r"\((?:remaining|total|marked)=\d+\)", result.stdout)
+        results[label] = (open(out, "rb").read(), counters)
+    assert results["host"] == results["device"]
+    # the blacklist must actually have removed the translocation: only the
+    # header line remains
+    assert b"ALPHA" not in results["host"][0]
+
+
+def test_device_annotation_triage_pure_python(tmp_path):
+    """The pure-Python + device configuration (ARRIBA_TPU_NO_NATIVE=1 with
+    ARRIBA_TPU_DEVICE=1, i.e. a Python-only install with an accelerator)
+    routes the fallback gene annotation through the device emptiness triage
+    (ops/annotation.interval_overlap_triage) AND the writer's per-base
+    pileup accumulation through the batched device histogram
+    (ops/pileup.pileup_histogram via writer.build_device_pileups); output
+    and counters must be identical to the pure host path on a scenario
+    with intergenic breakpoints (dummy genes = the empty-query case) and
+    printed fusion transcripts (the pileup consensus path)."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    from .scenario import multi_event_sample
+
+    args = multi_event_sample(tmp_path)
+    results = {}
+    for label, env_extra in (
+            ("host", {"ARRIBA_TPU_NO_NATIVE": "1"}),
+            ("device", {"ARRIBA_TPU_NO_NATIVE": "1", "ARRIBA_TPU_DEVICE": "1"})):
+        out = str(tmp_path / f"ann_{label}.tsv")
+        env = dict(os.environ, JAX_PLATFORMS=os.environ.get(
+            "ARRIBA_TPU_TEST_PLATFORM", "cpu"), **env_extra)
+        result = subprocess.run(
+            [sys.executable, "-m", "arriba_tpu"] + args + ["-o", out],
+            env=env, capture_output=True, text=True, timeout=420)
+        assert result.returncode == 0, result.stderr[-2000:]
+        counters = re.findall(r"\((?:remaining|total|marked)=\d+\)", result.stdout)
+        results[label] = (open(out, "rb").read(), counters)
+    assert results["host"] == results["device"]
+
+
 def test_device_screen_mismapper_scenario(tmp_path):
     """ARRIBA_TPU_DEVICE=1 routes filter_mismappers through the device seed
     screen (ops/realign.screen_pairs); fusions.tsv and every stage counter
