@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import bz2
 import io
+import os
 import lzma
 import struct
 import zlib
@@ -142,7 +143,27 @@ def _rans_lookup(table: Dict[int, Tuple[int, int]]) -> Tuple[np.ndarray, np.ndar
     return sym_of, cum_of, freq_of
 
 
+def _native_codecs():
+    """The C++ fast path (native/codecs.cpp) when the extension is built;
+    the Python decoders below remain the parity reference (and the only
+    path for pure-Python installs)."""
+    try:
+        from arriba_tpu import _native
+    except ImportError:
+        return None
+    if os.environ.get("ARRIBA_TPU_NO_NATIVE") == "1":
+        return None
+    return _native if hasattr(_native, "codec_rans4x8") else None
+
+
 def rans_decode(data: bytes) -> bytes:
+    native = _native_codecs()
+    if native is not None:
+        return native.codec_rans4x8(data)
+    return _rans_decode_py(data)
+
+
+def _rans_decode_py(data: bytes) -> bytes:
     order = data[0]
     out_size = struct.unpack("<I", data[5:9])[0]
     pos = 9

@@ -40,6 +40,7 @@
 #include <vector>
 
 #include "extract.h"
+#include "codecs.h"
 
 namespace {
 
@@ -4081,6 +4082,10 @@ static PyMethodDef methods[] = {
     {"scan_sam", scan_sam, METH_VARARGS,
      "Scan a SAM/SAM.gz file: decode, collate, handle boring pairs natively, "
      "forward the rest as SAM text."},
+    {"codec_rans4x8", codec_rans4x8, METH_VARARGS,
+     "Decode one rANS 4x8 block payload (CRAM 3.0 method 4)."},
+    {"codec_rans4x16", codec_rans4x16, METH_VARARGS,
+     "Decode one rANS Nx16 container (CRAM 3.1 method 5; optional out_len)."},
     {"scan_open", scan_open, METH_VARARGS,
      "Open an alignment stream (works on pipes), consume its header, return "
      "(kind, header_text, target_names, target_lengths); scan_sam(resume=1) "

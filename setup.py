@@ -28,7 +28,8 @@ setup(
                   sources=["native/ingest.cpp", "native/realign.cpp",
                            "native/annotate.cpp", "native/filters.cpp",
                            "native/cascade.cpp", "native/fusions.cpp",
-                           "native/event.cpp", "native/extract.cpp"],
+                           "native/event.cpp", "native/extract.cpp",
+                           "native/codecs.cpp"],
                   extra_compile_args=["-O3", "-std=c++17"] + _PGO_FLAGS,
                   extra_link_args=list(_PGO_FLAGS), libraries=_LIBS),
     ],

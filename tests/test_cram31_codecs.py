@@ -963,3 +963,36 @@ def test_remixed_tok3_names_block(tmp_path, monkeypatch):
                lambda i: METHOD_TOK3 if i in names_blocks
                else METHOD_RANS4X16)
     assert _decode_all(remixed, genome) == expected
+
+
+# ---------------------------------------------------------------------------
+# native codec fast path (native/codecs.cpp) vs the Python reference
+
+def test_native_codecs_match_python_reference():
+    pytest.importorskip("arriba_tpu._native")
+    from arriba_tpu import _native
+    if not hasattr(_native, "codec_rans4x8"):
+        pytest.skip("extension built without codecs")
+    from arriba_tpu.io.cram import _rans_decode_py
+    from arriba_tpu.io.cram31 import _rans4x16_decode_py
+    from .test_cram_interop import rans0_encode
+
+    rng = np.random.default_rng(99)
+    corpus = _corpus() + [bytes(rng.integers(0, 256, 50000, dtype=np.uint8))]
+    for blob in corpus:
+        enc = rans0_encode(blob)
+        assert _native.codec_rans4x8(enc) == _rans_decode_py(enc) == blob
+    for blob in corpus:
+        for kwargs in ({}, {"order": 1}, {"pack": False, "rle": True},
+                       {"stripe": 2}, {"cat": True}):
+            if kwargs.get("order") == 1 and len(blob) < 8:
+                continue
+            enc = rans4x16_encode(blob, **kwargs)
+            assert _native.codec_rans4x16(enc, len(blob)) == \
+                _rans4x16_decode_py(enc) == blob
+    # NOSZ + X32 paths
+    blob = corpus[2]
+    enc = rans4x16_encode(blob, nosz=True)
+    assert _native.codec_rans4x16(enc, len(blob)) == blob
+    enc = rans4x16_encode(blob, order=1, x32=True)
+    assert _native.codec_rans4x16(enc, len(blob)) == blob
