@@ -143,17 +143,26 @@ def _rans_lookup(table: Dict[int, Tuple[int, int]]) -> Tuple[np.ndarray, np.ndar
     return sym_of, cum_of, freq_of
 
 
+_NATIVE_CODECS_CACHE: list = []
+
+
 def _native_codecs():
     """The C++ fast path (native/codecs.cpp) when the extension is built;
     the Python decoders below remain the parity reference (and the only
-    path for pure-Python installs)."""
-    try:
-        from arriba_tpu import _native
-    except ImportError:
-        return None
-    if os.environ.get("ARRIBA_TPU_NO_NATIVE") == "1":
-        return None
-    return _native if hasattr(_native, "codec_rans4x8") else None
+    path for pure-Python installs). Resolved once — rans_decode runs per
+    block (and recursively per compressed table / stripe substream), so
+    the import/env lookups must not sit on the hot path."""
+    if not _NATIVE_CODECS_CACHE:
+        native = None
+        if os.environ.get("ARRIBA_TPU_NO_NATIVE") != "1":
+            try:
+                from arriba_tpu import _native
+                if hasattr(_native, "codec_rans4x8"):
+                    native = _native
+            except ImportError:
+                pass
+        _NATIVE_CODECS_CACHE.append(native)
+    return _NATIVE_CODECS_CACHE[0]
 
 
 def rans_decode(data: bytes) -> bytes:

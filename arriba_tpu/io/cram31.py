@@ -187,10 +187,13 @@ def _rans_nx16_decode_o1(src: ByteStream, out_len: int, n_states: int) -> bytear
     comp = src.byte()
     shift = comp >> 4
     if comp & 1:
+        # compressed table: a RAW order-0 4-state body (alphabet + freqs +
+        # states), not a flagged container — htscodecs calls
+        # rans_uncompress_O0_4x16 directly here
         u_size = src.uint7()
         c_size = src.uint7()
-        table_stream = ByteStream(
-            rans4x16_decode(src.read(c_size), u_size))
+        table_stream = ByteStream(bytes(
+            _rans_nx16_decode_o0(ByteStream(src.read(c_size)), u_size, 4)))
     else:
         table_stream = src
 
@@ -303,9 +306,12 @@ def _decode_rle_meta(src: ByteStream) -> Tuple[bytearray, ByteStream, int]:
     if rle_meta_len & 1:
         meta = ByteStream(src.read(rle_meta_len >> 1))
     else:
+        # compressed metadata: a RAW order-0 4-state body, like the
+        # compressed order-1 frequency table (htscodecs
+        # rans_uncompress_O0_4x16, no container flags)
         comp_len = src.uint7()
-        meta = ByteStream(
-            rans4x16_decode(src.read(comp_len), rle_meta_len >> 1))
+        meta = ByteStream(bytes(_rans_nx16_decode_o0(
+            ByteStream(src.read(comp_len)), rle_meta_len >> 1, 4)))
     flags = bytearray(256)
     n = meta.byte()
     if n == 0:
@@ -634,6 +640,8 @@ def tok3_decode_names(data, out_len: Optional[int] = None,
         t0 = stream_at(0, T_TYPE).byte()
         if t0 == T_DUP:
             dist = stream_at(0, T_DUP).uint32le()
+            if dist >= n:
+                raise ValueError("tok3: DUP distance out of range")
             ref = names[n - 1 - dist]
             names.append(list(ref))
             out_parts.append(b"".join(ref))
@@ -641,6 +649,8 @@ def tok3_decode_names(data, out_len: Optional[int] = None,
         if t0 != T_DIFF:
             raise ValueError("tok3: name must start with DIFF or DUP")
         dist = stream_at(0, T_DIFF).uint32le()
+        if n and dist >= n:
+            raise ValueError("tok3: DIFF distance out of range")
         ref = names[n - 1 - dist] if n else []
         tokens: List[bytes] = []
         p = 0

@@ -145,28 +145,46 @@ def low_entropy_batch(bases: jnp.ndarray, length: jnp.ndarray,
     # The three counters (whole read / aligned segment 1 / aligned segment 2)
     # ride 10-bit lanes of ONE int32 accumulator so the [N, S, 64] one-hot
     # plane is touched once, not three times: a non-overlapping 3-mer count
-    # is at most ceil(L/3) <= 341 < 1024 for any read the pipeline feeds
-    # (L < 1024), so the lanes cannot carry into each other.
+    # is at most ceil(L/3), which fits a 10-bit lane iff L <= 3069 — longer
+    # rows (long-read data) take the unpacked three-counter path below.
     in_a1 = ((positions + 1 >= aligned_start1[:, None])
              & (positions < aligned_end1[:, None]))
     in_a2 = ((positions + 1 >= aligned_start2[:, None])
              & (positions < aligned_end2[:, None]))
-    weight = jnp.where(
-        selected,
-        1 + (in_a1.astype(jnp.int32) << 10) + (in_a2.astype(jnp.int32) << 20),
-        0)                                                      # [N, L]
     kmer_iota = jnp.arange(N_KMERS, dtype=jnp.int32)[None, None, :]
     chunk = 16
-    c_packed = jnp.zeros((n_reads, N_KMERS), jnp.int32)
-    for chunk_start in range(0, L, chunk):
-        sl = slice(chunk_start, min(chunk_start + chunk, L))
-        one_hot = (kmer_values[:, sl, None] == kmer_iota)      # [N, S, 64]
-        c_packed = c_packed + jnp.sum(
-            jnp.where(one_hot, weight[:, sl, None], 0), axis=1,
-            dtype=jnp.int32)
-    c_all = c_packed & 0x3FF
-    c_a1 = (c_packed >> 10) & 0x3FF
-    c_a2 = (c_packed >> 20) & 0x3FF
+    if L <= 3069:
+        weight = jnp.where(
+            selected,
+            1 + (in_a1.astype(jnp.int32) << 10)
+            + (in_a2.astype(jnp.int32) << 20),
+            0)                                                  # [N, L]
+        c_packed = jnp.zeros((n_reads, N_KMERS), jnp.int32)
+        for chunk_start in range(0, L, chunk):
+            sl = slice(chunk_start, min(chunk_start + chunk, L))
+            one_hot = (kmer_values[:, sl, None] == kmer_iota)  # [N, S, 64]
+            c_packed = c_packed + jnp.sum(
+                jnp.where(one_hot, weight[:, sl, None], 0), axis=1,
+                dtype=jnp.int32)
+        c_all = c_packed & 0x3FF
+        c_a1 = (c_packed >> 10) & 0x3FF
+        c_a2 = (c_packed >> 20) & 0x3FF
+    else:
+        c_all = jnp.zeros((n_reads, N_KMERS), jnp.int32)
+        c_a1 = jnp.zeros((n_reads, N_KMERS), jnp.int32)
+        c_a2 = jnp.zeros((n_reads, N_KMERS), jnp.int32)
+        for chunk_start in range(0, L, chunk):
+            sl = slice(chunk_start, min(chunk_start + chunk, L))
+            one_hot = (kmer_values[:, sl, None] == kmer_iota)
+            sel = selected[:, sl]
+            c_all = c_all + jnp.sum(one_hot & sel[:, :, None], axis=1,
+                                    dtype=jnp.int32)
+            c_a1 = c_a1 + jnp.sum(
+                one_hot & (sel & in_a1[:, sl])[:, :, None], axis=1,
+                dtype=jnp.int32)
+            c_a2 = c_a2 + jnp.sum(
+                one_hot & (sel & in_a2[:, sl])[:, :, None], axis=1,
+                dtype=jnp.int32)
 
     counted = c_all >= 1
     crossed = counted & ((c_all >= th_all[:, None])

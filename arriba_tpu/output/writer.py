@@ -418,9 +418,21 @@ def build_device_pileups(eligible: List[Fusion], ca: ChimericAlignments
         for base in range(0, len(pending), _DEVICE_ROW_CHUNK):
             chunk = pending[base:base + _DEVICE_ROW_CHUNK]
             mask = (all_rows >= base) & (all_rows < base + len(chunk))
+            codes = all_codes[mask]
+            cols = all_cols[mask]
+            rows = all_rows[mask] - base
+            # pad the observation count to a power-of-two bucket and the
+            # row count to the fixed chunk size so XLA compiles the
+            # histogram once, not once per data-dependent shape (padded
+            # observations carry column -1, dropped by the valid mask)
+            bucket = 1 << max(8, int(np.ceil(np.log2(max(len(codes), 1)))))
+            pad = bucket - len(codes)
+            if pad:
+                codes = np.concatenate([codes, np.zeros(pad, np.int32)])
+                cols = np.concatenate([cols, np.full(pad, -1, np.int32)])
+                rows = np.concatenate([rows, np.zeros(pad, np.int32)])
             histogram = np.asarray(pileup_histogram(
-                all_codes[mask], all_cols[mask], all_rows[mask] - base,
-                len(chunk), window))
+                codes, cols, rows, _DEVICE_ROW_CHUNK, window))
             for local, (pileup, lo) in enumerate(chunk):
                 nz_col, nz_sym = np.nonzero(histogram[local, :, :4])
                 counts = histogram[local, nz_col, nz_sym]

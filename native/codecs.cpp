@@ -157,6 +157,8 @@ static void rans4x8_decode(const uint8_t *data, size_t size,
     auto step = [&](int j) {
         Lookup4x8 &t = have[last[j]] ? tables[last[j]] : tables[0];
         uint32_t m = x[j] & (TOTFREQ_4X8 - 1);
+        if (!t.freq[m])
+            throw std::runtime_error("rANS 4x8: empty slot in context table");
         uint8_t s = t.sym[m];
         out[offsets[j]++] = (char)s;
         x[j] = t.freq[m] * (x[j] >> TF_SHIFT_4X8) + m - t.cum[m];
@@ -225,8 +227,8 @@ static std::vector<int> read_alphabet(Reader &in) {
     return alphabet;
 }
 
-static void rans4x16_decode(const uint8_t *data, size_t size, int64_t out_len,
-                            std::string &out);
+static void rans_nx16_o0(Reader &in, size_t out_len, int n_states,
+                         std::string &out, size_t out_at);
 
 struct LookupN16 {
     std::vector<uint8_t> sym;
@@ -278,10 +280,14 @@ static void rans_nx16_o1(Reader &in, size_t out_len, int n_states,
     Reader table_in{nullptr, 0};
     Reader *tbl = &in;
     if (comp & 1) {
+        // compressed table: a RAW order-0 4-state body, no container
+        // flags (htscodecs rans_uncompress_O0_4x16 framing)
         uint32_t u_size = in.uint7();
         uint32_t c_size = in.uint7();
         const uint8_t *payload = in.take(c_size);
-        rans4x16_decode(payload, c_size, (int64_t)u_size, table_buf);
+        Reader table_body{payload, c_size};
+        table_buf.resize(u_size);
+        rans_nx16_o0(table_body, u_size, 4, table_buf, 0);
         table_in = Reader{(const uint8_t *)table_buf.data(), table_buf.size()};
         tbl = &table_in;
     }
@@ -317,6 +323,8 @@ static void rans_nx16_o1(Reader &in, size_t out_len, int n_states,
     const uint32_t mask = (1u << shift) - 1;
     auto step = [&](int j) {
         LookupN16 &t = have[last[j]] ? tables[last[j]] : tables[0];
+        if (t.sym.empty())
+            throw std::runtime_error("rANS Nx16: context missing from table");
         uint32_t m = x[j] & mask;
         uint8_t s = t.sym[m];
         out[out_at + offsets[j]++] = (char)s;
@@ -384,10 +392,12 @@ static void rans4x16_decode(const uint8_t *data, size_t size, int64_t out_len,
             const uint8_t *meta = in.take(rle_meta_len >> 1);
             rle_meta_buf.assign((const char *)meta, rle_meta_len >> 1);
         } else {
+            // raw order-0 4-state body, like the compressed O1 table
             uint32_t comp_len = in.uint7();
             const uint8_t *payload = in.take(comp_len);
-            rans4x16_decode(payload, comp_len, (int64_t)(rle_meta_len >> 1),
-                            rle_meta_buf);
+            Reader meta_body{payload, comp_len};
+            rle_meta_buf.resize(rle_meta_len >> 1);
+            rans_nx16_o0(meta_body, rle_meta_len >> 1, 4, rle_meta_buf, 0);
         }
         Reader meta{(const uint8_t *)rle_meta_buf.data(), rle_meta_buf.size()};
         int n = meta.byte();
@@ -433,6 +443,12 @@ static void rans4x16_decode(const uint8_t *data, size_t size, int64_t out_len,
         std::string unpacked;
         unpacked.resize(ulen);
         const uint8_t *p = (const uint8_t *)payload.data();
+        size_t need = pack_nsym <= 1 ? 0
+                      : pack_nsym <= 2 ? (ulen + 7) / 8
+                      : pack_nsym <= 4 ? (ulen + 3) / 4
+                                       : (ulen + 1) / 2;
+        if (payload.size() < need)
+            throw std::runtime_error("PACK: packed stream too short");
         if (pack_nsym <= 1) {
             memset(&unpacked[0], pack_nsym ? pack_map[0] : 0, ulen);
         } else if (pack_nsym <= 2) {

@@ -167,8 +167,8 @@ def rans4x16_encode_o1(data: bytes, n_states: int = 4, shift: int = 12,
     out = bytearray()
     if compress_table:
         out.append((shift << 4) | 1)
-        compressed = bytes([0]) + write_uint7(len(table)) + \
-            rans4x16_encode_o0(bytes(table), 4)
+        # raw order-0 4-state body, no container flags (htscodecs framing)
+        compressed = rans4x16_encode_o0(bytes(table), 4)
         out += write_uint7(len(table))
         out += write_uint7(len(compressed))
         out += compressed
@@ -266,8 +266,8 @@ def _rle(data: bytes, compress_meta: bool):
     if compress_meta:
         header += write_uint7(len(meta) << 1)
         header += write_uint7(len(literals))
-        compressed = bytes([0]) + write_uint7(len(meta)) + \
-            rans4x16_encode_o0(bytes(meta), 4)
+        # raw order-0 4-state body, no container flags (htscodecs framing)
+        compressed = rans4x16_encode_o0(bytes(meta), 4)
         header += write_uint7(len(compressed))
         header += compressed
     else:
