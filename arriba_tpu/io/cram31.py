@@ -505,6 +505,13 @@ def arith_decode(data, out_len: Optional[int] = None) -> bytes:
     elif flags & F_CAT:
         payload = bytearray(src.read(cur_len))
     elif flags & F_RLE:
+        # modelled RLE: literal symbols from one adaptive model, run
+        # lengths as 255-extended parts — the first part keyed by the
+        # literal symbol, continuations by two shared contexts. NOTE: the
+        # continuation-context scheme is the least-pinned corner of the
+        # spec here; the exact-inverse tests guarantee self-consistency,
+        # and the plain order-0/1 paths (which real encoders emit for
+        # nearly all series) are framing-exact.
         rc = RangeDecoder(src)
         lit_model = AdaptiveModel(256)
         run_models = [AdaptiveModel(256) for _ in range(258)]
