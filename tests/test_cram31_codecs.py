@@ -996,3 +996,94 @@ def test_native_codecs_match_python_reference():
     assert _native.codec_rans4x16(enc, len(blob)) == blob
     enc = rans4x16_encode(blob, order=1, x32=True)
     assert _native.codec_rans4x16(enc, len(blob)) == blob
+
+
+def fqz_encode_multiparam(records_with_sel, param_defs) -> bytes:
+    """Multi-parameter-set fqzcomp encoder: records_with_sel is a list of
+    (quals, selector); param_defs is a list of dicts with per-set qshift/
+    qbits/qloc/ploc and use_qtab. Exercises GFLAG_MULTI_PARAM +
+    GFLAG_HAVE_STAB + PFLAG_DO_SEL + PFLAG_HAVE_QTAB decode branches."""
+    from arriba_tpu.io.cram31 import (FQZ_GFLAG_HAVE_STAB,
+                                      FQZ_GFLAG_MULTI_PARAM,
+                                      FQZ_PFLAG_HAVE_QTAB, AdaptiveModel,
+                                      _LazyModels)
+
+    n_param = len(param_defs)
+    max_sel = n_param - 1
+    stab = [min(s, max_sel) for s in range(256)]
+
+    out = bytearray()
+    out.append(5)  # vers
+    out.append(FQZ_GFLAG_MULTI_PARAM | FQZ_GFLAG_HAVE_STAB)
+    out.append(n_param)
+    out.append(max_sel)
+    out += _fqz_write_array(stab)
+
+    max_sym = max(max(q for quals, _ in records_with_sel for q in quals), 0)
+    qtabs = []
+    ptab = [min(p // 32, 15) for p in range(1024)]
+    for pd in param_defs:
+        pflags = FQZ_PFLAG_DO_LEN | FQZ_PFLAG_DO_SEL | FQZ_PFLAG_HAVE_PTAB
+        use_qtab = pd.get("use_qtab", False)
+        if use_qtab:
+            pflags |= FQZ_PFLAG_HAVE_QTAB
+        out += struct.pack("<H", 0)           # initial context
+        out.append(pflags)
+        out.append(max_sym)
+        out.append((pd.get("qbits", 9) << 4) | pd.get("qshift", 5))
+        out.append((pd.get("qloc", 7) << 4) | pd.get("sloc", 13))
+        out.append((pd.get("ploc", 0) << 4) | 0)
+        if use_qtab:
+            qtab = [min(q // 2, 127) for q in range(256)]
+            out += _fqz_write_array(qtab)
+            qtabs.append(qtab)
+        else:
+            qtabs.append(list(range(256)))
+        out += _fqz_write_array(ptab)
+
+    rc = RangeEncoder()
+    qual_models = _LazyModels(max_sym + 1)
+    len_models = [AdaptiveModel(256) for _ in range(4)]
+    sel_model = AdaptiveModel(max_sel + 1)
+    for quals, sel in records_with_sel:
+        model_encode(sel_model, rc, sel)
+        pd = param_defs[stab[sel]]
+        qtab = qtabs[stab[sel]]
+        for b in range(4):
+            model_encode(len_models[b], rc, (len(quals) >> (8 * b)) & 0xFF)
+        qctx = 0
+        prevq = 0
+        delta = 0
+        p = len(quals)
+        ctx = 0
+        for q in quals:
+            model_encode(qual_models[ctx], rc, q)
+            qctx = ((qctx << pd.get("qshift", 5)) + qtab[q]) & 0xFFFFFFFF
+            ctx = (qctx & ((1 << pd.get("qbits", 9)) - 1)) << pd.get("qloc", 7)
+            ctx += ptab[min(1023, p)] << pd.get("ploc", 0)
+            ctx += sel << pd.get("sloc", 13)
+            ctx &= 0xFFFF
+            p -= 1
+            delta += 1 if prevq != q else 0
+            prevq = q
+    out += rc.finish()
+    return bytes(out)
+
+
+def test_fqzcomp_multiparam_selector_qtab():
+    """Two parameter sets selected per record through the selector table,
+    one with an explicit quality-quantizer table (the archive-profile
+    decode branches: MULTI_PARAM, HAVE_STAB, DO_SEL, HAVE_QTAB)."""
+    rng = np.random.default_rng(21)
+    records = []
+    for i in range(16):
+        ln = int(rng.integers(20, 90))
+        records.append((bytes(rng.integers(0, 45, ln).astype(np.uint8)),
+                        i % 2))
+    blob = fqz_encode_multiparam(
+        records,
+        [{"qshift": 5, "qbits": 9, "qloc": 7, "ploc": 0, "sloc": 13},
+         {"qshift": 4, "qbits": 8, "qloc": 6, "ploc": 0, "sloc": 14,
+          "use_qtab": True}])
+    expected = b"".join(q for q, _ in records)
+    assert fqzcomp_decode(blob, len(expected)) == expected
