@@ -42,6 +42,9 @@ def worker_main(argv=None) -> int:
     parser.add_argument("--platform",
                         default=os.environ.get(
                             "ARRIBA_TPU_MULTIHOST_PLATFORM", "cpu"))
+    parser.add_argument("--bench-iters", type=int, default=0,
+                        help="repeat the cluster merge N timed iterations "
+                             "and record bench_cluster_seconds")
     args = parser.parse_args(argv)
 
     import jax
@@ -80,6 +83,16 @@ def worker_main(argv=None) -> int:
     clusters = cluster_step(words, put(kind), put(valid))
     n_clusters = int(clusters["n_clusters"])
 
+    bench_seconds = 0.0
+    if args.bench_iters:
+        import time
+        kind_arr, valid_arr = put(kind), put(valid)
+        jax.block_until_ready(cluster_step(words, kind_arr, valid_arr))
+        start = time.perf_counter()
+        for _ in range(args.bench_iters):
+            jax.block_until_ready(cluster_step(words, kind_arr, valid_arr))
+        bench_seconds = time.perf_counter() - start
+
     # ---- sharded mid-cascade statistics ----------------------------------
     quantile = float(loaded.pop("quantile"))
     out = run_stats_step(mesh, loaded, put)
@@ -93,6 +106,7 @@ def worker_main(argv=None) -> int:
         "expression": expression,
         "expression_threshold": np.int64(threshold),
         "partner_count": stats.partner_count,
+        "bench_cluster_seconds": np.float64(bench_seconds),
     }
     for name in ("spliced_breakpoints", "exonic_breakpoints",
                  "intronic_breakpoints", "exonic_intronic_breakpoints",

@@ -118,6 +118,98 @@ def _pipeline_scaling(mesh_sizes) -> None:
             "byte_equal": content == reference_bytes,
         }))
 
+    _multiprocess_merge_bench()
+
+
+def _multiprocess_merge_bench(n_rows: int = 1 << 18, iters: int = 20) -> None:
+    """The >=2-hosts tier (BASELINE.md scaling row): 2 jax.distributed
+    processes x 4 virtual devices run the candidate all-gather merge over
+    the process boundary (Gloo = the DCN analog on the CPU fixture) on a
+    synthetic candidate table; reports merged rows/s and cross-process
+    bit-equality of the merged table."""
+    import json
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+    from pathlib import Path
+
+    import numpy as np
+
+    repo = Path(__file__).resolve().parent
+    tmp = Path(tempfile.mkdtemp(prefix="arriba_tpu_dcn_bench_"))
+    rng = np.random.default_rng(12)
+    # candidate rows shaped like candidate_cluster_inputs (8 key columns)
+    ckey = np.stack([
+        rng.integers(0, 400, n_rows).astype(np.int32),       # gene1
+        rng.integers(0, 400, n_rows).astype(np.int32),       # gene2
+        rng.integers(0, 4, n_rows).astype(np.int32),         # contig1
+        rng.integers(0, 4, n_rows).astype(np.int32),         # contig2
+        rng.integers(0, 1 << 20, n_rows).astype(np.int32),   # bp1
+        rng.integers(0, 1 << 20, n_rows).astype(np.int32),   # bp2
+        rng.integers(0, 2, n_rows).astype(np.int32),         # direction1
+        rng.integers(0, 2, n_rows).astype(np.int32),         # direction2
+    ])
+    kind = rng.integers(0, 3, n_rows).astype(np.int32)
+    valid = np.ones(n_rows, bool)
+    # the worker also runs the stats step; feed it a tiny gene table
+    from arriba_tpu.annotation.tables import GeneTable
+    from arriba_tpu.parallel.stats import build_stats_host_inputs
+    genes = GeneTable()
+    genes.contig = np.zeros(1, np.int64)
+    genes.start = np.zeros(1, np.int64)
+    genes.end = np.full(1, 1000, np.int64)
+    genes.strand = np.zeros(1, np.bool_)
+    genes.exonic_length = np.full(1, 1000, np.int64)
+    genes.is_dummy = np.zeros(1, np.bool_)
+    genes.is_protein_coding = np.zeros(1, np.bool_)
+    inputs = build_stats_host_inputs([], genes, np.zeros(0, np.int64), 8)
+    inputs.update(cluster_keys=ckey, cluster_kind=kind, cluster_valid=valid,
+                  quantile=np.float64(0.998))
+    input_path = tmp / "inputs.npz"
+    np.savez(input_path, **inputs)
+
+    with socket.socket() as sock:
+        sock.bind(("localhost", 0))
+        port = sock.getsockname()[1]
+    workers = []
+    for pid in (0, 1):
+        env = dict(os.environ,
+                   JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=4",
+                   PYTHONPATH=str(repo) + os.pathsep
+                   + os.environ.get("PYTHONPATH", ""))
+        workers.append(subprocess.Popen(
+            [sys.executable, "-m", "arriba_tpu.parallel.multihost",
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             "--input", str(input_path),
+             "--output", str(tmp / f"out_{pid}.npz"),
+             "--bench-iters", str(iters)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    logs = [w.communicate(timeout=600) for w in workers]
+    if any(w.returncode != 0 for w in workers):
+        print(json.dumps({"metric": "multiprocess_cluster_merge_rows_per_s",
+                          "processes": 2, "error": True}))
+        print(logs[0][1][-500:], file=sys.stderr)
+        return
+    outs = [dict(np.load(tmp / f"out_{pid}.npz")) for pid in (0, 1)]
+    seconds = max(float(out["bench_cluster_seconds"]) for out in outs)
+    equal = all(np.array_equal(outs[0][k], outs[1][k])
+                for k in ("cluster_words", "cluster_support", "n_clusters"))
+    print(json.dumps({
+        "metric": "multiprocess_cluster_merge_rows_per_s",
+        "processes": 2, "devices_per_process": 4,
+        "value": round(n_rows * iters / seconds, 1),
+        "unit": "candidate rows/s (all-gather merge across the process "
+                "boundary)",
+        "clusters": int(outs[0]["n_clusters"]),
+        "cross_process_bit_equal": bool(equal),
+    }))
+
 
 if __name__ == "__main__":
     main()
