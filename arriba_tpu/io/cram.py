@@ -165,7 +165,15 @@ def _native_codecs():
     return _NATIVE_CODECS_CACHE[0]
 
 
-def rans_decode(data: bytes) -> bytes:
+def rans_decode(data: bytes, expected_size: Optional[int] = None) -> bytes:
+    """expected_size (the block header's raw size) rejects corrupt streams
+    before the decode loop runs: the embedded 32-bit size field of a
+    malformed block can demand gigabytes of output that consume no input
+    (rANS emits bytes only on renormalization)."""
+    if expected_size is not None and len(data) >= 9:
+        embedded = struct.unpack("<I", data[5:9])[0]
+        if embedded != expected_size:
+            raise ValueError("rANS 4x8: block size field mismatch")
     native = _native_codecs()
     if native is not None:
         return native.codec_rans4x8(data)
@@ -291,7 +299,7 @@ def read_block(buf: io.BytesIO) -> Block:
     elif method == METHOD_LZMA:
         data = lzma.decompress(payload)
     elif method == METHOD_RANS:
-        data = rans_decode(payload)
+        data = rans_decode(payload, raw_size)
     elif method == METHOD_RANS4X16:
         from .cram31 import rans4x16_decode
         data = rans4x16_decode(payload, raw_size)

@@ -353,7 +353,10 @@ def _rans4x16_decode_py(data, out_len: Optional[int] = None) -> bytes:
     src = ByteStream(data)
     flags = src.byte()
     if not (flags & F_NOSZ):
-        out_len = src.uint7()
+        embedded = src.uint7()
+        if out_len is not None and embedded != out_len:
+            raise ValueError("rans4x16: size field mismatch")
+        out_len = embedded
     if out_len is None:
         raise ValueError("rans4x16: NOSZ stream without an external size")
 
@@ -374,10 +377,14 @@ def _rans4x16_decode_py(data, out_len: Optional[int] = None) -> bytes:
     pack_map = None
     if flags & F_PACK:
         pack_map, pack_nsym, cur_len = _decode_pack_meta(src)
+        if cur_len > out_len:
+            raise ValueError("rans4x16: packed length exceeds output size")
     rle_flags = None
     if flags & F_RLE:
         rle_target = cur_len
         rle_flags, rle_runs, cur_len = _decode_rle_meta(src)
+        if cur_len > rle_target:
+            raise ValueError("rans4x16: literal length exceeds output size")
 
     if cur_len == 0:
         payload = bytearray()
@@ -478,7 +485,10 @@ def arith_decode(data, out_len: Optional[int] = None) -> bytes:
     src = ByteStream(data)
     flags = src.byte()
     if not (flags & F_NOSZ):
-        out_len = src.uint7()
+        embedded = src.uint7()
+        if out_len is not None and embedded != out_len:
+            raise ValueError("arith: size field mismatch")
+        out_len = embedded
     if out_len is None:
         raise ValueError("arith: NOSZ stream without an external size")
 
@@ -531,6 +541,8 @@ def arith_decode(data, out_len: Optional[int] = None) -> bytes:
                     part = run_models[rm].decode(rc)
                     run += part
                     rm = 256 if rm == sym else 257
+                if run > cur_len - i:
+                    raise ValueError("arith RLE: run exceeds block size")
                 for _ in range(run):
                     payload[i] = sym
                     i += 1
@@ -545,6 +557,8 @@ def arith_decode(data, out_len: Optional[int] = None) -> bytes:
                     part = run_models[rm].decode(rc)
                     run += part
                     rm = 256 if rm == sym else 257
+                if run > cur_len - i:
+                    raise ValueError("arith RLE: run exceeds block size")
                 for _ in range(run):
                     payload[i] = sym
                     i += 1
@@ -608,6 +622,8 @@ def tok3_decode_names(data, out_len: Optional[int] = None,
     ulen = src.uint32le()
     n_names = src.uint32le()
     use_arith = src.byte()
+    if out_len is not None and n_names > max(out_len, ulen) + 1:
+        raise ValueError("tok3: name count exceeds block size")
     decode_stream = arith_decode if use_arith else rans4x16_decode
 
     # token byte streams, keyed [position][token_type]; streams arrive
@@ -840,6 +856,8 @@ def fqzcomp_decode(data, out_len: Optional[int] = None) -> bytes:
             last_len = rec_len
         else:
             rec_len = last_len
+        if rec_len > out_len - len(out):
+            raise ValueError("fqzcomp: record length exceeds block size")
         is_rev = bool(rev_model.decode(rc)) if gflags & FQZ_GFLAG_DO_REV \
             else False
         if pm.do_dedup and dup_model.decode(rc):

