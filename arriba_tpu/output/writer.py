@@ -189,7 +189,10 @@ def get_sequence_from_pileup(pileup: Pileup, breakpoint: int, direction: bool,
             sequence_parts.append("...")
             positions.extend([-1, -1, -1])
 
-        if contig_seq is not None and pos < len(contig_seq):
+        # the reference casts the position to unsigned before its bounds
+        # check (output_fusions.cpp:155), so NEGATIVE positions (keep-clip
+        # pileups near a contig start) read as "N", not a wrapped index
+        if contig_seq is not None and 0 <= pos < len(contig_seq):
             reference_base = chr(contig_seq[pos])
         else:
             reference_base = "N"

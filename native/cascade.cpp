@@ -18,6 +18,7 @@
 
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
+#include <new>
 
 #include <algorithm>
 #include <array>
@@ -42,8 +43,13 @@ Cascade &cascade() {
 
 void release_cascade() {
     Cascade &c = cascade();
+    // a GIL-released consensus pool may still be reading the store; this
+    // can only trigger when a second Python thread tears down mid-batch
+    while (c.busy.load(std::memory_order_acquire) != 0) {
+    }
     for (Py_buffer &view : c.held) PyBuffer_Release(&view);
-    c = Cascade();
+    c.~Cascade();
+    new (&c) Cascade();
 }
 }  // namespace cascade_store
 
@@ -1119,6 +1125,12 @@ PyObject *cascade_begin(PyObject *, PyObject *args) {
         fragment.duplicate = frag_flags[f] & 2;
         fragment.multimapper = frag_flags[f] & 4;
         fragment.n_mates = (int)(frag_offsets[f + 1] - frag_offsets[f]);
+        if (fragment.n_mates < 1 || fragment.n_mates > 3) {
+            PyErr_SetString(PyExc_ValueError,
+                            "cascade_begin: fragment with mate count "
+                            "outside 1..3");
+            return nullptr;
+        }
         for (int m = 0; m < fragment.n_mates; ++m) {
             int64_t row = frag_offsets[f] + m;
             Mate &mate = fragment.mates[m];

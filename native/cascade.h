@@ -1,6 +1,7 @@
 // Shared view of the read-level cascade's fragment store for native stages
 // that run after it (find_fusions). cascade.cpp owns and populates the data.
 #pragma once
+#include <atomic>
 
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
@@ -58,6 +59,9 @@ struct Params {
 };
 
 struct Cascade {
+    // nonzero while a GIL-released worker pool is reading the store
+    // (event.cpp batch consensus); teardown/rebind must refuse then
+    std::atomic<int> busy{0};
     std::vector<Fragment> fragments;
     // backing stores
     std::vector<uint32_t> cigars;

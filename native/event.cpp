@@ -182,9 +182,13 @@ int64_t get_coverage(int64_t contig, int64_t position, bool direction) {
         return -1;
     if (direction == UPSTREAM) {
         if (position < COVERAGE_RESOLUTION) return 0;
-        return c.coverage[contig][position / COVERAGE_RESOLUTION - 1];
+        int64_t w = position / COVERAGE_RESOLUTION - 1;
+        if (w >= (int64_t)c.coverage_len[contig]) return 0;
+        return c.coverage[contig][w];
     }
-    return c.coverage[contig][position / COVERAGE_RESOLUTION + 1];
+    int64_t w = position / COVERAGE_RESOLUTION + 1;
+    if (w >= (int64_t)c.coverage_len[contig]) return 0;
+    return c.coverage[contig][w];
 }
 
 int64_t coverage_around(const EventFusion &f, int which) {
@@ -206,6 +210,18 @@ int64_t count_remaining() {
 bool require_ready() {
     if (!event_store::store().ready || !cascade_store::cascade().ready) {
         PyErr_SetString(PyExc_RuntimeError, "event store not populated");
+        return false;
+    }
+    if (!event_store::store().bound) {
+        PyErr_SetString(PyExc_RuntimeError,
+                        "event store not bound (call event_bind first)");
+        return false;
+    }
+    if (event_store::store().cluster_ids.size()
+        < cascade_store::cascade().fragments.size()) {
+        PyErr_SetString(PyExc_RuntimeError,
+                        "event store cluster ids shorter than the cascade "
+                        "fragment table (stale event_bind?)");
         return false;
     }
     return true;
@@ -523,10 +539,14 @@ int64_t calculate_segment_score(const Mate &alignment, const uint8_t *sequence,
                 reference_position += oplen;
                 read_position += oplen;
                 break;
-            case 0: {  // M: count actual matches
+            case 0: {  // M: count actual matches (clamped against both the
+                // read and the contig, like the Python twin's numpy slices)
                 int64_t n = oplen;
                 if (read_position + n > sequence_len)
                     n = sequence_len - read_position;
+                int64_t contig_len = c.assembly_len[alignment.contig];
+                if (reference_position + n > contig_len)
+                    n = contig_len - reference_position;
                 for (int64_t i = 0; i < n; ++i)
                     if (contig_seq[reference_position + i]
                         == sequence[read_position + i])
@@ -2601,9 +2621,15 @@ PyObject *ev_homologs(PyObject *, PyObject *args) {
 
     // is_homolog is a pure function of a gene pair; precompute every pair
     // the (order-dependent) arbitration loop below could query, in
-    // parallel, then run the loop against the cache — identical outcomes
+    // parallel, then run the loop against the cache — identical outcomes.
+    // The eager enumeration is O(R^2) and computes homology for pairs the
+    // serial loop may never reach (a fusion filtered mid-loop skips its
+    // later pairs), so past a size cap we fall back to exact-order lazy
+    // memoization instead: no wasted k-mer scans, no quadratic blowup.
+    const bool eager = remaining_fusions.size() <= 5000;
     std::map<std::pair<int64_t, int64_t>, bool> homolog_cache;
-    {
+    std::vector<uint8_t> lazy_scratch;
+    if (eager) {
         for (const EventFusion *fp : remaining_fusions)
             homolog_cache[{fp->gene1, fp->gene2}] = false;
         for (size_t i = 0; i < remaining_fusions.size(); ++i)
@@ -2648,8 +2674,16 @@ PyObject *ev_homologs(PyObject *, PyObject *args) {
         for (size_t k = 0; k < keys.size(); ++k)
             homolog_cache[keys[k]] = results[k] != 0;
     }
+    double cache_identity = max_identity_fraction;
     auto cached_is_homolog = [&](int64_t gene1, int64_t gene2) {
-        return homolog_cache.at({gene1, gene2});
+        if (eager)
+            return homolog_cache.at({gene1, gene2});
+        auto it = homolog_cache.find({gene1, gene2});
+        if (it != homolog_cache.end()) return it->second;
+        bool value = ev_is_homolog(gene1, gene2, cache_identity,
+                                   lazy_scratch) != 0;
+        homolog_cache[{gene1, gene2}] = value;
+        return value;
     };
 
     for (size_t i = 0; i < remaining_fusions.size(); ++i) {
@@ -3733,7 +3767,10 @@ void consensus_from_pileup(const PileupMap &pileup, int64_t breakpoint,
             positions.insert(positions.end(), 3, -1);
         }
 
-        char reference_base = (contig_seq != nullptr && pos < contig_len)
+        // negative keep-clip positions read as 'N', matching the
+        // reference's unsigned-cast bounds check (output_fusions.cpp:155)
+        char reference_base = (contig_seq != nullptr && pos >= 0
+                               && pos < contig_len)
                                   ? (char)contig_seq[pos] : 'N';
         const std::string ref_str(1, reference_base);
 
@@ -3979,6 +4016,15 @@ PyObject *ev_transcript_consensus_batch(PyObject *, PyObject *args) {
     };
     int n_workers = std::min<int>(std::max(threads, 1), 8);
     if (n_workers > 1 && n > 1) {
+        // mark the store busy so a concurrent Python thread cannot tear it
+        // down (release/rebind) while the GIL is dropped below
+        struct BusyGuard {
+            std::atomic<int> &flag;
+            explicit BusyGuard(std::atomic<int> &f) : flag(f) {
+                flag.fetch_add(1, std::memory_order_acq_rel);
+            }
+            ~BusyGuard() { flag.fetch_sub(1, std::memory_order_acq_rel); }
+        } busy_guard(cascade_store::cascade().busy);
         Py_BEGIN_ALLOW_THREADS
         std::atomic<size_t> next{0};
         std::vector<std::thread> pool;

@@ -784,3 +784,25 @@ def large_fuzz_sample(tmp_path, seed: int, n_events: int = 60,
         pos = int(rng.integers(2000, lengths[contig] - 2000))
         b.add_proper_pair(f"n{i}", contig, pos)
     return b.write()
+
+
+def contig_start_clip_sample(tmp_path, seed=81) -> List[str]:
+    """A fusion whose acceptor gene sits at the very start of its contig and
+    whose split reads carry LEADING soft clips larger than the breakpoint
+    position: the writer's keep-clip pileup pass then produces NEGATIVE
+    reference positions (output_fusions.cpp:263-330 clip arithmetic), whose
+    reference-base lookup the oracle resolves as 'N' via its unsigned-cast
+    bounds check (output_fusions.cpp:155)."""
+    b = SampleBuilder(tmp_path, {"1": 20000, "2": 20000}, seed)
+    # acceptor gene hugging the contig start: breakpoint at 1:10
+    b.add_gene("1", 5, 1004, "+", "G1", "EDGE", "T1")
+    b.add_gene("2", 5000, 5999, "+", "G2", "FAR", "T2")
+    # forward split reads with 40 bp leading clips at position 10 (< clip)
+    for i, mate1_pos in enumerate([200, 214, 228]):
+        b.add_split_fragment_start_clip(f"edge{i}", "1", mate1_pos, 10, 30,
+                                        40, "2", 5400)
+    # background coverage near both breakpoints
+    for i, (contig, pos) in enumerate([("1", 60), ("1", 120), ("2", 5410),
+                                       ("2", 5460)]):
+        b.add_proper_pair(f"bg{i}", contig, pos)
+    return b.write()

@@ -168,3 +168,12 @@ def test_large_sample_parity(tmp_path, seed):
     scan (-@ 4) — sizes the small fuzz families never reach."""
     from .scenario import large_fuzz_sample
     assert_parity(tmp_path, large_fuzz_sample(tmp_path, seed), ("-@", "4"))
+
+
+def test_contig_start_clip_parity(tmp_path):
+    """Negative keep-clip pileup positions (breakpoint near a contig start
+    with leading soft clips) must match the oracle byte-for-byte — the
+    reference resolves negative reference-base lookups as 'N' through its
+    unsigned-cast bounds check (output_fusions.cpp:155)."""
+    from .scenario import contig_start_clip_sample
+    assert_parity(tmp_path, contig_start_clip_sample(tmp_path))
