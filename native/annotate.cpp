@@ -64,7 +64,7 @@ static size_t lower_bound_index(const std::vector<int64_t> &values, int64_t key)
 static void point_query_in(const std::vector<ContigIndex> &indices,
                            int64_t contig, int64_t pos, Set &out) {
     out.clear();
-    if (contig >= (int64_t)indices.size())
+    if (contig < 0 || contig >= (int64_t)indices.size())
         return;
     const ContigIndex &index = indices[contig];
     size_t idx = lower_bound_index(index.boundaries, pos);
@@ -78,7 +78,7 @@ static void point_query_in(const std::vector<ContigIndex> &indices,
 static void range_query_in(const std::vector<ContigIndex> &indices,
                            int64_t contig, int64_t start, int64_t end,
                            Set &out) {
-    if (contig >= (int64_t)indices.size()) {
+    if (contig < 0 || contig >= (int64_t)indices.size()) {
         out.clear();
         return;
     }

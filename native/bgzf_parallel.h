@@ -78,7 +78,8 @@ class Reader {
         for (size_t offset = 0; offset + 4 <= extra.size();) {
             uint16_t slen;
             memcpy(&slen, extra.data() + offset + 2, 2);
-            if (extra[offset] == 'B' && extra[offset + 1] == 'C' && slen == 2) {
+            if (extra[offset] == 'B' && extra[offset + 1] == 'C' && slen == 2
+                && offset + 6 <= extra.size()) {
                 uint16_t value;
                 memcpy(&value, extra.data() + offset + 4, 2);
                 bsize = value;

@@ -352,12 +352,12 @@ void add_fragment(Scanner &scanner, const Record &mate1_in, const Record *mate2_
     if (!is_chimeric) {
         if (!(flag1 & FREVERSE) || !(flag1 & FPAIRED)) {
             int64_t w = mate1.pos / COVERAGE_RESOLUTION;
-            if (w < plane1.windows)
+            if (w >= 0 && w < plane1.windows)
                 flag_store(&scanner.planes[mate1.tid].starts[w],
                            scanner.atomic_coverage);
         } else {
             int64_t w = mate2.pos / COVERAGE_RESOLUTION;
-            if (w < plane2.windows)
+            if (w >= 0 && w < plane2.windows)
                 flag_store(&scanner.planes[mate2.tid].starts[w],
                            scanner.atomic_coverage);
         }
@@ -1473,15 +1473,16 @@ bool normalize_fragment(FragmentData &fragment) {
  * locale-aware and cost ~70 ns/line on the 11-field hot path (measured:
  * field decode 98 -> 35 ns/line on the bench sample). SAM numeric fields
  * are plain decimal integers terminated by tab/newline. */
-static inline int64_t sam_parse_uint(const char *p) {
+static inline int64_t sam_parse_uint(const char *p, const char *end) {
     int64_t value = 0;
-    while (*p >= '0' && *p <= '9') value = value * 10 + (*p++ - '0');
+    while (p < end && *p >= '0' && *p <= '9')
+        value = value * 10 + (*p++ - '0');
     return value;
 }
-static inline int64_t sam_parse_int(const char *p) {
-    if (*p == '-') return -sam_parse_uint(p + 1);
-    if (*p == '+') ++p;
-    return sam_parse_uint(p);
+static inline int64_t sam_parse_int(const char *p, const char *end) {
+    if (p < end && *p == '-') return -sam_parse_uint(p + 1, end);
+    if (p < end && *p == '+') ++p;
+    return sam_parse_uint(p, end);
 }
 /* one-pass field splitter: collect every tab offset of the line with an
  * AVX2 sweep (32 bytes / iteration, one compare + movemask) instead of a
@@ -1574,12 +1575,12 @@ bool parse_sam_view(const char *data, size_t n, Record &record,
         size_t start, end;
         record.qname_len = tabs[0];
         field_at(1, start, end);
-        record.flag = (uint16_t)sam_parse_uint(data + start);
+        record.flag = (uint16_t)sam_parse_uint(data + start, data + end);
         field_at(2, start, end);
         record.rname_start = (uint32_t)start;
         record.rname_len = (uint32_t)(end - start);
         field_at(3, start, end);
-        record.pos = sam_parse_int(data + start) - 1;
+        record.pos = sam_parse_int(data + start, data + end) - 1;
         field_at(5, cigar_start, cigar_end);
         field_at(9, start, end);
         record.seq_start = (uint32_t)start;
@@ -1597,7 +1598,7 @@ bool parse_sam_view(const char *data, size_t n, Record &record,
                 data[start + 1] == 'I' && data[start + 2] == ':' &&
                 data[start + 3] == 'i' && data[start + 4] == ':') {
                 record.hi_present = true;
-                record.hi_value = sam_parse_int(data + start + 5);
+                record.hi_value = sam_parse_int(data + start + 5, data + end);
             }
         }
     } else {
@@ -1609,12 +1610,12 @@ bool parse_sam_view(const char *data, size_t n, Record &record,
             size_t field_end = has_tab ? (size_t)(tab_pos - data) : n;
             switch (field_index) {
                 case 0: record.qname_len = (uint32_t)field_end; break;
-                case 1: record.flag = (uint16_t)sam_parse_uint(data + field_start); break;
+                case 1: record.flag = (uint16_t)sam_parse_uint(data + field_start, data + field_end); break;
                 case 2:
                     record.rname_start = (uint32_t)field_start;
                     record.rname_len = (uint32_t)(field_end - field_start);
                     break;
-                case 3: record.pos = sam_parse_int(data + field_start) - 1; break;
+                case 3: record.pos = sam_parse_int(data + field_start, data + field_end) - 1; break;
                 case 5: cigar_start = field_start; cigar_end = field_end; break;
                 case 9:
                     record.seq_start = (uint32_t)field_start;
@@ -1635,7 +1636,7 @@ bool parse_sam_view(const char *data, size_t n, Record &record,
                         data[field_start + 2] == ':' && data[field_start + 3] == 'i' &&
                         data[field_start + 4] == ':') {
                         record.hi_present = true;
-                        record.hi_value = sam_parse_int(data + field_start + 5);
+                        record.hi_value = sam_parse_int(data + field_start + 5, data + field_end);
                     }
             }
             field_index++;
@@ -1653,6 +1654,8 @@ bool parse_sam_view(const char *data, size_t n, Record &record,
             char c = data[ci];
             if (c >= '0' && c <= '9') {
                 oplen = oplen * 10 + (uint32_t)(c - '0');
+                if (oplen > 0xFFFFFFFu)
+                    return false;  // would truncate in the packed word
             } else {
                 uint8_t coded = CIGAR_OP_LUT.code[(uint8_t)c];
                 if (coded == 0) return false;
@@ -1973,7 +1976,9 @@ bool decode_bam_record(const std::vector<uint8_t> &body, Record &record) {
                     aux += item * (size_t)count;
                     break;
                 }
-                default: aux = end; break;
+                default: return false;  /* unknown aux type: reject the
+                    record like every other malformed-payload case, so an
+                    SA tag after the corruption cannot be silently missed */
             }
         }
     }
@@ -2800,6 +2805,10 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         } else {
             int32_t l_text = 0;
             if (!read_exact(&l_text, 4)) { gzclose(gz); goto done; }
+            if (l_text < 0) {
+                stream_error = "corrupt BAM header (negative l_text)";
+                gzclose(gz); goto done;
+            }
             {
                 std::vector<char> text(l_text);
                 if (l_text && !read_exact(text.data(), l_text)) { gzclose(gz); goto done; }
@@ -2807,10 +2816,18 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
             }
             int32_t n_ref = 0;
             if (!read_exact(&n_ref, 4)) { gzclose(gz); goto done; }
+            if (n_ref < 0) {
+                stream_error = "corrupt BAM header (negative n_ref)";
+                gzclose(gz); goto done;
+            }
             bam_targets.resize(n_ref);
             for (int32_t i = 0; i < n_ref; ++i) {
                 int32_t l_name = 0, l_ref = 0;
                 if (!read_exact(&l_name, 4)) { gzclose(gz); goto done; }
+                if (l_name <= 0) {
+                    stream_error = "corrupt BAM header (bad l_name)";
+                    gzclose(gz); goto done;
+                }
                 std::vector<char> name(l_name);
                 if (!read_exact(name.data(), l_name)) { gzclose(gz); goto done; }
                 if (!read_exact(&l_ref, 4)) { gzclose(gz); goto done; }
@@ -2818,6 +2835,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
             }
         }
         bam_target_names = &bam_targets;
+        std::atomic<long> bad_bam_records{0};
         if (threads > 1) {
             /* batch-parallel decode: bodies read serially, decoded by a
              * worker pool, handled sequentially in order */
@@ -2939,10 +2957,17 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                     + 1 == n_tiles) {
                                     for (auto &list : batch.by_shard)
                                         list.clear();
-                                    for (size_t i = 0; i < batch.count; ++i)
+                                    long bad = 0;
+                                    for (size_t i = 0; i < batch.count; ++i) {
                                         if (batch.ok[i] == 1)
                                             batch.by_shard[batch.shard[i]]
                                                 .push_back((uint32_t)i);
+                                        else if (batch.ok[i] == 0)
+                                            ++bad;
+                                    }
+                                    if (bad)
+                                        bad_bam_records.fetch_add(
+                                            bad, std::memory_order_relaxed);
                                     partitioned.store(
                                         true, std::memory_order_release);
                                 }
@@ -3023,8 +3048,11 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                 for (std::thread &worker : pool)
                     worker.join();
                 for (size_t i = 0; i < count; ++i) {
-                    if (!ok[i])
+                    if (!ok[i]) {
+                        bad_bam_records.fetch_add(1,
+                                                  std::memory_order_relaxed);
                         continue;
+                    }
                     std::string read_name((const char *)decoded[i].bam_body.data() + 32);
                     handle_record(decoded[i], std::move(read_name));
                 }
@@ -3044,20 +3072,33 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                        "of stream)";
                     break;
                 }
-                if (!decode_bam_record(record.bam_body, record))
+                if (!decode_bam_record(record.bam_body, record)) {
+                    bad_bam_records.fetch_add(1, std::memory_order_relaxed);
                     continue;
+                }
                 std::string read_name((const char *)record.bam_body.data() + 32);
                 handle_record(record, std::move(read_name));
             }
         }
         if (!parallel && serial.corrupt() && stream_error.empty())
             stream_error = "corrupt gzip/BGZF stream in BAM input";
+        if (bad_bam_records.load(std::memory_order_relaxed) > 0
+            && stream_error.empty())
+            stream_error = "corrupt BAM record (failed validation: bad aux "
+                           "region, name terminator, or field bounds)";
         gzclose(gz);
     } else {
         /* resumed streams (pipes) cannot rewind: scan_open() consumed the
          * header and hands us the overshoot bytes as the reader preload */
-        if (!resume)
-            gzrewind(gz);
+        if (!resume && gzrewind(gz) != 0) {
+            /* non-seekable input without scan_open: the 4 sniffed magic
+             * bytes are unrecoverable — fail loudly instead of parsing a
+             * stream whose first line is missing its first characters */
+            stream_error = "cannot rewind non-seekable SAM input "
+                           "(open pipes via scan_open + resume)";
+            gzclose(gz);
+            goto done;
+        }
         GzLineReader reader(gz, resume_carry);
         if (threads > 1) {
             /* batch-parallel parse: lines read serially, parsed by a worker

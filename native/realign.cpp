@@ -223,8 +223,10 @@ void finalize_kmer_index(Contig &contig) {
 }
 
 void reset_engine() {
-    for (auto &entry : engine().contigs)
+    for (auto &entry : engine().contigs) {
+        if (entry.second.view_held) PyBuffer_Release(&entry.second.view);
         Py_XDECREF(entry.second.owner);
+    }
     engine().contigs.clear();
     engine().splice_sites.clear();
 }
@@ -406,13 +408,16 @@ PyObject *realign_set_contig(PyObject *, PyObject *args) {
         return nullptr;
     realign_engine::Contig &contig = engine().contigs[cid];
     Py_XDECREF(contig.owner);
-    /* keep the buffer view alive for the engine's lifetime via the owner */
+    if (contig.view_held) PyBuffer_Release(&contig.view);
+    /* hold the buffer EXPORT (not just an owner reference) for the
+     * engine's lifetime: an active export pins resizable exporters
+     * (bytearray) in place; released in reset_engine */
     contig.owner = obj;
     Py_INCREF(obj);
+    contig.view = view;
+    contig.view_held = true;
     contig.data = (const uint8_t *)view.buf;
     contig.length = view.len;
-    PyBuffer_Release(&view);  /* safe: owner reference keeps memory alive for
-                                 numpy arrays / bytes, which do not relocate */
     Py_RETURN_NONE;
 }
 

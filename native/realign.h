@@ -17,6 +17,11 @@ constexpr int REALIGN_KMER_LENGTH = 8;
 
 struct Contig {
     PyObject *owner = nullptr; /* keeps the buffer alive (null for raw) */
+    Py_buffer view{};          /* ACTIVE export pinning the memory: an owner
+                                  reference alone does not stop a bytearray
+                                  (or any resizable exporter) from moving
+                                  its storage */
+    bool view_held = false;
     const uint8_t *data = nullptr;
     Py_ssize_t length = 0;
     /* CSR k-mer index over the 2-bit 8-mer space (65536 buckets): built by

@@ -57,3 +57,82 @@ def test_edge_records_parity(tmp_path, threads):
     with open(sam, "a") as out:
         out.write("\n".join(_edge_records()) + "\n")
     assert_parity(tmp_path, args, our_extra_args=("-@", threads))
+
+
+def test_adversarial_records_no_crash(tmp_path):
+    """Hostile records must not corrupt memory or crash the scan: negative
+    POS (the coverage start-flag store previously wrote to starts[-1]),
+    CIGAR op lengths that would truncate in the 28-bit packed word, and a
+    final line without a trailing newline ending in a numeric field (the
+    mmap parse path previously read past the mapping). The scan either
+    processes or rejects them; the process must survive and still find the
+    real fusion."""
+    import subprocess
+    import sys
+    import os
+
+    from .scenario import translocation_sample
+
+    args = translocation_sample(tmp_path)
+    sam = args[args.index("-x") + 1]
+    seq = "A" * 50
+    hostile = [
+        f"negpos\t99\t1\t-100\t60\t50M\t=\t3101\t150\t{seq}\t*\tHI:i:1",
+        f"negpos\t147\t1\t3101\t60\t50M\t=\t-100\t-150\t{seq}\t*\tHI:i:1",
+        f"hugecigar\t99\t1\t3001\t60\t300000000M\t=\t3101\t150\t{seq}\t*\tHI:i:1",
+        f"hugecigar\t147\t1\t3101\t60\t50M\t=\t3001\t-150\t{seq}\t*\tHI:i:1",
+        # final record ends mid-number with NO trailing newline (below)
+        f"lastline\t99\t1\t3201\t60\t50M\t=\t3301\t150\t{seq}\t*\tHI:i:7",
+    ]
+    with open(sam, "a") as out:
+        out.write("\n".join(hostile))  # note: no trailing newline
+    env = dict(os.environ, PYTHONPATH=os.getcwd())
+    out_path = tmp_path / "fusions_hostile.tsv"
+    result = subprocess.run(
+        [sys.executable, "-m", "arriba_tpu"] + args + ["-o", str(out_path),
+                                                       "-@", "4"],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert b"GENE1" in out_path.read_bytes()
+
+
+def test_corrupt_bam_record_rejected(tmp_path):
+    """A BAM record whose aux region carries an unknown type byte is
+    corruption; the scan must fail loudly (htslib errors on it too), never
+    silently drop the record — a dropped chimeric mate would erase fusion
+    evidence."""
+    import subprocess
+    import sys
+    import os
+
+    from arriba_tpu.io.bam import BamRecord, SamHeader, cigar_from_string
+    from .scenario import translocation_sample
+    from .util import write_bam
+
+    args = translocation_sample(tmp_path)
+    header = SamHeader(target_names=["1", "2"],
+                       target_lengths=[20000, 20000])
+    records = [BamRecord(qname="corrupt", flag=99, tid=0, pos=3000, mapq=60,
+                         cigar=cigar_from_string("50M"), mtid=0, mpos=3100,
+                         tlen=150, seq="A" * 50, tags={"HI": 1})]
+    bam_path = tmp_path / "plain.bam"
+    write_bam(str(bam_path), header, records)
+    # the BAM payload is BGZF-compressed: inflate, flip the HI tag's aux
+    # type byte to an unknown one, re-deflate
+    import gzip
+    from .util import bgzf_compress
+    raw = bytearray(gzip.decompress(bam_path.read_bytes()))
+    marker = raw.find(b"HI")
+    assert marker > 0
+    raw[marker + 2] = ord("?")
+    bam_path = tmp_path / "corrupt.bam"
+    bam_path.write_bytes(bgzf_compress(bytes(raw)))
+
+    env = dict(os.environ, PYTHONPATH=os.getcwd())
+    args[args.index("-x") + 1] = str(bam_path)
+    result = subprocess.run(
+        [sys.executable, "-m", "arriba_tpu"] + args
+        + ["-o", str(tmp_path / "f.tsv")],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert result.returncode != 0
+    assert "corrupt BAM record" in (result.stderr + result.stdout)
