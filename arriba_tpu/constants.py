@@ -50,7 +50,7 @@ CIGAR_HARD_CLIP = 5  # H
 CIGAR_PAD = 6        # P
 CIGAR_EQUAL = 7      # =
 CIGAR_DIFF = 8       # X
-CIGAR_OPS = "MIDNSHP=X"
+CIGAR_OPS = "MIDNSHP=XB"  # render table covers the legacy B op the parser accepts
 
 # bitmask helpers: op consumes query / reference
 CIGAR_CONSUMES_QUERY = (1 << CIGAR_MATCH) | (1 << CIGAR_INS) | (1 << CIGAR_SOFT_CLIP) | (1 << CIGAR_EQUAL) | (1 << CIGAR_DIFF)

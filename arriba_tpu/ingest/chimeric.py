@@ -303,6 +303,11 @@ def is_tandem_duplication(record: Optional[BamRecord], assembly: Assembly,
 
     if record.tid not in assembly:
         return None
+    # the clipped slice must exist in the read sequence: a record with
+    # SEQ '*' (l_qseq 0) or an inconsistent CIGAR cannot be scanned (the
+    # native decoder rejects the same shapes, native/ingest.cpp)
+    if clipped_pos < 0 or clipped_pos + clipped_len > len(record.seq):
+        return None
     contig_sequence = assembly[record.tid]
     if (window_end + max_duplication_length + clipped_len + 1 >= len(contig_sequence)
             or window_start <= max_duplication_length + clipped_len + 1):
@@ -837,6 +842,29 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
         from ..io.bam import read_bam_header
         header = read_bam_header(path)
         records = iter(())  # replaced by the forwarded stream below
+    elif native_eligible:
+        # SAM/SAM.gz on the native path: only the @ header lines are needed
+        # here (the native scan re-reads the whole file itself) — a full
+        # open_alignment_file would parse the header twice and leave an
+        # unconsumed generator holding the file handle
+        from ..io.bam import SamHeader
+        from ..io.compressed import iter_lines
+        header = SamHeader()
+        for line in iter_lines(path):
+            if not line.startswith("@"):
+                break
+            header.text += line + "\n"
+            if line.startswith("@SQ"):
+                name = length = None
+                for field in line.split("\t")[1:]:
+                    if field.startswith("SN:"):
+                        name = field[3:]
+                    elif field.startswith("LN:"):
+                        length = int(field[3:])
+                if name is not None:
+                    header.target_names.append(name)
+                    header.target_lengths.append(length or 0)
+        records = iter(())  # replaced by the forwarded stream below
     else:
         header, records = open_alignment_file(path, reference_by_name={
             contigs.names[cid]: seq for cid, seq in assembly.items()})
@@ -965,8 +993,15 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
                              None, 1 if stream_native else 0)
         for tid, count in enumerate(viral_counts):
             mapped_viral_reads_by_contig[tid_to_contig[tid]] += count
-        records = (parse_sam_record(line, name_to_tid)
-                   for line in forwarded.decode("latin-1").splitlines())
+        def _parse_forwarded():
+            import sys
+            for line in forwarded.decode("latin-1").splitlines():
+                try:
+                    yield parse_sam_record(line, name_to_tid)
+                except (ValueError, OverflowError, IndexError):
+                    print(f"WARNING: skipping unparseable SAM record: "
+                          f"{line[:80]!r}", file=sys.stderr)
+        records = _parse_forwarded()
 
     collated: Dict[str, BamRecord] = {}
     no_chimeric_reads = True
@@ -977,6 +1012,12 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
     for record in records:
         if is_rna_bam_file:
             if (record.flag & FUNMAP) or ((record.flag & FPAIRED) and (record.flag & FMUNMAP)):
+                continue
+            if record.tid < 0:
+                # mapped flag but no usable RNAME ('*' or unknown): the
+                # reference indexes its contig map out of bounds here (UB);
+                # treat the record as malformed in both engines
+                malformed_count += 1
                 continue
 
         hit_index = 1

@@ -90,8 +90,14 @@ class Coverage:
             return
         if mate2 is None:
             mate2 = mate1
-        if (mate1.tid >= len(self.fragment_starts) or len(self.fragment_starts[mate1.tid]) == 0
-                or mate2.tid >= len(self.fragment_starts) or len(self.fragment_starts[mate2.tid]) == 0):
+        # the reference's '(unsigned int) tid >= size' comparison also
+        # rejects NEGATIVE tids (read_stats.cpp:167); without the guard a
+        # tid of -1 would silently update the LAST contig's planes
+        if (mate1.tid < 0 or mate2.tid < 0
+                or mate1.tid >= len(self.fragment_starts)
+                or len(self.fragment_starts[mate1.tid]) == 0
+                or mate2.tid >= len(self.fragment_starts)
+                or len(self.fragment_starts[mate2.tid]) == 0):
             return
 
         if mate1.flag & FPAIRED:
@@ -214,7 +220,9 @@ def estimate_fragment_length(chimeric_alignments: ChimericAlignments,
     read_length_sum = 0.0
     read_length_count = 0
     for fragment in chimeric_alignments.values():
-        read_length_sum += (len(fragment[MATE1].sequence) + len(fragment[1].sequence)) / 2
+        # the reference divides on size_t (read_stats.cpp:20): floor, not
+        # float — odd length sums otherwise skew the mean by 0.5
+        read_length_sum += (len(fragment[MATE1].sequence) + len(fragment[1].sequence)) // 2
         read_length_count += 1
         if fragment.filter != 0 or fragment.single_end:
             continue

@@ -38,8 +38,6 @@ FDUP = 0x400
 FSUPPLEMENTARY = 0x800
 
 SEQ_NT16_STR = "=ACMGRSVTWYHKDBN"
-_NT16_CODE = {c: i for i, c in enumerate(SEQ_NT16_STR)}
-_NT16_CODE.update({"N": 15})
 
 
 @dataclass
@@ -123,8 +121,13 @@ def cigar_from_string(cigar_str: str) -> np.ndarray:
     if cigar_str == "*" or not cigar_str:
         return np.empty(0, np.uint32)
     code = _CIGAR_OP_CODE
-    return np.array([(int(length) << 4) | code[op]
-                     for length, op in _CIGAR_TOKEN.findall(cigar_str)], np.uint32)
+    words = [(int(length) << 4) | code[op]
+             for length, op in _CIGAR_TOKEN.findall(cigar_str)]
+    if any(w > 0xFFFFFFFF for w in words):
+        # op length would truncate in the 28-bit packed field; reject the
+        # record like the native parser (and htslib) instead of wrapping
+        raise ValueError(f"CIGAR op length too large: {cigar_str[:60]}")
+    return np.array(words, np.uint32)
 
 
 def cigar_to_string(cigar: np.ndarray) -> str:
@@ -132,14 +135,6 @@ def cigar_to_string(cigar: np.ndarray) -> str:
         return "*"
     return "".join(f"{cigar_oplen(int(w))}{CIGAR_OPS[cigar_op(int(w))]}" for w in cigar)
 
-
-def _parse_sam_tag(tag_field: str) -> Tuple[str, object]:
-    name, typ, value = tag_field.split(":", 2)
-    if typ == "i":
-        return name, int(value)
-    if typ == "f":
-        return name, float(value)
-    return name, value
 
 
 def read_sam_text(path: str) -> Tuple[SamHeader, Iterator[BamRecord]]:
@@ -172,10 +167,22 @@ def read_sam_text(path: str) -> Tuple[SamHeader, Iterator[BamRecord]]:
     name_to_tid = {n: i for i, n in enumerate(header.target_names)}
 
     def records() -> Iterator[BamRecord]:
-        for line in body_lines:
-            yield parse_sam_record(line, name_to_tid)
-        for line in fh:
-            yield parse_sam_record(line, name_to_tid)
+        import itertools
+        import sys
+        warned = 0
+        for line in itertools.chain(body_lines, fh):
+            try:
+                record = parse_sam_record(line, name_to_tid)
+            except (ValueError, OverflowError, IndexError):
+                # unparseable line: skip with a warning, like the native
+                # scan's malformed-record accounting (the reference aborts
+                # here; the rest of the pipeline warns and continues)
+                warned += 1
+                if warned <= 5:
+                    print(f"WARNING: skipping unparseable SAM record: "
+                          f"{line[:80]!r}", file=sys.stderr)
+                continue
+            yield record
         fh.close()
 
     return header, records()
@@ -326,9 +333,15 @@ def read_bam(path: str) -> Tuple[SamHeader, Iterator[BamRecord]]:
         total = len(data)
         unpack_core = struct.Struct("<iiiBBHHHiiii").unpack_from
         while p + 4 <= total:
+            if p + 36 > total:
+                raise ValueError("truncated BAM record (unexpected end of "
+                                 "file inside a record header)")
             (block_size, refid, rpos, l_read_name, mapq, _bin, n_cigar, flag,
              l_seq, next_refid, next_pos, tlen) = unpack_core(view, p)
             rec_end = p + 4 + block_size
+            if block_size < 32 or rec_end > total:
+                raise ValueError("truncated BAM record (unexpected end of "
+                                 "file inside a record body)")
             q = p + 36
             qname = bytes(view[q:q + l_read_name - 1]).decode("ascii")
             q += l_read_name
@@ -345,6 +358,16 @@ def read_bam(path: str) -> Tuple[SamHeader, Iterator[BamRecord]]:
             qual = ""  # qualities are unused by the pipeline; skip decode
             q += l_seq
             tags = _parse_bam_tags(view[q:rec_end])
+            # long-CIGAR convention (SAM spec 4.2.2): records with >65535
+            # ops store a placeholder kS/mN cigar and the real one in a
+            # CG:B,I tag; htslib expands it transparently for the reference
+            if (n_cigar == 2 and "CG" in tags
+                    and (int(cigar[0]) & 0xF) == 4        # soft clip
+                    and (int(cigar[0]) >> 4) == l_seq
+                    and (int(cigar[1]) & 0xF) == 3):      # ref skip
+                real = tags.pop("CG")
+                if isinstance(real, list) and real:
+                    cigar = np.asarray(real, np.uint32)
             yield BamRecord(qname=qname, flag=flag, tid=refid, pos=rpos,
                             mapq=mapq, cigar=cigar, mtid=next_refid,
                             mpos=next_pos, tlen=tlen, seq=seq, qual=qual,
@@ -398,10 +421,20 @@ def write_sam(path: str, header: SamHeader, records: List[BamRecord]) -> None:
                 rec.seq or "*", rec.qual or "*",
             ]
             for name, value in rec.tags.items():
-                if isinstance(value, int):
+                if isinstance(value, bool):
+                    fields.append(f"{name}:i:{int(value)}")
+                elif isinstance(value, int):
                     fields.append(f"{name}:i:{value}")
                 elif isinstance(value, float):
                     fields.append(f"{name}:f:{value}")
+                elif isinstance(value, (list, tuple, np.ndarray)):
+                    # B-array tags (SAM spec 1.5): subtype + comma list
+                    items = [int(v) if float(v).is_integer() else float(v)
+                             for v in value]
+                    subtype = "i" if all(isinstance(v, int)
+                                         for v in items) else "f"
+                    fields.append(f"{name}:B:{subtype}," +
+                                  ",".join(str(v) for v in items))
                 else:
                     fields.append(f"{name}:Z:{value}")
             fh.write("\t".join(fields) + "\n")

@@ -396,8 +396,10 @@ void collect_mate_gaps(std::vector<int64_t> &gaps, double &read_length_sum,
     read_length_sum = 0;
     read_length_count = 0;
     for (Fragment &fragment : c.fragments) {
-        read_length_sum += ((double)fragment.mates[MATE1].seq_len
-                            + (double)fragment.mates[1].seq_len) / 2.0;
+        // integer division like the reference's size_t arithmetic
+        // (read_stats.cpp:20); float /2.0 skews odd sums by 0.5
+        read_length_sum += (double)((fragment.mates[MATE1].seq_len
+                                     + fragment.mates[1].seq_len) / 2);
         read_length_count += 1;
         if (fragment.filter != 0 || fragment.single_end) continue;
         if (fragment.n_mates == 3) {

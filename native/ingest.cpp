@@ -1138,6 +1138,12 @@ void handle_record_extract(Scanner &scanner, Extractor &extractor,
     if ((record.flag & FUNMAP) ||
         ((record.flag & FPAIRED) && (record.flag & FMUNMAP)))
         return;
+    if (record.tid < 0) {
+        /* mapped flag but no usable RNAME ('*' or unknown): the reference
+         * indexes its contig map out of bounds here (UB); malformed */
+        extractor.malformed += 1;
+        return;
+    }
 
     long long hit_index = 1;
     if (record.hi_present) {
@@ -1294,6 +1300,8 @@ bool consume_adjacent_boring_pair(Scanner &sc, Extractor &ex,
     const uint16_t need = FPAIRED | FPROPER_PAIR;
     if ((r1.flag & bad) || (r2.flag & bad))
         return false;
+    if (r1.tid < 0 || r2.tid < 0)
+        return false;  /* unresolved RNAME: the handle path counts it malformed */
     if ((r1.flag & need) != need || (r2.flag & need) != need)
         return false;
     if (qname1 != qname2)

@@ -81,19 +81,32 @@ def test_adversarial_records_no_crash(tmp_path):
         f"negpos\t147\t1\t3101\t60\t50M\t=\t-100\t-150\t{seq}\t*\tHI:i:1",
         f"hugecigar\t99\t1\t3001\t60\t300000000M\t=\t3101\t150\t{seq}\t*\tHI:i:1",
         f"hugecigar\t147\t1\t3101\t60\t50M\t=\t3001\t-150\t{seq}\t*\tHI:i:1",
+        # SEQ '*' with a >=12 bp soft clip (the ITD scan previously
+        # crashed on the empty clipped slice in the pure-Python path)
+        f"noseq\t99\t1\t3401\t60\t20S30M\t=\t3501\t150\t*\t*\tHI:i:1",
+        f"noseq\t147\t1\t3501\t60\t50M\t=\t3401\t-150\t{seq}\t*\tHI:i:1",
+        # RNAME '*' without FUNMAP (tid -1 previously negative-indexed the
+        # LAST contig's coverage planes in the pure-Python path)
+        f"notid\t97\t*\t100\t60\t50M\t1\t3601\t0\t{seq}\t*\tHI:i:1",
+        f"notid\t145\t1\t3601\t60\t50M\t*\t100\t0\t{seq}\t*\tHI:i:1",
         # final record ends mid-number with NO trailing newline (below)
         f"lastline\t99\t1\t3201\t60\t50M\t=\t3301\t150\t{seq}\t*\tHI:i:7",
     ]
     with open(sam, "a") as out:
         out.write("\n".join(hostile))  # note: no trailing newline
-    env = dict(os.environ, PYTHONPATH=os.getcwd())
-    out_path = tmp_path / "fusions_hostile.tsv"
-    result = subprocess.run(
-        [sys.executable, "-m", "arriba_tpu"] + args + ["-o", str(out_path),
-                                                       "-@", "4"],
-        env=env, capture_output=True, text=True, timeout=300)
-    assert result.returncode == 0, result.stderr[-2000:]
-    assert b"GENE1" in out_path.read_bytes()
+    outputs = {}
+    for label, extra_env in (("native", {}),
+                             ("python", {"ARRIBA_TPU_NO_NATIVE": "1"})):
+        env = dict(os.environ, PYTHONPATH=os.getcwd(), **extra_env)
+        out_path = tmp_path / f"fusions_hostile_{label}.tsv"
+        result = subprocess.run(
+            [sys.executable, "-m", "arriba_tpu"] + args
+            + ["-o", str(out_path), "-@", "4"],
+            env=env, capture_output=True, text=True, timeout=300)
+        assert result.returncode == 0, (label, result.stderr[-2000:])
+        outputs[label] = out_path.read_bytes()
+        assert b"GENE1" in outputs[label], label
+    assert outputs["native"] == outputs["python"]
 
 
 def test_corrupt_bam_record_rejected(tmp_path):
