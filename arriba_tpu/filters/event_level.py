@@ -263,6 +263,17 @@ def compute_cascade_stats(cols: Dict[str, np.ndarray],
     )
 
 
+def _libm_pow(base: np.ndarray, exponent: float) -> np.ndarray:
+    """Elementwise pow through libm (math.pow): np.power differs from
+    glibc's correctly-rounded pow by 1 ULP on ~5% of inputs, and each
+    e-value step rounds to float32 — a 1-ULP float64 difference at a
+    rounding midpoint would flip the stored e-value vs the reference."""
+    flat = np.asarray(base, np.float64).ravel()
+    out = np.fromiter((math.pow(b, exponent) if b > 0 else math.nan
+                       for b in flat), np.float64, count=flat.size)
+    return out.reshape(np.shape(base))
+
+
 def estimate_expected_fusions(fusions: Fusions, mapped_reads: int,
                               genes: GeneTable, exons: ExonTable,
                               exon_index: IntervalIndex,
@@ -371,7 +382,7 @@ def estimate_expected_fusions(fusions: Fusions, mapped_reads: int,
 
         intragenic_sup = intragenic & (sup >= 1)
         evalue = step(intragenic_sup,
-                      np.power((sup - 0.42), -2.11) * math.pow(10, -1.11))
+                      _libm_pow(sup - 0.42, -2.11) * math.pow(10, -1.11))
         for i in np.nonzero(intragenic_sup)[0]:
             f = fusion_list[i]
             spliced_distance = get_spliced_distance(f.contig1, f.breakpoint1, f.breakpoint2,
@@ -385,12 +396,12 @@ def estimate_expected_fusions(fusions: Fusions, mapped_reads: int,
 
         intergenic_sup = ~intragenic & (sup >= 1)
         evalue = step(intergenic_sup,
-                      np.power((sup - 0.73), -2.28) * math.pow(10, -1.75))
+                      _libm_pow(sup - 0.73, -2.28) * math.pow(10, -1.75))
         breakpoint_distance = np.maximum(1, bp2 - bp1) / 400000.0
-        evalue = step(intergenic_sup & read_through, np.power(breakpoint_distance, -0.63))
+        evalue = step(intergenic_sup & read_through, _libm_pow(breakpoint_distance, -0.63))
         close = (contig1 == contig2) & (bp2 - bp1 < 400000)
         evalue = step(intergenic_sup & ~read_through & close,
-                      np.power(breakpoint_distance, -1.53))
+                      _libm_pow(breakpoint_distance, -1.53))
 
         # location bonus
         evalue = step(np.True_, 4.0 / (spliced_breakpoints + exonic_breakpoints
@@ -562,9 +573,13 @@ def recover_internal_tandem_duplication(fusions: Fusions,
             if chimeric_alignments[name].filter in rescued_read_filters:
                 split_reads += 1
 
+        # C++ float division by zero coverage yields inf (> threshold);
+        # Python would raise ZeroDivisionError
+        peak = max(coverage1, coverage2)
+        allele_fraction = (math.inf if peak == 0
+                           else 1.0 * split_reads / peak / (1 - duplication_rate))
         if split_reads >= min_supporting_reads and (
-                1.0 * split_reads / max(coverage1, coverage2) / (1 - duplication_rate)
-                > min_fraction_of_coverage
+                allele_fraction > min_fraction_of_coverage
                 or split_reads >= subsampling_threshold):
             f.filter = FILTER_NONE
             for name in f.split_read1_list:
@@ -644,8 +659,14 @@ def select_most_supported_breakpoints(fusions: Fusions) -> int:
 def filter_marginal_read_through(fusions: Fusions, genes: GeneTable,
                                  coverage: Coverage) -> int:
     """filter_marginal_read_through.cpp:7-45."""
-    margin = 0.01
-    min_vaf = 0.07
+    # float32 like the reference's `const float` constants
+    # (filter_marginal_read_through.cpp:9-10): 1-margin and
+    # min_vaf*coverage evaluate in float32 there, which flips the
+    # comparison at exact boundaries (e.g. 7 supporting reads at
+    # coverage 100: 0.07f*100 == 7.0f keeps the fusion; 0.07*100 in
+    # float64 is 7.000000000000001 and would filter it)
+    margin_threshold = float(np.float32(1) - np.float32(0.01))
+    min_vaf = np.float32(0.07)
 
     remaining = 0
     for f in fusions.values():
@@ -671,8 +692,11 @@ def filter_marginal_read_through(fusions: Fusions, genes: GeneTable,
                                               DOWNSTREAM if f.direction1 == UPSTREAM else UPSTREAM)
             coverage2 = coverage.get_coverage(f.contig2, f.breakpoint2,
                                               DOWNSTREAM if f.direction2 == UPSTREAM else UPSTREAM)
-            if (position_in_donor > 1 - margin and position_in_acceptor > 1 - margin
-                    and f.supporting_reads() < min_vaf * max(coverage1, coverage2)):
+            if (position_in_donor > margin_threshold
+                    and position_in_acceptor > margin_threshold
+                    and np.float32(f.supporting_reads())
+                    < np.float32(min_vaf * np.float32(max(coverage1,
+                                                          coverage2)))):
                 f.filter = FILTER_MARGINAL_READ_THROUGH
 
         if f.filter == FILTER_NONE:
@@ -759,7 +783,9 @@ def calculate_intronic_fraction(gene: int, genes: GeneTable, exons: ExonTable,
                         previous_position = int(exons.end[e]) + 1
                     break
             idx += 1
-    return float(intronic_bases) / (gene_end - gene_start + 1)
+    # float32 division like the reference (filter_end_to_end.cpp:23)
+    return float(np.float32(intronic_bases)
+                 / np.float32(gene_end - gene_start + 1))
 
 
 def filter_end_to_end_fusions(fusions: Fusions, genes: GeneTable, exons: ExonTable,
@@ -767,7 +793,7 @@ def filter_end_to_end_fusions(fusions: Fusions, genes: GeneTable, exons: ExonTab
     """filter_end_to_end.cpp:25-77."""
     many_discordant_mates = 10
     min_breakpoint_distance = 1000000
-    max_intronic_fraction = 0.66
+    max_intronic_fraction = float(np.float32(0.66))  # const float, cpp:59
 
     remaining = 0
     for f in fusions.values():

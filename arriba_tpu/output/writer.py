@@ -1455,6 +1455,11 @@ def write_fusions_to_file(fusions: Fusions, output_file: str,
                         transcript_sequence, positions, gene_5, gene_3, transcript_5,
                         transcript_3, strand_3, annotation, assembly)
                     reading_frame = is_in_frame(fusion_peptide_sequence)
+                if not transcripts_3:
+                    # the reference breaks after the first 5' candidate when
+                    # there are no 3' transcripts (output_fusions.cpp:1160) —
+                    # iterating further could report a later 5' transcript
+                    break
 
             if reading_frame == "stop-codon":
                 fusion_peptide_sequence = "."

@@ -14,7 +14,10 @@ import numpy as np
 # except the IUPAC codes handled by the reference's dna_to_complement
 COMPLEMENT_LUT = np.arange(256, dtype=np.uint8)
 for a, b in [("A", "T"), ("T", "A"), ("C", "G"), ("G", "C"),
-             ("a", "t"), ("t", "a"), ("c", "g"), ("g", "c")]:
+             ("a", "t"), ("t", "a"), ("c", "g"), ("g", "c"),
+             ("[", "]"), ("]", "[")]:  # insertion markers flip so a
+    # reverse-complemented consensus keeps well-formed brackets
+    # (assembly.hpp:17-19)
     COMPLEMENT_LUT[ord(a)] = ord(b)
 
 # 2-bit base codes (A=0 C=1 G=2 T=3, anything else = 4) for kernels

@@ -481,6 +481,8 @@ inline uint8_t complement_base(uint8_t base) {
         case 't': return 'a';
         case 'c': return 'g';
         case 'g': return 'c';
+        case '[': return ']';  // insertion markers flip so reverse-
+        case ']': return '[';  // complemented consensus stays well-formed
         default: return base;
     }
 }
@@ -1559,7 +1561,10 @@ PyObject *ev_marginal_read_through(PyObject *, PyObject *) {
     Store &s = event_store::store();
     const cascade_store::Cascade &c = cascade_store::cascade();
     const annotate_engine::Engine &eng = annotate_engine::engine();
-    const double margin = 0.01, min_vaf = 0.07;
+    // float like the reference (filter_marginal_read_through.cpp:9-10):
+    // 1-margin and min_vaf*coverage evaluate in float32 there, which
+    // decides exact-boundary cases (7 reads at coverage 100)
+    const float margin = 0.01f, min_vaf = 0.07f;
 
     int64_t remaining = 0;
     for (EventFusion &f : s.fusions) {
@@ -1596,10 +1601,10 @@ PyObject *ev_marginal_read_through(PyObject *, PyObject *) {
 
             int64_t coverage1 = coverage_around(f, 1);
             int64_t coverage2 = coverage_around(f, 2);
-            if (position_in_donor > 1 - margin
-                && position_in_acceptor > 1 - margin
-                && (double)f.supporting_reads()
-                       < min_vaf * (double)std::max(coverage1, coverage2))
+            if (position_in_donor > (double)(1 - margin)
+                && position_in_acceptor > (double)(1 - margin)
+                && (float)f.supporting_reads()
+                       < min_vaf * (float)std::max(coverage1, coverage2))
                 f.filter = fid(event_store::F_MARGINAL_READ_THROUGH);
         }
         if (f.filter == 0) remaining += 1;
@@ -1880,7 +1885,7 @@ namespace {
 
 // filter_end_to_end.cpp:8-23 — fraction of the gene not covered by its own
 // exons, walking interval-index regions
-double calculate_intronic_fraction(int64_t gene) {
+float calculate_intronic_fraction(int64_t gene) {
     const cascade_store::Cascade &c = cascade_store::cascade();
     const annotate_engine::Engine &eng = annotate_engine::engine();
     int64_t intronic_bases = 0;
@@ -1908,7 +1913,8 @@ double calculate_intronic_fraction(int64_t gene) {
             idx += 1;
         }
     }
-    return (double)intronic_bases / (double)(gene_end - gene_start + 1);
+    // float division like the reference (filter_end_to_end.cpp:23)
+    return (float)intronic_bases / (float)(gene_end - gene_start + 1);
 }
 
 }  // namespace
@@ -1923,7 +1929,7 @@ PyObject *ev_end_to_end(PyObject *, PyObject *args) {
     const annotate_engine::Engine &eng = annotate_engine::engine();
     const int64_t many_discordant_mates = 10;
     const int64_t min_breakpoint_distance = 1000000;
-    const double max_intronic_fraction = 0.66;
+    const float max_intronic_fraction = 0.66f;  // const float, cpp:59
 
     int64_t remaining = 0;
     for (EventFusion &f : s.fusions) {
