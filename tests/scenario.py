@@ -806,3 +806,24 @@ def contig_start_clip_sample(tmp_path, seed=81) -> List[str]:
                                        ("2", 5460)]):
         b.add_proper_pair(f"bg{i}", contig, pos)
     return b.write()
+
+
+def marginal_boundary_sample(tmp_path, seed=91) -> List[str]:
+    """A read-through-shaped fusion with EXACTLY 14 supporting reads at
+    EXACTLY 200x breakpoint coverage and both breakpoints in the outermost
+    1% of their genes: filter_marginal_read_through's float32 threshold
+    (0.07f * 200 == 14.0f, filter_marginal_read_through.cpp:10) KEEPS the
+    fusion — a float64 threshold (14.000000000000002) would filter it."""
+    b = SampleBuilder(tmp_path, {"1": 40000}, seed)
+    b.add_gene("1", 1000, 2999, "+", "GA", "DONOR", "TA")
+    b.add_gene("1", 20000, 21999, "+", "GB", "ACCEPT", "TB")
+    # bp1 = 1:2989 (position_in_donor = 1989/1999 > 0.99), bp2 = 1:20000
+    for i in range(14):
+        b.add_split_fragment(f"rt{i}", "1", 2860 + 4 * i, 2960, 30, 40,
+                             "1", 20000)
+    # background coverage: gap-20 pairs keep both mates inside DONOR (no
+    # read-through artifacts); 186 pairs + 14 split fragments = 200x at
+    # the window upstream of bp1
+    for i in range(187):
+        b.add_proper_pair(f"bg{i}", "1", 2925 + (i % 3), gap=20)
+    return b.write()

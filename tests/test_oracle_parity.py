@@ -177,3 +177,14 @@ def test_contig_start_clip_parity(tmp_path):
     unsigned-cast bounds check (output_fusions.cpp:155)."""
     from .scenario import contig_start_clip_sample
     assert_parity(tmp_path, contig_start_clip_sample(tmp_path))
+
+
+def test_marginal_read_through_float32_boundary_parity(tmp_path):
+    """EXACTLY 14 supporting reads at EXACTLY 200x coverage sit on
+    filter_marginal_read_through's threshold: the reference's float32
+    0.07f*200 == 14.0f keeps the fusion, float64's 14.000000000000002
+    would filter it — byte parity here pins the engine to the
+    reference's float32 semantics (filter_marginal_read_through.cpp:10)."""
+    from .scenario import marginal_boundary_sample
+    assert_parity(tmp_path, marginal_boundary_sample(tmp_path))
+    assert "DONOR\tACCEPT" in (tmp_path / "ours_out" / "fusions.tsv").read_text()
