@@ -35,9 +35,9 @@ def _parse_breakpoint(text: str, contigs: ContigRegistry) -> Optional[Tuple[int,
     cid = contigs.name_to_id.get(contig_name)
     if cid is None:
         return None
-    try:
-        position = int(text[separator + 1:])
-    except ValueError:
+    from ..io.compressed import str_to_int
+    position = str_to_int(text[separator + 1:])
+    if position is None:
         return None
     return cid, position - 1
 

@@ -793,8 +793,17 @@ def _low_entropy_flags(codes: np.ndarray, lengths: np.ndarray,
     kv_by_pos = np.ascontiguousarray(kv.T)  # column access dominates the scan
 
     def threshold(segment_length):
-        return (segment_length.astype(np.float64) * kmer_content / kmer_length
-                + 0.5).astype(np.int32)
+        # Exact reference types (filter_low_entropy.cpp:67-69): float32
+        # length * float32 kmer_content / kmer_length, +0.5 in double,
+        # then unsigned truncation. trunc(q+0.5) is computed as
+        # floor(q) + (frac(q) >= 0.5), exact for float32 q. Inverted
+        # windows (end < start) get a huge threshold: the reference
+        # converts the negative product to unsigned (never filters).
+        q = (segment_length.astype(np.float32)
+             * np.float32(kmer_content)) / np.float32(kmer_length)
+        base = np.floor(q)
+        t = (base + (q - base >= np.float32(0.5))).astype(np.int64)
+        return np.where(segment_length < 0, np.int64(1) << 30, t)
 
     th_all = threshold(lengths)
     th_a1 = threshold(a1e - a1s)

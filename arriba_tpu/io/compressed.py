@@ -55,6 +55,32 @@ def iter_lines(path: str) -> Iterator[str]:
         fh.close()
 
 
+_STR_TO_INT_RE = None
+
+
+def str_to_int(text: str):
+    """Exact common.hpp:316-321 semantics (strtol + int truncation):
+    - a leading SPACE rejects (other strtol whitespace is consumed),
+    - the whole string must parse (*end == '\0'),
+    - values outside long range reject (strtol clamps to LONG_MAX/MIN),
+    - values within long but outside int32 TRUNCATE modulo 2^32 and are
+      accepted (the reference assigns long to int without a check).
+    Returns the int value or None on failure."""
+    global _STR_TO_INT_RE
+    if _STR_TO_INT_RE is None:
+        import re
+        _STR_TO_INT_RE = re.compile(r"\s*[+-]?[0-9]+")
+    if not text or text[0] == " ":
+        return None
+    match = _STR_TO_INT_RE.match(text)
+    if match is None or match.end() != len(text):
+        return None
+    value = int(match.group(0))
+    if value >= 2 ** 63 - 1 or value <= -(2 ** 63):
+        return None  # strtol returned LONG_MAX/LONG_MIN
+    return ((value + 2 ** 31) % 2 ** 32) - 2 ** 31
+
+
 class TsvStream:
     """Allocation-light field extraction mirroring tsv_stream_t semantics
     (read_compressed_file.cpp:65-90): reading past the last field sets the
@@ -77,15 +103,11 @@ class TsvStream:
         value = self.next_str()
         if self.failbit:
             return 0
-        try:
-            # the reference's str_to_int rejects leading spaces and trailing junk
-            if value != value.strip() or not value.lstrip("-").isdigit():
-                self.failbit = True
-                return 0
-            return int(value)
-        except ValueError:
+        parsed = str_to_int(value)
+        if parsed is None:
             self.failbit = True
             return 0
+        return parsed
 
     def fail(self) -> bool:
         return self.failbit

@@ -97,10 +97,18 @@ def low_entropy_batch(bases: jnp.ndarray, length: jnp.ndarray,
     n_reads, L = bases.shape
     kmer_values = _kmer_values(bases)
 
-    # thresholds: unsigned int truncation of len * content / k + 0.5
+    # thresholds with the reference's exact types
+    # (filter_low_entropy.cpp:67-69): float32 product/quotient, +0.5 in
+    # double, truncation — computed as floor(q) + (frac(q) >= 0.5), which
+    # is exact for float32 q without needing f64 on device; inverted
+    # windows (end < start) get a huge threshold (the reference converts
+    # the negative product to unsigned and never filters)
     def threshold(segment_length):
-        return jnp.floor(segment_length.astype(jnp.float32)
-                         * kmer_content / KMER_LENGTH + 0.5).astype(jnp.int32)
+        q = (segment_length.astype(jnp.float32)
+             * jnp.float32(kmer_content)) / jnp.float32(KMER_LENGTH)
+        base = jnp.floor(q)
+        t = (base + (q - base >= jnp.float32(0.5))).astype(jnp.int32)
+        return jnp.where(segment_length < 0, jnp.int32(1) << 30, t)
 
     th_all = threshold(length)
     th_a1 = threshold(aligned_end1 - aligned_start1)

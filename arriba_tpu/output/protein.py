@@ -154,10 +154,12 @@ def load_protein_domains(filename: str, contigs: ContigRegistry,
         if len(columns) < 9 or not columns[0] or not columns[6] or not columns[8]:
             print(f"WARNING: failed to parse line in GFF3 file: {line}", file=sys.stderr)
             continue
-        try:
-            start = int(columns[3])
-            end = int(columns[4])
-        except ValueError:
+        from ..io.compressed import str_to_int
+        start = str_to_int(columns[3])
+        end = str_to_int(columns[4])
+        if start is None or end is None:
+            # tsv_stream_t >> int uses str_to_int (common.hpp:316), which
+            # rejects padding/trailing junk that bare int() would accept
             print(f"WARNING: failed to parse line in GFF3 file: {line}", file=sys.stderr)
             continue
         attributes = columns[8]
@@ -563,7 +565,10 @@ def is_in_frame(fusion_peptide_sequence: str) -> str:
     start_5 = last_stop + 1 if last_stop < fusion_junction else 0
     in_frame_5 = any("A" <= fusion_peptide_sequence[i] <= "Z"
                      for i in range(start_5, min(fusion_junction, len(fusion_peptide_sequence))))
+    # no '|' at all: the reference's size_t npos+1 wraps to 0, so the
+    # 3' scan covers the whole peptide (annotate_protein_domains.cpp:440)
+    start_3 = 0 if fusion_junction == npos else min(
+        fusion_junction + 1, len(fusion_peptide_sequence))
     in_frame_3 = any("A" <= fusion_peptide_sequence[i] <= "Z"
-                     for i in range(min(fusion_junction + 1, len(fusion_peptide_sequence)),
-                                    len(fusion_peptide_sequence)))
+                     for i in range(start_3, len(fusion_peptide_sequence)))
     return "in-frame" if in_frame_5 and in_frame_3 else "out-of-frame"

@@ -900,9 +900,20 @@ bool low_entropy_scan_one(const char *seq, int64_t length, int64_t a1s, int64_t 
     int32_t *count_a1 = scratch.data() + n_kmers;
     int32_t *count_a2 = scratch.data() + 2 * n_kmers;
     int32_t *previous_pos = scratch.data() + 3 * n_kmers;
-    const int max_c = (int)((double)length * kmer_content / (double)kmer_length + 0.5);
-    const int max_c1 = (int)((double)(a1e - a1s) * kmer_content / (double)kmer_length + 0.5);
-    const int max_c2 = (int)((double)(a2e - a2s) * kmer_content / (double)kmer_length + 0.5);
+    /* exact reference types (filter_low_entropy.cpp:67-69): float32
+     * product/quotient, +0.5 in double, truncation; inverted windows
+     * (end < start) get a huge threshold like the reference's
+     * negative-to-unsigned conversion (never filters) */
+    auto kmer_threshold = [&](int64_t segment_length) -> int64_t {
+        if (segment_length < 0) return (int64_t)1 << 30;
+        double value = (double)((float)((float)segment_length
+                                        * (float)kmer_content)
+                                / (float)kmer_length) + 0.5;
+        return (int64_t)value;
+    };
+    const int64_t max_c = kmer_threshold(length);
+    const int64_t max_c1 = kmer_threshold(a1e - a1s);
+    const int64_t max_c2 = kmer_threshold(a2e - a2s);
     for (int64_t pos = 0; pos < length - kmer_length; ++pos) {
         int value = 0;
         for (int64_t j = 0; j < kmer_length; ++j) {
