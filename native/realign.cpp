@@ -460,6 +460,19 @@ PyObject *realign_set_splice_sites(PyObject *, PyObject *args) {
 
 /* recurrent-k-mer (low-entropy) scan: exact port of the per-read loop of
  * filter_low_entropy.cpp:60-100 with its early exit, batched over rows */
+
+/* exact reference threshold types (filter_low_entropy.cpp:67-69): float32
+ * product/quotient, +0.5 in double, truncation into unsigned; negative
+ * (inverted) windows convert to a huge unsigned value and never filter */
+static int64_t kmer_scan_threshold(int64_t segment_length, double kmer_content,
+                                   int kmer_length) {
+    if (segment_length < 0)
+        return (int64_t)1 << 30;
+    double value = (double)((float)((float)segment_length
+                                    * (float)kmer_content)
+                            / (float)kmer_length) + 0.5;
+    return (int64_t)value;
+}
 /* CSR variant of low_entropy_scan: raw ASCII sequences (concatenated blob +
  * int64 offsets) instead of a padded code matrix; the T/G/C/other -> 0/1/2/3
  * mapping of filter_low_entropy.cpp happens inline. */
@@ -494,9 +507,12 @@ PyObject *low_entropy_scan_flat(PyObject *, PyObject *args) {
         result_data[row] = 0;
         if (length < kmer_length)
             continue;
-        const int max_c = (int)(length * kmer_content / kmer_length + 0.5);
-        const int max_c1 = (int)((a1e_data[row] - a1s_data[row]) * kmer_content / kmer_length + 0.5);
-        const int max_c2 = (int)((a2e_data[row] - a2s_data[row]) * kmer_content / kmer_length + 0.5);
+        const int64_t max_c = kmer_scan_threshold(length, kmer_content,
+                                                  kmer_length);
+        const int64_t max_c1 = kmer_scan_threshold(
+            (int64_t)a1e_data[row] - a1s_data[row], kmer_content, kmer_length);
+        const int64_t max_c2 = kmer_scan_threshold(
+            (int64_t)a2e_data[row] - a2s_data[row], kmer_content, kmer_length);
         std::fill(kmer_count.begin(), kmer_count.end(), 0);
         std::fill(count_a1.begin(), count_a1.end(), 0);
         std::fill(count_a2.begin(), count_a2.end(), 0);
@@ -558,9 +574,12 @@ PyObject *low_entropy_scan(PyObject *, PyObject *args) {
         result_data[row] = 0;
         if (length < kmer_length)
             continue;
-        const int max_c = (int)(length * kmer_content / kmer_length + 0.5);
-        const int max_c1 = (int)((a1e_data[row] - a1s_data[row]) * kmer_content / kmer_length + 0.5);
-        const int max_c2 = (int)((a2e_data[row] - a2s_data[row]) * kmer_content / kmer_length + 0.5);
+        const int64_t max_c = kmer_scan_threshold(length, kmer_content,
+                                                  kmer_length);
+        const int64_t max_c1 = kmer_scan_threshold(
+            (int64_t)a1e_data[row] - a1s_data[row], kmer_content, kmer_length);
+        const int64_t max_c2 = kmer_scan_threshold(
+            (int64_t)a2e_data[row] - a2s_data[row], kmer_content, kmer_length);
         std::fill(kmer_count.begin(), kmer_count.end(), 0);
         std::fill(count_a1.begin(), count_a1.end(), 0);
         std::fill(count_a2.begin(), count_a2.end(), 0);

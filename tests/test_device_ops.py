@@ -14,6 +14,14 @@ from arriba_tpu.parallel.dp import (make_mesh, shard_batch,
                                     sharded_realign_step)
 
 
+def _ref_kmer_threshold(segment_length, kmer_content, k):
+    """Exact reference arithmetic (filter_low_entropy.cpp:67-69): the
+    segment length and kmer_content multiply and divide in float32, +0.5
+    promotes to double, and the sum truncates into an unsigned int."""
+    q = (np.float32(segment_length) * np.float32(kmer_content)) / np.float32(k)
+    return int(float(q) + 0.5)
+
+
 def reference_low_entropy(codes, length, a1s, a1e, a2s, a2e, kmer_content, k=3):
     """Direct port of filter_low_entropy.cpp:60-100 for one sequence."""
     if length < k:
@@ -22,9 +30,9 @@ def reference_low_entropy(codes, length, a1s, a1e, a2s, a2e, kmer_content, k=3):
     kmer_count_a1 = [0] * (4 ** k)
     kmer_count_a2 = [0] * (4 ** k)
     prev = [0] * (4 ** k)
-    max_c = int(length * kmer_content / k + 0.5)
-    max_c1 = int((a1e - a1s) * kmer_content / k + 0.5)
-    max_c2 = int((a2e - a2s) * kmer_content / k + 0.5)
+    max_c = _ref_kmer_threshold(length, kmer_content, k)
+    max_c1 = _ref_kmer_threshold(a1e - a1s, kmer_content, k)
+    max_c2 = _ref_kmer_threshold(a2e - a2s, kmer_content, k)
     for pos in range(0, length - k):
         v = 0
         for j in range(k):
@@ -91,6 +99,101 @@ def test_low_entropy_batch_matches_reference():
         expected = reference_low_entropy(codes[row], length, a1s[row], a1e[row],
                                          a2s[row], a2e[row], 0.6)
         assert result[row] == expected, f"row {row}"
+
+
+def _recurrent_kmer_counts(codes, length, k=3):
+    """Non-overlapping k-mer occurrence counts, the reference's counting
+    rule (filter_low_entropy.cpp:77-100): an instance only counts if it
+    starts at or after the end of the previously counted instance, and the
+    final k-mer start position (length - k) is never visited."""
+    prev, cnt = {}, {}
+    for pos in range(0, length - k):
+        v = tuple(int(x) for x in codes[pos:pos + k])
+        if prev.get(v, 0) <= pos:
+            prev[v] = pos + k
+            cnt[v] = cnt.get(v, 0) + 1
+    return cnt
+
+
+def _boundary_read(length):
+    """A read whose maximum recurrent-k-mer count is EXACTLY 10: ten
+    isolated code-0 triples (fenced by code 1 so no extra triple forms) in
+    AA-free filler. With -K 0.175 at 180nt the reference's float32
+    threshold is 11 (float64 math says 10); with -K 0.105 at 300nt it is
+    10 (float64 says 11) — so this read sits exactly on the float32-vs-
+    float64 decision boundary in both configurations."""
+    rng = np.random.default_rng(1)
+    codes = np.zeros(length, np.uint8)
+    motif = set()
+    for i in range(10):
+        p = 5 + i * 16
+        motif.update(range(p - 1, p + 4))
+    prev_zero = True
+    for pos in range(length):
+        if pos in motif:
+            prev_zero = False
+            continue
+        while True:
+            c = int(rng.integers(0, 4))
+            if not (c == 0 and prev_zero):
+                break
+        codes[pos] = c
+        prev_zero = c == 0
+    for i in range(10):
+        p = 5 + i * 16
+        codes[p - 1] = 1
+        codes[p:p + 3] = 0
+        codes[p + 3] = 1
+    counts = _recurrent_kmer_counts(codes, length)
+    assert counts[(0, 0, 0)] == 10 and max(counts.values()) == 10
+    return codes
+
+
+@pytest.mark.parametrize("kmer_content,length,expect_discard",
+                         [(0.175, 180, False), (0.105, 300, True)])
+def test_low_entropy_float32_threshold_boundary(kmer_content, length,
+                                                expect_discard):
+    """The k-mer thresholds must use the reference's float32 arithmetic
+    (filter_low_entropy.cpp:67-69, verified against compiled C): computing
+    them in float64 flips the keep/discard decision for a read with exactly
+    10 recurrent k-mers at these -K settings. All engines — the numpy
+    batch scan, the jax device op, and the native C++ scans — must agree
+    with the float32 semantics."""
+    from arriba_tpu.filters.read_level import _low_entropy_flags
+
+    f32, f64 = (_ref_kmer_threshold(length, kmer_content, 3),
+                int(length * kmer_content / 3 + 0.5))
+    assert (10 >= f32) == expect_discard and (10 >= f64) != expect_discard
+
+    codes = _boundary_read(length)[None, :]
+    lengths = np.array([length], np.int32)
+    zeros = np.zeros(1, np.int32)
+    ends = np.array([length], np.int32)
+
+    flags = _low_entropy_flags(codes, lengths, zeros, ends, zeros, ends,
+                               kmer_content, 3)
+    assert bool(flags[0]) == expect_discard, "numpy engine"
+
+    result = np.asarray(readfilters.low_entropy_batch(
+        jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(zeros),
+        jnp.asarray(ends), jnp.asarray(zeros), jnp.asarray(ends),
+        kmer_content))
+    assert bool(result[0]) == expect_discard, "jax device op"
+
+    from arriba_tpu.ingest.chimeric import _native
+    if _native is not None and hasattr(_native, "low_entropy_scan"):
+        out = np.zeros(1, np.uint8)
+        _native.low_entropy_scan(
+            np.ascontiguousarray(codes), lengths, zeros, ends, zeros, ends,
+            out, 1, length, kmer_content, 3)
+        assert bool(out[0]) == expect_discard, "native padded engine"
+    if _native is not None and hasattr(_native, "low_entropy_scan_flat"):
+        seq = bytes(b"TGCA"[c] for c in codes[0])
+        offsets = np.array([0, length], np.int64)
+        out = np.zeros(1, np.uint8)
+        _native.low_entropy_scan_flat(seq, offsets, zeros, ends, zeros,
+                                      ends, out, kmer_content, 3)
+        assert bool(out[0]) == expect_discard, "native flat engine"
 
 
 def test_homopolymer_run_batch():
