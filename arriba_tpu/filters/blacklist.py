@@ -248,7 +248,7 @@ def _device_blacklist_triage(candidates, items, genes: GeneTable,
     import numpy as np
 
     from .read_level import _device_offload_enabled
-    if not _device_offload_enabled(0) or not candidates:
+    if not candidates or not _device_offload_enabled(len(candidates)):
         return None
     rangeish = [item for pair in items for item in pair
                 if item.type in (BLACKLIST_POSITION, BLACKLIST_RANGE,
@@ -311,7 +311,8 @@ def filter_blacklisted_ranges(fusions: Fusions, blacklist_file_path: str,
                               max_mate_gap: int) -> int:
     """filter_blacklisted_ranges.cpp:233-300."""
     from .read_level import _device_offload_enabled
-    device = _device_offload_enabled(0)
+    device = _device_offload_enabled(
+        sum(1 for f in fusions.values() if f.filter == FILTER_NONE))
 
     items: List[Tuple[BlacklistItem, BlacklistItem]] = []
     item_pairs: Iterable[Tuple[BlacklistItem, BlacklistItem]]

@@ -455,7 +455,10 @@ def filter_mismappers(fusions: Fusions, chimeric_alignments: ChimericAlignments,
 
     from .read_level import _device_offload_enabled
     screen_map: Optional[Dict[Tuple[str, int, int], bool]] = None
-    if _device_offload_enabled(0):
+    n_screen_rows = sum(len(f.split_read1_list) + len(f.split_read2_list)
+                        + len(f.discordant_mate_list)
+                        for f in fusions.values() if f.filter == FILTER_NONE)
+    if _device_offload_enabled(n_screen_rows):
         screen_map = device_screen(fusions, chimeric_alignments, assembly,
                                    genes, max_mate_gap)
 

@@ -759,19 +759,48 @@ def _local_tpu_present() -> bool:
     return bool(glob.glob("/dev/accel*")) or bool(glob.glob("/dev/vfio/*"))
 
 
+# Default batch-size crossover for auto offload: below this many rows the
+# per-dispatch overhead (queue + transfer + launch, ~1 ms local / ~30 ms
+# tunneled) exceeds the host's cost for the whole batch, so auto offload
+# only engages above it. Measured on the bench tiers (see
+# scripts/measure_crossover.py); override with ARRIBA_TPU_DEVICE_MIN_ROWS.
+_AUTO_OFFLOAD_MIN_ROWS = 65536
+
+
 def _device_offload_enabled(batch_rows: int) -> bool:
     """Offload per-read batch math to the jax device when requested
-    (ARRIBA_TPU_DEVICE=1), or by default when a local TPU is attached
-    (ARRIBA_TPU_DEVICE unset and /dev/accel* exists). ARRIBA_TPU_DEVICE=0
-    forces the host path."""
+    (ARRIBA_TPU_DEVICE=1 offloads unconditionally), or by default when a
+    local TPU is attached (ARRIBA_TPU_DEVICE unset and /dev/accel* exists)
+    AND the batch is large enough to amortize dispatch/transfer overhead
+    (>= ARRIBA_TPU_DEVICE_MIN_ROWS rows). ARRIBA_TPU_DEVICE=0 forces the
+    host path."""
     import os
-    del batch_rows
     value = os.environ.get("ARRIBA_TPU_DEVICE")
     if value == "1":
         return True
     if value is not None:  # "0" or anything else explicit disables
         return False
-    return _local_tpu_present()
+    if not _local_tpu_present():
+        return False
+    min_rows = os.environ.get("ARRIBA_TPU_DEVICE_MIN_ROWS")
+    min_rows = int(min_rows) if min_rows else _AUTO_OFFLOAD_MIN_ROWS
+    return batch_rows >= min_rows
+
+
+_device_error_logged = False
+
+
+def _log_device_error_once(stage: str, error: Exception) -> None:
+    """The device path falls back to the host implementation on error, but
+    a real device bug must not hide behind the fallback silently: log the
+    first failure per process."""
+    global _device_error_logged
+    if not _device_error_logged:
+        _device_error_logged = True
+        import sys
+        print(f"WARNING: device offload failed in {stage} "
+              f"({type(error).__name__}: {error}); falling back to the host "
+              f"path (further device errors suppressed)", file=sys.stderr)
 
 
 def _low_entropy_flags(codes: np.ndarray, lengths: np.ndarray,
@@ -920,7 +949,8 @@ def filter_low_entropy(chimeric_alignments: ChimericAlignments, kmer_length: int
                     jnp.asarray(windows[:, 0]), jnp.asarray(windows[:, 1]),
                     jnp.asarray(windows[:, 2]), jnp.asarray(windows[:, 3]),
                     kmer_content))
-            except Exception:  # pragma: no cover - device-availability dependent
+            except Exception as error:  # pragma: no cover - device-availability dependent
+                _log_device_error_once("filter_low_entropy", error)
                 flags = None
         if flags is None and _native is not None and hasattr(_native, "low_entropy_scan"):
             flags = np.zeros(n, np.uint8)

@@ -1370,11 +1370,13 @@ def write_fusions_to_file(fusions: Fusions, output_file: str,
             native is not None and hasattr(native, "ev_transcript_pileups")
             and not getattr(chimeric_alignments, "_materialized", True))
         from ..filters.read_level import _device_offload_enabled
-        if python_transcript_path and _device_offload_enabled(0):
+        if python_transcript_path:
             eligible = [f for f in sorted_fusions
                         if not (f.predicted_strands_ambiguous
                                 or f.transcript_start_ambiguous)]
-            if eligible:
+            pileup_rows = sum(len(f.split_read1_list) + len(f.split_read2_list)
+                              + len(f.discordant_mate_list) for f in eligible)
+            if eligible and _device_offload_enabled(pileup_rows):
                 pileup_cache = build_device_pileups(eligible,
                                                     chimeric_alignments)
 

@@ -251,10 +251,10 @@ def run(options: Options) -> PipelineState:
     # host range_query for every mate with no gene within the 2 bp slack
     from .filters.read_level import _device_offload_enabled
     gene_triage = None
-    if _device_offload_enabled(0):
+    pending = [mate for mates in ca.values() for mate in mates
+               if len(mate.genes) == 0]
+    if pending and _device_offload_enabled(len(pending)):
         from .ops.annotation import interval_overlap_triage
-        pending = [mate for mates in ca.values() for mate in mates
-                   if len(mate.genes) == 0]
         hits = interval_overlap_triage(
             [(mate.contig, mate.start, mate.end) for mate in pending],
             genes.contig, genes.start, genes.end, len(state.contigs))

@@ -12,6 +12,12 @@ import os
 
 platform = os.environ.get("ARRIBA_TPU_TEST_PLATFORM", "cpu")
 os.environ["JAX_PLATFORMS"] = platform
+if platform == "cpu":
+    # drop the TPU-tunnel PJRT registration (a sitecustomize hook keyed on
+    # this variable): plugin discovery can block on a busy/wedged tunnel
+    # even under JAX_PLATFORMS=cpu, and every pipeline subprocess spawned
+    # by a test inherits this environment
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -96,7 +96,8 @@ def test_binomial_coefficient():
 
 def test_device_offload_gating(monkeypatch):
     """ARRIBA_TPU_DEVICE=1 forces offload, =0 forces host, unset defers to
-    the local-chip probe (read_level._device_offload_enabled)."""
+    the local-chip probe plus the batch-size crossover
+    (read_level._device_offload_enabled)."""
     from arriba_tpu.filters import read_level
 
     monkeypatch.setenv("ARRIBA_TPU_DEVICE", "1")
@@ -105,6 +106,13 @@ def test_device_offload_gating(monkeypatch):
     assert not read_level._device_offload_enabled(1)
     monkeypatch.delenv("ARRIBA_TPU_DEVICE", raising=False)
     monkeypatch.setattr(read_level, "_local_tpu_present", lambda: True)
-    assert read_level._device_offload_enabled(1)
+    # auto mode: only batches big enough to amortize dispatch offload
+    big = read_level._AUTO_OFFLOAD_MIN_ROWS
+    assert read_level._device_offload_enabled(big)
+    assert not read_level._device_offload_enabled(big - 1)
+    monkeypatch.setenv("ARRIBA_TPU_DEVICE_MIN_ROWS", "10")
+    assert read_level._device_offload_enabled(10)
+    assert not read_level._device_offload_enabled(9)
+    monkeypatch.delenv("ARRIBA_TPU_DEVICE_MIN_ROWS", raising=False)
     monkeypatch.setattr(read_level, "_local_tpu_present", lambda: False)
-    assert not read_level._device_offload_enabled(1)
+    assert not read_level._device_offload_enabled(big)
