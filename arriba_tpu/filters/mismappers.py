@@ -46,7 +46,16 @@ KMER_BASE_LUT[ord("C")] = 2
 
 # kmer value -> sorted unique positions, one dict per contig
 KmerIndex = Dict[int, np.ndarray]
-KmerIndices = Dict[int, KmerIndex]
+
+
+class KmerIndices(dict):
+    """contig -> KmerIndex, plus the coverage metadata the device accept
+    path needs for soundness: which genes were indexed and with what
+    padding (a device single-seed accept is only honored where the host
+    index provably contains the seed position)."""
+
+    padding: int = -1
+    indexed_genes: frozenset = frozenset()
 
 
 def kmer_to_int(sequence: str, position: int, kmer_length: int) -> int:
@@ -123,7 +132,9 @@ def make_kmer_index(fusions: Fusions, assembly: Assembly, genes: GeneTable,
         _native.realign_finalize()
         _native_engine_ready = True
 
-    kmer_indices: KmerIndices = {}
+    kmer_indices = KmerIndices()
+    kmer_indices.padding = padding
+    kmer_indices.indexed_genes = frozenset(genes_to_filter)
     for contig, chunks in per_contig.items():
         values = np.concatenate([v for v, _ in chunks])
         positions = np.concatenate([p for _, p in chunks])
@@ -264,16 +275,20 @@ def align_both_strands(read_sequence: str, read_length: int, max_mate_gap: int,
                        splice_sites_by_gene: Dict[int, List[int]],
                        gene_set: np.ndarray, kmer_length: int,
                        min_align_fraction: float,
-                       screen: Optional[Callable[[int], bool]] = None) -> bool:
-    """filter_mismappers.cpp:189-230. `screen(gene)` (when given) returns
-    False only for genes the device prefilter proved cannot align."""
+                       screen: Optional[Callable[[int], int]] = None) -> bool:
+    """filter_mismappers.cpp:189-230. `screen(gene)` (when given) returns a
+    tri-state device verdict: SCREEN_REJECT for genes the device prefilter
+    proved cannot align, SCREEN_ACCEPT for genes an exact device single-seed
+    path already aligned (skip the recursion entirely), SCREEN_UNDECIDED
+    otherwise."""
     if len(read_sequence) >= 300:
         return False
 
     min_score = int(min_align_fraction * len(read_sequence) + 0.5)
     for gene in gene_set:
         gene = int(gene)
-        if screen is not None and not screen(gene):
+        verdict = SCREEN_UNDECIDED if screen is None else screen(gene)
+        if verdict == SCREEN_REJECT:
             continue
         if gene not in splice_sites_by_gene:
             splice_sites_by_gene[gene] = get_downstream_splice_sites(gene, genes, exons,
@@ -295,6 +310,11 @@ def align_both_strands(read_sequence: str, read_length: int, max_mate_gap: int,
         kmer_index = kmer_indices.get(contig)
         if kmer_index is None:
             continue
+
+        # the device proved an exact single-seed align() path for this
+        # (read, gene): the recursion would accept too — skip it
+        if verdict == SCREEN_ACCEPT:
+            return True
 
         splice_sites = splice_sites_by_gene[gene]
         if _native is not None and _native_engine_ready:
@@ -362,30 +382,50 @@ def _count_mismappers(read_list: List[str], chimeric_alignments: ChimericAlignme
     return supporting_reads
 
 
+# tri-state device verdicts for a (read, kind, gene) realignment candidate
+SCREEN_REJECT = 0     # no shared 8-mer in either orientation: align() False
+SCREEN_UNDECIDED = 1  # run the host recursion
+SCREEN_ACCEPT = 2     # a single-seed align() path reaches min_score: True
+
+
 def collect_screen_tasks(fusions: Fusions,
                          chimeric_alignments: ChimericAlignments,
                          assembly: Assembly, genes: GeneTable,
-                         max_mate_gap: int):
+                         max_mate_gap: int,
+                         min_align_fraction: float = 0.8,
+                         kmer_indices: Optional[KmerIndices] = None):
     """Enumerate every (read sequence, padded gene window) pair that
     filter_mismappers may hand to align_both_strands, deduplicated by
     (read name, sequence kind, gene). Kinds: 0 = clipped segment vs the
     split read's genes, 1 = mate1 segment vs the supplementary's genes,
     2/3 = discordant mate1/mate2 vs the partner's genes
-    (filter_mismappers.cpp:282-341)."""
-    seen: Set[Tuple[str, int, int]] = set()
+    (filter_mismappers.cpp:282-341).
+
+    Returns (keys, seqs, windows, min_scores, accept_ok): min_scores is the
+    reference's per-call threshold arithmetic; accept_ok[i] is True only if
+    at least one fusion context actually runs align() for this pair (the
+    intragenic same-contig skip at filter_mismappers.cpp:205-210 never
+    fires) AND the host k-mer index provably covers the whole window (gene
+    indexed by make_kmer_index with padding >= this window's padding), so
+    every seed the device finds is one the host lookup would find too."""
+    index_padding = getattr(kmer_indices, "padding", -1)
+    indexed_genes = getattr(kmer_indices, "indexed_genes", frozenset())
+    seen: Dict[Tuple[str, int, int], int] = {}
     keys: List[Tuple[str, int, int]] = []
     seqs: List[str] = []
     windows: List[np.ndarray] = []
+    min_scores: List[int] = []
+    accept_ok: List[bool] = []
 
     def add(name: str, kind: int, seq: str, read_length: int,
-            gene_set) -> None:
+            gene_set, fraction: float, same_contig: bool,
+            alignment_start: int, alignment_end: int) -> None:
         if len(seq) >= 300:
             return
+        min_score = int(fraction * len(seq) + 0.5)
         for gene in gene_set:
             gene = int(gene)
             key = (name, kind, gene)
-            if key in seen:
-                continue
             contig = int(genes.contig[gene])
             contig_sequence = assembly.get(contig)
             if contig_sequence is None:
@@ -393,14 +433,31 @@ def collect_screen_tasks(fusions: Fusions,
             gene_start = max(int(genes.start[gene]) - max_mate_gap - read_length, 0)
             gene_end = min(int(genes.end[gene]) + max_mate_gap + read_length,
                            len(contig_sequence) - 1)
-            seen.add(key)
+            skipped = same_contig and (
+                gene_start <= alignment_start <= gene_end
+                or gene_start <= alignment_end <= gene_end)
+            # host-index coverage of the whole window: the indexed window
+            # of this gene (make_kmer_index padding) must contain ours
+            covered = (gene in indexed_genes
+                       and max(int(genes.start[gene]) - index_padding, 0)
+                       <= gene_start
+                       and gene_end <= min(int(genes.end[gene]) + index_padding,
+                                           len(contig_sequence) - 1))
+            row = seen.get(key)
+            if row is not None:
+                accept_ok[row] = accept_ok[row] or (not skipped and covered)
+                continue
+            seen[key] = len(keys)
             keys.append(key)
             seqs.append(seq)
             windows.append(contig_sequence[gene_start:gene_end + 1])
+            min_scores.append(min_score)
+            accept_ok.append(not skipped and covered)
 
     for f in fusions.values():
         if f.filter != FILTER_NONE:
             continue
+        same_contig = f.contig1 == f.contig2
         for name in f.split_read1_list + f.split_read2_list:
             mates = chimeric_alignments[name]
             if mates.filter != FILTER_NONE:
@@ -415,32 +472,58 @@ def collect_screen_tasks(fusions: Fusions,
                 clipped_seq = split_read.sequence[len(split_read.sequence)
                                                   - split_read.postclipping():]
                 mate1_seq = mate1.sequence[:len(mate1.sequence) - mate1.postclipping()]
-            add(name, 0, clipped_seq, len(split_read.sequence), split_read.genes)
-            add(name, 1, mate1_seq, len(mate1.sequence), supplementary.genes)
+            add(name, 0, clipped_seq, len(split_read.sequence), split_read.genes,
+                min_align_fraction, same_contig,
+                supplementary.start, supplementary.end)
+            add(name, 1, mate1_seq, len(mate1.sequence), supplementary.genes,
+                min_align_fraction, same_contig, mate1.start, mate1.end)
         for name in f.discordant_mate_list:
             mates = chimeric_alignments[name]
             if mates.filter != FILTER_NONE:
                 continue
             mate1, mate2 = mates[MATE1], mates[MATE2]
-            add(name, 2, mate1.sequence, len(mate1.sequence), mate2.genes)
-            add(name, 3, mate2.sequence, len(mate2.sequence), mate1.genes)
-    return keys, seqs, windows
+            clipped_fraction1 = float(mate1.preclipping() + mate1.postclipping()) / len(mate1.sequence)
+            clipped_fraction2 = float(mate2.preclipping() + mate2.postclipping()) / len(mate2.sequence)
+            add(name, 2, mate1.sequence, len(mate1.sequence), mate2.genes,
+                min(min_align_fraction,
+                    min_align_fraction * (1 - clipped_fraction1)),
+                same_contig, mate1.start, mate1.end)
+            add(name, 3, mate2.sequence, len(mate2.sequence), mate1.genes,
+                min(min_align_fraction,
+                    min_align_fraction * (1 - clipped_fraction2)),
+                same_contig, mate2.start, mate2.end)
+    return keys, seqs, windows, min_scores, accept_ok
 
 
 def device_screen(fusions: Fusions, chimeric_alignments: ChimericAlignments,
-                  assembly: Assembly, genes: GeneTable,
-                  max_mate_gap: int) -> Dict[Tuple[str, int, int], bool]:
-    """Batch-screen all realignment candidates on the jax device: a pair
-    whose read (either strand) shares no 8-mer with the padded gene window
-    can never be accepted by align() (the seed lookup at
-    filter_mismappers.cpp:97-99), so it is skipped outright."""
-    from ..ops.realign import screen_pairs
-    keys, seqs, windows = collect_screen_tasks(
-        fusions, chimeric_alignments, assembly, genes, max_mate_gap)
+                  assembly: Assembly, genes: GeneTable, max_mate_gap: int,
+                  kmer_indices: Optional[KmerIndices] = None
+                  ) -> Dict[Tuple[str, int, int], int]:
+    """Batch-classify all realignment candidates on the jax device into
+    tri-state verdicts: REJECT when the read (either strand) shares no
+    8-mer with the padded gene window (the seed lookup at
+    filter_mismappers.cpp:97-99 can never fire), ACCEPT when an exact
+    single-seed align() path reaches min_score (ops/realign._accept_kernel
+    reproduces the reference's scoring arithmetic), UNDECIDED otherwise
+    (host recursion decides — only it can accept via splice/deletion
+    chains)."""
+    from ..ops.realign import accept_pairs, screen_pairs
+    keys, seqs, windows, min_scores, accept_ok = collect_screen_tasks(
+        fusions, chimeric_alignments, assembly, genes, max_mate_gap,
+        kmer_indices=kmer_indices)
     if not keys:
         return {}
-    hits = screen_pairs(seqs, windows)
-    return {key: bool(hit) for key, hit in zip(keys, hits)}
+    shared = screen_pairs(seqs, windows)
+    verdict = np.where(shared, SCREEN_UNDECIDED, SCREEN_REJECT)
+    rows = [i for i in range(len(keys)) if shared[i] and accept_ok[i]]
+    if rows:
+        accepted = accept_pairs([seqs[i] for i in rows],
+                                [windows[i] for i in rows],
+                                [min_scores[i] for i in rows])
+        for i, acc in zip(rows, accepted):
+            if acc:
+                verdict[i] = SCREEN_ACCEPT
+    return {key: int(v) for key, v in zip(keys, verdict)}
 
 
 def filter_mismappers(fusions: Fusions, chimeric_alignments: ChimericAlignments,
@@ -453,19 +536,24 @@ def filter_mismappers(fusions: Fusions, chimeric_alignments: ChimericAlignments,
 
     splice_sites_by_gene: Dict[int, List[int]] = {}
 
-    from .read_level import _device_offload_enabled
-    screen_map: Optional[Dict[Tuple[str, int, int], bool]] = None
+    from .read_level import _device_offload_enabled, _log_device_error_once
+    screen_map: Optional[Dict[Tuple[str, int, int], int]] = None
     n_screen_rows = sum(len(f.split_read1_list) + len(f.split_read2_list)
                         + len(f.discordant_mate_list)
                         for f in fusions.values() if f.filter == FILTER_NONE)
     if _device_offload_enabled(n_screen_rows):
-        screen_map = device_screen(fusions, chimeric_alignments, assembly,
-                                   genes, max_mate_gap)
+        try:
+            screen_map = device_screen(fusions, chimeric_alignments, assembly,
+                                       genes, max_mate_gap, kmer_indices)
+        except Exception as error:  # pragma: no cover - device-availability dependent
+            _log_device_error_once("filter_mismappers", error)
+            screen_map = None
 
-    def _screen(name: str, kind: int) -> Optional[Callable[[int], bool]]:
+    def _screen(name: str, kind: int) -> Optional[Callable[[int], int]]:
         if screen_map is None:
             return None
-        return lambda gene: screen_map.get((name, kind, int(gene)), True)
+        return lambda gene: screen_map.get((name, kind, int(gene)),
+                                           SCREEN_UNDECIDED)
 
     for f in fusions.values():
         if f.filter != FILTER_NONE:

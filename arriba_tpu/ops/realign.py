@@ -236,6 +236,270 @@ def _screen_kernel(reads: jnp.ndarray, windows: jnp.ndarray) -> jnp.ndarray:
     return shared_kmer_mask(reads, windows)
 
 
+# ---------------------------------------------------------------------------
+# exact device ACCEPT: align()'s single-seed (no-recursion) paths
+#
+# align() (filter_mismappers.cpp:86-187) accepts a read iff SOME search path
+# reaches min_score. Its paths decompose into single-seed paths (seed 8-mer,
+# left extension with <= 1 mismatch, right extension at +1/-1 with a break
+# after 4 consecutive mismatches, free leading skips at the top level) and
+# recursion-chained paths (re-seeding after a splice-site boundary or one
+# deletion). The kernel below evaluates EVERY single-seed path exactly, so
+# `accept=True` is sound: align() necessarily returns True for that pair
+# (it tries every read position p within its while-bound and every indexed
+# window hit >= gene_start, and the single-seed scoring below reproduces its
+# arithmetic exactly). `accept=False` decides nothing — the pair falls back
+# to the host recursion (which alone can accept via splice/deletion chains).
+#
+# Seed discovery mirrors the host's k-mer index: window 8-mers are sorted
+# per row, read 8-mers binary-searched; the first H hits per read position
+# define candidate diagonals, deduplicated into D slots, and every seed on a
+# selected diagonal is then evaluated densely (the H-cap and D-cap only cost
+# coverage, never soundness). Bytes are compared raw (the reference compares
+# characters, filter_mismappers.cpp:117,160), k-mers in the T=0/G=1/C=2/
+# other=3 code of kmer_to_int (filter_mismappers.cpp:33-45).
+
+_PAD_READ = 0     # never a sequence byte
+_PAD_WIN = 1
+_BIG_DIAG = jnp.int32(2 ** 30)
+_NEG = jnp.int32(-(2 ** 20))
+
+
+def _kmer_codes_bytes(raw: jnp.ndarray) -> jnp.ndarray:
+    """Raw sequence bytes -> kmer_to_int base codes (T0 G1 C2 other 3)."""
+    return jnp.where(raw == ord("T"), 0,
+                     jnp.where(raw == ord("G"), 1,
+                               jnp.where(raw == ord("C"), 2, 3))).astype(jnp.int32)
+
+
+def _rolling8(codes: jnp.ndarray) -> jnp.ndarray:
+    """[N, L] base codes -> [N, L] 8-mer values starting at each position
+    (positions whose 8-mer runs off the row wrap; callers mask them)."""
+    values = jnp.zeros_like(codes)
+    for j in range(8):
+        values = (values << 2) | jnp.roll(codes, -j, axis=1)
+    return values
+
+
+@functools.partial(jax.jit, static_argnames=("n_hits", "n_diags"))
+def _accept_kernel(reads: jnp.ndarray, windows: jnp.ndarray,
+                   read_len: jnp.ndarray, win_len: jnp.ndarray,
+                   min_score: jnp.ndarray, seed_lo: jnp.ndarray,
+                   seed_hi: jnp.ndarray, n_hits: int = 4,
+                   n_diags: int = 64) -> jnp.ndarray:
+    """[N] bool: does a single-seed align() path over a discovered diagonal
+    reach min_score? reads [N, L] / windows [N, W] are RAW bytes (pads 0/1);
+    seed positions are eligible at window-local g in [seed_lo, seed_hi]
+    (window chunking) and g <= win_len - 10 (the k-mer index range,
+    filter_mismappers.cpp:60-67 via make_kmer_index)."""
+    N, L = reads.shape
+    W = windows.shape[1]
+    rows = jnp.arange(N)[:, None]
+
+    kc_r = _kmer_codes_bytes(reads)
+    kc_w = _kmer_codes_bytes(windows)
+
+    # ---- window 8-mers, sorted with positions ----
+    pos_w = jnp.arange(W, dtype=jnp.int32)[None, :]
+    wk = _rolling8(kc_w)
+    w_eligible = ((pos_w <= (win_len[:, None] - 10))
+                  & (pos_w >= seed_lo[:, None]) & (pos_w <= seed_hi[:, None])
+                  & (windows != ord("N")))
+    wk = jnp.where(w_eligible, wk, -1)
+    order = jnp.argsort(wk, axis=1)
+    sorted_wk = jnp.take_along_axis(wk, order, axis=1)
+    sorted_pos = jnp.take_along_axis(jnp.broadcast_to(pos_w, (N, W)), order,
+                                     axis=1)
+
+    # ---- read 8-mers at eligible seed positions ----
+    # outer-loop bounds (filter_mismappers.cpp:93-95 with score = -p at the
+    # top level): p + 8 < read_len and 2p <= read_len + 16 - min_score
+    pos_r = jnp.arange(L, dtype=jnp.int32)[None, :]
+    rk = _rolling8(kc_r)
+    p_eligible = ((pos_r + 8 < read_len[:, None])
+                  & (2 * pos_r <= (read_len + 16 - min_score)[:, None]))
+    rk = jnp.where(p_eligible, rk, -2)
+
+    lo = jax.vmap(lambda s, q: jnp.searchsorted(s, q))(sorted_wk, rk)  # [N, L]
+
+    # ---- candidate diagonals from the first n_hits hits per position ----
+    diags = []
+    for h in range(n_hits):
+        idx = jnp.minimum(lo + h, W - 1)
+        hit = (jnp.take_along_axis(sorted_wk, idx, axis=1) == rk) & (rk >= 0)
+        g = jnp.take_along_axis(sorted_pos, idx, axis=1)
+        diags.append(jnp.where(hit, g - pos_r, _BIG_DIAG))
+    d_flat = jnp.concatenate(diags, axis=1)                  # [N, L*n_hits]
+    ds = jnp.sort(d_flat, axis=1)
+    uniq = jnp.concatenate(
+        [jnp.ones((N, 1), bool), ds[:, 1:] != ds[:, :-1]], axis=1)
+    uniq = uniq & (ds < _BIG_DIAG)
+    rank = jnp.cumsum(uniq.astype(jnp.int32), axis=1) - 1
+    slot = jnp.where(uniq & (rank < n_diags), rank, n_diags)
+    diag = jnp.full((N, n_diags + 1), _BIG_DIAG, jnp.int32)
+    diag = diag.at[rows, slot].min(ds)[:, :n_diags]          # [N, D]
+    have_diag = diag < _BIG_DIAG
+
+    # ---- extract diagonal window bytes: wdiag[n, d, i] = win[n, diag+i] ----
+    idx = diag[:, :, None] + jnp.arange(L, dtype=jnp.int32)[None, None, :]
+    in_win = (idx >= 0) & (idx < win_len[:, None, None]) & have_diag[:, :, None]
+    gathered = jnp.take_along_axis(
+        windows, jnp.clip(idx, 0, W - 1).reshape(N, -1), axis=1)
+    wdiag = jnp.where(in_win, gathered.reshape(N, n_diags, L),
+                      jnp.uint8(_PAD_WIN))
+
+    read_b = reads[:, None, :]
+    r_valid = (pos_r < read_len[:, None])[:, None, :]
+    valid = r_valid & in_win
+    m = (read_b == wdiag) & valid
+    cm = (kc_r[:, None, :] == _kmer_codes_bytes(wdiag)) & valid
+
+    # ---- seeds: 8 consecutive code matches at an eligible (p, g) ----
+    seed = cm
+    for j in range(1, 8):
+        seed = seed & jnp.roll(cm, -j, axis=2)
+    g_at_p = diag[:, :, None] + pos_r[:, None, :]
+    seed = (seed & p_eligible[:, None, :]
+            & (g_at_p >= jnp.maximum(seed_lo[:, None, None], 0))
+            & (g_at_p <= seed_hi[:, None, None])
+            & (g_at_p <= (win_len[:, None, None] - 10))
+            & (wdiag != ord("N")))
+
+    # ---- left extension (filter_mismappers.cpp:109-137, top level):
+    # matches scanning left until the 2nd mismatch / boundary; +1 each ----
+    m_t = jnp.moveaxis(m, 2, 0)        # [L, N, D] for scans over positions
+    v_t = jnp.moveaxis(valid, 2, 0)
+
+    def left_body(carry, mv):
+        a_prev, b_prev = carry
+        m_i, v_i = mv
+        a = jnp.where(m_i, a_prev + 1, 0)
+        b = jnp.where(m_i, b_prev + 1, a_prev)
+        a = jnp.where(v_i, a, 0)
+        b = jnp.where(v_i, b, 0)
+        return (a, b), b
+
+    zeros = jnp.zeros((N, n_diags), jnp.int32)
+    _, b_seq = jax.lax.scan(left_body, (zeros, zeros), (m_t, v_t))
+    b_at = jnp.moveaxis(b_seq, 0, 2)                         # [N, D, L]
+    left_gain = jnp.concatenate(
+        [jnp.zeros((N, n_diags, 1), jnp.int32), b_at[:, :, :-1]], axis=2)
+
+    # ---- right extension (filter_mismappers.cpp:145-182): best prefix gain
+    # of a walk from q with k consecutive mismatches banked; the walk breaks
+    # after the 4th consecutive mismatch and at window/read boundaries ----
+    def right_body(carry, mv):
+        g0, g1, g2, g3 = carry
+        m_i, v_i = mv
+        on_match = jnp.maximum(1, 1 + g0)
+        n0 = jnp.where(m_i, on_match, -1 + g1)
+        n1 = jnp.where(m_i, on_match, -1 + g2)
+        n2 = jnp.where(m_i, on_match, -1 + g3)
+        n3 = jnp.where(m_i, on_match, _NEG)
+        n0 = jnp.where(v_i, n0, _NEG)
+        n1 = jnp.where(v_i, n1, _NEG)
+        n2 = jnp.where(v_i, n2, _NEG)
+        n3 = jnp.where(v_i, n3, _NEG)
+        return (n0, n1, n2, n3), n0
+
+    negs = jnp.full((N, n_diags), _NEG, jnp.int32)
+    _, g0_seq = jax.lax.scan(right_body, (negs, negs, negs, negs),
+                             (m_t[::-1], v_t[::-1]))
+    g0_at = jnp.moveaxis(g0_seq[::-1], 0, 2)                 # [N, D, L]
+    # right walk starts at q = p + 8
+    right_gain = jnp.concatenate(
+        [g0_at[:, :, 8:], jnp.full((N, n_diags, 8), _NEG, jnp.int32)], axis=2)
+
+    score = 8 + left_gain + jnp.maximum(right_gain, 0)
+    accept = seed & (score >= min_score[:, None, None])
+    return jnp.any(accept, axis=(1, 2))
+
+
+def accept_pairs(read_seqs, window_views, min_scores,
+                 window_chunk: int = 8192, batch_rows: int = 512,
+                 n_hits: int = 4, n_diags: int = 64) -> np.ndarray:
+    """[n] bool per (read, window) pair: a single-seed align() path in
+    EITHER read orientation reaches min_score (sound accept — see
+    _accept_kernel). read_seqs: list of str; window_views: list of uint8
+    views into the assembly (exactly the [gene_start, gene_end] windows
+    align() searches); min_scores: list of int (the reference's
+    min_align_fraction arithmetic, computed by the caller)."""
+    n = len(read_seqs)
+    if n == 0:
+        return np.zeros(0, bool)
+    from ..seq import reverse_complement_str
+
+    max_read = max(len(seq) for seq in read_seqs)
+    L = -(-max(16, max_read) // 64) * 64
+    stride = window_chunk - 2 * L
+    assert stride > 0
+
+    rows_reads: list = []
+    rows_windows: list = []
+    row_meta: list = []   # (pair, win_len, min_score, seed_lo, seed_hi)
+
+    def add_rows(fwd: np.ndarray, rc: np.ndarray, window: np.ndarray,
+                 i: int, ms: int) -> None:
+        w_global = len(window)
+        c = 0
+        while True:
+            offset = c * stride
+            chunk = window[offset:offset + window_chunk]
+            lo = 0 if c == 0 else L
+            hi = lo + stride - 1 if c > 0 else stride + L - 1
+            if lo > len(chunk) - 10 and c > 0:
+                break
+            padded = np.full(window_chunk, _PAD_WIN, np.uint8)
+            padded[:len(chunk)] = chunk
+            for read_row in (fwd, rc):
+                rows_reads.append(read_row)
+                rows_windows.append(padded)
+                row_meta.append((i, len(chunk), ms, lo, hi))
+            c += 1
+            if offset + window_chunk >= w_global:
+                break
+
+    for i, (seq, window) in enumerate(zip(read_seqs, window_views)):
+        raw = np.frombuffer(seq.encode("latin-1"), np.uint8)
+        fwd = np.full(L, _PAD_READ, np.uint8)
+        fwd[:len(raw)] = raw
+        rc_raw = np.frombuffer(
+            reverse_complement_str(seq).encode("latin-1"), np.uint8)
+        rc = np.full(L, _PAD_READ, np.uint8)
+        rc[:len(rc_raw)] = rc_raw
+        add_rows(fwd, rc, window, i, int(min_scores[i]))
+
+    result = np.zeros(n, bool)
+    meta = np.asarray(row_meta, np.int32).reshape(-1, 5)
+    read_lens = np.array([len(s) for s in read_seqs], np.int32)
+    for base in range(0, len(rows_reads), batch_rows):
+        chunk_r = rows_reads[base:base + batch_rows]
+        chunk_w = rows_windows[base:base + batch_rows]
+        rows = len(chunk_r)
+        if rows < batch_rows and base > 0:
+            pad = batch_rows - rows
+            chunk_r = chunk_r + [np.full(L, _PAD_READ, np.uint8)] * pad
+            chunk_w = chunk_w + [np.full(window_chunk, _PAD_WIN, np.uint8)] * pad
+        mrows = meta[base:base + rows]
+        read_len = np.zeros(len(chunk_r), np.int32)
+        read_len[:rows] = read_lens[mrows[:, 0]]
+        win_len = np.zeros(len(chunk_r), np.int32)
+        win_len[:rows] = mrows[:, 1]
+        ms = np.full(len(chunk_r), 2 ** 20, np.int32)
+        ms[:rows] = mrows[:, 2]
+        seed_lo = np.zeros(len(chunk_r), np.int32)
+        seed_lo[:rows] = mrows[:, 3]
+        seed_hi = np.zeros(len(chunk_r), np.int32)
+        seed_hi[:rows] = mrows[:, 4]
+        hits = np.asarray(_accept_kernel(
+            jnp.asarray(np.stack(chunk_r)), jnp.asarray(np.stack(chunk_w)),
+            jnp.asarray(read_len), jnp.asarray(win_len), jnp.asarray(ms),
+            jnp.asarray(seed_lo), jnp.asarray(seed_hi),
+            n_hits=n_hits, n_diags=n_diags))[:rows]
+        np.logical_or.at(result, mrows[:, 0], hits)
+    return result
+
+
 def screen_pairs(read_seqs, window_views, window_chunk: int = 2048,
                  batch_rows: int = 2048) -> np.ndarray:
     """[n] bool per (read, window) pair: the pair shares an 8-mer in either

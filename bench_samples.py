@@ -26,7 +26,7 @@ import sys
 import numpy as np
 
 TIER1_DIR = pathlib.Path("/tmp/arriba_tpu_bench_sample_v3")
-TIER2_DIR = pathlib.Path("/tmp/arriba_tpu_bench_genome_scale_v2")
+TIER2_DIR = pathlib.Path("/tmp/arriba_tpu_bench_genome_scale_v3")
 
 # ---------------------------------------------------------------------------
 # tier 2: genome-scale, 150 bp
@@ -75,7 +75,7 @@ def _tier2_gene_start(gene_in_contig: int) -> int:
 def build_tier2(out_dir: pathlib.Path = TIER2_DIR, quiet: bool = False) -> pathlib.Path:
     """Build (or reuse) the genome-scale 150 bp sample. Returns out_dir."""
     marker = out_dir / ".complete"
-    if marker.exists() and marker.read_text().strip() == "v2":
+    if marker.exists() and marker.read_text().strip() == "v3":
         return out_dir
     if not quiet:
         print("building genome-scale benchmark sample (one-time, cached; "
@@ -183,12 +183,15 @@ def build_tier2(out_dir: pathlib.Path = TIER2_DIR, quiet: bool = False) -> pathl
     splits_per_junction = T2_N_SPLIT_FRAGMENTS // T2_N_JUNCTIONS
     fid = 0
     parts = []
+    geom_rng = np.random.default_rng(4242)
     for contig1, bp1, contig2, bp2 in junctions:
+        anchors = geom_rng.integers(40, 110, splits_per_junction)
+        gaps = geom_rng.integers(20, 150, splits_per_junction)
         for k in range(splits_per_junction):
-            anchor = 40 + (k * 7) % 70
+            anchor = int(anchors[k])
             clip = L - anchor
             sr_pos = bp1 - anchor
-            m1_pos = sr_pos - L - (20 + (k * 13) % 130)
+            m1_pos = sr_pos - L - int(gaps[k])
             clipped = seq_bytes(contig2, bp2, clip)
             s_m1 = with_errors(seq_bytes(contig1, m1_pos, L), err_rng)
             s_sr = with_errors(
@@ -236,7 +239,7 @@ def build_tier2(out_dir: pathlib.Path = TIER2_DIR, quiet: bool = False) -> pathl
             f"\t0\t{s2}\t*\tHI:i:1\n")
     sam.write("".join(parts))
     sam.close()
-    marker.write_text("v2\n")
+    marker.write_text("v3\n")
     return out_dir
 
 

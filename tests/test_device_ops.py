@@ -659,6 +659,136 @@ def test_screen_pairs_sound_vs_exact_recursion():
                 f"screen rejected row {i} but exact recursion accepts"
 
 
+def test_accept_pairs_sound_and_effective_vs_exact_recursion():
+    """The device single-seed accept (realign.accept_pairs) must be SOUND:
+    every pair it accepts is accepted by the exact recursion
+    (filters.mismappers.align, either strand). Effectiveness: embedded
+    (near-)copies of window segments must be device-accepted, so the host
+    recursion is genuinely skippable for plain mismappers."""
+    from arriba_tpu.filters.mismappers import align, kmer_to_int
+    from arriba_tpu.seq import reverse_complement_str
+
+    rng = np.random.default_rng(777)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+
+    def build_index(window):
+        k = 8
+        window_str = window.tobytes().decode()
+        idx = {}
+        for pos in range(len(window_str) - k):
+            if window_str[pos] == "N":
+                continue
+            idx.setdefault(kmer_to_int(window_str, pos, k), []).append(pos)
+        return {v: np.asarray(p, np.int64) for v, p in idx.items()}
+
+    reads, windows, min_scores, expect_accept = [], [], [], []
+    for t in range(48):
+        L = int(rng.integers(20, 151))
+        W = int(rng.integers(300, 9000))  # spans the 8192 chunking path
+        win = rng.choice(bases, W).copy()
+        if t % 6 == 0:
+            win[rng.integers(0, W, 4)] = ord("N")
+        kind = t % 4
+        if kind == 0:
+            read = rng.choice(bases, L)             # random: mostly reject
+        elif kind == 1:
+            p = int(rng.integers(0, W - L))
+            read = win[p:p + L].copy()              # exact embedded copy
+            expect_accept.append(t)
+        elif kind == 2:
+            p = int(rng.integers(0, W - L))
+            read = win[p:p + L].copy()              # scattered mismatches
+            for j in rng.integers(0, L, 3):
+                read[j] = rng.choice(bases)
+        else:
+            p = int(rng.integers(0, W - L))
+            read = np.frombuffer(reverse_complement_str(
+                win[p:p + L].tobytes().decode()).encode(), np.uint8)
+            expect_accept.append(t)
+        seq = read.tobytes().decode()
+        reads.append(seq)
+        windows.append(win)
+        min_scores.append(int(0.8 * len(seq) + 0.5))
+
+    accepted = realign.accept_pairs(reads, windows, min_scores)
+
+    for t in expect_accept:
+        assert accepted[t], f"device must accept embedded copy row {t}"
+
+    for t in range(len(reads)):
+        if not accepted[t]:
+            continue
+        win = windows[t]
+        idx = build_index(win)
+        host = any(
+            align(0, s, 0, win, 0, 0, len(win) - 1, idx, 8, [],
+                  min_scores[t], 1)
+            for s in (reads[t], reverse_complement_str(reads[t])))
+        assert host, f"UNSOUND device accept at row {t}"
+
+
+def test_accept_pairs_respects_min_score_and_bounds():
+    """Boundary semantics of the accept kernel: the outer-loop seed bound
+    (2p <= len + 16 - min_score), the k-mer index upper bound
+    (g <= window_len - 10), and window-edge extension stops must all match
+    align() — checked via adversarial constructions near each bound."""
+    from arriba_tpu.filters.mismappers import align, kmer_to_int
+    from arriba_tpu.seq import reverse_complement_str
+
+    rng = np.random.default_rng(31)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+
+    def host(seq, win, ms):
+        k = 8
+        ws = win.tobytes().decode()
+        idx = {}
+        for pos in range(len(ws) - k):
+            if ws[pos] == "N":
+                continue
+            idx.setdefault(kmer_to_int(ws, pos, k), []).append(pos)
+        idx = {v: np.asarray(p, np.int64) for v, p in idx.items()}
+        return any(align(0, s, 0, win, 0, 0, len(win) - 1, idx, k, [], ms, 1)
+                   for s in (seq, reverse_complement_str(seq)))
+
+    cases = []
+    # (a) copy only matchable at the very END of the window (index bound)
+    win = rng.choice(bases, 400).copy()
+    read = win[400 - 40:].tobytes().decode()
+    cases.append((read, win))
+    # (b) copy at the very START (left-edge extension stop)
+    win2 = rng.choice(bases, 400).copy()
+    read2 = win2[:40].tobytes().decode()
+    cases.append((read2, win2))
+    # (c) read whose matching segment sits in its own TAIL (seed-position
+    # bound: seeds beyond (L + 16 - ms) / 2 are ineligible)
+    win3 = rng.choice(bases, 600).copy()
+    tail = win3[100:160]
+    read3 = (rng.choice(bases, 90).tobytes().decode()
+             + tail.tobytes().decode())
+    cases.append((read3, win3))
+    for i, (seq, win) in enumerate(cases):
+        ms = int(0.8 * len(seq) + 0.5)
+        dev = bool(realign.accept_pairs([seq], [win], [ms])[0])
+        ref = host(seq, win, ms)
+        # soundness always; for these single-diagonal constructions the
+        # device must agree exactly with the recursion
+        assert dev == ref, f"case {i}: device={dev} host={ref}"
+
+    # (d) 4 consecutive mismatches mid-read: the simple-path walk breaks at
+    # the run, but align() still accepts through its DELETION recursion
+    # (filter_mismappers.cpp:163-171) — the device must stay sound (False
+    # or a sound True via another seed), never claim an unsound accept
+    win4 = rng.choice(bases, 500).copy()
+    arr = win4[50:170].copy()
+    arr[40:44] = (arr[40:44] + 1) % 4
+    seq4 = arr.tobytes().decode()
+    ms4 = int(0.8 * len(seq4) + 0.5)
+    dev4 = bool(realign.accept_pairs([seq4], [win4], [ms4])[0])
+    assert host(seq4, win4, ms4), "recursion should accept via deletion"
+    if dev4:  # acceptable only because the host accepts too
+        pass
+
+
 def test_screen_pairs_chunks_long_windows():
     """Seeds straddling the 2048-column chunk boundary are still found
     (chunks overlap by k-1)."""
