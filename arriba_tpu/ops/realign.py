@@ -334,10 +334,9 @@ def _accept_kernel(reads: jnp.ndarray, windows: jnp.ndarray,
     uniq = jnp.concatenate(
         [jnp.ones((N, 1), bool), ds[:, 1:] != ds[:, :-1]], axis=1)
     uniq = uniq & (ds < _BIG_DIAG)
-    rank = jnp.cumsum(uniq.astype(jnp.int32), axis=1) - 1
-    slot = jnp.where(uniq & (rank < n_diags), rank, n_diags)
-    diag = jnp.full((N, n_diags + 1), _BIG_DIAG, jnp.int32)
-    diag = diag.at[rows, slot].min(ds)[:, :n_diags]          # [N, D]
+    # compact unique diagonals to the front with a second sort (a scatter
+    # would serialize on TPU), then keep the first n_diags slots
+    diag = jnp.sort(jnp.where(uniq, ds, _BIG_DIAG), axis=1)[:, :n_diags]
     have_diag = diag < _BIG_DIAG
 
     # ---- extract diagonal window bytes: wdiag[n, d, i] = win[n, diag+i] ----
