@@ -633,11 +633,16 @@ class EventCascade:
     def _sharded_stats_mesh(self):
         """ARRIBA_TPU_SHARDED_STATS=<n> computes the e-value/in-vitro global
         statistics as psum/all-gather reductions over an n-device mesh
-        (capped at the available device count) instead of natively/on host.
-        Integer-exact, so output stays byte-identical for every n."""
+        (capped at the available device count) instead of natively/on host;
+        ARRIBA_TPU_SHARDED_STATS=<n>procs runs the same reduction across n
+        genuine jax.distributed processes (DCN/Gloo collectives,
+        parallel/multihost.py). Integer-exact either way, so output stays
+        byte-identical for every shard layout."""
         n = os.environ.get("ARRIBA_TPU_SHARDED_STATS")
         if not n:
             return None
+        if n.endswith("procs"):
+            return "procs"
         if getattr(self, "_stats_mesh", None) is None:
             from .read_level import _apply_jax_platform_env
             _apply_jax_platform_env()
@@ -649,17 +654,38 @@ class EventCascade:
     def _sharded_expression(self, mesh):
         """Run (once) and cache the sharded reduction; returns the
         (dense expression counts, threshold) pair for in_vitro /
-        recover_both_spliced, storing CascadeStats for the e-value model."""
+        recover_both_spliced, storing CascadeStats for the e-value model.
+        The multi-process path additionally merges the per-shard candidate
+        cluster tables across the process boundary and cross-checks the
+        merged table against the host fusion table."""
         cached = getattr(self, "_sharded_stats_cache", None)
         if cached is not None:
             return cached
         from ..filters.in_vitro import expression_gene_incidence
-        from ..parallel.stats import compute_stats_sharded
         self.materialize()
-        stats, expression = compute_stats_sharded(
-            list(self.fusions.values()), self.genes,
-            expression_gene_incidence(self.ca),
-            self.options.high_expression_quantile, mesh)
+        fusion_list = list(self.fusions.values())
+        incidence = expression_gene_incidence(self.ca)
+        if mesh == "procs":
+            from ..parallel.multihost import run_multiprocess_stats
+            value = os.environ["ARRIBA_TPU_SHARDED_STATS"]
+            n_procs = int(value[:-len("procs")] or "2")
+            stats, expression, n_clusters = run_multiprocess_stats(
+                fusion_list, self.genes, incidence,
+                self.options.high_expression_quantile, n_procs)
+            # the DCN-merged candidate clusters must reproduce the host
+            # fusion table: one cluster per fusion with >=1 supporting read
+            expected = sum(1 for f in fusion_list
+                           if f.split_read1_list or f.split_read2_list
+                           or f.discordant_mate_list)
+            if n_clusters != expected:
+                raise RuntimeError(
+                    f"sharded candidate merge diverged from the host "
+                    f"fusion table: {n_clusters} clusters != {expected}")
+        else:
+            from ..parallel.stats import compute_stats_sharded
+            stats, expression = compute_stats_sharded(
+                fusion_list, self.genes, incidence,
+                self.options.high_expression_quantile, mesh)
         self._sharded_stats_cache = (stats, expression)
         return self._sharded_stats_cache
 

@@ -32,6 +32,88 @@ import os
 import numpy as np
 
 
+def run_multiprocess_stats(fusion_list, genes, gene_hits, quantile: float,
+                           n_processes: int = 2, devices_per_process: int = 4,
+                           timeout: float = 600.0):
+    """Drive the full sharded reduction (candidate cluster merge +
+    mid-cascade statistics) across `n_processes` genuine jax.distributed
+    processes (Gloo/DCN collectives) from within the pipeline, returning
+    (CascadeStats, (dense expression, threshold), n_clusters) — the
+    multi-host execution path of the production cascade
+    (ARRIBA_TPU_SHARDED_STATS=<n>procs). Raises on worker failure or
+    cross-process divergence; the caller falls back to the host pass."""
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+
+    from ..filters.event_level import CascadeStats
+    from .stats import build_stats_host_inputs, candidate_cluster_inputs
+
+    n_dp = n_processes * devices_per_process
+    inputs = build_stats_host_inputs(fusion_list, genes, gene_hits, n_dp)
+    ckey, kind, valid = candidate_cluster_inputs(fusion_list, n_dp)
+    inputs.update(cluster_keys=ckey, cluster_kind=kind, cluster_valid=valid,
+                  quantile=np.float64(quantile))
+
+    with socket.socket() as sock:
+        sock.bind(("localhost", 0))
+        port = sock.getsockname()[1]
+
+    with tempfile.TemporaryDirectory(prefix="arriba_tpu_mh_") as tmp:
+        input_path = os.path.join(tmp, "inputs.npz")
+        np.savez(input_path, **inputs)
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        workers = []
+        for pid in range(n_processes):
+            env = dict(os.environ,
+                       JAX_PLATFORMS="cpu",
+                       XLA_FLAGS=f"--xla_force_host_platform_device_count="
+                                 f"{devices_per_process}",
+                       PYTHONPATH=repo + os.pathsep
+                       + os.environ.get("PYTHONPATH", ""))
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            workers.append(subprocess.Popen(
+                [sys.executable, "-m", "arriba_tpu.parallel.multihost",
+                 "--coordinator", f"localhost:{port}",
+                 "--num-processes", str(n_processes),
+                 "--process-id", str(pid),
+                 "--input", input_path,
+                 "--output", os.path.join(tmp, f"out_{pid}.npz")],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True))
+        logs = [w.communicate(timeout=timeout) for w in workers]
+        for pid, worker in enumerate(workers):
+            if worker.returncode != 0:
+                raise RuntimeError(f"multihost worker {pid} failed: "
+                                   f"{logs[pid][1][-2000:]}")
+        outs = [dict(np.load(os.path.join(tmp, f"out_{pid}.npz")))
+                for pid in range(n_processes)]
+    for key in outs[0]:
+        for other in outs[1:]:
+            if not np.array_equal(outs[0][key], other[key]):
+                raise RuntimeError(f"process outputs diverge at {key}")
+
+    out = outs[0]
+    stats = CascadeStats(
+        partner_count=np.asarray(out["partner_count"], np.int64),
+        spliced_breakpoints=int(out["spliced_breakpoints"]),
+        exonic_breakpoints=int(out["exonic_breakpoints"]),
+        intronic_breakpoints=int(out["intronic_breakpoints"]),
+        exonic_intronic_breakpoints=int(out["exonic_intronic_breakpoints"]),
+        intragenic_duplications=int(out["intragenic_duplications"]),
+        intragenic_inversions=int(out["intragenic_inversions"]),
+        spliced_same_gene=int(out["spliced_same_gene"]),
+        spliced_different_genes=int(out["spliced_different_genes"]),
+        genes_with_fusions=int(out["genes_with_fusions"]),
+        genes_with_read_through=int(out["genes_with_read_through"]),
+    )
+    expression = (np.asarray(out["expression"], np.int64),
+                  int(out["expression_threshold"]))
+    return stats, expression, int(out["n_clusters"])
+
+
 def worker_main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--coordinator", required=True)
