@@ -90,14 +90,22 @@ class SampleBuilder:
 
     def add_discordant_fragment(self, name: str, contig1: str, pos1: int,
                                 contig2: str, pos2: int, hi: int = 1,
-                                length: int = 50) -> None:
+                                length: int = 50, strand1: str = "+",
+                                strand2: str = "-") -> None:
+        """Discordant pair; breakpoint direction per mate follows its
+        strand (fusions.cpp:302-316): forward mate -> breakpoint at its
+        end (downstream), reverse mate -> at its start (upstream)."""
         tid1, tid2 = self.tid(contig1), self.tid(contig2)
+        flag1 = 1 | 64 | (16 if strand1 == "-" else 0) \
+            | (32 if strand2 == "-" else 0)
+        flag2 = 1 | 128 | (16 if strand2 == "-" else 0) \
+            | (32 if strand1 == "-" else 0)
         self.records.append(BamRecord(
-            qname=name, flag=97, tid=tid1, pos=pos1, mapq=60,
+            qname=name, flag=flag1, tid=tid1, pos=pos1, mapq=60,
             cigar=cigar_from_string(f"{length}M"), mtid=tid2, mpos=pos2, tlen=0,
             seq=self.seq(contig1, pos1, length), tags={"HI": hi}))
         self.records.append(BamRecord(
-            qname=name, flag=145, tid=tid2, pos=pos2, mapq=60,
+            qname=name, flag=flag2, tid=tid2, pos=pos2, mapq=60,
             cigar=cigar_from_string(f"{length}M"), mtid=tid1, mpos=pos1, tlen=0,
             seq=self.seq(contig2, pos2, length), tags={"HI": hi}))
 
@@ -826,4 +834,105 @@ def marginal_boundary_sample(tmp_path, seed=91) -> List[str]:
     # the window upstream of bp1
     for i in range(187):
         b.add_proper_pair(f"bg{i}", "1", 2925 + (i % 3), gap=20)
+    return b.write()
+
+
+def ig_tr_dux4_sample(tmp_path, seed=151) -> List[str]:
+    """IG/TCR enhancer hijacking + DUX4-style rearrangements: drives every
+    branch of the IG exception in filter_end_to_end.cpp:47-72. All events
+    are 3'-3' fused ("+"-strand genes with upstream breakpoint directions:
+    both discordant mates on the reverse strand) and discordant-only, so
+    they hit the low-support branch; the exception then spares exactly the
+    IGH::DUX4-shaped one:
+
+    - IGHLIKE::DUX4L (different contigs, 12 discordant mates, partner
+      intron-poor)                                    -> SPARED
+    - IGHLIKE::PAX5L (8 mates < many_discordant_mates) -> filtered
+    - CLOSEA::CLOSEB (same contig, breakpoints 800 kb < 1 Mb apart)
+                                                       -> filtered
+    - INTRON1::INTRON2 (both breakpoints exonic, both genes >66% intronic)
+                                                       -> filtered
+    """
+    b = SampleBuilder(tmp_path, {"1": 200000, "2": 200000, "3": 1000000},
+                      seed)
+    # intron-rich IG-like locus: two slim exons across a 100 kb gene
+    b.add_gene("1", 1000, 101000, "+", "GIGH", "IGHLIKE", "TIGH",
+               coding=False, exons=[(1000, 1400), (100600, 101000)])
+    # intron-poor DUX4-like partner: one solid exon. NOTE on coordinates:
+    # breakpoint_overlaps_both_genes (common.hpp:260-264) compares raw
+    # positions CONTIG-BLIND, so partner breakpoints must lie numerically
+    # outside IGHLIKE's [1000, 101000] span or min_support demands split
+    # reads (filter_min_support.cpp:14-15)
+    b.add_gene("2", 150000, 151399, "+", "GDUX", "DUX4L", "TDUX",
+               coding=False, exons=[(150000, 151399)])
+    # second partner for the few-mates variant
+    b.add_gene("2", 160000, 161399, "+", "GPAX", "PAX5L", "TPAX",
+               coding=False, exons=[(160000, 161399)])
+    # same-contig close pair (breakpoints ~800 kb apart < min 1 Mb)
+    b.add_gene("3", 50000, 52000, "+", "GCA", "CLOSEA", "TCA",
+               coding=False, exons=[(50000, 50400), (51600, 52000)])
+    b.add_gene("3", 850000, 852000, "+", "GCB", "CLOSEB", "TCB",
+               coding=False, exons=[(850000, 850400), (851600, 852000)])
+    # both-exonic breakpoints in intron-rich genes. Gene spans derive from
+    # the exon rows, and the reference's calculate_intronic_fraction only
+    # counts bases BEFORE the last exon (filter_end_to_end.cpp:8-23) — so
+    # a slim anchor exon at the start plus the breakpoint exon near the
+    # end give 16,559 of 17,001 bases intronic = 0.97 > 0.66
+    b.add_gene("1", 120000, 137000, "+", "GI1", "INTRON1", "TI1",
+               coding=False, exons=[(120000, 120040), (136600, 137000)])
+    b.add_gene("3", 200000, 217000, "+", "GI2", "INTRON2", "TI2",
+               coding=False, exons=[(200000, 200040), (216600, 217000)])
+
+    # SPARED: IGHLIKE intron x DUX4L exon-adjacent, 12 reverse-reverse
+    # discordant mates (upstream/upstream = 3'-3')
+    for i in range(12):
+        b.add_discordant_fragment(f"igdux{i}", "1", 50000 + 4 * i,
+                                  "2", 150100 + 3 * i,
+                                  strand1="-", strand2="-")
+    # FILTERED (few mates): 8 mates only
+    for i in range(8):
+        b.add_discordant_fragment(f"igpax{i}", "1", 52000 + 4 * i,
+                                  "2", 160200 + 3 * i,
+                                  strand1="-", strand2="-")
+    # FILTERED (close): same contig, 800 kb apart, 12 mates; breakpoints
+    # inside exons so the events survive filter_both_intronic and reach
+    # end_to_end (the close-distance branch, not the intronic-fraction one:
+    # these genes are only ~60% intronic)
+    for i in range(12):
+        b.add_discordant_fragment(f"close{i}", "3", 50100 + 4 * i,
+                                  "3", 851700 + 3 * i,
+                                  strand1="-", strand2="-")
+    # FILTERED (exonic in intron-rich genes): breakpoints inside the slim
+    # exons, 12 mates
+    for i in range(12):
+        b.add_discordant_fragment(f"intr{i}", "1", 136700 + 4 * i,
+                                  "3", 216700 + 3 * i,
+                                  strand1="-", strand2="-")
+
+    # high-expression decoy gene pairs: raise the in-vitro 99.8% expression
+    # quantile threshold above the IG/DUX gene counts so the exception
+    # branch (not the in-vitro artifact filter) decides the events —
+    # mirroring a real transcriptome where the IG locus is far from the
+    # top 0.2% of chimeric expression
+    for pair in range(15):
+        ga = f"GDEC{pair}A"
+        gb = f"GDEC{pair}B"
+        start_a = 150000 + pair * 3000
+        start_b = 300000 + pair * 3000
+        b.add_gene("3", start_a, start_a + 1399, "+", ga, f"DEC{pair}A",
+                   f"T{ga}", coding=False, exons=[(start_a, start_a + 1399)])
+        b.add_gene("3", start_b, start_b + 1399, "+", gb, f"DEC{pair}B",
+                   f"T{gb}", coding=False, exons=[(start_b, start_b + 1399)])
+        for i in range(35):
+            b.add_discordant_fragment(f"dec{pair}_{i}", "3",
+                                      start_a + 100 + 4 * i, "3",
+                                      start_b + 100 + 3 * i)
+
+    # background coverage near every breakpoint (no_coverage filter)
+    positions = [("1", 49950), ("1", 50100), ("2", 150050), ("2", 150200),
+                 ("1", 51950), ("2", 160150), ("3", 50050), ("3", 851750),
+                 ("1", 136650), ("3", 216650), ("3", 50200), ("1", 136800),
+                 ("3", 216800), ("2", 160300)]
+    for i, (contig, pos) in enumerate(positions):
+        b.add_proper_pair(f"bg{i}", contig, pos)
     return b.write()

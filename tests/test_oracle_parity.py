@@ -188,3 +188,22 @@ def test_marginal_read_through_float32_boundary_parity(tmp_path):
     from .scenario import marginal_boundary_sample
     assert_parity(tmp_path, marginal_boundary_sample(tmp_path))
     assert "DONOR\tACCEPT" in (tmp_path / "ours_out" / "fusions.tsv").read_text()
+
+
+def test_ig_tr_dux4_parity(tmp_path):
+    """IG/TCR enhancer hijacking + DUX4-style translocation: the IG
+    exception inside filter_end_to_end (filter_end_to_end.cpp:47-72) must
+    spare the distal discordant-only IGHLIKE::DUX4L event (>=10 discordant
+    mates, intron-poor partner) and filter the few-mates / close-breakpoint
+    / exonic-in-intron-rich-genes variants — byte-equal outputs and
+    counters against the reference binary, plus explicit branch pinning."""
+    from .scenario import ig_tr_dux4_sample
+    assert_parity(tmp_path, ig_tr_dux4_sample(tmp_path))
+    main = (tmp_path / "ours_out" / "fusions.tsv").read_text()
+    discarded = (tmp_path / "ours_out" / "discarded.tsv").read_text()
+    # the DUX4-shaped event is spared by the many-discordant-mates branch
+    assert ("IGHLIKE\tDUX4L" in main) or ("DUX4L\tIGHLIKE" in main), main
+    # the sceptical variants die in end_to_end
+    for pair in ("PAX5L", "CLOSE", "INTRON1"):
+        assert pair not in main, main
+    assert "end_to_end" in discarded
