@@ -333,9 +333,14 @@ def filter_blacklisted_ranges(fusions: Fusions, blacklist_file_path: str,
     # index fusions by coordinate (100 kb genome bins)
     candidates = [f for f in fusions.values()
                   if f.filter == FILTER_NONE or f.closest_genomic_breakpoint1 >= 0]
-    may_match = _device_blacklist_triage(candidates, items, genes,
-                                         len(contigs), max_mate_gap) \
-        if device else None
+    may_match = None
+    if device:
+        try:
+            may_match = _device_blacklist_triage(candidates, items, genes,
+                                                 len(contigs), max_mate_gap)
+        except Exception as error:  # pragma: no cover - device-availability dependent
+            from .read_level import _log_device_error_once
+            _log_device_error_once("filter_blacklisted_ranges", error)
     fusions_by_coordinate: Dict[GenomeBin, Dict[int, Fusion]] = defaultdict(dict)
     candidate_index = 0
     for order, f in enumerate(fusions.values()):

@@ -1377,8 +1377,13 @@ def write_fusions_to_file(fusions: Fusions, output_file: str,
             pileup_rows = sum(len(f.split_read1_list) + len(f.split_read2_list)
                               + len(f.discordant_mate_list) for f in eligible)
             if eligible and _device_offload_enabled(pileup_rows):
-                pileup_cache = build_device_pileups(eligible,
-                                                    chimeric_alignments)
+                try:
+                    pileup_cache = build_device_pileups(eligible,
+                                                        chimeric_alignments)
+                except Exception as error:  # pragma: no cover - device-availability dependent
+                    from ..filters.read_level import _log_device_error_once
+                    _log_device_error_once("write_fusions pileup", error)
+                    pileup_cache = {}
 
     lines = [HEADER]
     for f in sorted_fusions:

@@ -254,13 +254,17 @@ def run(options: Options) -> PipelineState:
     pending = [mate for mates in ca.values() for mate in mates
                if len(mate.genes) == 0]
     if pending and _device_offload_enabled(len(pending)):
-        from .ops.annotation import interval_overlap_triage
-        hits = interval_overlap_triage(
-            [(mate.contig, mate.start, mate.end) for mate in pending],
-            genes.contig, genes.start, genes.end, len(state.contigs))
-        if hits is not None:
-            gene_triage = {id(mate): bool(hit)
-                           for mate, hit in zip(pending, hits)}
+        try:
+            from .ops.annotation import interval_overlap_triage
+            hits = interval_overlap_triage(
+                [(mate.contig, mate.start, mate.end) for mate in pending],
+                genes.contig, genes.start, genes.end, len(state.contigs))
+            if hits is not None:
+                gene_triage = {id(mate): bool(hit)
+                               for mate, hit in zip(pending, hits)}
+        except Exception as error:  # pragma: no cover - device-availability dependent
+            from .filters.read_level import _log_device_error_once
+            _log_device_error_once("gene annotation triage", error)
     for mates in ca.values():
         for mate in mates:
             if len(mate.genes) == 0:

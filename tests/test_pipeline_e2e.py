@@ -263,3 +263,36 @@ def test_device_screen_mismapper_scenario(tmp_path):
         counters = re.findall(r"\((?:remaining|total|marked)=\d+\)", result.stdout)
         results[label] = (open(out, "rb").read(), counters)
     assert results["host"] == results["device"]
+
+
+def test_device_backend_failure_falls_back_to_host(tmp_path):
+    """A requested-but-unavailable accelerator backend must not crash the
+    pipeline: every device call site (low-entropy, blacklist triage,
+    annotation triage, realign screen, writer pileup) falls back to the
+    host path with a single warning, and the output stays byte-identical
+    to the plain host run."""
+    import os
+    import subprocess
+    import sys
+
+    from .scenario import multi_event_sample
+
+    args = multi_event_sample(tmp_path)
+    outputs = {}
+    for label, env_extra in (
+            ("host", {"JAX_PLATFORMS": "cpu"}),
+            # 'axon' is never registered in this env (the PALLAS_AXON
+            # pool var is dropped), so every device dispatch raises
+            ("poisoned", {"JAX_PLATFORMS": "axon",
+                          "ARRIBA_TPU_DEVICE": "1"})):
+        out = tmp_path / f"fb_{label}.tsv"
+        env = dict(os.environ, **env_extra)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        result = subprocess.run(
+            [sys.executable, "-m", "arriba_tpu"] + args + ["-o", str(out)],
+            env=env, capture_output=True, text=True, timeout=420)
+        assert result.returncode == 0, result.stdout + result.stderr
+        outputs[label] = out.read_bytes()
+        if label == "poisoned":
+            assert "device offload failed" in result.stdout + result.stderr
+    assert outputs["poisoned"] == outputs["host"]
