@@ -436,7 +436,7 @@ class ReadLevelCascade:
         from ..fusion import Fusion
 
         (columns_b, evalue_b, confidence_b, closest_b, offsets_b, items_b,
-         frag_filters_b) = self._native.event_export()
+         frag_filters_b) = self._native.event_export(passing_only)
         if release:
             if getattr(self.ca, "is_lazy_native", False):
                 # the lazy view resolves per-fragment state from the native
@@ -449,7 +449,10 @@ class ReadLevelCascade:
         confidences = np.frombuffer(confidence_b or b"", np.int64).tolist()
         closest = np.frombuffer(closest_b or b"", np.int64).reshape(-1, 2).tolist()
         offsets = np.frombuffer(offsets_b or b"", np.int64).tolist()
-        items = np.frombuffer(items_b or b"", np.int64).tolist()
+        # the item stream stays a numpy view: only kept rows' slices are
+        # converted (the full stream is O(total read references) — seconds
+        # of tolist() on deep samples; see also event_export passing_only)
+        items = np.frombuffer(items_b or b"", np.int64)
         names = list(self.ca.keys())
 
         if self._fragments is not None:

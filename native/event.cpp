@@ -51,7 +51,9 @@ void release_store() {
     s.bound = false;
 }
 
-PyObject *serialize_fusions_py() {
+PyObject *serialize_fusions_py() { return serialize_fusions_py(false); }
+
+PyObject *serialize_fusions_py(bool lists_passing_only) {
     Store &s = store();
     size_t n = s.fusions.size();
     std::vector<int64_t> columns(n * 17);
@@ -94,6 +96,14 @@ PyObject *serialize_fusions_py() {
     for (int which = 0; which < 3; ++which) {
         int64_t *offsets = list_offsets.data() + which * (n + 1);
         for (size_t i = 0; i < n; ++i) {
+            // with lists_passing_only, filtered rows export empty read
+            // lists (their Fusion objects are never built): the item
+            // stream shrinks from O(total read references) to the passing
+            // rows' references
+            if (lists_passing_only && s.fusions[i].filter != 0) {
+                offsets[i + 1] = offsets[i];
+                continue;
+            }
             const std::vector<int64_t> &list =
                 which == 0 ? s.fusions[i].split_read1_list
                 : which == 1 ? s.fusions[i].split_read2_list
@@ -315,12 +325,15 @@ PyObject *event_bind(PyObject *, PyObject *args) {
     Py_RETURN_NONE;
 }
 
-PyObject *event_export(PyObject *, PyObject *) {
+PyObject *event_export(PyObject *, PyObject *args) {
+    int lists_passing_only = 0;
+    if (!PyArg_ParseTuple(args, "|p", &lists_passing_only)) return nullptr;
     if (!event_store::store().ready) {
         PyErr_SetString(PyExc_RuntimeError, "event store not populated");
         return nullptr;
     }
-    PyObject *serialized = event_store::serialize_fusions_py();
+    PyObject *serialized =
+        event_store::serialize_fusions_py(lists_passing_only != 0);
     if (serialized == nullptr) return nullptr;
     // per-fragment filter ids (event stages may have changed them)
     const cascade_store::Cascade &c = cascade_store::cascade();

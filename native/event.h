@@ -93,5 +93,6 @@ void release_store();
 // 6-tuple (columns_b, evalue_b, confidence_b, closest_b, offsets_b, items_b)
 // of the current fusion table (implemented in event.cpp)
 PyObject *serialize_fusions_py();
+PyObject *serialize_fusions_py(bool lists_passing_only);
 
 }  // namespace event_store

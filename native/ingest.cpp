@@ -4020,7 +4020,7 @@ static PyMethodDef methods[] = {
      "Release the cascade fragment store and its pinned buffers."},
     {"event_bind", event_bind, METH_VARARGS,
      "Bind event-cascade context (gene props, gene index, coverage bitmaps)."},
-    {"event_export", event_export, METH_NOARGS,
+    {"event_export", event_export, METH_VARARGS,
      "Serialize the fusion table + per-fragment filters for materialization."},
     {"event_release", event_release, METH_NOARGS,
      "Release the event fusion store and the cascade fragment store."},
