@@ -107,9 +107,107 @@ class _Exon:
     removed: bool = False
 
 
+# the hard-coded Gencode annotation fixes (annotation.cpp:344-366)
+GENCODE_FIXES = [
+    ("4", "ENST00000507166", True),      # FIP1L1:PDGFRA
+    ("6", "ENST00000467125", False),     # GOPC:ROS1
+    ("9", "ENST00000404796", True),      # MTAP:CDKN2B-AS1
+    ("9", "ENST00000577563", True),      # MTAP:CDKN2B-AS1
+    ("9", "ENST00000580900", True),      # MTAP:CDKN2B-AS1
+    ("7", "ENSMUST00000124096", False),  # Fgfr2 in mouse
+]
+
+
+def _native_gtf_module():
+    import os
+    if os.environ.get("ARRIBA_TPU_NO_NATIVE") == "1":
+        return None
+    try:
+        from .. import _native
+    except ImportError:
+        return None
+    return _native if hasattr(_native, "gtf_parse") else None
+
+
+def _read_annotation_gtf_native(native, path: str, features: GtfFeatures,
+                                contigs: ContigRegistry,
+                                assembly: Assembly) -> Annotation:
+    """Native fast path: the C++ tokenizer/assembler in native/gtf.cpp
+    produces the final columnar tables with identical semantics (and
+    identical stderr warnings) to the Python loop below."""
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    if path.endswith(".gz"):
+        from .compressed import decompress_gzip_multi
+        raw = decompress_gzip_multi(raw)
+
+    contig_lens = np.full(len(contigs), -1, np.int64)
+    for cid in range(len(contigs)):
+        if cid in assembly:
+            contig_lens[cid] = len(assembly[cid])
+
+    result = native.gtf_parse(
+        raw,
+        [n.encode() for n in features.gene_name],
+        [n.encode() for n in features.gene_id],
+        [n.encode() for n in features.transcript_id],
+        [n.encode() for n in features.feature_exon],
+        [n.encode() for n in features.feature_cds],
+        [n.encode() for n in contigs.names],
+        contig_lens.tobytes(),
+        [(c, t, s) for c, t, s in GENCODE_FIXES])
+    (new_contigs, gene_ids, gene_names, g_contig, g_start, g_end, g_strand,
+     g_protein, t_names, t_first, t_last, t_coding, e_contig, e_start, e_end,
+     e_strand, e_gene, e_transcript, e_cstart, e_cend, e_prev,
+     e_next) = result
+
+    for name in new_contigs:
+        contigs.add(name.decode("latin-1"))
+
+    gt = GeneTable()
+    gt.gene_id = [b.decode("latin-1") for b in gene_ids]
+    gt.name = [b.decode("latin-1") for b in gene_names]
+    gt.contig = np.frombuffer(g_contig, np.int64).astype(np.int32)
+    gt.start = np.frombuffer(g_start, np.int64).copy()
+    gt.end = np.frombuffer(g_end, np.int64).copy()
+    gt.strand = np.frombuffer(g_strand, np.uint8).astype(np.bool_)
+    n_genes = len(gt.gene_id)
+    gt.exonic_length = np.zeros(n_genes, np.int64)
+    gt.is_dummy = np.zeros(n_genes, np.bool_)
+    gt.is_protein_coding = np.frombuffer(g_protein, np.uint8).astype(np.bool_)
+
+    tt = TranscriptTable()
+    tt.name = [b.decode("latin-1") for b in t_names]
+    tt.first_exon = np.frombuffer(t_first, np.int64).copy()
+    tt.last_exon = np.frombuffer(t_last, np.int64).copy()
+    tt.coding_length = np.frombuffer(t_coding, np.int64).copy()
+
+    et = ExonTable()
+    et.contig = np.frombuffer(e_contig, np.int64).astype(np.int32)
+    et.start = np.frombuffer(e_start, np.int64).copy()
+    et.end = np.frombuffer(e_end, np.int64).copy()
+    et.strand = np.frombuffer(e_strand, np.uint8).astype(np.bool_)
+    et.gene = np.frombuffer(e_gene, np.int64).copy()
+    et.transcript = np.frombuffer(e_transcript, np.int64).copy()
+    et.coding_region_start = np.frombuffer(e_cstart, np.int64).copy()
+    et.coding_region_end = np.frombuffer(e_cend, np.int64).copy()
+    et.prev_exon = np.frombuffer(e_prev, np.int64).copy()
+    et.next_exon = np.frombuffer(e_next, np.int64).copy()
+
+    annotation = Annotation(genes=gt, transcripts=tt, exons=et)
+    for row, name in enumerate(gt.name):
+        annotation.gene_names[name] = row
+    return annotation
+
+
 def read_annotation_gtf(path: str, gtf_features_spec: str, contigs: ContigRegistry,
                         assembly: Assembly) -> Annotation:
     features = parse_gtf_features(gtf_features_spec)
+
+    native = _native_gtf_module()
+    if native is not None:
+        return _read_annotation_gtf_native(native, path, features, contigs,
+                                           assembly)
 
     exons: List[_Exon] = []
     # gene_key -> [gene_id, name, contig, start, end, strand, parse_order]
@@ -221,14 +319,7 @@ def read_annotation_gtf(path: str, gtf_features_spec: str, contigs: ContigRegist
 
     # transcript spans and the hard-coded Gencode fixes (annotation.cpp:344-366)
     malformed_transcripts: List[Tuple[str, int, bool]] = []
-    for fix_contig, fix_id, fix_strand in [
-        ("4", "ENST00000507166", True),    # FIP1L1:PDGFRA
-        ("6", "ENST00000467125", False),   # GOPC:ROS1
-        ("9", "ENST00000404796", True),    # MTAP:CDKN2B-AS1
-        ("9", "ENST00000577563", True),    # MTAP:CDKN2B-AS1
-        ("9", "ENST00000580900", True),    # MTAP:CDKN2B-AS1
-        ("7", "ENSMUST00000124096", False),  # Fgfr2 in mouse
-    ]:
+    for fix_contig, fix_id, fix_strand in GENCODE_FIXES:
         cid = contigs.get(fix_contig)
         if cid is not None:
             malformed_transcripts.append((fix_id, cid, fix_strand))

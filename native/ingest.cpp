@@ -3935,6 +3935,7 @@ extern PyObject *find_fusions_native(PyObject *, PyObject *);
 extern PyObject *cascade_release(PyObject *, PyObject *);
 extern PyObject *event_bind(PyObject *, PyObject *);
 extern PyObject *event_export(PyObject *, PyObject *);
+extern PyObject *gtf_parse(PyObject *, PyObject *);
 extern PyObject *event_release(PyObject *, PyObject *);
 extern PyObject *ev_merge_adjacent(PyObject *, PyObject *);
 extern PyObject *ev_multimappers(PyObject *, PyObject *);
@@ -4020,6 +4021,8 @@ static PyMethodDef methods[] = {
      "Release the cascade fragment store and its pinned buffers."},
     {"event_bind", event_bind, METH_VARARGS,
      "Bind event-cascade context (gene props, gene index, coverage bitmaps)."},
+    {"gtf_parse", gtf_parse, METH_VARARGS,
+     "parse a GTF gene model into columnar annotation tables"},
     {"event_export", event_export, METH_VARARGS,
      "Serialize the fusion table + per-fragment filters for materialization."},
     {"event_release", event_release, METH_NOARGS,

@@ -24,7 +24,7 @@ esac
 BUILD_DIR=$(mktemp -d)
 trap 'rm -rf "$BUILD_DIR"' EXIT
 g++ -O1 -g -shared -fPIC -std=c++17 $FLAG $(python3-config --includes) \
-    native/ingest.cpp native/realign.cpp native/annotate.cpp \
+    native/ingest.cpp native/gtf.cpp native/realign.cpp native/annotate.cpp \
     native/filters.cpp native/cascade.cpp native/fusions.cpp \
     native/event.cpp native/extract.cpp native/codecs.cpp \
     -o "$BUILD_DIR/_native$(python3-config --extension-suffix)" -lz $( [ -e /usr/include/libdeflate.h ] && echo -ldeflate )

@@ -25,7 +25,7 @@ setup(
               "arriba_tpu.output", "arriba_tpu.parallel", "arriba_tpu.tools"],
     ext_modules=[
         Extension("arriba_tpu._native",
-                  sources=["native/ingest.cpp", "native/realign.cpp",
+                  sources=["native/ingest.cpp", "native/gtf.cpp", "native/realign.cpp",
                            "native/annotate.cpp", "native/filters.cpp",
                            "native/cascade.cpp", "native/fusions.cpp",
                            "native/event.cpp", "native/extract.cpp",

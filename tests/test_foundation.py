@@ -256,3 +256,89 @@ def test_native_spliced_distance_matches_python():
         p1, p2 = sorted(rng.integers(0, 6000, 2).tolist())
         d = get_spliced_distance(0, p1, p2, 0, exons, index)
         assert 0 <= d <= p2 - p1
+
+
+def test_native_gtf_parser_matches_python(tmp_path, monkeypatch, capfd):
+    """The native GTF parser (native/gtf.cpp) must reproduce the Python
+    reference bit for bit on an adversarial gene model: chr-prefixed and
+    MT-normalized contigs, malformed (over-long / cross-contig /
+    beyond-contig-end) genes, over-long transcripts, CDS with unknown
+    transcript ids, Ensembl version stripping, dialect aliases, gzip input,
+    and identical stderr warnings."""
+    import gzip
+
+    import numpy as np
+
+    from arriba_tpu.io import gtf as gtf_mod
+
+    if gtf_mod._native_gtf_module() is None:
+        pytest.skip("native module not built")
+
+    text = "\n".join([
+        "# header comment",
+        'chr1\thavana\texon\t101\t200\t.\t+\t.\tgene_id "ENSG1.4"; gene_name "A"; transcript_id "ENST1.2";',
+        'chr1\thavana\tCDS\t151\t200\t.\t+\t.\tgene_id "ENSG1.4"; gene_name "A"; transcript_id "ENST1.2";',
+        'chr1\thavana\texon\t301\t400\t.\t+\t.\tgene_id "ENSG1.4"; gene_name "A"; transcript_id "ENST1.2";',
+        # second transcript version of the same short id (full id differs)
+        'chr1\thavana\texon\t305\t395\t.\t+\t.\tgene_id "ENSG1.4"; gene_name "A"; transcript_id "ENST1.3";',
+        # reverse strand gene on a normalized MT contig
+        'chrM\thavana\texon\t11\t60\t.\t-\t.\tgene_id "GM"; gene_name "MITO"; transcript_id "TM";',
+        # cross-contig duplicate gene id (malformed on second contig? same
+        # short id but different contig makes a separate gene key)
+        'chr2\thavana\texon\t501\t600\t.\t+\t.\tgene_id "ENSG1.4"; gene_name "A"; transcript_id "TX2";',
+        # over-long gene (two exons > 3 Mb apart)
+        'chr2\thavana\texon\t1001\t1100\t.\t+\t.\tgene_id "GLONG"; gene_name "LONG"; transcript_id "TL1";',
+        'chr2\thavana\texon\t4001001\t4001100\t.\t+\t.\tgene_id "GLONG"; gene_name "LONG"; transcript_id "TL2";',
+        # over-long transcript (same short transcript id far apart)
+        'chr3\thavana\texon\t1001\t1100\t.\t+\t.\tgene_id "GT"; gene_name "GT"; transcript_id "TFAR";',
+        'chr3\thavana\texon\t9001001\t9001100\t.\t+\t.\tgene_id "GT2"; gene_name "GT2"; transcript_id "TFAR";',
+        # gene beyond contig end (contig 4 is 500 bp in the assembly)
+        'chr4\thavana\texon\t301\t700\t.\t+\t.\tgene_id "GEND"; gene_name "END"; transcript_id "TEND";',
+        # CDS with unknown transcript id
+        'chr1\thavana\tCDS\t101\t140\t.\t+\t.\tgene_id "ENSG1.4"; gene_name "A"; transcript_id "NOPE";',
+        # unparseable coordinates + missing attributes
+        'chr1\thavana\texon\tXX\t200\t.\t+\t.\tgene_id "GBAD"; gene_name "B"; transcript_id "TB";',
+        'chr1\thavana\texon\t100\t200\t.\t+\t.\tno_attrs_here',
+        # non-exon feature still registers its contig
+        'chr9\thavana\tgene\t1\t100\t.\t+\t.\tgene_id "G9"; gene_name "NINE"; transcript_id "T9";',
+        "",
+    ])
+    path = tmp_path / "genes.gtf.gz"
+    path.write_bytes(gzip.compress(text.encode()))
+    spec = ("gene_name=gene_name|gene_id gene_id=gene_id "
+            "transcript_id=transcript_id feature_exon=exon feature_CDS=CDS")
+
+    def load(no_native):
+        if no_native:
+            monkeypatch.setenv("ARRIBA_TPU_NO_NATIVE", "1")
+        else:
+            monkeypatch.delenv("ARRIBA_TPU_NO_NATIVE", raising=False)
+        contigs = ContigRegistry()
+        contigs.add("1")
+        contigs.add("4")
+        assembly = {contigs.get("4"): np.zeros(500, np.uint8)}
+        ann = read_annotation_gtf(str(path), spec, contigs, assembly)
+        err = capfd.readouterr().err
+        return ann, contigs, err
+
+    ann_py, contigs_py, err_py = load(True)
+    ann_nat, contigs_nat, err_nat = load(False)
+
+    assert contigs_py.names == contigs_nat.names
+    assert contigs_py.original == contigs_nat.original
+    assert err_py == err_nat
+    assert ann_py.genes.gene_id == ann_nat.genes.gene_id
+    assert ann_py.genes.name == ann_nat.genes.name
+    for attr in ("contig", "start", "end", "strand", "is_protein_coding"):
+        assert np.array_equal(getattr(ann_py.genes, attr),
+                              getattr(ann_nat.genes, attr)), attr
+    assert ann_py.transcripts.name == ann_nat.transcripts.name
+    for attr in ("first_exon", "last_exon", "coding_length"):
+        assert np.array_equal(getattr(ann_py.transcripts, attr),
+                              getattr(ann_nat.transcripts, attr)), attr
+    for attr in ("contig", "start", "end", "strand", "gene", "transcript",
+                 "coding_region_start", "coding_region_end", "prev_exon",
+                 "next_exon"):
+        assert np.array_equal(getattr(ann_py.exons, attr),
+                              getattr(ann_nat.exons, attr)), attr
+    assert ann_py.gene_names == ann_nat.gene_names
