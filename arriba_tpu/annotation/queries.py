@@ -233,14 +233,26 @@ def compute_exonic_lengths(genes: GeneTable, exons: ExonTable,
     genes.exonic_length[:] = 0
     for contig in range(exon_index.n_contigs):
         bounds = exon_index.boundaries[contig]
-        region_start = 0
-        for i in range(len(bounds)):
-            previous_gene = -1
-            for e in exon_index.set_at(contig, i):
-                g = int(exons.gene[e])
-                if g != previous_gene:
-                    genes.exonic_length[g] += int(bounds[i]) - region_start
-                    previous_gene = g
-            region_start = int(bounds[i])
+        if len(bounds) == 0:
+            continue
+        offsets = exon_index.offsets[contig]
+        items = exon_index.items[contig]
+        if len(items) == 0:
+            continue
+        # vectorized region walk: per item, its boundary's region length;
+        # the reference's previous_gene check dedups ADJACENT duplicates
+        # within one region (exon-row order), which is `first element of
+        # the region OR gene differs from the previous item`
+        per_boundary = np.diff(offsets)
+        boundary_of_item = np.repeat(
+            np.arange(len(bounds), dtype=np.int64), per_boundary)
+        region_length = bounds - np.concatenate([[0], bounds[:-1]])
+        g = exons.gene[items]
+        is_first = np.zeros(len(items), np.bool_)
+        starts = offsets[:-1][per_boundary > 0]
+        is_first[starts] = True
+        keep = is_first | np.concatenate([[True], g[1:] != g[:-1]])
+        np.add.at(genes.exonic_length, g[keep],
+                  region_length[boundary_of_item[keep]])
     no_exons = genes.exonic_length == 0
     genes.exonic_length[no_exons] = genes.end[no_exons] - genes.start[no_exons]
