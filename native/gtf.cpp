@@ -580,3 +580,99 @@ PyObject *gtf_parse(PyObject *, PyObject *args) {
     Py_DECREF(links);
     return full;
 }
+
+// ---------------------------------------------------------------------------
+// Native FASTA body assembly — the fast path of io/fasta.py
+// (reference: assembly.cpp:28-58). Python finds the records and decides
+// which contigs are interesting; this entry point does the byte work:
+// uppercase + newline-strip each record body into a fresh bytes object,
+// records processed by a small thread pool with the GIL released.
+
+#include <thread>
+
+namespace {
+
+struct UpperLut {
+    unsigned char map[256];
+    UpperLut() {
+        for (int i = 0; i < 256; ++i)
+            map[i] = (i >= 'a' && i <= 'z') ? (unsigned char)(i - 32)
+                                            : (unsigned char)i;
+    }
+};
+const UpperLut kUpper;  // initialized before any thread runs
+
+size_t fill_record(const char *src, size_t n, char *dst) {
+    // uppercase + strip ALL \r and \n, matching bytes.translate(_UPPER,
+    // b"\r\n") in io/fasta.py; returns the filled length
+    char *out = dst;
+    const char *end = src + n;
+    while (src < end) {
+        const char *nl = (const char *)memchr(src, '\n', (size_t)(end - src));
+        const char *stop = nl ? nl : end;
+        for (const char *p = src; p < stop; ++p) {
+            if (*p == '\r') continue;
+            *out++ = (char)kUpper.map[(unsigned char)*p];
+        }
+        src = nl ? nl + 1 : end;
+    }
+    return (size_t)(out - dst);
+}
+
+}  // namespace
+
+// fasta_bodies(raw_buffer, offsets_bytes, n_threads) with offsets int64
+// pairs (body_start, body_end) per record -> list of bytes. Each output is
+// allocated at the body's raw size and shrunk to the filled length
+// (newlines stripped), so no counting pre-pass touches the data.
+PyObject *fasta_bodies(PyObject *, PyObject *args) {
+    Py_buffer raw_buf;
+    PyObject *offsets_obj;
+    int n_threads;
+    if (!PyArg_ParseTuple(args, "y*Oi", &raw_buf, &offsets_obj, &n_threads))
+        return nullptr;
+    const char *raw = (const char *)raw_buf.buf;
+    const int64_t *pairs = (const int64_t *)PyBytes_AsString(offsets_obj);
+    Py_ssize_t n_records = PyBytes_Size(offsets_obj) / 16;
+
+    std::vector<PyObject *> bodies(n_records, nullptr);  // owned refs
+    std::vector<char *> dsts(n_records);
+    std::vector<size_t> filled(n_records, 0);
+    auto fail = [&]() -> PyObject * {
+        for (PyObject *b : bodies) Py_XDECREF(b);
+        PyBuffer_Release(&raw_buf);
+        return nullptr;
+    };
+    for (Py_ssize_t i = 0; i < n_records; ++i) {
+        bodies[i] = PyBytes_FromStringAndSize(
+            nullptr, pairs[i * 2 + 1] - pairs[i * 2]);
+        if (bodies[i] == nullptr) return fail();
+        dsts[i] = PyBytes_AS_STRING(bodies[i]);
+    }
+    Py_BEGIN_ALLOW_THREADS;
+    std::vector<std::thread> threads;
+    int nt = n_threads < 1 ? 1 : n_threads;
+    for (int t = 0; t < nt; ++t)
+        threads.emplace_back([&, t]() {
+            for (Py_ssize_t i = t; i < n_records; i += nt)
+                filled[i] = fill_record(
+                    raw + pairs[i * 2],
+                    (size_t)(pairs[i * 2 + 1] - pairs[i * 2]), dsts[i]);
+        });
+    for (std::thread &th : threads) th.join();
+    Py_END_ALLOW_THREADS;
+    for (Py_ssize_t i = 0; i < n_records; ++i) {
+        if ((Py_ssize_t)filled[i] != PyBytes_GET_SIZE(bodies[i])
+            && _PyBytes_Resize(&bodies[i], (Py_ssize_t)filled[i]) < 0)
+            return fail();
+    }
+    PyBuffer_Release(&raw_buf);
+    PyObject *out = PyList_New(n_records);
+    if (out == nullptr) {
+        for (PyObject *b : bodies) Py_XDECREF(b);
+        return nullptr;
+    }
+    for (Py_ssize_t i = 0; i < n_records; ++i)
+        PyList_SET_ITEM(out, i, bodies[i]);  // steals the reference
+    return out;
+}

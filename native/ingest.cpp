@@ -3936,6 +3936,7 @@ extern PyObject *cascade_release(PyObject *, PyObject *);
 extern PyObject *event_bind(PyObject *, PyObject *);
 extern PyObject *event_export(PyObject *, PyObject *);
 extern PyObject *gtf_parse(PyObject *, PyObject *);
+extern PyObject *fasta_bodies(PyObject *, PyObject *);
 extern PyObject *event_release(PyObject *, PyObject *);
 extern PyObject *ev_merge_adjacent(PyObject *, PyObject *);
 extern PyObject *ev_multimappers(PyObject *, PyObject *);
@@ -4021,6 +4022,8 @@ static PyMethodDef methods[] = {
      "Release the cascade fragment store and its pinned buffers."},
     {"event_bind", event_bind, METH_VARARGS,
      "Bind event-cascade context (gene props, gene index, coverage bitmaps)."},
+    {"fasta_bodies", fasta_bodies, METH_VARARGS,
+     "uppercase+newline-strip FASTA record bodies (threaded)"},
     {"gtf_parse", gtf_parse, METH_VARARGS,
      "parse a GTF gene model into columnar annotation tables"},
     {"event_export", event_export, METH_VARARGS,

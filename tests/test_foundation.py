@@ -342,3 +342,41 @@ def test_native_gtf_parser_matches_python(tmp_path, monkeypatch, capfd):
         assert np.array_equal(getattr(ann_py.exons, attr),
                               getattr(ann_nat.exons, attr)), attr
     assert ann_py.gene_names == ann_nat.gene_names
+
+
+def test_native_fasta_bodies_matches_python(tmp_path, monkeypatch):
+    """The threaded native FASTA body filler must match the Python
+    translate path byte for byte — including lowercase input, CRLF line
+    endings, lone carriage returns, and multi-record files."""
+    import numpy as np
+
+    from arriba_tpu.io import fasta as fasta_mod
+
+    if fasta_mod._native_fasta_module() is None:
+        pytest.skip("native module not built")
+
+    path = tmp_path / "genome.fa"
+    path.write_bytes(b">chr1 description\r\n"
+                     b"acgtACGTnN\r\n"
+                     b"ttttgggg\rcc\n"
+                     b">2\n"
+                     b"AAAA\nCCCC\nGG\n"
+                     b">skipme\nTTTT\n"
+                     b">chrM\nacgt\n")
+
+    def load(no_native):
+        if no_native:
+            monkeypatch.setenv("ARRIBA_TPU_NO_NATIVE", "1")
+        else:
+            monkeypatch.delenv("ARRIBA_TPU_NO_NATIVE", raising=False)
+        contigs = ContigRegistry()
+        return (fasta_mod.load_assembly(str(path), contigs, "1 2 MT"),
+                contigs)
+
+    asm_py, c_py = load(True)
+    asm_nat, c_nat = load(False)
+    assert c_py.names == c_nat.names and c_py.original == c_nat.original
+    assert set(asm_py) == set(asm_nat)
+    for cid in asm_py:
+        assert np.array_equal(asm_py[cid], asm_nat[cid]), cid
+    assert asm_py[c_py.get("1")].tobytes() == b"ACGTACGTNNTTTTGGGGCC"
