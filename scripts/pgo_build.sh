@@ -34,6 +34,24 @@ status = main()
 assert status == 0, status
 EOF
 done
+# also profile the genome-scale 150bp tier when present (the headline tier)
+TIER2="/tmp/arriba_tpu_bench_genome_scale_v3"
+if [ -f "$TIER2/aligned.sam" ]; then
+    PYTHONPATH=. python - "$TIER2" <<'EOF'
+import sys, os
+sample = sys.argv[1]
+sys.argv = ["arriba_tpu",
+            "-x", os.path.join(sample, "aligned.sam"),
+            "-g", os.path.join(sample, "genes.gtf"),
+            "-a", os.path.join(sample, "genome.fa"),
+            "-b", os.path.join(sample, "blacklist.tsv"),
+            "-o", "/tmp/pgo_fusions2.tsv", "-O", "/tmp/pgo_fusions2.discarded.tsv",
+            "-s", "no", "-@", str(os.cpu_count() or 1)]
+from arriba_tpu.cli import main
+status = main()
+assert status == 0, status
+EOF
+fi
 ls build/temp.*/native/*.gcda >/dev/null  # the profile must exist
 ARRIBA_TPU_PGO=use python setup.py build_ext --inplace --force >/dev/null
 echo "PGO build complete: arriba_tpu/_native$(python3-config --extension-suffix)"
