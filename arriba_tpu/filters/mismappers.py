@@ -503,7 +503,7 @@ def device_screen(fusions: Fusions, chimeric_alignments: ChimericAlignments,
     tri-state verdicts: REJECT when the read (either strand) shares no
     8-mer with the padded gene window (the seed lookup at
     filter_mismappers.cpp:97-99 can never fire), ACCEPT when an exact
-    single-seed align() path reaches min_score (ops/realign._accept_kernel
+    single-seed align() path reaches min_score (ops/realign._accept_wavefront_kernel
     reproduces the reference's scoring arithmetic), UNDECIDED otherwise
     (host recursion decides — only it can accept via splice/deletion
     chains)."""

@@ -14,11 +14,20 @@ the TPU path splits it into two fixed-shape stages over (read, window) pairs:
    vectorized over the batch on the VPU; a Pallas kernel keeps the two
    carry diagonals in VMEM for the TPU path.
 
-The exact accept/reject decision of the reference (including splice-site
-recursion) stays with the host oracle in filters/mismappers.py; under
-ARRIBA_TPU_DEVICE=1 filter_mismappers batches its candidate (read, window)
-pairs through `screen_pairs` below, so the recursion only runs on pairs
-that can possibly pass.
+Round 4 adds the EXACT device accept: `_accept_wavefront_kernel` (XLA) and
+`_accept_wavefront_pallas` (VMEM-resident carries) evaluate every
+single-seed align() path — seed 8-mer, left extension with <=1 mismatch,
+right extension at +1/-1 with the 4-consecutive-mismatch break, free
+leading skips, the outer-loop seed bound and k-mer-index range — as a
+per-diagonal automaton riding the SW anti-diagonal wavefront. A device
+ACCEPT is sound (align() necessarily accepts) and lets filter_mismappers
+skip the host recursion for that (read, gene); splice/deletion recursion
+chains stay host-only, so a device reject decides nothing.
+
+The recursion itself stays with the host oracle in filters/mismappers.py;
+under ARRIBA_TPU_DEVICE=1 filter_mismappers batches its candidate
+(read, window) pairs through `screen_pairs` + `accept_pairs` below into a
+tri-state verdict, so the recursion only runs on undecided pairs.
 """
 
 from __future__ import annotations
@@ -261,7 +270,6 @@ def _screen_kernel(reads: jnp.ndarray, windows: jnp.ndarray) -> jnp.ndarray:
 
 _PAD_READ = 0     # never a sequence byte
 _PAD_WIN = 1
-_BIG_DIAG = jnp.int32(2 ** 30)
 _NEG = jnp.int32(-(2 ** 20))
 
 
@@ -281,137 +289,256 @@ def _rolling8(codes: jnp.ndarray) -> jnp.ndarray:
     return values
 
 
-@functools.partial(jax.jit, static_argnames=("n_hits", "n_diags"))
-def _accept_kernel(reads: jnp.ndarray, windows: jnp.ndarray,
-                   read_len: jnp.ndarray, win_len: jnp.ndarray,
-                   min_score: jnp.ndarray, seed_lo: jnp.ndarray,
-                   seed_hi: jnp.ndarray, n_hits: int = 4,
-                   n_diags: int = 64) -> jnp.ndarray:
-    """[N] bool: does a single-seed align() path over a discovered diagonal
-    reach min_score? reads [N, L] / windows [N, W] are RAW bytes (pads 0/1);
-    seed positions are eligible at window-local g in [seed_lo, seed_hi]
-    (window chunking) and g <= win_len - 10 (the k-mer index range,
-    filter_mismappers.cpp:60-67 via make_kmer_index)."""
+@functools.partial(jax.jit, static_argnames=())
+def _accept_wavefront_kernel(reads: jnp.ndarray, windows: jnp.ndarray,
+                             read_len: jnp.ndarray, win_len: jnp.ndarray,
+                             min_score: jnp.ndarray, seed_lo: jnp.ndarray,
+                             seed_hi: jnp.ndarray) -> jnp.ndarray:
+    """[N] bool: EVERY diagonal evaluated by an anti-diagonal wavefront with
+    per-cell carries — no gathers, no seed capping (TPU gathers serialize;
+    this formulation is dense [N, L]-plane ops like the SW wavefront).
+
+    Per-diagonal automaton (cell (i, j), predecessor (i-1, j-1) = two
+    wavefront steps back, lane-shifted):
+      a     consecutive byte-matches ending here
+      b     byte-matches scanning left until the 2nd mismatch (the left
+            extension value of a seed starting at i+1)
+      q     consecutive code-matches (8-mer streak detector)
+      bsave b at the cell before the current code streak began (= the left
+            extension of the streak-START seed)
+      sok   streak-start eligibility (outer-loop p bound, window k-mer
+            range, window start char != 'N') latched at streak start
+      cons  consecutive byte-mismatches of the active right-extension walk
+      sc    best active walk score (max over fired seeds on this diagonal,
+            all sharing the same +1/-1 increments and 4-mismatch break)
+    A seed fires when q == 8 & sok with candidate 8 + bsave; accept when a
+    candidate is >= min_score at fire time or an active walk reaches
+    min_score on a byte-match. Only streak-START seeds fire: later seeds
+    of the same streak are dominated except via rare N-byte collisions
+    (code-match but byte-mismatch), so this under-accepts vs align() —
+    sound, never wrong."""
     N, L = reads.shape
     W = windows.shape[1]
-    rows = jnp.arange(N)[:, None]
+    NEG = _NEG
 
-    kc_r = _kmer_codes_bytes(reads)
-    kc_w = _kmer_codes_bytes(windows)
+    # reversed+padded windows: at step d, lane i reads wrev[W-1-d+L+i],
+    # i.e. windows[:, d-i] (the SW wavefront indexing)
+    wrev = jnp.flip(windows, axis=1)
+    wrev = jnp.pad(wrev, ((0, 0), (L, L)), constant_values=_PAD_WIN)
 
-    # ---- window 8-mers, sorted with positions ----
-    pos_w = jnp.arange(W, dtype=jnp.int32)[None, :]
-    wk = _rolling8(kc_w)
-    w_eligible = ((pos_w <= (win_len[:, None] - 10))
-                  & (pos_w >= seed_lo[:, None]) & (pos_w <= seed_hi[:, None])
-                  & (windows != ord("N")))
-    wk = jnp.where(w_eligible, wk, -1)
-    order = jnp.argsort(wk, axis=1)
-    sorted_wk = jnp.take_along_axis(wk, order, axis=1)
-    sorted_pos = jnp.take_along_axis(jnp.broadcast_to(pos_w, (N, W)), order,
-                                     axis=1)
+    read_b = reads.astype(jnp.int32)
+    kc_r = _kmer_codes_bytes(read_b)
+    lane = jnp.arange(L, dtype=jnp.int32)[None, :]
+    r_valid = lane < read_len[:, None]
+    # outer-loop seed bound for a seed STARTING at lane i
+    p_eligible = ((lane + 8 < read_len[:, None])
+                  & (2 * lane <= (read_len + 16 - min_score)[:, None]))
+    ms = min_score[:, None]
+    wl = win_len[:, None]
+    slo = seed_lo[:, None]
+    shi = seed_hi[:, None]
 
-    # ---- read 8-mers at eligible seed positions ----
-    # outer-loop bounds (filter_mismappers.cpp:93-95 with score = -p at the
-    # top level): p + 8 < read_len and 2p <= read_len + 16 - min_score
-    pos_r = jnp.arange(L, dtype=jnp.int32)[None, :]
-    rk = _rolling8(kc_r)
-    p_eligible = ((pos_r + 8 < read_len[:, None])
-                  & (2 * pos_r <= (read_len + 16 - min_score)[:, None]))
-    rk = jnp.where(p_eligible, rk, -2)
+    def body(d, state):
+        prev, prev2, accept = state
+        a_p, b_p, q_p, bs_p, sok_p, cons_p, sc_p = prev2
+        window_diag = jax.lax.dynamic_slice(
+            wrev, (0, W - 1 - d + L), (N, L)).astype(jnp.int32)
+        j = d - lane                                   # window pos per lane
+        v = r_valid & (j >= 0) & (j < wl)
+        m = (read_b == window_diag) & v
+        cm = (kc_r == _kmer_codes_bytes(window_diag)) & v
 
-    lo = jax.vmap(lambda s, q: jnp.searchsorted(s, q))(sorted_wk, rk)  # [N, L]
+        def shift(p, fill):
+            return jnp.concatenate(
+                [jnp.full((N, 1), fill, p.dtype), p[:, :-1]], axis=1)
 
-    # ---- candidate diagonals from the first n_hits hits per position ----
-    diags = []
-    for h in range(n_hits):
-        idx = jnp.minimum(lo + h, W - 1)
-        hit = (jnp.take_along_axis(sorted_wk, idx, axis=1) == rk) & (rk >= 0)
-        g = jnp.take_along_axis(sorted_pos, idx, axis=1)
-        diags.append(jnp.where(hit, g - pos_r, _BIG_DIAG))
-    d_flat = jnp.concatenate(diags, axis=1)                  # [N, L*n_hits]
-    ds = jnp.sort(d_flat, axis=1)
-    uniq = jnp.concatenate(
-        [jnp.ones((N, 1), bool), ds[:, 1:] != ds[:, :-1]], axis=1)
-    uniq = uniq & (ds < _BIG_DIAG)
-    # compact unique diagonals to the front with a second sort (a scatter
-    # would serialize on TPU), then keep the first n_diags slots
-    diag = jnp.sort(jnp.where(uniq, ds, _BIG_DIAG), axis=1)[:, :n_diags]
-    have_diag = diag < _BIG_DIAG
+        # diagonal predecessor (i-1, j-1) lives TWO wavefront steps back,
+        # one lane up (the SW kernel's h_prev2_shift)
+        a_in = shift(a_p, 0)
+        b_in = shift(b_p, 0)
+        q_in = shift(q_p, 0)
+        bs_in = shift(bs_p, 0)
+        sok_in = shift(sok_p, False)
+        cons_in = shift(cons_p, 0)
+        sc_in = shift(sc_p, NEG)
 
-    # ---- extract diagonal window bytes: wdiag[n, d, i] = win[n, diag+i] ----
-    idx = diag[:, :, None] + jnp.arange(L, dtype=jnp.int32)[None, None, :]
-    in_win = (idx >= 0) & (idx < win_len[:, None, None]) & have_diag[:, :, None]
-    gathered = jnp.take_along_axis(
-        windows, jnp.clip(idx, 0, W - 1).reshape(N, -1), axis=1)
-    wdiag = jnp.where(in_win, gathered.reshape(N, n_diags, L),
-                      jnp.uint8(_PAD_WIN))
+        a = jnp.where(m, a_in + 1, 0)
+        b = jnp.where(v, jnp.where(m, b_in + 1, a_in), 0)
+        q = jnp.where(cm, q_in + 1, 0)
+        # streak starts at this cell when cm and the predecessor streak len
+        # was 0; latch eligibility of (p=i, g=j) and b at p-1
+        starts = cm & (q_in == 0)
+        elig = (p_eligible & (j >= jnp.maximum(slo, 0)) & (j <= shi)
+                & (j <= wl - 10) & (window_diag != ord("N")))
+        sok = jnp.where(cm, jnp.where(starts, elig, sok_in), False)
+        bsave = jnp.where(cm, jnp.where(starts, b_in, bs_in), 0)
 
-    read_b = reads[:, None, :]
-    r_valid = (pos_r < read_len[:, None])[:, None, :]
-    valid = r_valid & in_win
-    m = (read_b == wdiag) & valid
-    cm = (kc_r[:, None, :] == _kmer_codes_bytes(wdiag)) & valid
+        fired = (q == 8) & sok
+        candidate = 8 + bsave
 
-    # ---- seeds: 8 consecutive code matches at an eligible (p, g) ----
-    seed = cm
-    for j in range(1, 8):
-        seed = seed & jnp.roll(cm, -j, axis=2)
-    g_at_p = diag[:, :, None] + pos_r[:, None, :]
-    seed = (seed & p_eligible[:, None, :]
-            & (g_at_p >= jnp.maximum(seed_lo[:, None, None], 0))
-            & (g_at_p <= seed_hi[:, None, None])
-            & (g_at_p <= (win_len[:, None, None] - 10))
-            & (wdiag != ord("N")))
+        # active right-extension walk: +1/-1, dies after the 4th
+        # consecutive byte-mismatch or at the window/read boundary
+        cons = jnp.where(v, jnp.where(m, 0, cons_in + 1), 0)
+        sc_step = jnp.where(m, sc_in + 1, sc_in - 1)
+        sc_step = jnp.where(v & (jnp.where(m, 0, cons) < 4), sc_step, NEG)
+        accept = accept | jnp.any(m & (sc_step >= ms), axis=1) \
+            | jnp.any(fired & (candidate >= ms), axis=1)
+        sc = jnp.maximum(sc_step, jnp.where(fired, candidate, NEG))
+        return ((a, b, q, bsave, sok, cons, sc), prev, accept)
 
-    # ---- left extension (filter_mismappers.cpp:109-137, top level):
-    # matches scanning left until the 2nd mismatch / boundary; +1 each ----
-    m_t = jnp.moveaxis(m, 2, 0)        # [L, N, D] for scans over positions
-    v_t = jnp.moveaxis(valid, 2, 0)
+    zeros = jnp.zeros((N, L), jnp.int32)
+    falses = jnp.zeros((N, L), bool)
+    negs = jnp.full((N, L), NEG, jnp.int32)
+    empty = (zeros, zeros, zeros, zeros, falses, zeros, negs)
+    state = (empty, empty, jnp.zeros(N, bool))
+    state = jax.lax.fori_loop(0, L + W - 1, body, state)
+    return state[-1]
 
-    def left_body(carry, mv):
-        a_prev, b_prev = carry
-        m_i, v_i = mv
-        a = jnp.where(m_i, a_prev + 1, 0)
-        b = jnp.where(m_i, b_prev + 1, a_prev)
-        a = jnp.where(v_i, a, 0)
-        b = jnp.where(v_i, b, 0)
-        return (a, b), b
 
-    zeros = jnp.zeros((N, n_diags), jnp.int32)
-    _, b_seq = jax.lax.scan(left_body, (zeros, zeros), (m_t, v_t))
-    b_at = jnp.moveaxis(b_seq, 0, 2)                         # [N, D, L]
-    left_gain = jnp.concatenate(
-        [jnp.zeros((N, n_diags, 1), jnp.int32), b_at[:, :, :-1]], axis=2)
+def _accept_wavefront_pallas(reads: jnp.ndarray, windows: jnp.ndarray,
+                             params: jnp.ndarray, block_n: int = 256,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Pallas version of the accept wavefront: carries live in VMEM scratch
+    (the XLA version round-trips ~14 [N, L] planes through HBM per step and
+    is bandwidth-bound), window bytes consumed through the 128-lane shift
+    register of the SW kernel (Mosaic-safe block loads). params is
+    [N, 128] int32 with columns (read_len, win_len, min_score, seed_lo,
+    seed_hi) broadcast-padded."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    # ---- right extension (filter_mismappers.cpp:145-182): best prefix gain
-    # of a walk from q with k consecutive mismatches banked; the walk breaks
-    # after the 4th consecutive mismatch and at window/read boundaries ----
-    def right_body(carry, mv):
-        g0, g1, g2, g3 = carry
-        m_i, v_i = mv
-        on_match = jnp.maximum(1, 1 + g0)
-        n0 = jnp.where(m_i, on_match, -1 + g1)
-        n1 = jnp.where(m_i, on_match, -1 + g2)
-        n2 = jnp.where(m_i, on_match, -1 + g3)
-        n3 = jnp.where(m_i, on_match, _NEG)
-        n0 = jnp.where(v_i, n0, _NEG)
-        n1 = jnp.where(v_i, n1, _NEG)
-        n2 = jnp.where(v_i, n2, _NEG)
-        n3 = jnp.where(v_i, n3, _NEG)
-        return (n0, n1, n2, n3), n0
+    n, L = reads.shape
+    W = windows.shape[1]
+    n_steps = L + W - 1
+    n_wblocks = (n_steps + 127) // 128
+    padded_w = n_wblocks * 128
+    windows_padded = jnp.pad(windows, ((0, 0), (0, padded_w - W)),
+                             constant_values=_PAD_WIN)
+    NEG = int(_NEG)
 
-    negs = jnp.full((N, n_diags), _NEG, jnp.int32)
-    _, g0_seq = jax.lax.scan(right_body, (negs, negs, negs, negs),
-                             (m_t[::-1], v_t[::-1]))
-    g0_at = jnp.moveaxis(g0_seq[::-1], 0, 2)                 # [N, D, L]
-    # right walk starts at q = p + 8
-    right_gain = jnp.concatenate(
-        [g0_at[:, :, 8:], jnp.full((N, n_diags, 8), _NEG, jnp.int32)], axis=2)
+    def kmer_code(x):
+        return jnp.where(x == ord("T"), 0,
+                         jnp.where(x == ord("G"), 1,
+                                   jnp.where(x == ord("C"), 2, 3)))
 
-    score = 8 + left_gain + jnp.maximum(right_gain, 0)
-    accept = seed & (score >= min_score[:, None, None])
-    return jnp.any(accept, axis=(1, 2))
+    def kernel(reads_ref, windows_ref, params_ref, out_ref,
+               a2, b2, q2, bs2, sok2, cons2, sc2,
+               a1, b1, q1, bs1, sok1, cons1, sc1, wd, acc):
+        zero = jnp.zeros((block_n, L), jnp.int32)
+        for ref in (a2, b2, q2, bs2, cons2, a1, b1, q1, bs1, cons1):
+            ref[:] = zero
+        sok2[:] = zero
+        sok1[:] = zero
+        sc2[:] = jnp.full((block_n, L), NEG, jnp.int32)
+        sc1[:] = jnp.full((block_n, L), NEG, jnp.int32)
+        wd[:] = jnp.full((block_n, L), _PAD_WIN, jnp.int32)
+        acc[:] = jnp.zeros((block_n, L), jnp.int32)
+
+        read_b = reads_ref[:].astype(jnp.int32)
+        kc_r = kmer_code(read_b)
+        lane_l = jax.lax.broadcasted_iota(jnp.int32, (block_n, L), 1)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (block_n, 128), 1)
+        read_len = params_ref[:, 0:1]
+        wl = params_ref[:, 1:2]
+        ms = params_ref[:, 2:3]
+        slo = jnp.maximum(params_ref[:, 3:4], 0)
+        shi = params_ref[:, 4:5]
+        r_valid = lane_l < read_len
+        p_eligible = ((lane_l + 8 < read_len)
+                      & (2 * lane_l <= read_len + 16 - ms))
+
+        def outer(blk, _):
+            wblock = windows_ref[:, pl.ds(pl.multiple_of(blk * 128, 128),
+                                          128)].astype(jnp.int32)
+
+            def inner(s, _):
+                d = blk * 128 + s
+                elem = jnp.sum(jnp.where(lane128 == s, wblock, 0),
+                               axis=1, keepdims=True)
+                window_diag = jnp.where(lane_l == 0, elem,
+                                        pltpu.roll(wd[:], 1, 1))
+                wd[:] = window_diag
+                j = d - lane_l
+                v = r_valid & (j >= 0) & (j < wl)
+                m = (read_b == window_diag) & v
+                cm = (kc_r == kmer_code(window_diag)) & v
+
+                def shift(x, fill):
+                    return jnp.where(lane_l == 0, fill, pltpu.roll(x, 1, 1))
+
+                a_in = shift(a2[:], 0)
+                b_in = shift(b2[:], 0)
+                q_in = shift(q2[:], 0)
+                bs_in = shift(bs2[:], 0)
+                sok_in = shift(sok2[:], 0)
+                cons_in = shift(cons2[:], 0)
+                sc_in = shift(sc2[:], NEG)
+
+                a = jnp.where(m, a_in + 1, 0)
+                b = jnp.where(v, jnp.where(m, b_in + 1, a_in), 0)
+                q = jnp.where(cm, q_in + 1, 0)
+                starts = cm & (q_in == 0)
+                elig = (p_eligible & (j >= slo) & (j <= shi)
+                        & (j <= wl - 10)
+                        & (window_diag != ord("N"))).astype(jnp.int32)
+                sok = jnp.where(cm, jnp.where(starts, elig, sok_in), 0)
+                bsave = jnp.where(cm, jnp.where(starts, b_in, bs_in), 0)
+                fired = (q == 8) & (sok != 0)
+                candidate = 8 + bsave
+                cons = jnp.where(v, jnp.where(m, 0, cons_in + 1), 0)
+                sc_step = jnp.where(m, sc_in + 1, sc_in - 1)
+                sc_step = jnp.where(v & (jnp.where(m, 0, cons) < 4),
+                                    sc_step, NEG)
+                acc[:] = acc[:] | ((m & (sc_step >= ms))
+                                   | (fired & (candidate >= ms))
+                                   ).astype(jnp.int32)
+                sc = jnp.maximum(sc_step,
+                                 jnp.where(fired, candidate, NEG))
+                # rotate the two-deep diagonal pipeline
+                a2[:] = a1[:]
+                b2[:] = b1[:]
+                q2[:] = q1[:]
+                bs2[:] = bs1[:]
+                sok2[:] = sok1[:]
+                cons2[:] = cons1[:]
+                sc2[:] = sc1[:]
+                a1[:] = a
+                b1[:] = b
+                q1[:] = q
+                bs1[:] = bsave
+                sok1[:] = sok
+                cons1[:] = cons
+                sc1[:] = sc
+                return 0
+
+            jax.lax.fori_loop(0, 128, inner, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_wblocks, outer, 0)
+        out_ref[:] = jnp.broadcast_to(
+            jnp.max(acc[:], axis=1, keepdims=True), (block_n, 128))
+
+    grid = ((n + block_n - 1) // block_n,)
+    plane = lambda: pltpu.VMEM((block_n, L), jnp.int32)  # noqa: E731
+    result = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_n, L), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, padded_w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_n, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.int32),
+        scratch_shapes=[plane() for _ in range(15)]
+        + [pltpu.VMEM((block_n, L), jnp.int32)],
+        interpret=interpret,
+    )(reads, windows_padded, params)
+    return result[:, 0] != 0
 
 
 def accept_pairs(read_seqs, window_views, min_scores,
@@ -419,7 +546,7 @@ def accept_pairs(read_seqs, window_views, min_scores,
                  n_hits: int = 4, n_diags: int = 64) -> np.ndarray:
     """[n] bool per (read, window) pair: a single-seed align() path in
     EITHER read orientation reaches min_score (sound accept — see
-    _accept_kernel). read_seqs: list of str; window_views: list of uint8
+    _accept_wavefront_kernel). read_seqs: list of str; window_views: list of uint8
     views into the assembly (exactly the [gene_start, gene_end] windows
     align() searches); min_scores: list of int (the reference's
     min_align_fraction arithmetic, computed by the caller)."""
@@ -490,11 +617,28 @@ def accept_pairs(read_seqs, window_views, min_scores,
         seed_lo[:rows] = mrows[:, 3]
         seed_hi = np.zeros(len(chunk_r), np.int32)
         seed_hi[:rows] = mrows[:, 4]
-        hits = np.asarray(_accept_kernel(
-            jnp.asarray(np.stack(chunk_r)), jnp.asarray(np.stack(chunk_w)),
-            jnp.asarray(read_len), jnp.asarray(win_len), jnp.asarray(ms),
-            jnp.asarray(seed_lo), jnp.asarray(seed_hi),
-            n_hits=n_hits, n_diags=n_diags))[:rows]
+        reads_d = jnp.asarray(np.stack(chunk_r))
+        wins_d = jnp.asarray(np.stack(chunk_w))
+        hits = None
+        if jax.devices()[0].platform not in ("cpu", "gpu"):
+            # TPU-class device: the VMEM-resident Pallas wavefront
+            params = np.zeros((len(chunk_r), 128), np.int32)
+            params[:, 0] = read_len
+            params[:, 1] = win_len
+            params[:, 2] = ms
+            params[:, 3] = seed_lo
+            params[:, 4] = seed_hi
+            try:
+                hits = np.asarray(_accept_wavefront_pallas(
+                    reads_d, wins_d, jnp.asarray(params),
+                    block_n=min(256, len(chunk_r))))[:rows]
+            except Exception:  # pragma: no cover - Mosaic-version dependent
+                hits = None
+        if hits is None:
+            hits = np.asarray(_accept_wavefront_kernel(
+                reads_d, wins_d,
+                jnp.asarray(read_len), jnp.asarray(win_len), jnp.asarray(ms),
+                jnp.asarray(seed_lo), jnp.asarray(seed_hi)))[:rows]
         np.logical_or.at(result, mrows[:, 0], hits)
     return result
 

@@ -821,3 +821,40 @@ def test_platform_env_guard_leaves_plugin_platforms_alone(monkeypatch):
     monkeypatch.setenv("JAX_PLATFORMS", before or "cpu")
     _apply_jax_platform_env()
     assert jax.config.jax_platforms == before or jax.config.jax_platforms in (None, "cpu")
+
+
+def test_accept_wavefront_pallas_matches_xla():
+    """The Pallas accept wavefront (VMEM-resident carries, interpret mode
+    here) must agree with the XLA wavefront exactly — embedded copies,
+    random rejects, short windows, and per-row bounds."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(17)
+    N, L, W = 16, 128, 512
+    reads = rng.integers(65, 85, (N, L)).astype(np.uint8)
+    wins = rng.integers(65, 85, (N, W)).astype(np.uint8)
+    for i in range(0, N, 2):
+        p = int(rng.integers(0, W - 100))
+        reads[i, :100] = wins[i, p:p + 100]
+        reads[i, rng.integers(0, 100, 2)] = rng.integers(65, 85, 2)
+    read_len = np.full(N, 100, np.int32)
+    win_len = rng.integers(200, W + 1, N).astype(np.int32)
+    ms = np.full(N, 80, np.int32)
+    lo = np.zeros(N, np.int32)
+    hi = win_len.copy()
+    params = np.zeros((N, 128), np.int32)
+    params[:, 0] = read_len
+    params[:, 1] = win_len
+    params[:, 2] = ms
+    params[:, 3] = lo
+    params[:, 4] = hi
+
+    ref = np.asarray(realign._accept_wavefront_kernel(
+        jnp.asarray(reads), jnp.asarray(wins), jnp.asarray(read_len),
+        jnp.asarray(win_len), jnp.asarray(ms), jnp.asarray(lo),
+        jnp.asarray(hi)))
+    out = np.asarray(realign._accept_wavefront_pallas(
+        jnp.asarray(reads), jnp.asarray(wins), jnp.asarray(params),
+        block_n=16, interpret=True))
+    assert ref.sum() > 0  # embedded copies accepted
+    np.testing.assert_array_equal(ref, out)
