@@ -539,7 +539,32 @@ def chip_truth() -> None:
                      "pruned_fraction": round(
                          1.0 - float(np.mean(hits)), 3)})
 
-    # 5. fused read-filter step (bench/dryrun + low-entropy product path)
+    # 5. accept wavefront (wired: accept_pairs Pallas path) — the exact
+    #    single-seed align() automaton, device-resident rate
+    from arriba_tpu.ops.realign import _accept_wavefront_pallas
+    wn, wl_, ww = 512, 192, 8192
+    wreads = jnp.asarray(rng.integers(65, 85, (wn, wl_)).astype(np.uint8))
+    wwins = jnp.asarray(rng.integers(65, 85, (wn, ww)).astype(np.uint8))
+    wparams = np.zeros((wn, 128), np.int32)
+    wparams[:, 0] = 150
+    wparams[:, 1] = ww
+    wparams[:, 2] = 120
+    wparams[:, 4] = ww
+    try:
+        fn = jax.jit(lambda r, w, p: _accept_wavefront_pallas(r, w, p))
+        out, secs = timed(fn, wreads, wwins, jnp.asarray(wparams))
+        cells = wn * 150 * ww
+        rows.append({"metric": "chip_accept_wavefront", "device": str(dev),
+                     "rows_per_s": round(wn / secs, 1),
+                     "gcups_equivalent": round(cells / secs / 1e9, 1),
+                     "note": "exact single-seed align() automaton (Pallas, "
+                             "VMEM carries), the kernel accept_pairs "
+                             "dispatches on TPU-class devices"})
+    except Exception as error:  # noqa: BLE001 - Mosaic-version dependent
+        rows.append({"metric": "chip_accept_wavefront",
+                     "error": str(error)[:160]})
+
+    # 6. fused read-filter step (bench/dryrun + low-entropy product path)
     from arriba_tpu.ops.encode import random_read_batch
     from arriba_tpu.ops.readfilters import read_filter_step
     batch = random_read_batch(np.random.default_rng(0), 65536, 152,
