@@ -643,8 +643,8 @@ def accept_pairs(read_seqs, window_views, min_scores,
     return result
 
 
-def screen_pairs(read_seqs, window_views, window_chunk: int = 2048,
-                 batch_rows: int = 2048) -> np.ndarray:
+def screen_pairs(read_seqs, window_views, window_chunk: int = 8192,
+                 batch_rows: int = 4096) -> np.ndarray:
     """[n] bool per (read, window) pair: the pair shares an 8-mer in either
     read orientation (a sound prefilter for the reference aligner — a pair
     without a shared seed can never be accepted by align()).

@@ -357,11 +357,17 @@ def main() -> None:
             "device_off_s": round(off_elapsed, 2),
             "device_on_s": round(on_elapsed, 2),
             "fusions_byte_equal": equal,
-            "note": ("device dispatch crosses a remote accelerator tunnel "
-                     "in this environment (measured 0.1-1 GB/s transfer, "
-                     "10-200 ms per dispatch); the auto offload policy "
-                     "(ARRIBA_TPU_DEVICE unset) therefore only engages on "
-                     "a locally-attached chip and above the batch-size "
+            "note": ("ARRIBA_TPU_DEVICE=1 deliberately runs the PYTHON "
+                     "parity cascade (so the jax ops are decision-making) "
+                     "— most of device_on_s is that engine, not device "
+                     "dispatch. Constant-engine comparison measured on "
+                     "this sample (README Performance): pure-Python host "
+                     "880 s, pure-Python+device-via-tunnel 1082 s, "
+                     "DEVICE=1 with native scans 180 s, native engine "
+                     "~5 s. The tunnel (0.1-1 GB/s, 10-200 ms per "
+                     "dispatch) taxes every device call here; the auto "
+                     "policy (DEVICE unset) therefore offloads only on a "
+                     "locally-attached chip above the batch-size "
                      "crossover (ARRIBA_TPU_DEVICE_MIN_ROWS)")})
     except Exception as error:  # noqa: BLE001
         print(f"device on/off rows skipped: {error}", file=sys.stderr)
