@@ -114,3 +114,38 @@ def test_gzipped_sam_input(tmp_path):
         outputs[label] = out.read_bytes()
     assert outputs["plain"] == outputs["gz1"] == outputs["gz4"]
     assert b"GENE1" in outputs["plain"]
+
+
+def test_convert_sam_to_bam_script(tmp_path):
+    """scripts/convert_sam_to_bam.py produces a BAM the pipeline decodes to
+    byte-identical outputs (same stage counters, same fusions.tsv)."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    from .scenario import multi_event_sample
+
+    args = multi_event_sample(tmp_path)
+    sam = tmp_path / "aligned.sam"
+    bam = tmp_path / "aligned.bam"
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    result = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "convert_sam_to_bam.py"),
+         str(sam), str(bam)],
+        capture_output=True, text=True, timeout=300)
+    assert result.returncode == 0, result.stderr
+
+    outputs = {}
+    for label, xfile in (("sam", sam), ("bam", bam)):
+        out = tmp_path / f"conv_{label}.tsv"
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        run = subprocess.run(
+            [sys.executable, "-m", "arriba_tpu"]
+            + [a if a != str(sam) else str(xfile) for a in args]
+            + ["-o", str(out)],
+            env=env, capture_output=True, text=True, timeout=420)
+        assert run.returncode == 0, run.stdout + run.stderr
+        outputs[label] = out.read_bytes()
+    assert outputs["bam"] == outputs["sam"]
