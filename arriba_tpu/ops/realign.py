@@ -422,13 +422,13 @@ def _accept_wavefront_pallas(reads: jnp.ndarray, windows: jnp.ndarray,
                                    jnp.where(x == ord("C"), 2, 3)))
 
     def kernel(reads_ref, windows_ref, params_ref, out_ref,
-               a2, b2, q2, bs2, sok2, cons2, sc2,
-               a1, b1, q1, bs1, sok1, cons1, sc1, wd, acc):
+               p2, bs2, sc2, p1, bs1, sc1, wd, acc):
+        # small counters ride ONE packed int32 plane per pipeline stage:
+        # a (bits 0-8), b (9-17), q (18-21, capped at 9), cons (22-24,
+        # capped at 5), sok (25) — halving the per-step roll/copy traffic
         zero = jnp.zeros((block_n, L), jnp.int32)
-        for ref in (a2, b2, q2, bs2, cons2, a1, b1, q1, bs1, cons1):
+        for ref in (p2, bs2, p1, bs1):
             ref[:] = zero
-        sok2[:] = zero
-        sok1[:] = zero
         sc2[:] = jnp.full((block_n, L), NEG, jnp.int32)
         sc1[:] = jnp.full((block_n, L), NEG, jnp.int32)
         wd[:] = jnp.full((block_n, L), _PAD_WIN, jnp.int32)
@@ -466,17 +466,18 @@ def _accept_wavefront_pallas(reads: jnp.ndarray, windows: jnp.ndarray,
                 def shift(x, fill):
                     return jnp.where(lane_l == 0, fill, pltpu.roll(x, 1, 1))
 
-                a_in = shift(a2[:], 0)
-                b_in = shift(b2[:], 0)
-                q_in = shift(q2[:], 0)
+                p_in = shift(p2[:], 0)
                 bs_in = shift(bs2[:], 0)
-                sok_in = shift(sok2[:], 0)
-                cons_in = shift(cons2[:], 0)
                 sc_in = shift(sc2[:], NEG)
+                a_in = p_in & 511
+                b_in = (p_in >> 9) & 511
+                q_in = (p_in >> 18) & 15
+                cons_in = (p_in >> 22) & 7
+                sok_in = (p_in >> 25) & 1
 
                 a = jnp.where(m, a_in + 1, 0)
                 b = jnp.where(v, jnp.where(m, b_in + 1, a_in), 0)
-                q = jnp.where(cm, q_in + 1, 0)
+                q = jnp.where(cm, jnp.minimum(q_in + 1, 9), 0)
                 starts = cm & (q_in == 0)
                 elig = (p_eligible & (j >= slo) & (j <= shi)
                         & (j <= wl - 10)
@@ -485,7 +486,8 @@ def _accept_wavefront_pallas(reads: jnp.ndarray, windows: jnp.ndarray,
                 bsave = jnp.where(cm, jnp.where(starts, b_in, bs_in), 0)
                 fired = (q == 8) & (sok != 0)
                 candidate = 8 + bsave
-                cons = jnp.where(v, jnp.where(m, 0, cons_in + 1), 0)
+                cons = jnp.where(v, jnp.where(m, 0,
+                                              jnp.minimum(cons_in + 1, 5)), 0)
                 sc_step = jnp.where(m, sc_in + 1, sc_in - 1)
                 sc_step = jnp.where(v & (jnp.where(m, 0, cons) < 4),
                                     sc_step, NEG)
@@ -495,19 +497,12 @@ def _accept_wavefront_pallas(reads: jnp.ndarray, windows: jnp.ndarray,
                 sc = jnp.maximum(sc_step,
                                  jnp.where(fired, candidate, NEG))
                 # rotate the two-deep diagonal pipeline
-                a2[:] = a1[:]
-                b2[:] = b1[:]
-                q2[:] = q1[:]
+                p2[:] = p1[:]
                 bs2[:] = bs1[:]
-                sok2[:] = sok1[:]
-                cons2[:] = cons1[:]
                 sc2[:] = sc1[:]
-                a1[:] = a
-                b1[:] = b
-                q1[:] = q
+                p1[:] = (a | (b << 9) | (q << 18) | (cons << 22)
+                         | (sok << 25))
                 bs1[:] = bsave
-                sok1[:] = sok
-                cons1[:] = cons
                 sc1[:] = sc
                 return 0
 
@@ -534,8 +529,7 @@ def _accept_wavefront_pallas(reads: jnp.ndarray, windows: jnp.ndarray,
         out_specs=pl.BlockSpec((block_n, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 128), jnp.int32),
-        scratch_shapes=[plane() for _ in range(15)]
-        + [pltpu.VMEM((block_n, L), jnp.int32)],
+        scratch_shapes=[plane() for _ in range(8)],
         interpret=interpret,
     )(reads, windows_padded, params)
     return result[:, 0] != 0
