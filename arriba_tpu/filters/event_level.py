@@ -294,7 +294,16 @@ def estimate_expected_fusions(fusions: Fusions, mapped_reads: int,
         return
     cols = extract_fusion_columns(fusion_list, genes)
     if stats is None:
-        stats = compute_cascade_stats(cols, genes)
+        # the fusion-partner dedup (filter_relative_support.cpp:21-29)
+        # is first-insertion-wins in the reference's unordered_map
+        # ITERATION order: when two gene pairs share breakpoints, which
+        # partner enters a gene's set depends on that order, so the
+        # statistics pass walks the emulated map order
+        from ..output.stdmap_order import fusion_map_order
+        order = fusion_map_order(list(fusions.keys()))
+        stats_cols = extract_fusion_columns(
+            [fusion_list[i] for i in order], genes)
+        stats = compute_cascade_stats(stats_cols, genes)
 
     col_gene1, col_gene2 = cols["gene1"], cols["gene2"]
     col_bp1, col_bp2 = cols["bp1"], cols["bp2"]

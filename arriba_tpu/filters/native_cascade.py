@@ -665,8 +665,14 @@ class EventCascade:
         if cached is not None:
             return cached
         from ..filters.in_vitro import expression_gene_incidence
+        from ..output.stdmap_order import fusion_map_order
         self.materialize()
+        # the partner dedup is sensitive to the reference's map iteration
+        # order (see event_level.estimate_expected_fusions): feed the
+        # sharded reduction the same emulated order
         fusion_list = list(self.fusions.values())
+        order = fusion_map_order(list(self.fusions.keys()))
+        fusion_list = [fusion_list[i] for i in order]
         incidence = expression_gene_incidence(self.ca)
         if mesh == "procs":
             from ..parallel.multihost import run_multiprocess_stats

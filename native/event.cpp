@@ -740,6 +740,10 @@ PyObject *ev_multimappers(PyObject *, PyObject *) {
 // multiplication rounds through float32 like the reference's `float evalue`;
 // pow() is libm pow, as in the reference.
 
+namespace {
+std::vector<int64_t> reference_map_order();  // defined with the writer below
+}  // namespace
+
 PyObject *ev_estimate_expected(PyObject *, PyObject *args) {
     long long mapped_reads;
     if (!PyArg_ParseTuple(args, "L", &mapped_reads)) return nullptr;
@@ -748,9 +752,15 @@ PyObject *ev_estimate_expected(PyObject *, PyObject *args) {
     cascade_store::Cascade &c = cascade_store::cascade();
     if (s.fusions.empty()) Py_RETURN_NONE;
 
-    // fusion partners per gene, deduplicated by breakpoints
+    // fusion partners per gene, deduplicated by breakpoints. The
+    // reference's first-insertion-wins dedup (overlap_duplicates,
+    // filter_relative_support.cpp:21-29) runs in its unordered_map
+    // ITERATION order — when two gene pairs share breakpoints, which
+    // partner enters the set depends on that order, so the walk must
+    // follow reference_map_order(), not store order.
     std::map<std::array<int64_t, 3>, int64_t> first_partner;
-    for (const EventFusion &f : s.fusions) {
+    for (int64_t fusion_index : reference_map_order()) {
+        const EventFusion &f = s.fusions[fusion_index];
         if (f.filter != 0 || f.gene1 == f.gene2) continue;
         std::array<int64_t, 3> key2{f.gene2, f.breakpoint1, f.breakpoint2};
         if (first_partner.find(key2) == first_partner.end())

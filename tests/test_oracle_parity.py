@@ -207,3 +207,19 @@ def test_ig_tr_dux4_parity(tmp_path):
     for pair in ("PAX5L", "CLOSE", "INTRON1"):
         assert pair not in main, main
     assert "end_to_end" in discarded
+
+
+@pytest.mark.parametrize("seed", [70007, 70015, 70030])
+def test_large_fuzz_partner_order_parity(tmp_path, seed):
+    """Regression: the fusion-partner dedup of the e-value model
+    (filter_relative_support.cpp:21-29) is first-insertion-wins in the
+    reference's unordered_map ITERATION order — when two gene pairs share
+    breakpoints, which partner enters a gene's set depends on that order,
+    shifting e-values (a factor of max(count-1,1)) and thereby the output
+    sort. These 60-event samples produced exactly that collision; all
+    engines must walk the emulated map order (caught in round 4 by a
+    large-fuzz band: 3/40 seeds diverged only in row ORDER of
+    fusions.tsv)."""
+    from .scenario import large_fuzz_sample
+    assert_parity(tmp_path, large_fuzz_sample(tmp_path, seed),
+                  our_extra_args=("-@", "4"))
