@@ -675,21 +675,39 @@ class EventCascade:
         fusion_list = [fusion_list[i] for i in order]
         incidence = expression_gene_incidence(self.ca)
         if mesh == "procs":
-            from ..parallel.multihost import run_multiprocess_stats
-            value = os.environ["ARRIBA_TPU_SHARDED_STATS"]
-            n_procs = int(value[:-len("procs")] or "2")
-            stats, expression, n_clusters = run_multiprocess_stats(
-                fusion_list, self.genes, incidence,
-                self.options.high_expression_quantile, n_procs)
-            # the DCN-merged candidate clusters must reproduce the host
-            # fusion table: one cluster per fusion with >=1 supporting read
-            expected = sum(1 for f in fusion_list
-                           if f.split_read1_list or f.split_read2_list
-                           or f.discordant_mate_list)
-            if n_clusters != expected:
-                raise RuntimeError(
-                    f"sharded candidate merge diverged from the host "
-                    f"fusion table: {n_clusters} clusters != {expected}")
+            try:
+                from ..parallel.multihost import run_multiprocess_stats
+                value = os.environ["ARRIBA_TPU_SHARDED_STATS"]
+                n_procs = int(value[:-len("procs")] or "2")
+                stats, expression, n_clusters = run_multiprocess_stats(
+                    fusion_list, self.genes, incidence,
+                    self.options.high_expression_quantile, n_procs)
+                # the DCN-merged candidate clusters must reproduce the host
+                # fusion table: one cluster per fusion with >=1 supporting
+                # read
+                expected = sum(1 for f in fusion_list
+                               if f.split_read1_list or f.split_read2_list
+                               or f.discordant_mate_list)
+                if n_clusters != expected:
+                    raise RuntimeError(
+                        f"sharded candidate merge diverged from the host "
+                        f"fusion table: {n_clusters} clusters != {expected}")
+            except Exception as error:  # noqa: BLE001
+                # a worker crash / jax.distributed failure must not abort
+                # the run: the host stats pass is byte-identical by
+                # construction, so fall through to it with one warning
+                import sys
+                print(f"WARNING: multi-process sharded stats failed "
+                      f"({error}); falling back to the single-process "
+                      f"statistics pass (output is unaffected)",
+                      file=sys.stderr)
+                from .read_level import _apply_jax_platform_env
+                _apply_jax_platform_env()
+                from ..parallel.dp import make_mesh
+                from ..parallel.stats import compute_stats_sharded
+                stats, expression = compute_stats_sharded(
+                    fusion_list, self.genes, incidence,
+                    self.options.high_expression_quantile, make_mesh(1))
         else:
             from ..parallel.stats import compute_stats_sharded
             stats, expression = compute_stats_sharded(

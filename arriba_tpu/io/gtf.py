@@ -15,6 +15,8 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
+import re as _re
+
 from ..annotation.tables import Annotation, ExonTable, GeneTable, TranscriptTable
 from ..contigs import ContigRegistry
 from .compressed import iter_lines
@@ -200,6 +202,22 @@ def _read_annotation_gtf_native(native, path: str, features: GtfFeatures,
     return annotation
 
 
+# strtoll grammar mirrored from native/gtf.cpp parse_coord: optional leading
+# C whitespace, optional sign, ASCII digits, optional trailing spaces, max 30
+# chars, int64 range — NOT Python int()'s wider grammar (underscores, unicode
+# digits), so the pure-Python and native engines accept/warn identically
+_COORD_RE = _re.compile(r"[ \t\n\v\f\r]*[+-]?[0-9]+ *\Z")
+
+
+def _parse_coord(text: str) -> int:
+    if len(text) > 30 or not _COORD_RE.match(text):
+        raise ValueError(text)
+    value = int(text)
+    if not (-(1 << 63) <= value < (1 << 63)):
+        raise ValueError(text)
+    return value
+
+
 def read_annotation_gtf(path: str, gtf_features_spec: str, contigs: ContigRegistry,
                         assembly: Assembly) -> Annotation:
     features = parse_gtf_features(gtf_features_spec)
@@ -230,8 +248,11 @@ def read_annotation_gtf(path: str, gtf_features_spec: str, contigs: ContigRegist
             continue
         contig_name, _source, feature, start_s, end_s, _score, strand_s, _frame, attributes = parts[:9]
         try:
-            start = int(start_s) - 1  # GTF is one-based (annotation.cpp:210-211)
-            end = int(end_s) - 1
+            # GTF is one-based (annotation.cpp:210-211); _parse_coord follows
+            # the same strtoll grammar as the native engine (native/gtf.cpp)
+            # so native and ARRIBA_TPU_NO_NATIVE=1 runs warn identically
+            start = _parse_coord(start_s) - 1
+            end = _parse_coord(end_s) - 1
         except ValueError:
             print(f"WARNING: failed to parse line in GTF file: {line}", file=sys.stderr)
             continue

@@ -56,15 +56,12 @@ def run_multiprocess_stats(fusion_list, genes, gene_hits, quantile: float,
     inputs.update(cluster_keys=ckey, cluster_kind=kind, cluster_valid=valid,
                   quantile=np.float64(quantile))
 
-    with socket.socket() as sock:
-        sock.bind(("localhost", 0))
-        port = sock.getsockname()[1]
+    def _fresh_port() -> int:
+        with socket.socket() as sock:
+            sock.bind(("localhost", 0))
+            return sock.getsockname()[1]
 
-    with tempfile.TemporaryDirectory(prefix="arriba_tpu_mh_") as tmp:
-        input_path = os.path.join(tmp, "inputs.npz")
-        np.savez(input_path, **inputs)
-        repo = os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))))
+    def _launch(tmp: str, input_path: str, repo: str, port: int):
         workers = []
         for pid in range(n_processes):
             env = dict(os.environ,
@@ -83,11 +80,40 @@ def run_multiprocess_stats(fusion_list, genes, gene_hits, quantile: float,
                  "--output", os.path.join(tmp, f"out_{pid}.npz")],
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                 text=True))
-        logs = [w.communicate(timeout=timeout) for w in workers]
+        try:
+            logs = [w.communicate(timeout=timeout) for w in workers]
+        finally:
+            # a hung/failed worker must not outlive the tempdir (it could
+            # still be writing into it) or linger as an orphan process
+            for worker in workers:
+                if worker.poll() is None:
+                    worker.kill()
+                    try:
+                        worker.communicate(timeout=30)
+                    except Exception:  # noqa: BLE001
+                        pass
         for pid, worker in enumerate(workers):
             if worker.returncode != 0:
                 raise RuntimeError(f"multihost worker {pid} failed: "
                                    f"{logs[pid][1][-2000:]}")
+
+    with tempfile.TemporaryDirectory(prefix="arriba_tpu_mh_") as tmp:
+        input_path = os.path.join(tmp, "inputs.npz")
+        np.savez(input_path, **inputs)
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        try:
+            _launch(tmp, input_path, repo, _fresh_port())
+        except RuntimeError as error:
+            # the ephemeral port is picked bind-then-close, so another
+            # process can steal it before the rank-0 coordinator binds it;
+            # retry exactly once with a fresh port on a bind-class failure
+            text = str(error).lower()
+            if not any(s in text for s in ("bind", "address already in use",
+                                           "failed to connect",
+                                           "deadline exceeded")):
+                raise
+            _launch(tmp, input_path, repo, _fresh_port())
         outs = [dict(np.load(os.path.join(tmp, f"out_{pid}.npz")))
                 for pid in range(n_processes)]
     for key in outs[0]:

@@ -301,7 +301,7 @@ def main() -> None:
     if vs_baseline is None:
         vs_baseline = round(reads_per_s / ARRIBA_BASELINE_READS_PER_S, 2)
 
-    print(json.dumps({
+    primary = {
         "metric": "end_to_end_chimeric_reads_per_s",
         "value": round(reads_per_s, 1),
         "unit": "chimeric reads/s",
@@ -309,7 +309,12 @@ def main() -> None:
         "vs_baseline_source": vs_source,
         "tier": "genome-scale-150bp",
         "peak_rss_gb": peak_rss,
-    }), flush=True)
+    }
+    # Printed immediately (so a later hang cannot lose the headline) AND
+    # re-printed as the very last line of main() — the driver records only
+    # a tail of combined output, and round 4's artifact lost the primary
+    # row because ~15 secondary lines followed it.
+    print(json.dumps(primary), flush=True)
 
     if head_to_head:
         secondary(head_to_head)
@@ -429,6 +434,12 @@ def main() -> None:
                   f"{child.stderr.strip()[-400:]}", file=sys.stderr)
     except subprocess.TimeoutExpired:
         print("realign crossover skipped (600s timeout)", file=sys.stderr)
+
+    # Final line of combined output = the primary JSON row (see above).
+    if head_to_head:
+        secondary(head_to_head)
+    sys.stderr.flush()
+    print(json.dumps(primary), flush=True)
 
 
 # ---------------------------------------------------------------------------

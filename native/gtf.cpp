@@ -13,6 +13,7 @@
 #include <Python.h>
 
 #include <algorithm>
+#include <cerrno>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -130,17 +131,20 @@ PyObject *vec_bytes(const std::vector<T> &v) {
                                      (Py_ssize_t)(v.size() * sizeof(T)));
 }
 
-std::vector<std::string> parse_str_list(PyObject *obj) {
-    std::vector<std::string> out;
+// returns false (with the CPython exception set) on a non-bytes element —
+// the caller must propagate nullptr rather than continue with a live
+// exception (undefined behavior for further C-API calls)
+bool parse_str_list(PyObject *obj, std::vector<std::string> *out) {
     Py_ssize_t n = PyList_Size(obj);
     for (Py_ssize_t i = 0; i < n; ++i) {
         PyObject *item = PyList_GetItem(obj, i);
         char *buf;
         Py_ssize_t len;
-        if (PyBytes_AsStringAndSize(item, &buf, &len) == 0)
-            out.emplace_back(buf, (size_t)len);
+        if (PyBytes_AsStringAndSize(item, &buf, &len) != 0)
+            return false;
+        out->emplace_back(buf, (size_t)len);
     }
-    return out;
+    return true;
 }
 
 }  // namespace
@@ -158,21 +162,29 @@ PyObject *gtf_parse(PyObject *, PyObject *args) {
                           &contig_names_obj, &contig_lens_obj, &fixes_obj))
         return nullptr;
 
-    std::vector<std::string> gene_name_names = parse_str_list(gene_name_al);
-    std::vector<std::string> gene_id_names = parse_str_list(gene_id_al);
-    std::vector<std::string> tid_names = parse_str_list(tid_al);
-    std::vector<std::string> exon_features = parse_str_list(exon_al);
-    std::vector<std::string> cds_features = parse_str_list(cds_al);
+    std::vector<std::string> gene_name_names, gene_id_names, tid_names,
+        exon_features, cds_features;
+    if (!parse_str_list(gene_name_al, &gene_name_names)
+        || !parse_str_list(gene_id_al, &gene_id_names)
+        || !parse_str_list(tid_al, &tid_names)
+        || !parse_str_list(exon_al, &exon_features)
+        || !parse_str_list(cds_al, &cds_features))
+        return nullptr;
 
     // contig registry: existing names -> id; new names appended
     std::unordered_map<std::string, int64_t> contig_ids;
     std::vector<std::string> new_contigs;
     {
-        std::vector<std::string> existing = parse_str_list(contig_names_obj);
+        std::vector<std::string> existing;
+        if (!parse_str_list(contig_names_obj, &existing)) return nullptr;
         for (size_t i = 0; i < existing.size(); ++i)
             contig_ids.emplace(existing[i], (int64_t)i);
     }
     int64_t n_known_contigs = (int64_t)contig_ids.size();
+    if (!PyBytes_Check(contig_lens_obj)) {
+        PyErr_SetString(PyExc_TypeError, "contig_lens must be bytes");
+        return nullptr;
+    }
     const int64_t *contig_lens =
         (const int64_t *)PyBytes_AsString(contig_lens_obj);
     int64_t n_lens = (int64_t)(PyBytes_Size(contig_lens_obj) / 8);
@@ -269,7 +281,10 @@ PyObject *gtf_parse(PyObject *, PyObject *args) {
             std::memcpy(buf, v.p, v.n);
             buf[v.n] = 0;
             char *endp;
+            errno = 0;
             long long value = strtoll(buf, &endp, 10);
+            if (errno == ERANGE) return false;  // matches _parse_coord's
+                                                // int64 bound (io/gtf.py)
             while (*endp == ' ') ++endp;
             if (endp != buf + v.n) return false;
             *out = (int64_t)value - 1;

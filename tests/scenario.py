@@ -54,13 +54,22 @@ class SampleBuilder:
             if coding:
                 self.gtf_lines.append(gtf_line(contig, "CDS", exon_start, exon_end,
                                                strand, gene_id, name, transcript))
-        if coding:
-            # make the CDS translatable from its 5' start
-            cds_start = exon_list[0][0] if strand == "+" else None
-            if cds_start is not None:
-                patch = stop_free_cds(self.rng, min(999, end - start))
-                self.genome[contig][cds_start:cds_start + len(patch)] = \
-                    np.frombuffer(patch.encode(), np.uint8)
+        if coding and strand == "+":
+            # make the SPLICED CDS translatable from its 5' start: the
+            # reading frame runs across exon junctions, so the stop-free
+            # patch must be written piecewise into the exons (a contiguous
+            # genomic patch leaves random — stop-containing — bases in
+            # later exons and trips the early-stop-codon GTF warning)
+            spliced_len = sum(e - s + 1 for s, e in exon_list)
+            patch = stop_free_cds(self.rng, spliced_len)
+            offset = 0
+            for exon_start, exon_end in exon_list:
+                if offset >= len(patch):
+                    break
+                piece = patch[offset:offset + (exon_end - exon_start + 1)]
+                self.genome[contig][exon_start:exon_start + len(piece)] = \
+                    np.frombuffer(piece.encode(), np.uint8)
+                offset += len(piece)
 
     def add_split_fragment(self, name: str, contig1: str, mate1_pos: int,
                            split_pos: int, matched: int, clip: int,

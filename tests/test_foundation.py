@@ -298,6 +298,16 @@ def test_native_gtf_parser_matches_python(tmp_path, monkeypatch, capfd):
         'chr1\thavana\tCDS\t101\t140\t.\t+\t.\tgene_id "ENSG1.4"; gene_name "A"; transcript_id "NOPE";',
         # unparseable coordinates + missing attributes
         'chr1\thavana\texon\tXX\t200\t.\t+\t.\tgene_id "GBAD"; gene_name "B"; transcript_id "TB";',
+        # exotic coordinate forms: both engines follow the strtoll grammar
+        # (native/gtf.cpp parse_coord == io/gtf.py _parse_coord), so
+        # underscore separators and out-of-range values are rejected while
+        # signed / space-padded decimals are accepted — identically
+        # (non-ASCII digit bytes are rejected by both engines too, but the
+        # warning echoes the line through different decoders, so that case
+        # lives outside the stderr byte-compare)
+        'chr1\thavana\texon\t1_0\t200\t.\t+\t.\tgene_id "GBAD"; gene_name "B"; transcript_id "TB";',
+        'chr1\thavana\texon\t +501\t600 \t.\t+\t.\tgene_id "GPAD"; gene_name "PAD"; transcript_id "TPAD";',
+        'chr1\thavana\texon\t99999999999999999999999\t99999999999999999999999999\t.\t+\t.\tgene_id "GBAD"; gene_name "B"; transcript_id "TB";',
         'chr1\thavana\texon\t100\t200\t.\t+\t.\tno_attrs_here',
         # non-exon feature still registers its contig
         'chr9\thavana\tgene\t1\t100\t.\t+\t.\tgene_id "G9"; gene_name "NINE"; transcript_id "T9";',
