@@ -32,6 +32,7 @@
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <memory>
 #include <thread>
 #include <cstring>
 #include <string>
@@ -216,8 +217,56 @@ struct Collator {
     void release(uint32_t idx) { freelist.push_back(idx); }
 };
 
+/* ---- binned coverage writes ---------------------------------------------
+ *
+ * On an unsorted (STAR-order) input the coverage-plane writes of
+ * add_fragment scatter across planes far larger than LLC — at human scale
+ * (3.1 Gb / 20 bp = 155 M windows, ~620 MB of planes) every increment is a
+ * DRAM-latency miss, and in the sharded scan each one was additionally an
+ * atomic CAS on a shared line. Instead of writing through, the scan appends
+ * compact run-length entries to per-granule buckets (a granule = 2^16
+ * consecutive windows in a global window space ≈ 256 KB of plane bytes) and
+ * flushes a bucket cache-hot when it fills. Flushes take the granule's
+ * spinlock, so the plane writes themselves are plain stores even when the
+ * planes are shared across shard workers. Increment counts and flag ORs are
+ * commutative and the per-window saturation (0xFFFF) depends only on the
+ * per-window total, so the result is byte-identical to the write-through
+ * scan in any order.
+ *
+ * entry: [op:2][tid:14][len:16][window:32]
+ *   op 0 = coverage += 1 over windows [window, window+len)
+ *   op 1 = starts[window] = 1          (len unused)
+ *   op 2 = ends[window]   = 1          (len unused)
+ * Ranges are split at granule boundaries on append, so a flush touches only
+ * its own granule's region.
+ */
+
+struct CoverageBins {
+    static constexpr int GRANULE_BITS = 16;
+    static constexpr size_t FLUSH_AT = 1024;
+    bool enabled = false;
+    std::vector<int64_t> tid_base;            /* per tid: global window base */
+    std::vector<std::vector<uint64_t>> buckets;
+    std::atomic<uint32_t> *locks = nullptr;   /* per granule; null = serial */
+
+    void init(const std::vector<CoveragePlane> &planes,
+              std::atomic<uint32_t> *granule_locks) {
+        tid_base.resize(planes.size() + 1);
+        int64_t total = 0;
+        for (size_t t = 0; t < planes.size(); ++t) {
+            tid_base[t] = total;
+            total += planes[t].windows;
+        }
+        tid_base[planes.size()] = total;
+        buckets.assign((size_t)((total >> GRANULE_BITS) + 1), {});
+        locks = granule_locks;
+        enabled = true;
+    }
+};
+
 struct Scanner {
     std::vector<CoveragePlane> planes;                 /* per tid */
+    CoverageBins bins;
     std::vector<std::vector<int64_t>> boundaries;      /* per tid, sorted */
     /* 2 kb-resolution occupancy map over `boundaries`: the boring-pair test
      * probes 1-2 bytes instead of running two binary searches per fragment
@@ -308,11 +357,22 @@ inline void flag_store(uint8_t *slot, bool atomic) {
 
 /* prefetch the coverage-plane cache lines a fragment at (tid, pos..end)
  * will touch: the consume loop's increments scatter across multi-MB planes
- * and are otherwise a chain of demand misses (~4 lines per pair) */
+ * and are otherwise a chain of demand misses (~4 lines per pair). With
+ * binned coverage the plane writes are deferred, so only the boring-test's
+ * boundary-map probe still needs its line early. */
 template <typename ScannerT>
 inline void prefetch_fragment_planes(ScannerT &scanner, int tid,
                                      int64_t pos, int64_t end_pos) {
     if (tid < 0 || tid >= (int)scanner.planes.size())
+        return;
+    if (tid < (int)scanner.boundary_map.size() &&
+        !scanner.boundary_map[tid].empty()) {
+        const std::vector<uint8_t> &bmap = scanner.boundary_map[tid];
+        int64_t b = (pos - 3) >> 11;
+        if (b >= 0 && b < (int64_t)bmap.size())
+            __builtin_prefetch(&bmap[b]);
+    }
+    if (scanner.bins.enabled)
         return;
     auto &plane = scanner.planes[tid];
     if (plane.windows == 0)
@@ -326,6 +386,100 @@ inline void prefetch_fragment_planes(ScannerT &scanner, int tid,
         __builtin_prefetch(&plane.coverage[w1]);
     __builtin_prefetch(&plane.starts[w0]);
     __builtin_prefetch(&plane.ends[w0]);
+}
+
+/* ---- binned-coverage append/flush (see CoverageBins) -------------------- */
+
+inline void bins_flush_bucket(Scanner &sc, size_t b) {
+    std::vector<uint64_t> &bucket = sc.bins.buckets[b];
+    if (bucket.empty())
+        return;
+    std::atomic<uint32_t> *lock =
+        sc.bins.locks != nullptr ? sc.bins.locks + b : nullptr;
+    if (lock != nullptr)
+        while (lock->exchange(1, std::memory_order_acquire) != 0) {
+        }
+    for (uint64_t entry : bucket) {
+        uint32_t op = (uint32_t)(entry >> 62);
+        uint32_t tid = (uint32_t)((entry >> 48) & 0x3FFF);
+        uint32_t len = (uint32_t)((entry >> 32) & 0xFFFF);
+        int64_t w = (int64_t)(uint32_t)entry;
+        CoveragePlane &plane = sc.planes[tid];
+        if (op == 0) {
+            uint16_t *cov = plane.coverage + w;
+            for (uint32_t k = 0; k < len; ++k)
+                if (cov[k] < 0xFFFF) cov[k] += 1;
+        } else if (op == 1) {
+            plane.starts[w] = 1;
+        } else {
+            plane.ends[w] = 1;
+        }
+    }
+    if (lock != nullptr)
+        lock->store(0, std::memory_order_release);
+    bucket.clear();
+}
+
+inline void bins_push(Scanner &sc, uint64_t entry, size_t b) {
+    std::vector<uint64_t> &bucket = sc.bins.buckets[b];
+    bucket.push_back(entry);
+    if (bucket.size() >= CoverageBins::FLUSH_AT)
+        bins_flush_bucket(sc, b);
+}
+
+/* coverage += 1 over the inclusive window range [w, top]; caller clamps */
+inline void bins_cov_range(Scanner &sc, int tid, int64_t w, int64_t top) {
+    int64_t g = sc.bins.tid_base[tid] + w;
+    while (w <= top) {
+        int64_t granule_end = ((g >> CoverageBins::GRANULE_BITS) + 1)
+                              << CoverageBins::GRANULE_BITS;
+        int64_t len = std::min(top - w + 1,
+                               std::min(granule_end - g, (int64_t)0xFFFF));
+        bins_push(sc,
+                  (uint64_t)tid << 48 | (uint64_t)len << 32
+                      | (uint64_t)(uint32_t)w,
+                  (size_t)(g >> CoverageBins::GRANULE_BITS));
+        w += len;
+        g += len;
+    }
+}
+
+inline void bins_flag(Scanner &sc, int op, int tid, int64_t w) {
+    int64_t g = sc.bins.tid_base[tid] + w;
+    bins_push(sc,
+              (uint64_t)op << 62 | (uint64_t)tid << 48 | (uint64_t)1 << 32
+                  | (uint64_t)(uint32_t)w,
+              (size_t)(g >> CoverageBins::GRANULE_BITS));
+}
+
+void bins_flush_all(Scanner &sc) {
+    if (!sc.bins.enabled)
+        return;
+    for (size_t b = 0; b < sc.bins.buckets.size(); ++b)
+        bins_flush_bucket(sc, b);
+}
+
+/* dispatchers: binned when enabled, write-through otherwise */
+inline void cov_inc_range(Scanner &sc, int tid, CoveragePlane &plane,
+                          int64_t w, int64_t top) {
+    if (w > top)
+        return;
+    if (sc.bins.enabled) {
+        bins_cov_range(sc, tid, w, top);
+        return;
+    }
+    for (; w <= top; ++w)
+        coverage_increment(&plane.coverage[w], sc.atomic_coverage);
+}
+
+inline void cov_flag(Scanner &sc, int op /* 1=starts, 2=ends */, int tid,
+                     CoveragePlane &plane, int64_t w) {
+    if (sc.bins.enabled) {
+        bins_flag(sc, op, tid, w);
+        return;
+    }
+    flag_store(op == 1 ? &plane.starts[w] : &plane.ends[w],
+               sc.atomic_coverage);
 }
 
 /* ---- coverage walk: port of arriba_tpu/ingest/stats.py add_fragment ---- */
@@ -353,13 +507,11 @@ void add_fragment(Scanner &scanner, const Record &mate1_in, const Record *mate2_
         if (!(flag1 & FREVERSE) || !(flag1 & FPAIRED)) {
             int64_t w = mate1.pos / COVERAGE_RESOLUTION;
             if (w >= 0 && w < plane1.windows)
-                flag_store(&scanner.planes[mate1.tid].starts[w],
-                           scanner.atomic_coverage);
+                cov_flag(scanner, 1, mate1.tid, plane1, w);
         } else {
             int64_t w = mate2.pos / COVERAGE_RESOLUTION;
             if (w >= 0 && w < plane2.windows)
-                flag_store(&scanner.planes[mate2.tid].starts[w],
-                           scanner.atomic_coverage);
+                cov_flag(scanner, 1, mate2.tid, plane2, w);
         }
     }
 
@@ -398,8 +550,7 @@ void add_fragment(Scanner &scanner, const Record &mate1_in, const Record *mate2_
                                        ? (near_end - half) / COVERAGE_RESOLUTION
                                        : (int64_t)-1,
                                    (int64_t)plane.windows - 1);
-            for (; w <= top; ++w)
-                coverage_increment(&plane.coverage[w], scanner.atomic_coverage);
+            cov_inc_range(scanner, mate1.tid, plane, w, top);
             w = std::max(near_end / COVERAGE_RESOLUTION + 1,
                          std::max(far_start / COVERAGE_RESOLUTION,
                                   (int64_t)0));
@@ -407,17 +558,16 @@ void add_fragment(Scanner &scanner, const Record &mate1_in, const Record *mate2_
                                ? (far_end - half) / COVERAGE_RESOLUTION
                                : (int64_t)-1,
                            (int64_t)plane.windows - 1);
-            for (; w <= top; ++w)
-                coverage_increment(&plane.coverage[w], scanner.atomic_coverage);
+            cov_inc_range(scanner, mate1.tid, plane, w, top);
             if (!is_chimeric) {
                 if ((flag1 & FREVERSE) || !(flag1 & FPAIRED)) {
                     int64_t we = (end1 - 1) / COVERAGE_RESOLUTION;
                     if (we >= 0 && we < plane1.windows)
-                        flag_store(&plane1.ends[we], scanner.atomic_coverage);
+                        cov_flag(scanner, 2, mate1.tid, plane1, we);
                 } else {
                     int64_t we = (end2 - 1) / COVERAGE_RESOLUTION;
                     if (we >= 0 && we < plane2.windows)
-                        flag_store(&plane2.ends[we], scanner.atomic_coverage);
+                        cov_flag(scanner, 2, mate2.tid, plane2, we);
                 }
             }
             return;
@@ -466,8 +616,7 @@ void add_fragment(Scanner &scanner, const Record &mate1_in, const Record *mate2_
             while (window <= position / COVERAGE_RESOLUTION) {
                 if (window >= 0 && window < plane.windows &&
                     position - window * COVERAGE_RESOLUTION >= COVERAGE_RESOLUTION / 2)
-                    coverage_increment(&plane.coverage[window],
-                                       scanner.atomic_coverage);
+                    cov_inc_range(scanner, contig, plane, window, window);
                 window += 1;
             }
         } else {
@@ -479,13 +628,11 @@ void add_fragment(Scanner &scanner, const Record &mate1_in, const Record *mate2_
         if ((flag1 & FREVERSE) || !(flag1 & FPAIRED)) {
             int64_t w = (position1 - 1) / COVERAGE_RESOLUTION;
             if (w >= 0 && w < plane1.windows)
-                flag_store(&scanner.planes[mate1.tid].ends[w],
-                           scanner.atomic_coverage);
+                cov_flag(scanner, 2, mate1.tid, plane1, w);
         } else {
             int64_t w = (position2 - 1) / COVERAGE_RESOLUTION;
             if (w >= 0 && w < plane2.windows)
-                flag_store(&scanner.planes[mate2.tid].ends[w],
-                           scanner.atomic_coverage);
+                cov_flag(scanner, 2, mate2.tid, plane2, w);
         }
     }
 }
@@ -2706,20 +2853,46 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
      * Falls back to shared+atomic when the copies would be too large
      * (human-scale genomes: ~640 MB per shard at 20 bp resolution). */
     size_t plane_bytes = 0;
-    for (const CoveragePlane &plane : scanner.planes)
+    int64_t total_windows = 0;
+    bool plane_fits_bins = (Py_ssize_t)scanner.planes.size() < (1 << 14);
+    for (const CoveragePlane &plane : scanner.planes) {
         plane_bytes += (size_t)plane.windows * 4;
+        total_windows += plane.windows;
+        if ((uint64_t)plane.windows > 0xFFFFFFFFull)
+            plane_fits_bins = false;
+    }
+    /* binned coverage (CoverageBins above) is the default whenever the
+     * planes are big enough that write-through scatters past the LLC
+     * (~8 MB); it supersedes both the private-plane copies and shared
+     * atomic CAS. ARRIBA_TPU_COVERAGE_BINS=0/1 forces it off/on,
+     * ARRIBA_TPU_PRIVATE_PLANES picks the legacy mechanism when bins are
+     * off. */
+    bool use_bins = plane_fits_bins && plane_bytes >= ((size_t)8 << 20);
+    {
+        const char *env = getenv("ARRIBA_TPU_COVERAGE_BINS");
+        if (env != nullptr)
+            use_bins = plane_fits_bins && atoi(env) != 0;
+    }
     bool private_planes =
-        n_shards > 0 && plane_bytes * (size_t)n_shards <= ((size_t)256 << 20);
+        !use_bins && n_shards > 0 &&
+        plane_bytes * (size_t)n_shards <= ((size_t)256 << 20);
     {
         const char *env = getenv("ARRIBA_TPU_PRIVATE_PLANES");
-        if (env != nullptr && n_shards > 0)
+        if (env != nullptr && n_shards > 0 && !use_bins)
             private_planes = atoi(env) != 0;
     }
+    std::unique_ptr<std::atomic<uint32_t>[]> granule_locks;
+    if (use_bins && n_shards > 0)
+        granule_locks.reset(new std::atomic<uint32_t>[(
+            size_t)((total_windows >> CoverageBins::GRANULE_BITS) + 1)]());
+    if (use_bins)
+        scanner.bins.init(scanner.planes,
+                          granule_locks.get());  /* null when serial */
     /* [s * n_tids + tid] backing storage, empty where the master has none */
     std::vector<std::vector<uint16_t>> priv_cov;
     std::vector<std::vector<uint8_t>> priv_starts, priv_ends;
     if (n_shards > 0) {
-        scanner.atomic_coverage = true;
+        scanner.atomic_coverage = !use_bins;
         shard_sc.resize(n_shards);
         shard_ex.resize(n_shards);
         if (private_planes) {
@@ -2729,6 +2902,9 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         }
         for (int s = 0; s < n_shards; ++s) {
             shard_sc[s].planes = scanner.planes;
+            if (use_bins)
+                shard_sc[s].bins.init(shard_sc[s].planes,
+                                      granule_locks.get());
             if (private_planes) {
                 for (Py_ssize_t tid = 0; tid < n_tids; ++tid) {
                     CoveragePlane &plane = shard_sc[s].planes[tid];
@@ -2750,7 +2926,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
             shard_sc[s].viral_counts.assign(n_tids, 0);
             shard_sc[s].external_duplicate_marking =
                 scanner.external_duplicate_marking;
-            shard_sc[s].atomic_coverage = !private_planes;
+            shard_sc[s].atomic_coverage = !private_planes && !use_bins;
             shard_sc[s].coll.init((1 << 17) / n_shards);
             shard_ex[s] = extractor;  /* read-only tables; empty fragments */
         }
@@ -3584,6 +3760,10 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
     };
     double tt0 = tail_timing ? tail_now() : 0, tt_merge = 0, tt_norm = 0,
            tt_sort = 0, tt_end = 0;
+    /* drain every worker's residual coverage bins before any plane read */
+    bins_flush_all(scanner);
+    for (Scanner &shard : shard_sc)
+        bins_flush_all(shard);
     if (n_shards > 0) {
         /* fold the shard states back into the master scanner/extractor; the
          * fragment concatenation order is irrelevant because both export
