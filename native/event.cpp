@@ -2489,7 +2489,7 @@ PyObject *ev_make_kmer_index(PyObject *, PyObject *args) {
         genes_by_contig[eng.gene_contig[gene]].push_back(gene);
 
     auto fill_gene = [&](realign_engine::Contig &engine_contig, int64_t gene,
-                         std::vector<std::pair<uint32_t, int64_t>> &out) {
+                         std::vector<realign_engine::KmerPair> &out) {
         int64_t gene_start =
             std::max(c.gene_start[gene] - (int64_t)padding, (int64_t)0);
         int64_t gene_end = std::min(c.gene_end[gene] + (int64_t)padding,
@@ -2537,7 +2537,7 @@ PyObject *ev_make_kmer_index(PyObject *, PyObject *args) {
         }
         /* per-(worker, contig) private buffers, concatenated after the join */
         std::vector<std::map<int64_t,
-                             std::vector<std::pair<uint32_t, int64_t>>>>
+                             std::vector<realign_engine::KmerPair>>>
             locals(workers);
         std::vector<std::thread> pool;
         pool.reserve(workers);
@@ -2567,7 +2567,7 @@ PyObject *ev_make_kmer_index(PyObject *, PyObject *args) {
             auto found = realign_engine::engine().contigs.find(
                 (int)entry.first);
             if (found == realign_engine::engine().contigs.end()) continue;
-            std::vector<const std::vector<std::pair<uint32_t, int64_t>>*>
+            std::vector<const std::vector<realign_engine::KmerPair>*>
                 spans;
             for (int w = 0; w < workers; ++w) {
                 auto local = locals[w].find(entry.first);

@@ -3296,7 +3296,10 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                  * per-shard index lists, then each worker handles only its
                  * own shard; the reader overlaps the next chunk under both
                  * phases */
-                const size_t CHUNK = 8u << 20;
+                size_t CHUNK = 8u << 20;
+                if (const char *env = getenv("ARRIBA_TPU_SCAN_CHUNK_KB"))
+                    if (atoi(env) > 0)
+                        CHUNK = (size_t)atoi(env) << 10;
                 struct SamBatch {
                     std::string data;
                     const char *src = nullptr;  /* line base: mapped chunk

@@ -44,7 +44,7 @@ uint32_t kmer_at(const uint8_t *sequence, Py_ssize_t position) {
 }
 
 void append_window_kmers(const uint8_t *data, int64_t start, int64_t end,
-                         std::vector<std::pair<uint32_t, int64_t>> &out) {
+                         std::vector<KmerPair> &out) {
     int64_t pos = start;
     if (pos + KMER_LENGTH >= end)
         return;
@@ -54,7 +54,7 @@ void append_window_kmers(const uint8_t *data, int64_t start, int64_t end,
         value = (value << 2) | kmer_code(data[pos + j]);
     for (;;) {
         if (data[pos] != 'N')
-            out.emplace_back(value, pos);
+            out.emplace_back(value, (kpos_t)pos);
         ++pos;
         if (pos + KMER_LENGTH >= end)
             break;
@@ -79,9 +79,9 @@ void set_contig_raw(int cid, const uint8_t *data, Py_ssize_t length) {
  * byte-identical for any span order, partition, or thread count. */
 void finalize_kmer_index_spans(
     Contig &contig,
-    const std::vector<const std::vector<std::pair<uint32_t, int64_t>>*> &extra,
+    const std::vector<const std::vector<KmerPair>*> &extra,
     int threads) {
-    typedef std::pair<uint32_t, int64_t> Pair;
+    typedef KmerPair Pair;
     if (!contig.kmer_offsets.empty()) {
         /* incremental add after a finalize: fold the built index back into
          * the pending pairs so nothing is lost */
@@ -143,7 +143,7 @@ void finalize_kmer_index_spans(
         starts[k + 1] = starts[k] + count;
     }
     /* 2. scatter into bucket-grouped raw positions */
-    std::vector<int64_t> raw(total);
+    std::vector<kpos_t> raw(total);
     {
         std::vector<std::thread> pool;
         for (int w = 0; w < W; ++w)
@@ -182,7 +182,7 @@ void finalize_kmer_index_spans(
                     if (lo >= hi) continue;
                     std::sort(raw.begin() + lo, raw.begin() + hi);
                     int64_t write = lo;
-                    int64_t previous = raw[lo] - 1;
+                    int64_t previous = (int64_t)raw[lo] - 1;
                     for (int64_t i = lo; i < hi; ++i)
                         if (raw[i] != previous) {
                             previous = raw[i];
@@ -198,7 +198,7 @@ void finalize_kmer_index_spans(
     contig.kmer_offsets.assign(KMER_BUCKETS + 1, 0);
     for (uint32_t k = 0; k < KMER_BUCKETS; ++k)
         contig.kmer_offsets[k + 1] = contig.kmer_offsets[k] + unique_count[k];
-    std::vector<int64_t> out((size_t)contig.kmer_offsets[KMER_BUCKETS]);
+    std::vector<kpos_t> out((size_t)contig.kmer_offsets[KMER_BUCKETS]);
     {
         std::vector<std::thread> pool;
         for (int w = 0; w < W; ++w)
@@ -208,7 +208,7 @@ void finalize_kmer_index_spans(
                     if (n > 0)
                         memcpy(out.data() + contig.kmer_offsets[k],
                                raw.data() + starts[k],
-                               (size_t)n * sizeof(int64_t));
+                               (size_t)n * sizeof(kpos_t));
                 }
             });
         for (std::thread &worker : pool) worker.join();
@@ -251,12 +251,13 @@ bool is_homolog_core(const uint8_t *small_seq, Py_ssize_t small_size,
         if (contig.kmer_offsets.empty())
             continue;
         uint32_t key = kmer_at(small_seq, pos);
-        const int64_t *positions_begin =
+        const kpos_t *positions_begin =
             contig.kmer_positions.data() + contig.kmer_offsets[key];
-        const int64_t *positions_end =
+        const kpos_t *positions_end =
             contig.kmer_positions.data() + contig.kmer_offsets[key + 1];
-        for (const int64_t *it = std::lower_bound(positions_begin,
-                                                  positions_end, big_start);
+        for (const kpos_t *it = std::lower_bound(positions_begin,
+                                                 positions_end,
+                                                 (kpos_t)big_start);
              it != positions_end && *it <= big_end; ++it) {
             int64_t hit = *it;
             if (small_contig == big_contig && hit >= small_start && hit <= small_end)
@@ -291,17 +292,32 @@ bool align_recursive(int score, const uint8_t *read, Py_ssize_t read_length,
                      int max_deletions) {
     int skipped_bases = 0;
 
+    /* rolling 2-bit window: one base decode per outer iteration instead of
+     * KMER_LENGTH (the loop advances read_pos by exactly 1) */
+    constexpr uint32_t roll_mask = (1u << (2 * KMER_LENGTH)) - 1;
+    uint32_t rolling = 0;
+    bool rolling_valid = false;
+
     while (read_pos + KMER_LENGTH < read_length &&
            read_pos + min_score <= read_length + score + 2 * KMER_LENGTH) {
 
         if (!contig.kmer_offsets.empty()) {
-            uint32_t key = kmer_at(read, read_pos);
-            const int64_t *positions_begin =
+            if (rolling_valid)
+                rolling = ((rolling << 2)
+                           | kmer_code(read[read_pos + KMER_LENGTH - 1]))
+                          & roll_mask;
+            else {
+                rolling = kmer_at(read, read_pos);
+                rolling_valid = true;
+            }
+            uint32_t key = rolling;
+            const kpos_t *positions_begin =
                 contig.kmer_positions.data() + contig.kmer_offsets[key];
-            const int64_t *positions_end =
+            const kpos_t *positions_end =
                 contig.kmer_positions.data() + contig.kmer_offsets[key + 1];
-            for (const int64_t *it = std::lower_bound(positions_begin,
-                                                      positions_end, gene_pos);
+            for (const kpos_t *it = std::lower_bound(
+                     positions_begin, positions_end,
+                     (kpos_t)std::min(gene_pos, (int64_t)INT32_MAX));
                  it != positions_end && *it < gene_end; ++it) {
                 int64_t kmer_hit = *it;
 

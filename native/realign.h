@@ -15,6 +15,12 @@ namespace realign_engine {
 
 constexpr int REALIGN_KMER_LENGTH = 8;
 
+/* k-mer index position type: contig positions fit int32 (the reference's
+ * own position_t is int, annotation.hpp); halving the entry width halves
+ * the index's build and probe memory traffic */
+typedef int32_t kpos_t;
+typedef std::pair<uint32_t, kpos_t> KmerPair;
+
 struct Contig {
     PyObject *owner = nullptr; /* keeps the buffer alive (null for raw) */
     Py_buffer view{};          /* ACTIVE export pinning the memory: an owner
@@ -27,9 +33,9 @@ struct Contig {
     /* CSR k-mer index over the 2-bit 8-mer space (65536 buckets): built by
      * appending (kmer, position) pairs to `pending`, finalized into
      * offsets/positions with per-bucket sort+unique */
-    std::vector<std::pair<uint32_t, int64_t>> pending;
+    std::vector<KmerPair> pending;
     std::vector<int64_t> kmer_offsets;    /* 65537 entries when built */
-    std::vector<int64_t> kmer_positions;
+    std::vector<kpos_t> kmer_positions;
 };
 
 constexpr uint32_t KMER_BUCKETS = 1u << (2 * REALIGN_KMER_LENGTH);
@@ -41,7 +47,7 @@ void finalize_kmer_index(Contig &contig);
  * order, partition, or thread count */
 void finalize_kmer_index_spans(
     Contig &contig,
-    const std::vector<const std::vector<std::pair<uint32_t, int64_t>>*> &extra,
+    const std::vector<const std::vector<KmerPair>*> &extra,
     int threads);
 
 struct Engine {
@@ -57,7 +63,7 @@ uint32_t kmer_at(const uint8_t *sequence, Py_ssize_t position);
  * data[pos] != 'N', using a rolling 2-bit window (one base decode per
  * position instead of K) — identical pairs to the kmer_at loop */
 void append_window_kmers(const uint8_t *data, int64_t start, int64_t end,
-                         std::vector<std::pair<uint32_t, int64_t>> &out);
+                         std::vector<KmerPair> &out);
 
 // filter_mismappers.cpp:86-187
 bool align_recursive(int score, const uint8_t *read, Py_ssize_t read_length,
