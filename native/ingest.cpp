@@ -34,6 +34,9 @@
 #include <cstdint>
 #include <memory>
 #include <thread>
+#if defined(__SSE2__)
+#include <immintrin.h>
+#endif
 #include <cstring>
 #include <string>
 #include <string_view>
@@ -407,8 +410,21 @@ inline void bins_flush_bucket(Scanner &sc, size_t b) {
         CoveragePlane &plane = sc.planes[tid];
         if (op == 0) {
             uint16_t *cov = plane.coverage + w;
+#if defined(__SSE2__)
+            /* PADDUSW saturates at 0xFFFF — exactly the per-window clamp */
+            const __m128i ones = _mm_set1_epi16(1);
+            uint32_t k = 0;
+            for (; k + 8 <= len; k += 8) {
+                __m128i v = _mm_loadu_si128((const __m128i *)(cov + k));
+                _mm_storeu_si128((__m128i *)(cov + k),
+                                 _mm_adds_epu16(v, ones));
+            }
+            for (; k < len; ++k)
+                if (cov[k] < 0xFFFF) cov[k] += 1;
+#else
             for (uint32_t k = 0; k < len; ++k)
                 if (cov[k] < 0xFFFF) cov[k] += 1;
+#endif
         } else if (op == 1) {
             plane.starts[w] = 1;
         } else {
@@ -2831,17 +2847,22 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
      * atomic_coverage, and the fragment table is name-sorted downstream), so
      * the result is byte-identical to the serial scan at any shard count. */
     int n_shards = 0;
-    if (threads > 1 && extractor.enabled) {
+    if (extractor.enabled) {
         /* one shard per core up to 16 (work-stealing parse tiles keep the
          * tail small; collation and coverage merge are shard-count
-         * invariant, so the only cost of more shards is their state) */
+         * invariant, so the only cost of more shards is their state).
+         * threads == 1 also runs this machinery with a single shard — the
+         * mmap chunk reader, AVX2 sweep, batch parse, and boring-pair
+         * consume are all much faster than the per-line fallback, and with
+         * one shard no pool or reader thread is spawned (genuinely
+         * single-threaded) */
         int hw = (int)std::thread::hardware_concurrency();
-        n_shards = std::min(threads, 16);
+        n_shards = std::max(1, std::min(threads, 16));
         const char *cap = getenv("ARRIBA_TPU_SCAN_SHARDS");
         if (cap != nullptr && atoi(cap) > 0)
             n_shards = std::min(n_shards, atoi(cap));
         else if (hw > 1)
-            n_shards = std::min(n_shards, hw);  /* main thread works shard 0 */
+            n_shards = std::min(n_shards, std::max(1, hw));
     }
     std::vector<Scanner> shard_sc;
     std::vector<Extractor> shard_ex;
@@ -3284,7 +3305,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
             goto done;
         }
         GzLineReader reader(gz, resume_carry);
-        if (threads > 1) {
+        if (threads > 1 || n_shards > 0) {
             /* batch-parallel parse: lines read serially, parsed by a worker
              * pool, handled sequentially in order */
             const size_t BATCH = 32768;
@@ -3605,13 +3626,13 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                      * join below orders those writes before the loop test
                      * reads them */
                     std::thread reader;
-                    if (!done) {
+                    if (!done && n_shards > 1) {
                         double t_read_start = timing ? now() : 0;
                         reader = std::thread([&, t_read_start]() {
                             read_batch(buffers[1 - cur]);
                             if (timing) t_read += now() - t_read_start;
                         });
-                    } else {
+                    } else if (done) {
                         buffers[1 - cur].count = 0;
                     }
                     for (int s = 1; s < n_shards; ++s)
@@ -3621,6 +3642,12 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                         worker.join();
                     if (reader.joinable())
                         reader.join();
+                    else if (!done && n_shards == 1) {
+                        /* single shard: stay genuinely single-threaded */
+                        double t_read_start = timing ? now() : 0;
+                        read_batch(buffers[1 - cur]);
+                        if (timing) t_read += now() - t_read_start;
+                    }
                     if (timing) t_pool += now() - t_pool_start;
                     for (size_t i = 0; i < batch.count; ++i) {
                         if (batch.ok[i]) continue;
