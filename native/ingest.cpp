@@ -3041,7 +3041,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         }
         bam_target_names = &bam_targets;
         std::atomic<long> bad_bam_records{0};
-        if (threads > 1) {
+        if (threads > 1 || n_shards > 0) {
             /* batch-parallel decode: bodies read serially, decoded by a
              * worker pool, handled sequentially in order */
             const size_t BATCH = 32768;
@@ -3195,13 +3195,13 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                      * immediately; the reader owns eof/stream_error and
                      * buffers[1-cur], ordered by the join below */
                     std::thread reader;
-                    if (!eof) {
+                    if (!eof && n_shards > 1) {
                         double read_t0 = bam_timing ? bam_now() : 0;
                         reader = std::thread([&, read_t0]() {
                             read_batch(buffers[1 - cur]);
                             if (bam_timing) bam_read += bam_now() - read_t0;
                         });
-                    } else {
+                    } else if (eof) {
                         buffers[1 - cur].count = 0;
                     }
                     for (int s = 1; s < n_shards; ++s)
@@ -3211,6 +3211,12 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                         worker.join();
                     if (reader.joinable())
                         reader.join();
+                    else if (!eof && n_shards == 1) {
+                        /* single shard: stay genuinely single-threaded */
+                        double read_t0 = bam_timing ? bam_now() : 0;
+                        read_batch(buffers[1 - cur]);
+                        if (bam_timing) bam_read += bam_now() - read_t0;
+                    }
                     if (bam_timing) bam_pool += bam_now() - pool_t0;
                     cur = 1 - cur;
                 }
