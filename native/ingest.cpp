@@ -3331,18 +3331,34 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     std::string data;
                     const char *src = nullptr;  /* line base: mapped chunk
                                                    or data.data() */
+                    size_t chunk_len = 0;
                     std::vector<std::pair<uint32_t, uint32_t>> spans;
                     std::vector<Record> decoded;
                     std::vector<uint8_t> ok;
                     std::vector<uint16_t> shard;
                     std::vector<std::vector<uint32_t>> by_shard;
                     size_t count = 0;
+                    bool has_data = false;
                     /* work-stealing parse cursor: the main thread joins the
                      * parse late (after reading the next chunk), so static
                      * blocks would leave the pool spinning at the barrier
                      * for the duration of the read */
                     std::atomic<uint32_t> next_tile{0};
+                    /* lazy parallel newline sweep (mmap chunks only): the
+                     * workers claim byte tiles and cut lines into per-tile
+                     * span lists; the last tile's worker concatenates them
+                     * in order (identical spans to the serial sweep) and
+                     * releases `swept`. Stream chunks sweep in read_batch
+                     * as before and start with swept=true. */
+                    std::vector<std::vector<std::pair<uint32_t, uint32_t>>>
+                        tile_spans;
+                    std::vector<std::string> tile_headers;
+                    size_t n_sweep_tiles = 0;
+                    std::atomic<uint32_t> next_sweep{0};
+                    std::atomic<uint32_t> sweeps_done{0};
+                    std::atomic<bool> swept{true};
                 };
+                const size_t SWEEP_TILE = 512u << 10;
                 SamBatch buffers[2];
                 for (SamBatch &batch : buffers) {
                     batch.data.reserve(CHUNK + (1 << 20));
@@ -3360,6 +3376,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
 
                 auto read_batch = [&](SamBatch &batch) {
                     batch.count = 0;
+                    batch.has_data = false;
                     batch.spans.clear();
                     const char *base;
                     size_t n;
@@ -3380,6 +3397,19 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                         base = mapped.data() + map_pos;
                         n = end - map_pos;
                         map_pos = end;
+                        /* defer the newline sweep to the worker pool */
+                        batch.src = base;
+                        batch.chunk_len = n;
+                        batch.has_data = n > 0;
+                        batch.n_sweep_tiles = (n + SWEEP_TILE - 1) / SWEEP_TILE;
+                        if (batch.tile_spans.size() < batch.n_sweep_tiles) {
+                            batch.tile_spans.resize(batch.n_sweep_tiles);
+                            batch.tile_headers.resize(batch.n_sweep_tiles);
+                        }
+                        batch.next_sweep.store(0, std::memory_order_relaxed);
+                        batch.sweeps_done.store(0, std::memory_order_relaxed);
+                        batch.swept.store(false, std::memory_order_release);
+                        return;
                     } else {
                         if (done || !chunk_reader.next_chunk(batch.data,
                                                              CHUNK)) {
@@ -3390,6 +3420,8 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                         n = batch.data.size();
                     }
                     batch.src = base;
+                    batch.chunk_len = n;
+                    batch.swept.store(true, std::memory_order_relaxed);
                     size_t pos = 0;
                     /* one AVX2 sweep collects every newline offset (32
                      * bytes / compare) instead of a memchr call per line */
@@ -3418,6 +3450,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     if (pos < n)
                         cut_line(n);
                     batch.count = batch.spans.size();
+                    batch.has_data = batch.count > 0;
                     if (batch.decoded.size() < batch.count) {
                         batch.decoded.resize(batch.count);
                         batch.ok.resize(batch.count);
@@ -3443,7 +3476,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                 read_batch(buffers[0]);
                 if (timing) t_read += now() - t_start;
                 int cur = 0;
-                while (buffers[cur].count > 0) {
+                while (buffers[cur].has_data) {
                     SamBatch &batch = buffers[cur];
                     std::atomic<uint32_t> tiles_done{0};
                     std::atomic<bool> partitioned{false};
@@ -3455,6 +3488,89 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     auto shard_worker = [&](int s) {
                             double w0 = (timing && s == 0) ? now() : 0;
                             const char *base = batch.src;
+                            /* phase 0 — parallel newline sweep of an mmap
+                             * chunk: byte tiles claimed work-stealing; the
+                             * last tile's worker concatenates the per-tile
+                             * span lists in tile order (identical result to
+                             * the serial sweep) and releases the barrier */
+                            if (!batch.swept.load(std::memory_order_acquire)) {
+                                const size_t n = batch.chunk_len;
+                                for (;;) {
+                                    uint32_t t = batch.next_sweep.fetch_add(
+                                        1, std::memory_order_relaxed);
+                                    if (t >= batch.n_sweep_tiles) break;
+                                    size_t tS = (size_t)t * SWEEP_TILE;
+                                    size_t tE = std::min(n, tS + SWEEP_TILE);
+                                    auto &spans = batch.tile_spans[t];
+                                    spans.clear();
+                                    std::string &hdr = batch.tile_headers[t];
+                                    hdr.clear();
+                                    size_t pos;
+                                    if (t == 0) {
+                                        pos = 0;
+                                    } else {
+                                        const char *nl = (const char *)memchr(
+                                            base + tS - 1, '\n', n - (tS - 1));
+                                        pos = nl ? (size_t)(nl - base) + 1 : n;
+                                    }
+                                    /* lines whose START lies in [tS, tE) */
+                                    while (pos < tE) {
+                                        const char *nl = (const char *)memchr(
+                                            base + pos, '\n', n - pos);
+                                        size_t end =
+                                            nl ? (size_t)(nl - base) : n;
+                                        size_t len = end - pos;
+                                        if (len > 0 &&
+                                            base[pos + len - 1] == '\r')
+                                            len -= 1;
+                                        if (len == 0) {
+                                        } else if (base[pos] == '@') {
+                                            hdr.append(base + pos, len);
+                                            hdr += '\n';
+                                        } else {
+                                            spans.emplace_back((uint32_t)pos,
+                                                               (uint32_t)len);
+                                        }
+                                        pos = end + 1;
+                                    }
+                                    if (batch.sweeps_done.fetch_add(
+                                            1, std::memory_order_acq_rel)
+                                        + 1 == batch.n_sweep_tiles) {
+                                        size_t total = 0;
+                                        for (uint32_t tt = 0;
+                                             tt < batch.n_sweep_tiles; ++tt)
+                                            total +=
+                                                batch.tile_spans[tt].size();
+                                        batch.spans.clear();
+                                        batch.spans.reserve(total);
+                                        for (uint32_t tt = 0;
+                                             tt < batch.n_sweep_tiles; ++tt) {
+                                            batch.spans.insert(
+                                                batch.spans.end(),
+                                                batch.tile_spans[tt].begin(),
+                                                batch.tile_spans[tt].end());
+                                            if (!batch.tile_headers[tt]
+                                                     .empty())
+                                                header_text +=
+                                                    batch.tile_headers[tt];
+                                        }
+                                        batch.count = batch.spans.size();
+                                        if (batch.decoded.size()
+                                            < batch.count) {
+                                            batch.decoded.resize(batch.count);
+                                            batch.ok.resize(batch.count);
+                                            batch.shard.resize(batch.count);
+                                        }
+                                        batch.next_tile.store(
+                                            0, std::memory_order_relaxed);
+                                        batch.swept.store(
+                                            true, std::memory_order_release);
+                                    }
+                                }
+                                while (!batch.swept.load(
+                                    std::memory_order_acquire))
+                                    std::this_thread::yield();
+                            }
                             /* 2-entry MRU memo for RNAME -> tid: aligner
                              * output is clustered by contig, so this
                              * replaces the per-record hash-map lookup with
@@ -3487,6 +3603,9 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                             const uint32_t TILE = 256;
                             const uint32_t n_tiles =
                                 (uint32_t)((batch.count + TILE - 1) / TILE);
+                            if (n_tiles == 0)  /* header-only chunk */
+                                partitioned.store(true,
+                                                  std::memory_order_release);
                             for (;;) {
                                 size_t lo =
                                     (size_t)batch.next_tile.fetch_add(
