@@ -914,13 +914,19 @@ bool low_entropy_scan_one(const char *seq, int64_t length, int64_t a1s, int64_t 
     const int64_t max_c = kmer_threshold(length);
     const int64_t max_c1 = kmer_threshold(a1e - a1s);
     const int64_t max_c2 = kmer_threshold(a2e - a2s);
+    /* rolling 2-bit window: the kmer at pos+1 shares all but its last base
+     * with the kmer at pos, so one base decode per position replaces
+     * kmer_length of them (identical value sequence) */
+    const int roll_mask = (1 << (2 * kmer_length)) - 1;
+    auto base_code = [](char base) {
+        return base == 'T' ? 0 : base == 'G' ? 1 : base == 'C' ? 2 : 3;
+    };
+    int value = 0;
+    for (int64_t j = 0; j < kmer_length - 1; ++j)
+        value = (value << 2) | base_code(seq[j]);
     for (int64_t pos = 0; pos < length - kmer_length; ++pos) {
-        int value = 0;
-        for (int64_t j = 0; j < kmer_length; ++j) {
-            char base = seq[pos + j];
-            int code = base == 'T' ? 0 : base == 'G' ? 1 : base == 'C' ? 2 : 3;
-            value = (value << 2) | code;
-        }
+        value = ((value << 2) | base_code(seq[pos + kmer_length - 1]))
+                & roll_mask;
         if (previous_pos[value] <= pos) {
             previous_pos[value] = (int32_t)(pos + kmer_length);
             kmer_count[value] += 1;

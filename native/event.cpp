@@ -3537,7 +3537,80 @@ PyObject *ev_write_discarded(PyObject *, PyObject *args) {
 
 namespace {
 
-using PileupMap = std::map<int64_t, std::map<std::string, int64_t>>;
+/* per-position base histogram: the hot add path is one observation per read
+ * base, so single-character keys (bases, '-', '<', '>', '_') live in flat
+ * slots (no per-base std::string or map node) and only multi-character
+ * insertion keys spill to a tiny vector. entries_sorted() materializes the
+ * exact lexicographic (string, count) sequence the former
+ * std::map<std::string, int64_t> iterated, so the consensus tie-breaks and
+ * dict order are unchanged. */
+struct PileupBucket {
+    /* ASCII-ascending single-char keys: '-' '<' '>' 'A' 'C' 'G' 'N' 'T' '_' */
+    static constexpr const char SLOT_CHARS[9] =
+        {'-', '<', '>', 'A', 'C', 'G', 'N', 'T', '_'};
+    int64_t slots[9] = {0, 0, 0, 0, 0, 0, 0, 0, 0};
+    std::vector<std::pair<std::string, int64_t>> multi;
+
+    static int slot_of(uint8_t ch) {
+        switch (ch) {
+            case '-': return 0;
+            case '<': return 1;
+            case '>': return 2;
+            case 'A': return 3;
+            case 'C': return 4;
+            case 'G': return 5;
+            case 'N': return 6;
+            case 'T': return 7;
+            case '_': return 8;
+            default: return -1;
+        }
+    }
+
+    void add(const char *s, size_t len, int64_t k = 1) {
+        int slot;
+        if (len == 1 && (slot = slot_of((uint8_t)s[0])) >= 0) {
+            slots[slot] += k;
+            return;
+        }
+        for (auto &entry : multi)
+            if (entry.first.size() == len
+                && memcmp(entry.first.data(), s, len) == 0) {
+                entry.second += k;
+                return;
+            }
+        multi.emplace_back(std::string(s, len), k);
+    }
+
+    int64_t total() const {
+        int64_t sum = 0;
+        for (int64_t v : slots) sum += v;
+        for (const auto &entry : multi) sum += entry.second;
+        return sum;
+    }
+
+    /* lexicographic (key, count) sequence — identical to the old map walk */
+    void entries_sorted(std::vector<std::pair<std::string, int64_t>> &out)
+        const {
+        out.clear();
+        if (multi.empty()) {
+            for (int i = 0; i < 9; ++i)
+                if (slots[i])
+                    out.emplace_back(std::string(1, SLOT_CHARS[i]), slots[i]);
+            return;
+        }
+        for (int i = 0; i < 9; ++i)
+            if (slots[i])
+                out.emplace_back(std::string(1, SLOT_CHARS[i]), slots[i]);
+        for (const auto &entry : multi) out.push_back(entry);
+        std::sort(out.begin(), out.end(),
+                  [](const std::pair<std::string, int64_t> &a,
+                     const std::pair<std::string, int64_t> &b) {
+                      return a.first < b.first;
+                  });
+    }
+};
+
+using PileupMap = std::map<int64_t, PileupBucket>;
 
 void pileup_one_list(const std::vector<int64_t> &indices, int mate,
                      bool reverse_complement, bool direction,
@@ -3589,8 +3662,8 @@ void pileup_one_list(const std::vector<int64_t> &indices, int mate,
             if (op == 1) {  // I
                 int64_t from = std::min(read_offset, seq_len);
                 int64_t to = std::min(read_offset + op_length + 1, seq_len);
-                std::string key((const char *)read_sequence + from, to - from);
-                pileup[reference_offset][key] += 1;
+                pileup[reference_offset].add(
+                    (const char *)read_sequence + from, (size_t)(to - from));
                 read_offset += op_length + 1;  // one base from the next element
                 reference_offset += 1;
                 subtract_from_next_element = 1;
@@ -3602,7 +3675,7 @@ void pileup_one_list(const std::vector<int64_t> &indices, int mate,
             } else if (op == 2) {  // D
                 for (int64_t i = 0; i < op_length - subtract_from_next_element;
                      ++i)
-                    pileup[reference_offset++]["-"] += 1;
+                    pileup[reference_offset++].add("-", 1);
                 subtract_from_next_element = 0;
             } else if (op == 5) {  // H
                 if (mate == SUPPLEMENTARY) read_offset += op_length;
@@ -3626,9 +3699,9 @@ void pileup_one_list(const std::vector<int64_t> &indices, int mate,
                      ++i) {
                     int64_t from = std::min(read_offset, seq_len);
                     int64_t to = std::min(read_offset + 1, seq_len);
-                    std::string key((const char *)read_sequence + from,
-                                    to - from);
-                    pileup[reference_offset][key] += 1;
+                    pileup[reference_offset].add(
+                        (const char *)read_sequence + from,
+                        (size_t)(to - from));
                     read_offset += 1;
                     reference_offset += 1;
                 }
@@ -3641,20 +3714,22 @@ void pileup_one_list(const std::vector<int64_t> &indices, int mate,
         int64_t intron_start = entry.first.first;
         int64_t intron_end = entry.first.second;
         int64_t frequency = entry.second;
-        pileup[intron_start][">"] += frequency;
-        pileup[intron_end]["<"] += frequency;
+        pileup[intron_start].add(">", 1, frequency);
+        pileup[intron_end].add("<", 1, frequency);
         for (int64_t i = intron_start + 1; i < intron_end; ++i)
-            pileup[i]["_"] += frequency;
+            pileup[i].add("_", 1, frequency);
     }
 }
 
 PyObject *pileup_to_dict(const PileupMap &pileup) {
     PyObject *result = PyDict_New();
     if (result == nullptr) return nullptr;
+    std::vector<std::pair<std::string, int64_t>> scratch;
     for (const auto &entry : pileup) {
         PyObject *bucket = PyDict_New();
         if (bucket == nullptr) { Py_DECREF(result); return nullptr; }
-        for (const auto &base : entry.second) {
+        entry.second.entries_sorted(scratch);
+        for (const auto &base : scratch) {
             PyObject *count = PyLong_FromLongLong(base.second);
             PyDict_SetItemString(bucket, base.first.c_str(), count);
             Py_DECREF(count);
@@ -3761,8 +3836,7 @@ void consensus_from_pileup(const PileupMap &pileup, int64_t breakpoint,
     coverages.reserve(pileup.size());
     int64_t peak_coverage = 0;
     for (const auto &entry : pileup) {
-        int64_t total = 0;
-        for (const auto &base : entry.second) total += base.second;
+        int64_t total = entry.second.total();
         sorted_positions.push_back(entry.first);
         coverages.push_back(total);
         if (total > peak_coverage) peak_coverage = total;
@@ -3806,7 +3880,10 @@ void consensus_from_pileup(const PileupMap &pileup, int64_t breakpoint,
         const std::string *most_frequent_base = nullptr;
         int64_t most_frequent_count = 0;
         int64_t coverage = 0;
-        for (const auto &entry : it->second) {
+        static thread_local std::vector<std::pair<std::string, int64_t>>
+            bucket_entries;
+        it->second.entries_sorted(bucket_entries);
+        for (const auto &entry : bucket_entries) {
             const std::string &base = entry.first;
             int64_t count = entry.second;
             bool base_is_intron = base == "_" || base == ">" || base == "<";
