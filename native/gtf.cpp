@@ -15,6 +15,9 @@
 #include <algorithm>
 #include <cerrno>
 #include <cstdint>
+#if defined(__SSE2__)
+#include <immintrin.h>
+#endif
 #include <cstdio>
 #include <cstring>
 #include <string>
@@ -619,15 +622,36 @@ const UpperLut kUpper;  // initialized before any thread runs
 
 size_t fill_record(const char *src, size_t n, char *dst) {
     // uppercase + strip ALL \r and \n, matching bytes.translate(_UPPER,
-    // b"\r\n") in io/fasta.py; returns the filled length
+    // b"\r\n") in io/fasta.py; returns the filled length. Lines without
+    // interior '\r' (all real FASTA) take a 16-byte SIMD uppercase copy.
     char *out = dst;
     const char *end = src + n;
     while (src < end) {
         const char *nl = (const char *)memchr(src, '\n', (size_t)(end - src));
         const char *stop = nl ? nl : end;
-        for (const char *p = src; p < stop; ++p) {
-            if (*p == '\r') continue;
-            *out++ = (char)kUpper.map[(unsigned char)*p];
+        size_t len = (size_t)(stop - src);
+        if (memchr(src, '\r', len) == nullptr) {
+            const char *p = src;
+#if defined(__SSE2__)
+            const __m128i low = _mm_set1_epi8('a' - 1);
+            const __m128i high = _mm_set1_epi8('z' + 1);
+            const __m128i delta = _mm_set1_epi8(32);
+            for (; p + 16 <= stop; p += 16, out += 16) {
+                __m128i v = _mm_loadu_si128((const __m128i *)p);
+                __m128i is_lower = _mm_and_si128(_mm_cmpgt_epi8(v, low),
+                                                 _mm_cmplt_epi8(v, high));
+                _mm_storeu_si128(
+                    (__m128i *)out,
+                    _mm_sub_epi8(v, _mm_and_si128(is_lower, delta)));
+            }
+#endif
+            for (; p < stop; ++p)
+                *out++ = (char)kUpper.map[(unsigned char)*p];
+        } else {
+            for (const char *p = src; p < stop; ++p) {
+                if (*p == '\r') continue;
+                *out++ = (char)kUpper.map[(unsigned char)*p];
+            }
         }
         src = nl ? nl + 1 : end;
     }
