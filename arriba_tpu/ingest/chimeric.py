@@ -777,6 +777,170 @@ def _materialize_fragments(chimeric_alignments: ChimericAlignments,
         chimeric_alignments[names[name_offsets[f]:name_offsets[f + 1]]] = mates
 
 
+def _scan_sam_sharded(path, name_to_tid, boundaries, interesting_per_tid,
+                      viral_per_tid, planes, external_duplicate_marking,
+                      threads, extract_tables, n_procs):
+    """ARRIBA_TPU_SHARDS=N sample-sharded ingest: N forked worker processes
+    each scan a byte-range slice of the SAM (native shard_spec "worker"),
+    exporting fragments + leftover records + private coverage planes; the
+    master saturating-sums the planes, adopts every blob, replays the
+    leftovers (cross-boundary pairs), and runs the normal sort/mark tail
+    (shard_spec "merge"). Output is byte-identical to the unsharded scan:
+    coverage and counters are commutative reductions, pair collation is
+    name-keyed (order-free), and fragment order is fixed by the final
+    sort-by-name. This is the single-host process tier of the BASELINE
+    scaling row (ref: read_chimeric_alignments.cpp:611-749 — the record
+    loop is the embarrassingly parallel axis); each process maps to one
+    host of a multi-host deployment, with the merge traffic (planes +
+    fragment blobs) being exactly what would ride DCN."""
+    import tempfile
+
+    import time as _time
+    shard_timing = _os.environ.get("ARRIBA_TPU_SHARD_TIMING") == "1"
+    t_begin = _time.perf_counter()
+    size = _os.path.getsize(path)
+    stripe = 16 << 20
+    try:
+        stripe_kb = int(_os.environ.get("ARRIBA_TPU_SHARD_STRIPE_KB", "0"))
+        if stripe_kb > 0:
+            stripe = stripe_kb << 10
+    except ValueError:
+        pass
+    worker_threads = max(1, threads // n_procs)
+    shm = "/dev/shm" if _os.path.isdir("/dev/shm") else None
+    tmpdir = tempfile.mkdtemp(prefix="arriba_tpu_shards_", dir=shm)
+    worker_tables = extract_tables[:7] + (0,)
+
+    pids = []
+    try:
+        for k in range(n_procs):
+            out_path = _os.path.join(tmpdir, f"worker_{k}.npz")
+            pid = _os.fork()
+            if pid == 0:
+                status = 1
+                try:
+                    my_planes = []
+                    for plane in planes:
+                        if plane is None:
+                            my_planes.append(None)
+                        else:
+                            cov, starts, ends = plane
+                            my_planes.append((np.zeros_like(cov),
+                                              np.zeros_like(starts),
+                                              np.zeros_like(ends)))
+                    tw0 = _time.perf_counter()
+                    (mapped, viral_counts, n_records,
+                     (missing_hi, malformed, no_chimeric),
+                     frag_blob, leftover_blob) = _native.scan_sam(
+                        path, name_to_tid, boundaries, interesting_per_tid,
+                        viral_per_tid, my_planes, external_duplicate_marking,
+                        worker_threads, worker_tables, 0,
+                        ("worker", k, n_procs, stripe))
+                    if shard_timing:
+                        print(f"[shard] worker {k} scan "
+                              f"{_time.perf_counter() - tw0:.2f}s "
+                              f"frag_blob={len(frag_blob)>>20}MB",
+                              file=sys.stderr)
+                    save = {"mapped": np.int64(mapped),
+                            "viral": np.array(viral_counts, np.int64),
+                            "n_records": np.int64(n_records),
+                            "missing_hi": np.int64(missing_hi),
+                            "malformed": np.int64(malformed),
+                            "no_chimeric": np.int64(no_chimeric),
+                            "frag_blob": np.frombuffer(
+                                bytearray(frag_blob or b""), np.uint8),
+                            "leftover_blob": np.frombuffer(
+                                bytearray(leftover_blob or b""), np.uint8)}
+                    for tid, plane in enumerate(my_planes):
+                        if plane is None:
+                            continue
+                        save[f"cov_{tid}"] = plane[0]
+                        save[f"st_{tid}"] = plane[1]
+                        save[f"en_{tid}"] = plane[2]
+                    with open(out_path + ".tmp", "wb") as fh:
+                        np.savez(fh, **save)
+                    _os.rename(out_path + ".tmp", out_path)
+                    status = 0
+                except BaseException as error:  # noqa: BLE001
+                    print(f"shard worker {k} failed: {error!r}",
+                          file=sys.stderr)
+                finally:
+                    _os._exit(status)
+            pids.append(pid)
+
+        if shard_timing:
+            print(f"[shard] spawn {_time.perf_counter() - t_begin:.2f}s",
+                  file=sys.stderr)
+        failed = False
+        for pid in pids:
+            _, status = _os.waitpid(pid, 0)
+            failed |= status != 0
+        if failed:
+            raise RuntimeError("sharded ingest worker failed")
+
+        mapped = n_records = missing_hi = malformed = 0
+        no_chimeric = True
+        viral_total = None
+        frag_blobs, leftover_blobs = [], []
+        for k in range(n_procs):
+            with np.load(_os.path.join(tmpdir, f"worker_{k}.npz")) as data:
+                mapped += int(data["mapped"])
+                n_records += int(data["n_records"])
+                missing_hi += int(data["missing_hi"])
+                malformed += int(data["malformed"])
+                no_chimeric &= bool(data["no_chimeric"])
+                viral = data["viral"]
+                viral_total = viral if viral_total is None \
+                    else viral_total + viral
+                frag_blobs.append(data["frag_blob"].tobytes())
+                leftover_blobs.append(data["leftover_blob"].tobytes())
+                for tid, plane in enumerate(planes):
+                    if plane is None:
+                        continue
+                    cov, starts, ends = plane
+                    # wide-sum + clamp == per-increment saturation (+1 each)
+                    wide = cov.astype(np.uint32)
+                    wide += data[f"cov_{tid}"]
+                    np.minimum(wide, 0xFFFF, out=wide)
+                    cov[:] = wide.astype(np.uint16)
+                    np.bitwise_or(starts, data[f"st_{tid}"], out=starts)
+                    np.bitwise_or(ends, data[f"en_{tid}"], out=ends)
+        if shard_timing:
+            print(f"[shard] workers joined+merged planes "
+                  f"{_time.perf_counter() - t_begin:.2f}s", file=sys.stderr)
+    finally:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+    t_merge = _time.perf_counter()
+    (header_bytes, merge_mapped, merge_viral, merge_records,
+     (merge_missing, merge_malformed, merge_no_chimeric),
+     names_blob, name_offsets_b, multimapper_count) = _native.scan_sam(
+        path, name_to_tid, boundaries, interesting_per_tid, viral_per_tid,
+        planes, external_duplicate_marking, threads, extract_tables, 0,
+        ("merge", frag_blobs, leftover_blobs))
+
+    if shard_timing:
+        print(f"[shard] master merge {_time.perf_counter() - t_merge:.2f}s",
+              file=sys.stderr)
+    viral_combined = [int(a) + int(b)
+                      for a, b in zip(viral_total, merge_viral)]
+    return (header_bytes, mapped + merge_mapped, viral_combined,
+            n_records + merge_records,
+            (missing_hi + merge_missing, malformed + merge_malformed,
+             1 if (no_chimeric and merge_no_chimeric) else 0),
+            names_blob, name_offsets_b, multimapper_count)
+
+
+def _path_is_plain_sam(path: str) -> bool:
+    try:
+        with open(path, "rb") as fh:
+            magic = fh.read(4)
+    except OSError:
+        return False
+    return not magic.startswith(b"\x1f\x8b") and magic != b"BAM\x01"
+
+
 def read_chimeric_alignments(path: str, assembly: Assembly,
                              chimeric_alignments: ChimericAlignments,
                              contigs: ContigRegistry,
@@ -947,10 +1111,23 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
                 assembly_list,
                 np.array(tid_to_contig, np.int64).tobytes(),
                 int(max_itd_length), 1 if retain else 0)
-            result = _native.scan_sam(
-                path, name_to_tid, boundaries, bytes(interesting_per_tid),
-                bytes(viral_per_tid), planes, external_duplicate_marking,
-                threads, extract_tables, 1 if stream_native else 0)
+            n_shard_procs = 0
+            try:
+                n_shard_procs = int(
+                    _os.environ.get("ARRIBA_TPU_SHARDS", "0") or "0")
+            except ValueError:
+                pass
+            if (n_shard_procs > 1 and retain and not stream_native
+                    and _path_is_plain_sam(path)):
+                result = _scan_sam_sharded(
+                    path, name_to_tid, boundaries, bytes(interesting_per_tid),
+                    bytes(viral_per_tid), planes, external_duplicate_marking,
+                    threads, extract_tables, n_shard_procs)
+            else:
+                result = _native.scan_sam(
+                    path, name_to_tid, boundaries, bytes(interesting_per_tid),
+                    bytes(viral_per_tid), planes, external_duplicate_marking,
+                    threads, extract_tables, 1 if stream_native else 0)
             if retain:
                 (_header_bytes, total_mapped, viral_counts, _n_records,
                  (missing_hi_tag, malformed_count, no_chimeric_flag),

@@ -93,6 +93,10 @@ struct Record {
     uint32_t qname_len = 0;
     uint32_t rname_start = 0, rname_len = 0;
     uint32_t seq_start = 0, seq_len_span = 0;
+    /* absolute input byte offset of the record's line (sharded-sample
+     * workers only): orders cross-boundary leftover replay like the
+     * single-process arrival order */
+    int64_t file_pos = 0;
 };
 
 struct CoveragePlane {
@@ -305,6 +309,7 @@ struct Scanner {
  * buffers in place (the decoded[] batch slots recycle them every chunk) and
  * reuses the destination's — the collation hot path stays allocation-free */
 inline void record_assign(Record &dst, const Record &src) {
+    dst.file_pos = src.file_pos;
     dst.line.assign(src.line);
     dst.bam_body.assign(src.bam_body.begin(), src.bam_body.end());
     dst.flag = src.flag;
@@ -324,6 +329,7 @@ inline void record_assign(Record &dst, const Record &src) {
  * copying their bytes (the source is a decoded[] batch slot that is dead
  * until the next chunk's parse recycles whatever capacity it holds) */
 inline void record_swap(Record &dst, Record &src) {
+    std::swap(dst.file_pos, src.file_pos);
     dst.line.swap(src.line);
     dst.bam_body.swap(src.bam_body);
     dst.cigar.swap(src.cigar);
@@ -777,6 +783,12 @@ struct Extractor {
     int64_t max_itd_length = 0;
 
     std::vector<FragmentData> fragments;
+    /* sharded-sample workers: file byte offset of the record that CREATED
+     * each fragment (parallel to `fragments`) — the master merges partial
+     * same-name fragments from different workers in this order, which is
+     * file order */
+    std::vector<int64_t> fragment_first_pos;
+    int64_t current_file_pos = 0;
     /* flat open-addressing name index over `fragments` (idx+1; 0=empty):
      * the std::unordered_map<string,size_t> it replaces paid a node malloc
      * per insert and a string copy per key — names already live in
@@ -794,6 +806,183 @@ struct Extractor {
 };
 
 bool strand_fwd(const Record &record) { return !(record.flag & FREVERSE); }
+
+/* ---- sharded-sample ingest marshalling ----------------------------------
+ *
+ * ARRIBA_TPU_SHARDS: worker processes each scan a byte-range slice of the
+ * input (scan_sam shard_spec ("worker", start, end)) and export (a) their
+ * extracted fragments and (b) their leftover unpaired collated records as
+ * flat blobs; the master adopts every blob (shard_spec ("merge", ...)),
+ * replays the leftovers through the exact handle_record_extract path (so
+ * pairs split across range boundaries classify identically to the
+ * single-process scan), and runs the normal normalize/sort/mark tail.
+ * All counters are commutative sums, coverage is merged with the
+ * saturating-sum rule, and the final sort-by-name fixes fragment order, so
+ * the result is byte-identical to the unsharded scan. */
+
+inline void put_u32(std::string &out, uint32_t v) {
+    out.append((const char *)&v, 4);
+}
+inline void put_i64(std::string &out, int64_t v) {
+    out.append((const char *)&v, 8);
+}
+
+struct BlobCursor {
+    const char *p;
+    const char *end;
+    bool ok = true;
+    bool pull(void *dst, size_t n) {
+        if (!ok || (size_t)(end - p) < n) { ok = false; return false; }
+        memcpy(dst, p, n);
+        p += n;
+        return true;
+    }
+    uint32_t u32() { uint32_t v = 0; pull(&v, 4); return v; }
+    int64_t i64() { int64_t v = 0; pull(&v, 8); return v; }
+    bool str(std::string &out, size_t n) {
+        if (!ok || (size_t)(end - p) < n) { ok = false; return false; }
+        out.assign(p, n);
+        p += n;
+        return true;
+    }
+};
+
+void serialize_fragments(const std::vector<FragmentData> &fragments,
+                         const std::vector<int64_t> &first_pos,
+                         std::string &out) {
+    put_i64(out, (int64_t)fragments.size());
+    for (size_t fi = 0; fi < fragments.size(); ++fi) {
+        const FragmentData &fragment = fragments[fi];
+        put_i64(out, fi < first_pos.size() ? first_pos[fi] : 0);
+        put_u32(out, (uint32_t)fragment.name.size());
+        out.append(fragment.name);
+        out.push_back((char)((fragment.single_end ? 1 : 0)
+                             | (fragment.duplicate ? 2 : 0)));
+        put_u32(out, (uint32_t)fragment.mates.size());
+        for (const AlignmentData &mate : fragment.mates) {
+            out.push_back((char)((mate.supplementary ? 1 : 0)
+                                 | (mate.first_in_pair ? 2 : 0)
+                                 | (mate.strand ? 4 : 0)
+                                 | (mate.predicted_strand ? 8 : 0)
+                                 | (mate.predicted_strand_ambiguous ? 16 : 0)
+                                 | (mate.exonic ? 32 : 0)));
+            put_i64(out, mate.contig);
+            put_i64(out, mate.start);
+            put_i64(out, mate.end);
+            put_u32(out, (uint32_t)mate.cigar.size());
+            out.append((const char *)mate.cigar.data(),
+                       mate.cigar.size() * 4);
+            put_u32(out, (uint32_t)mate.seq.size());
+            out.append(mate.seq);
+            put_u32(out, (uint32_t)mate.genes.size());
+            out.append((const char *)mate.genes.data(),
+                       mate.genes.size() * 8);
+        }
+    }
+}
+
+bool deserialize_fragments(const char *data, size_t size,
+                           std::vector<FragmentData> &out,
+                           std::vector<int64_t> &first_pos) {
+    BlobCursor cur{data, data + size};
+    int64_t n = cur.i64();
+    for (int64_t i = 0; i < n && cur.ok; ++i) {
+        out.emplace_back();
+        FragmentData &fragment = out.back();
+        first_pos.push_back(cur.i64());
+        uint32_t name_len = cur.u32();
+        cur.str(fragment.name, name_len);
+        char flags = 0;
+        cur.pull(&flags, 1);
+        fragment.single_end = (flags & 1) != 0;
+        fragment.duplicate = (flags & 2) != 0;
+        uint32_t n_mates = cur.u32();
+        for (uint32_t m = 0; m < n_mates && cur.ok; ++m) {
+            fragment.mates.emplace_back();
+            AlignmentData &mate = fragment.mates.back();
+            char mflags = 0;
+            cur.pull(&mflags, 1);
+            mate.supplementary = (mflags & 1) != 0;
+            mate.first_in_pair = (mflags & 2) != 0;
+            mate.strand = (mflags & 4) != 0;
+            mate.predicted_strand = (mflags & 8) != 0;
+            mate.predicted_strand_ambiguous = (mflags & 16) != 0;
+            mate.exonic = (mflags & 32) != 0;
+            mate.contig = cur.i64();
+            mate.start = cur.i64();
+            mate.end = cur.i64();
+            uint32_t n_cigar = cur.u32();
+            mate.cigar.resize(n_cigar);
+            cur.pull(mate.cigar.data(), (size_t)n_cigar * 4);
+            uint32_t seq_len = cur.u32();
+            cur.str(mate.seq, seq_len);
+            uint32_t n_genes = cur.u32();
+            mate.genes.resize(n_genes);
+            cur.pull(mate.genes.data(), (size_t)n_genes * 8);
+        }
+    }
+    return cur.ok;
+}
+
+void serialize_leftover(const std::string &name, const Record &record,
+                        std::string &out) {
+    put_u32(out, (uint32_t)name.size());
+    out.append(name);
+    uint16_t flag = record.flag;
+    out.append((const char *)&flag, 2);
+    int32_t tid = record.tid, mtid = record.mtid;
+    out.append((const char *)&tid, 4);
+    out.append((const char *)&mtid, 4);
+    put_i64(out, record.pos);
+    put_i64(out, record.end_pos);
+    out.push_back((char)((record.has_sa ? 1 : 0)
+                         | (record.hi_present ? 2 : 0)));
+    put_i64(out, record.hi_value);
+    int32_t clip = (int32_t)record.max_soft_clip;
+    out.append((const char *)&clip, 4);
+    put_u32(out, (uint32_t)record.cigar.size());
+    out.append((const char *)record.cigar.data(), record.cigar.size() * 4);
+    put_u32(out, (uint32_t)record.seq.size());
+    out.append(record.seq);
+    put_i64(out, record.file_pos);
+}
+
+bool deserialize_leftover(BlobCursor &cur, std::string &name,
+                          Record &record) {
+    uint32_t name_len = cur.u32();
+    cur.str(name, name_len);
+    uint16_t flag = 0;
+    cur.pull(&flag, 2);
+    record.flag = flag;
+    int32_t tid = -1, mtid = -1;
+    cur.pull(&tid, 4);
+    cur.pull(&mtid, 4);
+    record.tid = tid;
+    record.mtid = mtid;
+    record.pos = cur.i64();
+    record.end_pos = cur.i64();
+    char flags = 0;
+    cur.pull(&flags, 1);
+    record.has_sa = (flags & 1) != 0;
+    record.hi_present = (flags & 2) != 0;
+    record.hi_value = cur.i64();
+    int32_t clip = 0;
+    cur.pull(&clip, 4);
+    record.max_soft_clip = clip;
+    uint32_t n_cigar = cur.u32();
+    record.cigar.resize(n_cigar);
+    cur.pull(record.cigar.data(), (size_t)n_cigar * 4);
+    uint32_t seq_len = cur.u32();
+    cur.str(record.seq, seq_len);
+    record.file_pos = cur.i64();
+    record.line.clear();
+    record.bam_body.clear();
+    record.qname_len = 0;
+    record.rname_start = record.rname_len = 0;
+    record.seq_start = record.seq_len_span = 0;
+    return cur.ok;
+}
+
 
 int64_t seq_length(const Record &record) {
     return record.seq == "*" ? 0 : (int64_t)record.seq.size();
@@ -870,6 +1059,7 @@ FragmentData &fragment_for(Extractor &ext, const std::string &read_name) {
     fragment_index_insert(ext, h, (uint32_t)ext.fragments.size() + 1);
     ext.fragments.emplace_back();
     ext.fragments.back().name = read_name;
+    ext.fragment_first_pos.push_back(ext.current_file_pos);
     return ext.fragments.back();
 }
 
@@ -1297,6 +1487,7 @@ static inline uint64_t handle_tsc() {
 void handle_record_extract(Scanner &scanner, Extractor &extractor,
                            Record &record, std::string_view qname) {
     scanner.n_records += 1;
+    extractor.current_file_pos = record.file_pos;
 
     if ((record.flag & FUNMAP) ||
         ((record.flag & FPAIRED) && (record.flag & FMUNMAP)))
@@ -2586,12 +2777,43 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                         full-native extraction */
     int resume = 0;                  /* continue the stream scan_open() left
                                         positioned at the first record */
+    PyObject *shard_obj = Py_None;   /* sharded-sample ingest: ("worker",
+                                        start_byte, end_byte) or ("merge",
+                                        [fragment_blobs], [leftover_blobs]) */
 
-    if (!PyArg_ParseTuple(args, "sOOOOOpi|Oi", &path, &name_to_tid_obj,
+    if (!PyArg_ParseTuple(args, "sOOOOOpi|OiO", &path, &name_to_tid_obj,
                           &boundaries_obj, &interesting_obj, &viral_obj,
                           &coverage_obj, &external_duplicate_marking, &threads,
-                          &extract_obj, &resume))
+                          &extract_obj, &resume, &shard_obj))
         return nullptr;
+
+    int shard_mode = 0;  /* 0 none, 1 worker, 2 merge */
+    /* worker spec: (worker_idx=shard_start, n_procs=shard_end) over
+     * interleaved stripes of shard_stripe bytes — striping keeps the load
+     * balanced whatever the record layout (a contiguous byte split is
+     * pathological when chimeric records cluster) */
+    int64_t shard_start = 0, shard_end = 0, shard_stripe = 16 << 20;
+    PyObject *merge_frag_blobs = nullptr, *merge_leftover_blobs = nullptr;
+    if (shard_obj != Py_None) {
+        const char *kind = PyUnicode_AsUTF8(PyTuple_GetItem(shard_obj, 0));
+        if (kind == nullptr) return nullptr;
+        if (strcmp(kind, "worker") == 0) {
+            shard_mode = 1;
+            shard_start = PyLong_AsLongLong(PyTuple_GetItem(shard_obj, 1));
+            shard_end = PyLong_AsLongLong(PyTuple_GetItem(shard_obj, 2));
+            if (PyTuple_Size(shard_obj) >= 4)
+                shard_stripe =
+                    PyLong_AsLongLong(PyTuple_GetItem(shard_obj, 3));
+        } else if (strcmp(kind, "merge") == 0) {
+            shard_mode = 2;
+            merge_frag_blobs = PyTuple_GetItem(shard_obj, 1);
+            merge_leftover_blobs = PyTuple_GetItem(shard_obj, 2);
+        } else {
+            PyErr_SetString(PyExc_ValueError, "bad shard_spec kind");
+            return nullptr;
+        }
+        if (PyErr_Occurred()) return nullptr;
+    }
 
     gzFile gz;
     std::string resume_carry;               /* SAM bytes past the header */
@@ -2847,7 +3069,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
      * atomic_coverage, and the fragment table is name-sorted downstream), so
      * the result is byte-identical to the serial scan at any shard count. */
     int n_shards = 0;
-    if (extractor.enabled) {
+    if (extractor.enabled && shard_mode != 2) {
         /* one shard per core up to 16 (work-stealing parse tiles keep the
          * tail small; collation and coverage merge are shard-count
          * invariant, so the only cost of more shards is their state).
@@ -2953,6 +3175,113 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         }
     }
     std::hash<std::string_view> shard_hash;
+
+    if (shard_mode == 2) {
+        /* master merge: adopt the workers' fragment blobs, replay their
+         * leftover (range-boundary / unpaired) records through the exact
+         * handle path, then fall through to the normal tail. Counters the
+         * workers already tallied at record arrival (n_records,
+         * mapped_reads, missing_hi) are zeroed after the replay so the
+         * Python caller can sum worker + merge results without double
+         * counting; pair-completion effects (coverage, viral pristine
+         * counts, extracted fragments) happen only here. */
+        gzclose(gz);
+        if (!extractor.enabled) {
+            PyErr_SetString(PyExc_ValueError,
+                            "shard merge requires extraction mode");
+            goto merge_fail;
+        }
+        {
+            /* adopt the workers' fragments in CREATION (file) order and
+             * merge partial same-name fragments: a chimeric fragment whose
+             * records straddle a stripe boundary was extracted piecewise by
+             * two workers; appending the later piece's mates onto the
+             * earlier piece reproduces the single-process mate list. The
+             * by_name index is built here so the leftover replay extends
+             * these fragments instead of creating duplicates. */
+            std::vector<FragmentData> adopted;
+            std::vector<int64_t> adopted_pos;
+            for (Py_ssize_t b = 0; b < PyList_Size(merge_frag_blobs); ++b) {
+                char *data; Py_ssize_t size;
+                if (PyBytes_AsStringAndSize(
+                        PyList_GetItem(merge_frag_blobs, b), &data,
+                        &size) != 0)
+                    goto merge_fail;
+                if (!deserialize_fragments(data, (size_t)size, adopted,
+                                           adopted_pos)) {
+                    PyErr_SetString(PyExc_ValueError,
+                                    "corrupt shard fragment blob");
+                    goto merge_fail;
+                }
+            }
+            std::vector<uint32_t> order(adopted.size());
+            for (uint32_t i = 0; i < (uint32_t)order.size(); ++i)
+                order[i] = i;
+            std::stable_sort(order.begin(), order.end(),
+                             [&](uint32_t a, uint32_t b) {
+                                 return adopted_pos[a] < adopted_pos[b];
+                             });
+            for (uint32_t i : order) {
+                FragmentData &incoming = adopted[i];
+                extractor.current_file_pos = adopted_pos[i];
+                FragmentData &target = fragment_for(extractor, incoming.name);
+                if (target.mates.empty()) {
+                    target.single_end = incoming.single_end;
+                    target.duplicate = incoming.duplicate;
+                    target.mates = std::move(incoming.mates);
+                } else {
+                    target.single_end |= incoming.single_end;
+                    target.duplicate |= incoming.duplicate;
+                    for (AlignmentData &mate : incoming.mates)
+                        target.mates.push_back(std::move(mate));
+                }
+            }
+        }
+        {
+            /* replay cross-boundary leftovers in input order: the pair
+             * classification (add_fragment's flag choice, mate roles) is
+             * arrival-order-sensitive, and single-process arrival order is
+             * file order */
+            std::vector<std::pair<std::string, Record>> leftovers;
+            for (Py_ssize_t b = 0; b < PyList_Size(merge_leftover_blobs);
+                 ++b) {
+                char *data; Py_ssize_t size;
+                if (PyBytes_AsStringAndSize(
+                        PyList_GetItem(merge_leftover_blobs, b), &data,
+                        &size) != 0)
+                    goto merge_fail;
+                BlobCursor cur{data, data + size};
+                int64_t n = cur.i64();
+                for (int64_t i = 0; i < n && cur.ok; ++i) {
+                    leftovers.emplace_back();
+                    if (!deserialize_leftover(cur, leftovers.back().first,
+                                              leftovers.back().second))
+                        break;
+                }
+                if (!cur.ok) {
+                    PyErr_SetString(PyExc_ValueError,
+                                    "corrupt shard leftover blob");
+                    goto merge_fail;
+                }
+            }
+            std::stable_sort(leftovers.begin(), leftovers.end(),
+                             [](const std::pair<std::string, Record> &a,
+                                const std::pair<std::string, Record> &b) {
+                                 return a.second.file_pos < b.second.file_pos;
+                             });
+            for (auto &entry : leftovers)
+                handle_record_extract(scanner, extractor, entry.second,
+                                      std::string_view(entry.first));
+        }
+        scanner.n_records = 0;
+        extractor.mapped_reads = 0;
+        extractor.missing_hi = 0;
+        goto done;
+    merge_fail:
+        for (Py_buffer &view : buffers)
+            PyBuffer_Release(&view);
+        return nullptr;
+    }
 
     /* sniff the (decompressed) leading bytes: BAM or SAM text (already
      * done by scan_open when resuming) */
@@ -3332,6 +3661,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     const char *src = nullptr;  /* line base: mapped chunk
                                                    or data.data() */
                     size_t chunk_len = 0;
+                    int64_t file_base = 0;  /* chunk's input byte offset */
                     std::vector<std::pair<uint32_t, uint32_t>> spans;
                     std::vector<Record> decoded;
                     std::vector<uint8_t> ok;
@@ -3373,6 +3703,37 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                 size_t map_pos = 0;
                 if (!resume && gzdirect(gz))
                     mapped.open_file(path);
+                size_t map_end = mapped.ok() ? mapped.size() : 0;
+                /* worker stripes: this worker owns stripes j with
+                 * j % n_procs == worker_idx; a line belongs to the stripe
+                 * containing its FIRST byte, and every stripe edge uses the
+                 * same "first line start >= X" rule, so the workers tile
+                 * the file exactly */
+                int64_t stripe_j = 0;
+                auto first_line_start = [&](int64_t at) -> size_t {
+                    if (at <= 0) return 0;
+                    if ((size_t)at >= mapped.size()) return mapped.size();
+                    const char *nl = (const char *)memchr(
+                        mapped.data() + at - 1, '\n',
+                        mapped.size() - (size_t)(at - 1));
+                    return nl ? (size_t)(nl - mapped.data()) + 1
+                              : mapped.size();
+                };
+                auto enter_stripe = [&]() {
+                    map_pos = first_line_start(stripe_j * shard_stripe);
+                    map_end =
+                        first_line_start((stripe_j + 1) * shard_stripe);
+                };
+                if (shard_mode == 1) {
+                    if (!mapped.ok()) {
+                        stream_error = "sharded ingest requires a plain "
+                                       "uncompressed seekable SAM file";
+                        gzclose(gz);
+                        goto done;
+                    }
+                    stripe_j = shard_start;  /* worker_idx */
+                    enter_stripe();
+                }
 
                 auto read_batch = [&](SamBatch &batch) {
                     batch.count = 0;
@@ -3381,21 +3742,32 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     const char *base;
                     size_t n;
                     if (mapped.ok()) {
-                        if (done || map_pos >= mapped.size()) {
+                        while (shard_mode == 1 && !done
+                               && map_pos >= map_end) {
+                            stripe_j += shard_end;  /* n_procs */
+                            if ((size_t)(stripe_j * shard_stripe)
+                                >= mapped.size()) {
+                                done = true;
+                                break;
+                            }
+                            enter_stripe();
+                        }
+                        if (done || map_pos >= map_end) {
                             done = true;
                             return;
                         }
-                        size_t end = std::min(map_pos + CHUNK, mapped.size());
-                        if (end < mapped.size()) {
+                        size_t end = std::min(map_pos + CHUNK, map_end);
+                        if (end < map_end) {
                             /* cut the chunk at a line boundary */
                             const char *nl = (const char *)memchr(
                                 mapped.data() + end, '\n',
-                                mapped.size() - end);
+                                map_end - end);
                             end = nl ? (size_t)(nl - mapped.data()) + 1
-                                     : mapped.size();
+                                     : map_end;
                         }
                         base = mapped.data() + map_pos;
                         n = end - map_pos;
+                        batch.file_base = (int64_t)map_pos;
                         map_pos = end;
                         /* defer the newline sweep to the worker pool */
                         batch.src = base;
@@ -3732,6 +4104,8 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                 uint32_t i = mine[k];
                                 const char *line = base + batch.spans[i].first;
                                 ensure_seq(batch.decoded[i], line);
+                                batch.decoded[i].file_pos =
+                                    batch.file_base + batch.spans[i].first;
                                 handle_record_extract(
                                     shard_sc[s], shard_ex[s], batch.decoded[i],
                                     std::string_view(
@@ -3958,14 +4332,70 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
             extractor.malformed += shard_ex[s].malformed;
             extractor.no_chimeric =
                 extractor.no_chimeric && shard_ex[s].no_chimeric;
-            for (FragmentData &fragment : shard_ex[s].fragments)
-                extractor.fragments.push_back(std::move(fragment));
+            for (size_t fi = 0; fi < shard_ex[s].fragments.size(); ++fi) {
+                extractor.fragments.push_back(
+                    std::move(shard_ex[s].fragments[fi]));
+                extractor.fragment_first_pos.push_back(
+                    fi < shard_ex[s].fragment_first_pos.size()
+                        ? shard_ex[s].fragment_first_pos[fi] : 0);
+            }
             shard_ex[s].fragments.clear();
+            shard_ex[s].fragment_first_pos.clear();
             shard_ex[s].by_name.clear();
         }
     }
 
     if (tail_timing) tt_merge = tail_now();
+
+    if (shard_mode == 1) {
+        /* worker export: fragments (un-normalized, unsorted — the master
+         * normalizes and sorts the merged set once) + every leftover
+         * collated record (unpaired within this byte range; pairs split
+         * across range boundaries complete in the master replay) */
+        std::string frag_blob, leftover_blob;
+        serialize_fragments(extractor.fragments,
+                            extractor.fragment_first_pos, frag_blob);
+        std::string leftover_payload;
+        int64_t n_leftovers = 0;
+        auto emit_scanner_leftovers = [&](Scanner &sc) {
+            if (sc.has_pending) {
+                serialize_leftover(sc.pending_name, sc.pending,
+                                   leftover_payload);
+                n_leftovers += 1;
+            }
+            const Collator &coll = sc.coll;
+            for (size_t slot = 0; slot <= coll.mask && coll.mask; ++slot) {
+                if (slot >= coll.index.size() || coll.index[slot] == 0)
+                    continue;
+                const Collator::Entry &entry =
+                    coll.pool[coll.index[slot] - 1];
+                serialize_leftover(entry.name, entry.rec, leftover_payload);
+                n_leftovers += 1;
+            }
+        };
+        for (Scanner &shard : shard_sc)
+            emit_scanner_leftovers(shard);
+        emit_scanner_leftovers(scanner);
+        put_i64(leftover_blob, n_leftovers);
+        leftover_blob += leftover_payload;
+
+        PyObject *worker_viral = PyList_New(n_tids);
+        for (Py_ssize_t tid = 0; tid < n_tids; ++tid)
+            PyList_SetItem(worker_viral, tid,
+                           PyLong_FromLongLong(scanner.viral_counts[tid]));
+        PyObject *result = Py_BuildValue(
+            "lNl(lli)y#y#",
+            extractor.mapped_reads + scanner.boring_mapped_reads,
+            worker_viral, scanner.n_records,
+            extractor.missing_hi, extractor.malformed,
+            extractor.no_chimeric ? 1 : 0,
+            frag_blob.data(), (Py_ssize_t)frag_blob.size(),
+            leftover_blob.data(), (Py_ssize_t)leftover_blob.size());
+        for (Py_buffer &view : buffers)
+            PyBuffer_Release(&view);
+        return result;
+    }
+
     PyObject *viral_list = PyList_New(n_tids);
     for (Py_ssize_t tid = 0; tid < n_tids; ++tid)
         PyList_SetItem(viral_list, tid, PyLong_FromLongLong(scanner.viral_counts[tid]));
