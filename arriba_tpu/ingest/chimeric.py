@@ -811,6 +811,33 @@ def _scan_sam_sharded(path, name_to_tid, boundaries, interesting_per_tid,
     tmpdir = tempfile.mkdtemp(prefix="arriba_tpu_shards_", dir=shm)
     worker_tables = extract_tables[:7] + (0,)
 
+    # per-worker coverage planes in MAP_SHARED memory allocated BEFORE the
+    # fork: workers write them in place and the master sums them directly —
+    # no serialization round trip (this merge traffic is exactly what would
+    # ride DCN on a multi-host deployment)
+    import mmap as _mmap
+
+    shm_refs = []
+
+    def _shared_like(array):
+        buf = _mmap.mmap(-1, max(1, array.nbytes))
+        shm_refs.append(buf)
+        shared = np.frombuffer(buf, dtype=array.dtype,
+                               count=array.size).reshape(array.shape)
+        return shared
+
+    worker_planes = []
+    for k in range(n_procs):
+        my_planes = []
+        for plane in planes:
+            if plane is None:
+                my_planes.append(None)
+            else:
+                cov, starts, ends = plane
+                my_planes.append((_shared_like(cov), _shared_like(starts),
+                                  _shared_like(ends)))
+        worker_planes.append(my_planes)
+
     pids = []
     try:
         for k in range(n_procs):
@@ -819,15 +846,7 @@ def _scan_sam_sharded(path, name_to_tid, boundaries, interesting_per_tid,
             if pid == 0:
                 status = 1
                 try:
-                    my_planes = []
-                    for plane in planes:
-                        if plane is None:
-                            my_planes.append(None)
-                        else:
-                            cov, starts, ends = plane
-                            my_planes.append((np.zeros_like(cov),
-                                              np.zeros_like(starts),
-                                              np.zeros_like(ends)))
+                    my_planes = worker_planes[k]
                     tw0 = _time.perf_counter()
                     (mapped, viral_counts, n_records,
                      (missing_hi, malformed, no_chimeric),
@@ -851,12 +870,6 @@ def _scan_sam_sharded(path, name_to_tid, boundaries, interesting_per_tid,
                                 bytearray(frag_blob or b""), np.uint8),
                             "leftover_blob": np.frombuffer(
                                 bytearray(leftover_blob or b""), np.uint8)}
-                    for tid, plane in enumerate(my_planes):
-                        if plane is None:
-                            continue
-                        save[f"cov_{tid}"] = plane[0]
-                        save[f"st_{tid}"] = plane[1]
-                        save[f"en_{tid}"] = plane[2]
                     with open(out_path + ".tmp", "wb") as fh:
                         np.savez(fh, **save)
                     _os.rename(out_path + ".tmp", out_path)
@@ -882,29 +895,37 @@ def _scan_sam_sharded(path, name_to_tid, boundaries, interesting_per_tid,
         no_chimeric = True
         viral_total = None
         frag_blobs, leftover_blobs = [], []
+        workers = []
         for k in range(n_procs):
-            with np.load(_os.path.join(tmpdir, f"worker_{k}.npz")) as data:
-                mapped += int(data["mapped"])
-                n_records += int(data["n_records"])
-                missing_hi += int(data["missing_hi"])
-                malformed += int(data["malformed"])
-                no_chimeric &= bool(data["no_chimeric"])
-                viral = data["viral"]
-                viral_total = viral if viral_total is None \
-                    else viral_total + viral
-                frag_blobs.append(data["frag_blob"].tobytes())
-                leftover_blobs.append(data["leftover_blob"].tobytes())
-                for tid, plane in enumerate(planes):
-                    if plane is None:
-                        continue
-                    cov, starts, ends = plane
-                    # wide-sum + clamp == per-increment saturation (+1 each)
-                    wide = cov.astype(np.uint32)
-                    wide += data[f"cov_{tid}"]
-                    np.minimum(wide, 0xFFFF, out=wide)
-                    cov[:] = wide.astype(np.uint16)
-                    np.bitwise_or(starts, data[f"st_{tid}"], out=starts)
-                    np.bitwise_or(ends, data[f"en_{tid}"], out=ends)
+            data = np.load(_os.path.join(tmpdir, f"worker_{k}.npz"))
+            workers.append(data)
+            mapped += int(data["mapped"])
+            n_records += int(data["n_records"])
+            missing_hi += int(data["missing_hi"])
+            malformed += int(data["malformed"])
+            no_chimeric &= bool(data["no_chimeric"])
+            viral = data["viral"]
+            viral_total = viral if viral_total is None \
+                else viral_total + viral
+            frag_blobs.append(data["frag_blob"].tobytes())
+            leftover_blobs.append(data["leftover_blob"].tobytes())
+        for tid, plane in enumerate(planes):
+            if plane is None:
+                continue
+            cov, starts, ends = plane
+            # wide-sum + clamp == per-increment saturation (each is +1):
+            # one u32 accumulator per plane, all workers added, one clamp
+            wide = cov.astype(np.uint32)
+            for my_planes in worker_planes:
+                wcov, wstarts, wends = my_planes[tid]
+                wide += wcov
+                np.bitwise_or(starts, wstarts, out=starts)
+                np.bitwise_or(ends, wends, out=ends)
+            np.minimum(wide, 0xFFFF, out=wide)
+            cov[:] = wide.astype(np.uint16)
+        for data in workers:
+            data.close()
+        # the mmap buffers free when the numpy views are collected
         if shard_timing:
             print(f"[shard] workers joined+merged planes "
                   f"{_time.perf_counter() - t_begin:.2f}s", file=sys.stderr)

@@ -100,6 +100,7 @@ struct shim_cram_fd;  /* opaque; arriba only passes it to cram_set_option */
 typedef struct samFile_shim {
     gzFile gz;
     int is_cram;
+    int is_bam;
     int is_write;
     union { struct shim_cram_fd *cram; void *voidp; } fp;
     char *line_buf;

@@ -35,6 +35,14 @@ extern "C" samFile *sam_open(const char *path, const char *mode) {
     samFile *fp = new samFile();
     fp->gz = gz;
     fp->is_cram = 0;
+    /* binary BAM: BGZF is gzip, so gzread sees the decompressed stream */
+    fp->is_bam = 0;
+    char magic[4];
+    int magic_got = gzread(gz, magic, 4);
+    if (magic_got == 4 && memcmp(magic, "BAM\1", 4) == 0)
+        fp->is_bam = 1;
+    else
+        gzrewind(gz);
     fp->is_write = 0;
     fp->fp.voidp = NULL;
     fp->line_buf = NULL;
@@ -86,6 +94,39 @@ extern "C" bam_hdr_t *sam_hdr_read(samFile *fp) {
     std::vector<std::string> names;
     std::vector<uint32_t> lengths;
     std::string text;
+
+    if (fp->is_bam) {
+        int32_t l_text = 0;
+        if (gzread(fp->gz, &l_text, 4) != 4 || l_text < 0) return NULL;
+        text.resize((size_t)l_text);
+        if (l_text > 0 && gzread(fp->gz, &text[0], l_text) != l_text)
+            return NULL;
+        text.resize(strlen(text.c_str()));  /* NUL-padded in some writers */
+        int32_t n_ref = 0;
+        if (gzread(fp->gz, &n_ref, 4) != 4 || n_ref < 0) return NULL;
+        for (int32_t i = 0; i < n_ref; ++i) {
+            int32_t l_name = 0, l_ref = 0;
+            if (gzread(fp->gz, &l_name, 4) != 4 || l_name <= 0) return NULL;
+            std::string name((size_t)l_name, '\0');
+            if (gzread(fp->gz, &name[0], l_name) != l_name) return NULL;
+            name.resize(strlen(name.c_str()));
+            if (gzread(fp->gz, &l_ref, 4) != 4) return NULL;
+            names.push_back(name);
+            lengths.push_back((uint32_t)l_ref);
+        }
+        bam_hdr_t *header = (bam_hdr_t *)calloc(1, sizeof(bam_hdr_t));
+        header->n_targets = (int32_t)names.size();
+        header->target_name = (char **)malloc(sizeof(char *) * names.size());
+        header->target_len = (uint32_t *)malloc(sizeof(uint32_t)
+                                                * names.size());
+        for (size_t i = 0; i < names.size(); ++i) {
+            header->target_name[i] = strdup(names[i].c_str());
+            header->target_len[i] = lengths[i];
+        }
+        header->text = strdup(text.c_str());
+        fp->header = header;
+        return header;
+    }
 
     /* header lines start with '@'; stop before the first record by peeking */
     for (;;) {
@@ -161,6 +202,44 @@ static void ensure_data(bam1_t *b, size_t needed) {
 
 extern "C" int sam_read1(samFile *fp, bam_hdr_t *header, bam1_t *b) {
     init_nt16_table();
+    if (fp->is_bam) {
+        int32_t block_size = 0;
+        int got = gzread(fp->gz, &block_size, 4);
+        if (got != 4 || block_size < 32) return -1;  /* EOF / EOF block */
+        uint8_t fixed[32];
+        if (gzread(fp->gz, fixed, 32) != 32) return -2;
+        int32_t refID, pos_i, l_seq, next_refID, next_pos, tlen;
+        memcpy(&refID, fixed + 0, 4);
+        memcpy(&pos_i, fixed + 4, 4);
+        uint8_t l_read_name = fixed[8];
+        uint8_t mapq = fixed[9];
+        uint16_t bin, n_cigar_op, flag;
+        memcpy(&bin, fixed + 10, 2);
+        memcpy(&n_cigar_op, fixed + 12, 2);
+        memcpy(&flag, fixed + 14, 2);
+        memcpy(&l_seq, fixed + 16, 4);
+        memcpy(&next_refID, fixed + 20, 4);
+        memcpy(&next_pos, fixed + 24, 4);
+        memcpy(&tlen, fixed + 28, 4);
+        int l_data = block_size - 32;
+        ensure_data(b, (size_t)l_data + 1);
+        if (l_data > 0 && gzread(fp->gz, b->data, l_data) != l_data)
+            return -2;
+        b->l_data = l_data;
+        b->core.tid = refID;
+        b->core.pos = pos_i;
+        b->core.bin = bin;
+        b->core.qual = mapq;
+        b->core.l_extranul = 0;
+        b->core.flag = flag;
+        b->core.l_qname = l_read_name;  /* includes the NUL, no padding */
+        b->core.n_cigar = n_cigar_op;
+        b->core.l_qseq = l_seq;
+        b->core.mtid = next_refID;
+        b->core.mpos = next_pos;
+        b->core.isize = tlen;
+        return l_data;
+    }
     long len = read_line(fp);
     if (len < 0) return -1;           /* EOF */
     if (len == 0) return sam_read1(fp, header, b);
