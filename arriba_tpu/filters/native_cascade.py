@@ -54,14 +54,13 @@ _STAGE_FILTER_IDS = (FILTER_DUPLICATES, FILTER_UNINTERESTING_CONTIGS,
 def _native_module():
     if (os.environ.get("ARRIBA_TPU_NO_NATIVE") == "1"
             or os.environ.get("ARRIBA_TPU_NO_NATIVE_CASCADE") == "1"
-            # EXPLICIT TPU offload routes the per-read math through the jax
-            # ops in read_level.py instead of the C++ cascade. The
-            # local-chip auto-detection deliberately does NOT bypass the
-            # native engine: the C++ cascade beats device offload
-            # end-to-end, so auto offload only applies when the native
-            # engine is unavailable (pure-Python installs on a TPU VM,
-            # where read_level picks it up by itself).
-            or os.environ.get("ARRIBA_TPU_DEVICE") == "1"):
+            # ARRIBA_TPU_DEVICE=1 + ARRIBA_TPU_NO_NATIVE_CASCADE=1 is the
+            # old fully-Python offload mode; plain DEVICE=1 is now HYBRID:
+            # the C++ cascade keeps the host-optimal stages and the batched
+            # low-entropy scan routes to the accelerator at the stage-13
+            # boundary (cascade_low_entropy_rows / cascade_set_filters) —
+            # explicit offload no longer amputates the fast engine.
+            ):
         return None
     try:
         from .. import _native
@@ -288,17 +287,75 @@ class ReadLevelCascade:
         genome_size = sum(
             len(state.assembly[c]) for c in range(len(state.interesting_contigs))
             if state.interesting_contigs[c] and c in state.assembly)
+        hybrid_device = (os.environ.get("ARRIBA_TPU_DEVICE") == "1"
+                         and self.options.filters["low_entropy"])
         counts_b, filters_b = self._native.cascade_finish(
             int(state.max_mate_gap), 0.01,
             float(options.mismatch_pvalue_cutoff), int(genome_size),
-            float(options.max_kmer_content), 3, int(options.max_itd_length))
+            float(options.max_kmer_content), 3, int(options.max_itd_length),
+            1 if hybrid_device else 0)
         counts = np.frombuffer(counts_b, np.int64)
         for bit, name in enumerate(_STAGES[5:]):
             self._counts[name] = int(counts[bit])
+        if hybrid_device:
+            self._counts["low_entropy"] = self._device_low_entropy()
         if self._fragments is not None:
             filters = np.frombuffer(filters_b, np.int64).tolist()
             for mates, filter_id in zip(self._fragments, filters):
                 mates.filter = filter_id
+
+    def _device_low_entropy(self) -> int:
+        """Hybrid DEVICE=1 stage 13: the native engine exports the exact
+        rows its scan would visit; the batched recurrence decides them on
+        the accelerator (ops/readfilters.low_entropy_batch, differentially
+        tested against the host scan); verdicts apply back into the native
+        store. Falls back to the native flat scan on any device error —
+        output is byte-identical either way."""
+        from .mismappers import KMER_BASE_LUT
+        from .read_level import _apply_jax_platform_env, _log_device_error_once
+
+        options = self.options
+        rows_b, offsets_b, seq_blob, windows_b =             self._native.cascade_low_entropy_rows(3, int(options.max_itd_length))
+        frag_rows = np.frombuffer(rows_b or b"", np.int64)
+        if len(frag_rows) == 0:
+            return self._native.cascade_set_filters(b"", 13)
+        seq_offsets = np.frombuffer(offsets_b, np.int64)
+        windows = np.frombuffer(windows_b, np.int32).reshape(-1, 4)
+        lengths = np.diff(seq_offsets).astype(np.int32)
+        flags = None
+        try:
+            _apply_jax_platform_env()
+            from ..ops.readfilters import low_entropy_batch_chunked
+            n = len(frag_rows)
+            L = int(lengths.max())
+            codes = np.full((n, L), 3, np.uint8)
+            all_codes = KMER_BASE_LUT[np.frombuffer(seq_blob, np.uint8)]
+            # row-major boolean assignment == concatenated-sequence order
+            cols = np.arange(L, dtype=np.int32)[None, :]
+            codes[cols < lengths[:, None]] = all_codes
+            flags = low_entropy_batch_chunked(
+                codes, lengths,
+                np.ascontiguousarray(windows[:, 0]),
+                np.ascontiguousarray(windows[:, 1]),
+                np.ascontiguousarray(windows[:, 2]),
+                np.ascontiguousarray(windows[:, 3]),
+                float(options.max_kmer_content))
+        except Exception as error:  # noqa: BLE001 - device-availability dependent
+            _log_device_error_once("cascade low_entropy (hybrid)", error)
+            flags = None
+        if flags is None:
+            flags = np.zeros(len(frag_rows), np.uint8)
+            self._native.low_entropy_scan_flat(
+                seq_blob, np.ascontiguousarray(seq_offsets),
+                np.ascontiguousarray(windows[:, 0]),
+                np.ascontiguousarray(windows[:, 1]),
+                np.ascontiguousarray(windows[:, 2]),
+                np.ascontiguousarray(windows[:, 3]),
+                flags, float(options.max_kmer_content), 3)
+            flags = flags.astype(bool)
+        hit_rows = np.ascontiguousarray(frag_rows[np.asarray(flags,
+                                                             bool)])
+        return self._native.cascade_set_filters(hit_rows.tobytes(), 13)
 
     # -- stage accessors (pipeline call order) ------------------------------
 

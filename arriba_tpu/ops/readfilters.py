@@ -52,6 +52,8 @@ def binomial_pvalue(mismatches: jnp.ndarray, alignment_length: jnp.ndarray,
     return jnp.exp(log_p)
 
 
+@functools.partial(jax.jit, static_argnames=("mismatch_probability",
+                                              "pvalue_cutoff"))
 def mismatch_filter_batch(bases: jnp.ndarray, ref: jnp.ndarray,
                           match_mask: jnp.ndarray, extra_mismatches: jnp.ndarray,
                           mismatch_probability: float,
@@ -77,6 +79,90 @@ def low_entropy_batch(bases: jnp.ndarray, length: jnp.ndarray,
                       aligned_start1: jnp.ndarray, aligned_end1: jnp.ndarray,
                       aligned_start2: jnp.ndarray, aligned_end2: jnp.ndarray,
                       kmer_content: float) -> jnp.ndarray:
+    """Host wrapper: the reference's float32 threshold arithmetic is
+    computed in numpy (bit-exact float32 — XLA fusion may contract the
+    multiply/divide differently at the rounding boundary) and handed to the
+    jitted core as arrays."""
+    import numpy as _np
+
+    def _threshold(segment_length):
+        seg = _np.asarray(segment_length)
+        q = (seg.astype(_np.float32) * _np.float32(kmer_content)) \
+            / _np.float32(KMER_LENGTH)
+        base = _np.floor(q)
+        t = (base + (q - base >= _np.float32(0.5))).astype(_np.int32)
+        return _np.where(_np.asarray(seg) < 0, _np.int32(1) << 30, t)
+
+    th_all = _threshold(length)
+    th_a1 = _threshold(_np.asarray(aligned_end1) - _np.asarray(aligned_start1))
+    th_a2 = _threshold(_np.asarray(aligned_end2) - _np.asarray(aligned_start2))
+    return _low_entropy_core(bases, jnp.asarray(_np.asarray(length)),
+                             jnp.asarray(_np.asarray(aligned_start1)),
+                             jnp.asarray(_np.asarray(aligned_end1)),
+                             jnp.asarray(_np.asarray(aligned_start2)),
+                             jnp.asarray(_np.asarray(aligned_end2)),
+                             jnp.asarray(th_all), jnp.asarray(th_a1),
+                             jnp.asarray(th_a2))
+
+
+def low_entropy_batch_chunked(codes, lengths, a1s, a1e, a2s, a2e,
+                              kmer_content: float, chunk_rows: int = 131072):
+    """Dispatch low_entropy_batch in fixed-size row chunks (last chunk
+    zero-padded): one compiled executable shape regardless of batch size,
+    so cold-compile cost is paid once and transfers pipeline. Padded rows
+    have length 0 and can never flag."""
+    import numpy as _np
+
+    n = len(lengths)
+    if n == 0:
+        return _np.zeros(0, bool)
+    if n <= chunk_rows:
+        chunk_rows = n  # small batches keep their natural shape
+    out = _np.zeros(n, bool)
+    for lo in range(0, n, chunk_rows):
+        hi = min(n, lo + chunk_rows)
+        if hi - lo == chunk_rows:
+            c, ln = codes[lo:hi], lengths[lo:hi]
+            w = (a1s[lo:hi], a1e[lo:hi], a2s[lo:hi], a2e[lo:hi])
+        else:
+            pad = chunk_rows - (hi - lo)
+            c = _np.concatenate(
+                [codes[lo:hi],
+                 _np.full((pad, codes.shape[1]), 3, codes.dtype)])
+            ln = _np.concatenate([lengths[lo:hi],
+                                  _np.zeros(pad, lengths.dtype)])
+            w = tuple(_np.concatenate([arr[lo:hi],
+                                       _np.zeros(pad, arr.dtype)])
+                      for arr in (a1s, a1e, a2s, a2e))
+        flags = _np.asarray(low_entropy_batch(
+            jnp.asarray(c), jnp.asarray(ln), jnp.asarray(w[0]),
+            jnp.asarray(w[1]), jnp.asarray(w[2]), jnp.asarray(w[3]),
+            kmer_content))
+        out[lo:hi] = flags[:hi - lo]
+    return out
+
+
+def _low_entropy_thresholds_traced(length, a1s, a1e, a2s, a2e,
+                                   kmer_content: float):
+    """In-graph float32 threshold math for traced callers
+    (read_filter_step); the stand-alone wrapper computes these on the host
+    for bit-exact float32 at the rounding boundary."""
+    def threshold(segment_length):
+        q = (segment_length.astype(jnp.float32)
+             * jnp.float32(kmer_content)) / jnp.float32(KMER_LENGTH)
+        base = jnp.floor(q)
+        t = (base + (q - base >= jnp.float32(0.5))).astype(jnp.int32)
+        return jnp.where(segment_length < 0, jnp.int32(1) << 30, t)
+
+    return threshold(length), threshold(a1e - a1s), threshold(a2e - a2s)
+
+
+@jax.jit
+def _low_entropy_core(bases: jnp.ndarray, length: jnp.ndarray,
+                      aligned_start1: jnp.ndarray, aligned_end1: jnp.ndarray,
+                      aligned_start2: jnp.ndarray, aligned_end2: jnp.ndarray,
+                      th_all: jnp.ndarray, th_a1: jnp.ndarray,
+                      th_a2: jnp.ndarray) -> jnp.ndarray:
     """filter_low_entropy.cpp:60-100 vectorized: per read, does any 3-mer
     recur (non-overlapping) often enough to cover >= kmer_content of the
     read or of either aligned segment?
@@ -103,17 +189,6 @@ def low_entropy_batch(bases: jnp.ndarray, length: jnp.ndarray,
     # is exact for float32 q without needing f64 on device; inverted
     # windows (end < start) get a huge threshold (the reference converts
     # the negative product to unsigned and never filters)
-    def threshold(segment_length):
-        q = (segment_length.astype(jnp.float32)
-             * jnp.float32(kmer_content)) / jnp.float32(KMER_LENGTH)
-        base = jnp.floor(q)
-        t = (base + (q - base >= jnp.float32(0.5))).astype(jnp.int32)
-        return jnp.where(segment_length < 0, jnp.int32(1) << 30, t)
-
-    th_all = threshold(length)
-    th_a1 = threshold(aligned_end1 - aligned_start1)
-    th_a2 = threshold(aligned_end2 - aligned_start2)
-
     positions = jnp.arange(L, dtype=jnp.int32)[None, :]            # [1, L]
     eligible = positions < (length - KMER_LENGTH)[:, None]         # [N, L]
     false_col = jnp.zeros((n_reads, 1), jnp.bool_) & (length[:, None] < 0)
@@ -160,39 +235,59 @@ def low_entropy_batch(bases: jnp.ndarray, length: jnp.ndarray,
     in_a2 = ((positions + 1 >= aligned_start2[:, None])
              & (positions < aligned_end2[:, None]))
     kmer_iota = jnp.arange(N_KMERS, dtype=jnp.int32)[None, None, :]
+    # chunked via lax.fori_loop (NOT an unrolled Python loop): integer adds
+    # commute exactly, and a rolled loop keeps the HLO small — the unrolled
+    # form made this the most expensive compile in the repo (~100 s through
+    # a remote-compile tunnel; seconds rolled)
     chunk = 16
+    L_pad = ((L + chunk - 1) // chunk) * chunk
+    pad = [(0, 0), (0, L_pad - L)]
+    kv_pad = jnp.pad(kmer_values, pad)
     if L <= 3069:
         weight = jnp.where(
             selected,
             1 + (in_a1.astype(jnp.int32) << 10)
             + (in_a2.astype(jnp.int32) << 20),
             0)                                                  # [N, L]
-        c_packed = jnp.zeros((n_reads, N_KMERS), jnp.int32)
-        for chunk_start in range(0, L, chunk):
-            sl = slice(chunk_start, min(chunk_start + chunk, L))
-            one_hot = (kmer_values[:, sl, None] == kmer_iota)  # [N, S, 64]
-            c_packed = c_packed + jnp.sum(
-                jnp.where(one_hot, weight[:, sl, None], 0), axis=1,
+        w_pad = jnp.pad(weight, pad)
+
+        def packed_body(i, c_acc):
+            sl = i * chunk
+            kv = jax.lax.dynamic_slice(kv_pad, (0, sl), (n_reads, chunk))
+            wt = jax.lax.dynamic_slice(w_pad, (0, sl), (n_reads, chunk))
+            one_hot = (kv[:, :, None] == kmer_iota)             # [N, S, 64]
+            return c_acc + jnp.sum(
+                jnp.where(one_hot, wt[:, :, None], 0), axis=1,
                 dtype=jnp.int32)
+
+        # derive the carry init from an input so its sharding varyance
+        # matches the body output under shard_map (scan-vma rule)
+        c_init = jnp.zeros((n_reads, N_KMERS), jnp.int32) | (w_pad[:, :1] & 0)
+        c_packed = jax.lax.fori_loop(0, L_pad // chunk, packed_body, c_init)
         c_all = c_packed & 0x3FF
         c_a1 = (c_packed >> 10) & 0x3FF
         c_a2 = (c_packed >> 20) & 0x3FF
     else:
-        c_all = jnp.zeros((n_reads, N_KMERS), jnp.int32)
-        c_a1 = jnp.zeros((n_reads, N_KMERS), jnp.int32)
-        c_a2 = jnp.zeros((n_reads, N_KMERS), jnp.int32)
-        for chunk_start in range(0, L, chunk):
-            sl = slice(chunk_start, min(chunk_start + chunk, L))
-            one_hot = (kmer_values[:, sl, None] == kmer_iota)
-            sel = selected[:, sl]
-            c_all = c_all + jnp.sum(one_hot & sel[:, :, None], axis=1,
-                                    dtype=jnp.int32)
-            c_a1 = c_a1 + jnp.sum(
-                one_hot & (sel & in_a1[:, sl])[:, :, None], axis=1,
-                dtype=jnp.int32)
-            c_a2 = c_a2 + jnp.sum(
-                one_hot & (sel & in_a2[:, sl])[:, :, None], axis=1,
-                dtype=jnp.int32)
+        sel_pad = jnp.pad(selected, pad)
+        a1_pad = jnp.pad(selected & in_a1, pad)
+        a2_pad = jnp.pad(selected & in_a2, pad)
+
+        def unpacked_body(i, accs):
+            c_all, c_a1, c_a2 = accs
+            sl = i * chunk
+            kv = jax.lax.dynamic_slice(kv_pad, (0, sl), (n_reads, chunk))
+            one_hot = (kv[:, :, None] == kmer_iota)
+            def count(mask_pad):
+                m = jax.lax.dynamic_slice(mask_pad, (0, sl),
+                                          (n_reads, chunk))
+                return jnp.sum(one_hot & m[:, :, None], axis=1,
+                               dtype=jnp.int32)
+            return (c_all + count(sel_pad), c_a1 + count(a1_pad),
+                    c_a2 + count(a2_pad))
+
+        zeros = jnp.zeros((n_reads, N_KMERS), jnp.int32) | (kv_pad[:, :1] & 0)
+        c_all, c_a1, c_a2 = jax.lax.fori_loop(
+            0, L_pad // chunk, unpacked_body, (zeros, zeros, zeros))
 
     counted = c_all >= 1
     crossed = counted & ((c_all >= th_all[:, None])
@@ -202,6 +297,7 @@ def low_entropy_batch(bases: jnp.ndarray, length: jnp.ndarray,
     return jnp.any(crossed, axis=1) & applicable
 
 
+@jax.jit
 def homopolymer_run_batch(windows: jnp.ndarray) -> jnp.ndarray:
     """Longest run of identical non-PAD codes per row ([N, W] -> [N]).
     The host builds the two breakpoint-adjacent windows with a PAD separator
@@ -236,9 +332,12 @@ def read_filter_step(bases: jnp.ndarray, ref: jnp.ndarray,
     pvalue = binomial_pvalue(mismatches + extra_mismatches, alignment_length,
                              mismatch_probability)
     mismatch_discard = pvalue < pvalue_cutoff
-    low_entropy_discard = low_entropy_batch(bases, length, aligned_start,
+    le_th = _low_entropy_thresholds_traced(length, aligned_start,
+                                           aligned_end, aligned_start,
+                                           aligned_end, kmer_content)
+    low_entropy_discard = _low_entropy_core(bases, length, aligned_start,
                                             aligned_end, aligned_start,
-                                            aligned_end, kmer_content)
+                                            aligned_end, *le_th)
     return {
         "mismatches": mismatches,
         "alignment_length": alignment_length,

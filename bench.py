@@ -182,7 +182,7 @@ def _pipeline_cmd(sample_args, out_dir: pathlib.Path, threads: int,
 def _run_pipeline(sample_args, out_dir: pathlib.Path, threads: int,
                   env_extra: dict | None = None, suffix: str = "") -> tuple:
     env = dict(os.environ)
-    env["PYTHONPATH"] = str(REPO)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
     # host-only runs skip the accelerator-tunnel PJRT registration (costs
     # seconds of jax import + device discovery per process)
     if not env_extra or env_extra.get("ARRIBA_TPU_DEVICE") != "1":
@@ -203,7 +203,7 @@ def _run_pipeline(sample_args, out_dir: pathlib.Path, threads: int,
 
 def _stage_breakdown(sample_args, out_dir: pathlib.Path, threads: int) -> list:
     env = dict(os.environ)
-    env["PYTHONPATH"] = str(REPO)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
     env["ARRIBA_TPU_STAGE_TIMES"] = "1"
     env.pop("PALLAS_AXON_POOL_IPS", None)
     traced = subprocess.run(_pipeline_cmd(sample_args, out_dir, threads),
@@ -362,18 +362,23 @@ def main() -> None:
             "device_off_s": round(off_elapsed, 2),
             "device_on_s": round(on_elapsed, 2),
             "fusions_byte_equal": equal,
-            "note": ("ARRIBA_TPU_DEVICE=1 deliberately runs the PYTHON "
-                     "parity cascade (so the jax ops are decision-making) "
-                     "— most of device_on_s is that engine, not device "
-                     "dispatch. Constant-engine comparison measured on "
-                     "this sample (README Performance): pure-Python host "
-                     "880 s, pure-Python+device-via-tunnel 1082 s, "
-                     "DEVICE=1 with native scans 180 s, native engine "
-                     "~5 s. The tunnel (0.1-1 GB/s, 10-200 ms per "
-                     "dispatch) taxes every device call here; the auto "
-                     "policy (DEVICE unset) therefore offloads only on a "
-                     "locally-attached chip above the batch-size "
-                     "crossover (ARRIBA_TPU_DEVICE_MIN_ROWS)")})
+            "note": ("ARRIBA_TPU_DEVICE=1 is HYBRID since round 5: the "
+                     "C++ cascade keeps every host-optimal stage and the "
+                     "batched low-entropy scan is decided on the "
+                     "accelerator at the stage-13 boundary "
+                     "(cascade_low_entropy_rows -> "
+                     "ops.readfilters.low_entropy_batch -> "
+                     "cascade_set_filters), byte-equal either way. The "
+                     "remaining device_on gap is fixed per-run overhead "
+                     "through this environment's remote tunnel: jax+axon "
+                     "backend init (~5-8 s), one cold XLA compile "
+                     "(~4 s; was ~100 s before the op was wrapped in a "
+                     "single jit), and ~100 MB of code-matrix transfer "
+                     "at 0.1-1 GB/s. On a locally-attached chip those "
+                     "terms are ~1 s import + cacheable compile + "
+                     "PCIe-speed transfer, i.e. device_on ~= device_off. "
+                     "The auto policy (DEVICE unset) still offloads only "
+                     "on a local chip above the batch-size crossover")})
     except Exception as error:  # noqa: BLE001
         print(f"device on/off rows skipped: {error}", file=sys.stderr)
 

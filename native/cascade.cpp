@@ -940,11 +940,14 @@ bool low_entropy_scan_one(const char *seq, int64_t length, int64_t a1s, int64_t 
     return false;
 }
 
-int64_t filter_low_entropy_stage(double kmer_content, int64_t kmer_length,
-                                 int64_t max_itd_length, int64_t duplicates_filter_id,
-                                 size_t range_lo, size_t range_hi) {
+/* stage-13 row selection shared by the native scan and the device-offload
+ * exporter (cascade_low_entropy_rows): emits every (fragment, mate, window)
+ * the stage would scan, in stage order */
+template <typename Emit>
+void collect_low_entropy_rows(int64_t kmer_length, int64_t max_itd_length,
+                              int64_t duplicates_filter_id, size_t range_lo,
+                              size_t range_hi, Emit emit) {
     Cascade &c = cascade();
-    std::vector<int32_t> scratch;
     for (size_t frag_i = range_lo; frag_i < range_hi; ++frag_i) {
         Fragment &fragment = c.fragments[frag_i];
         const Mate &split = fragment.mates[SPLIT_READ];
@@ -985,14 +988,30 @@ int64_t filter_low_entropy_stage(double kmer_content, int64_t kmer_length,
                 aligned_start2 = aligned_start1;
                 aligned_end2 = aligned_end1;
             }
-            if (low_entropy_scan_one(mate.seq, mate.seq_len, aligned_start1,
-                                     aligned_end1, aligned_start2, aligned_end2,
-                                     kmer_content, kmer_length, scratch)) {
-                fragment.filter = stage_filter(13);
-                break;
-            }
+            if (!emit(frag_i, fragment, mate, aligned_start1, aligned_end1,
+                      aligned_start2, aligned_end2))
+                break;  /* fragment filtered — stage skips the second mate */
         }
     }
+}
+
+int64_t filter_low_entropy_stage(double kmer_content, int64_t kmer_length,
+                                 int64_t max_itd_length, int64_t duplicates_filter_id,
+                                 size_t range_lo, size_t range_hi) {
+    Cascade &c = cascade();
+    std::vector<int32_t> scratch;
+    collect_low_entropy_rows(
+        kmer_length, max_itd_length, duplicates_filter_id, range_lo, range_hi,
+        [&](size_t, Fragment &fragment, const Mate &mate, int64_t a1s,
+            int64_t a1e, int64_t a2s, int64_t a2e) -> bool {
+            if (low_entropy_scan_one(mate.seq, mate.seq_len, a1s, a1e, a2s,
+                                     a2e, kmer_content, kmer_length,
+                                     scratch)) {
+                fragment.filter = stage_filter(13);
+                return false;
+            }
+            return true;
+        });
     int64_t remaining = 0;
     for (size_t frag_i = range_lo; frag_i < range_hi; ++frag_i)
         if (c.fragments[frag_i].filter == 0) remaining += 1;
@@ -1349,12 +1368,90 @@ PyObject *cascade_begin_retained(PyObject *, PyObject *args) {
 // cascade_finish(max_mate_gap_unused, mismatch_probability, pvalue_cutoff,
 //                genome_size, kmer_content, kmer_length, max_itd_length)
 // -> (counts_6to14 bytes, filter ids bytes)
+// hybrid device offload of stage 13: export the exact rows the native scan
+// would visit — (fragment_row, seq, aligned windows) — so the accelerator's
+// batched recurrence (ops/readfilters.low_entropy_batch) can decide them,
+// and apply the verdicts back with cascade_set_filters.
+// Returns (frag_rows int64 bytes, seq_offsets int64 bytes, seq_blob bytes,
+// windows int32[n,4] bytes).
+PyObject *cascade_low_entropy_rows(PyObject *, PyObject *args) {
+    long long kmer_length, max_itd_length;
+    if (!PyArg_ParseTuple(args, "LL", &kmer_length, &max_itd_length))
+        return nullptr;
+    Cascade &c = cascade();
+    if (!c.ready) {
+        PyErr_SetString(PyExc_RuntimeError, "cascade_begin not called");
+        return nullptr;
+    }
+    std::vector<int64_t> frag_rows;
+    std::vector<int64_t> seq_offsets(1, 0);
+    std::string seq_blob;
+    std::vector<int32_t> windows;
+    collect_low_entropy_rows(
+        kmer_length, max_itd_length, c.params.filter_ids[0], 0,
+        c.fragments.size(),
+        [&](size_t frag_i, Fragment &, const Mate &mate, int64_t a1s,
+            int64_t a1e, int64_t a2s, int64_t a2e) -> bool {
+            frag_rows.push_back((int64_t)frag_i);
+            seq_blob.append(mate.seq, (size_t)mate.seq_len);
+            seq_offsets.push_back((int64_t)seq_blob.size());
+            windows.push_back((int32_t)a1s);
+            windows.push_back((int32_t)a1e);
+            windows.push_back((int32_t)a2s);
+            windows.push_back((int32_t)a2e);
+            return true;  /* export both mates; union application is
+                             equivalent to the stage's early break */
+        });
+    return Py_BuildValue(
+        "y#y#y#y#",
+        (const char *)frag_rows.data(),
+        (Py_ssize_t)(frag_rows.size() * 8),
+        (const char *)seq_offsets.data(),
+        (Py_ssize_t)(seq_offsets.size() * 8),
+        seq_blob.data(), (Py_ssize_t)seq_blob.size(),
+        (const char *)windows.data(), (Py_ssize_t)(windows.size() * 4));
+}
+
+// cascade_set_filters(rows int64 bytes, stage): set the stage's filter id on
+// the given fragment rows (stage-13 semantics: unconditional set — the ITD
+// special case scans and overwrites already-filtered fragments), returning
+// the remaining (filter == 0) count.
+PyObject *cascade_set_filters(PyObject *, PyObject *args) {
+    PyObject *rows_obj;
+    int stage;
+    if (!PyArg_ParseTuple(args, "Si", &rows_obj, &stage))
+        return nullptr;
+    Cascade &c = cascade();
+    if (!c.ready) {
+        PyErr_SetString(PyExc_RuntimeError, "cascade_begin not called");
+        return nullptr;
+    }
+    char *data; Py_ssize_t size;
+    if (PyBytes_AsStringAndSize(rows_obj, &data, &size) != 0)
+        return nullptr;
+    const int64_t *rows = (const int64_t *)data;
+    int64_t filter_id = stage_filter(stage);
+    for (Py_ssize_t i = 0; i < size / 8; ++i) {
+        int64_t row = rows[i];
+        if (row >= 0 && (size_t)row < c.fragments.size())
+            c.fragments[row].filter = filter_id;
+    }
+    int64_t remaining = 0;
+    for (const Fragment &fragment : c.fragments)
+        if (fragment.filter == 0) remaining += 1;
+    return PyLong_FromLongLong(remaining);
+}
+
 PyObject *cascade_finish(PyObject *, PyObject *args) {
     long long max_mate_gap, genome_size, kmer_length, max_itd_length;
     double mismatch_probability, pvalue_cutoff, kmer_content;
-    if (!PyArg_ParseTuple(args, "LddLdLL", &max_mate_gap, &mismatch_probability,
-                          &pvalue_cutoff, &genome_size, &kmer_content,
-                          &kmer_length, &max_itd_length))
+    int skip_stage13 = 0;  /* hybrid device offload: stage 13 (low entropy)
+                              runs on the accelerator via
+                              cascade_low_entropy_rows/cascade_set_filters */
+    if (!PyArg_ParseTuple(args, "LddLdLL|i", &max_mate_gap,
+                          &mismatch_probability, &pvalue_cutoff, &genome_size,
+                          &kmer_content, &kmer_length, &max_itd_length,
+                          &skip_stage13))
         return nullptr;
     (void)max_mate_gap;  // the hairpin filter takes no distance parameter here;
                          // the Python signature carries it for parity only
@@ -1378,7 +1475,7 @@ PyObject *cascade_finish(PyObject *, PyObject *args) {
         if (stage_enabled(10)) out[5] = filter_same_gene(lo, hi);
         if (stage_enabled(11)) out[6] = filter_hairpin(lo, hi);
         if (stage_enabled(12)) out[7] = filter_mismatches_stage(p, lo, hi);
-        if (stage_enabled(13))
+        if (stage_enabled(13) && !skip_stage13)
             out[8] = filter_low_entropy_stage(kmer_content, kmer_length,
                                               max_itd_length,
                                               c.params.filter_ids[0], lo, hi);
@@ -1400,7 +1497,7 @@ PyObject *cascade_finish(PyObject *, PyObject *args) {
             });
         for (std::thread &worker : pool) worker.join();
         for (int k = 0; k < 9; ++k)
-            if (stage_enabled(k + 5)) {
+            if (stage_enabled(k + 5) && !(k == 8 && skip_stage13)) {
                 counts[k] = 0;
                 for (size_t w = 0; w < W; ++w) counts[k] += wcounts[w][k];
             }

@@ -4696,6 +4696,8 @@ extern PyObject *mismatch_scan(PyObject *, PyObject *);
 extern PyObject *low_entropy_scan_flat(PyObject *, PyObject *);
 extern PyObject *cascade_begin(PyObject *, PyObject *);
 extern PyObject *cascade_finish(PyObject *, PyObject *);
+extern PyObject *cascade_low_entropy_rows(PyObject *, PyObject *);
+extern PyObject *cascade_set_filters(PyObject *, PyObject *);
 extern PyObject *find_fusions_native(PyObject *, PyObject *);
 extern PyObject *cascade_release(PyObject *, PyObject *);
 extern PyObject *event_bind(PyObject *, PyObject *);
@@ -4778,6 +4780,10 @@ static PyMethodDef methods[] = {
      "Low-entropy scan over concatenated raw sequences (CSR, no padding)."},
     {"cascade_begin", cascade_begin, METH_VARARGS,
      "Read-level cascade stages 1-5 + fragment-length gap collection."},
+    {"cascade_low_entropy_rows", cascade_low_entropy_rows, METH_VARARGS,
+     "export stage-13 rows for device offload"},
+    {"cascade_set_filters", cascade_set_filters, METH_VARARGS,
+     "apply device stage verdicts to fragment rows"},
     {"cascade_finish", cascade_finish, METH_VARARGS,
      "Read-level cascade stages 6-14; returns per-fragment filter ids."},
     {"find_fusions_native", find_fusions_native, METH_VARARGS,
