@@ -942,13 +942,14 @@ def filter_low_entropy(chimeric_alignments: ChimericAlignments, kmer_length: int
             # TPU path: the jax device op implements the identical recurrence
             try:
                 _apply_jax_platform_env()
-                import jax.numpy as jnp
-                from ..ops.readfilters import low_entropy_batch
-                flags = np.asarray(low_entropy_batch(
-                    jnp.asarray(codes), jnp.asarray(lengths),
-                    jnp.asarray(windows[:, 0]), jnp.asarray(windows[:, 1]),
-                    jnp.asarray(windows[:, 2]), jnp.asarray(windows[:, 3]),
-                    kmer_content))
+                from ..ops.readfilters import low_entropy_batch_chunked
+                flags = low_entropy_batch_chunked(
+                    codes, lengths,
+                    np.ascontiguousarray(windows[:, 0]),
+                    np.ascontiguousarray(windows[:, 1]),
+                    np.ascontiguousarray(windows[:, 2]),
+                    np.ascontiguousarray(windows[:, 3]),
+                    kmer_content)
             except Exception as error:  # pragma: no cover - device-availability dependent
                 _log_device_error_once("filter_low_entropy", error)
                 flags = None
