@@ -75,6 +75,52 @@ def shared_kmer_mask(reads: jnp.ndarray, windows: jnp.ndarray,
     return jnp.any(found & (read_kmers >= 0), axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "w_chunk"))
+def mxu_shared_kmer_mask(reads: jnp.ndarray, windows: jnp.ndarray,
+                         k: int = SEED_KMER_LENGTH,
+                         w_chunk: int = 512) -> jnp.ndarray:
+    """shared_kmer_mask reformulated for the MXU: each k-mer is encoded as a
+    one-hot-per-base vector of 4*k int8 lanes, so the dot product of two
+    k-mer encodings counts matching positions and equals k iff the k-mers
+    are identical (a k-mer covering PAD one-hots to zero rows and can never
+    reach k). The [B, R, 4k] x [B, Wc, 4k] batched int8 matmul rides the
+    systolic array in w_chunk window tiles with a fused any(dot == k)
+    reduction — the canonical MXU shape the sort/searchsorted screen never
+    uses. Bit-identical verdicts to shared_kmer_mask (tests/test_device_ops
+    .py); published as the chip_mxu_seed_screen bench row either way the
+    crossover falls. Ref: filter_mismappers.cpp:97-99,
+    filter_homologs.cpp:13-63."""
+    n, L = reads.shape
+    W = windows.shape[1]
+    R = L - k + 1
+    WK = W - k + 1
+    WK_pad = ((WK + w_chunk - 1) // w_chunk) * w_chunk
+
+    def onehot(codes, n_pos):
+        segs = [codes[:, j:j + n_pos] for j in range(k)]
+        stacked = jnp.stack(segs, axis=-1)                    # [B, P, k]
+        clamped = jnp.where(stacked <= 3, stacked.astype(jnp.int32), 4)
+        oh = jax.nn.one_hot(clamped, 4, dtype=jnp.int8)       # [B, P, k, 4]
+        return oh.reshape(codes.shape[0], n_pos, 4 * k)
+
+    read_oh = onehot(reads, R)                                # [B, R, 4k]
+    win_pad = jnp.pad(windows, ((0, 0), (0, WK_pad + k - 1 - W)),
+                      constant_values=PAD_CODE)
+
+    def body(i, acc):
+        lo = i * w_chunk
+        chunk = jax.lax.dynamic_slice(
+            win_pad, (0, lo), (n, w_chunk + k - 1))
+        win_oh = onehot(chunk, w_chunk)                       # [B, Wc, 4k]
+        dots = jax.lax.dot_general(
+            read_oh, win_oh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)                 # [B, R, Wc]
+        return acc | jnp.any(dots == k, axis=(1, 2))
+
+    init = jnp.zeros(n, bool) | (reads[:, 0] > 255)  # varying-safe zeros
+    return jax.lax.fori_loop(0, WK_pad // w_chunk, body, init)
+
+
 def smith_waterman_scores(reads: jnp.ndarray, windows: jnp.ndarray,
                           match: int = 1, mismatch: int = -1,
                           gap: int = -1) -> jnp.ndarray:

@@ -259,6 +259,33 @@ def test_shared_kmer_mask():
         assert mask[row] == bool(read_kmers & window_kmers), f"row {row}"
 
 
+def test_mxu_seed_screen_matches_sorted_screen():
+    """The one-hot int8 matmul screen (MXU formulation) must produce
+    bit-identical verdicts to the sort/searchsorted screen on random,
+    planted-seed, padded, and no-seed rows (incl. tiles crossing the
+    w_chunk boundary)."""
+    from arriba_tpu.ops.encode import PAD_CODE
+
+    rng = np.random.default_rng(9)
+    n, L, W = 12, 96, 1200
+    reads = rng.integers(0, 4, size=(n, L), dtype=np.uint8)
+    windows = rng.integers(0, 4, size=(n, W), dtype=np.uint8)
+    windows[0, 40:48] = reads[0, 11:19]          # planted early
+    windows[1, 600:608] = reads[1, 0:8]          # planted past chunk edge
+    windows[2, W - 8:] = reads[2, L - 8:]        # planted at the tail
+    reads[3, 50:] = PAD_CODE                     # padded read tail
+    windows[4, 100:] = PAD_CODE                  # padded window tail
+    windows[4, 20:28] = reads[4, 2:10]
+    reads[5] = PAD_CODE                          # fully padded read
+    baseline = np.asarray(realign.shared_kmer_mask(jnp.asarray(reads),
+                                                   jnp.asarray(windows)))
+    mxu = np.asarray(realign.mxu_shared_kmer_mask(jnp.asarray(reads),
+                                                  jnp.asarray(windows),
+                                                  w_chunk=512))
+    np.testing.assert_array_equal(baseline, mxu)
+    assert mxu[0] and mxu[1] and mxu[2] and mxu[4] and not mxu[5]
+
+
 def test_sharded_filter_step_on_mesh():
     rng = np.random.default_rng(5)
     mesh = make_mesh(8)
