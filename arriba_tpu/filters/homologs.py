@@ -97,10 +97,15 @@ def filter_homologs(fusions: Fusions, kmer_indices: KmerIndices, kmer_length: in
                     assembly: Assembly, genes: GeneTable,
                     max_identity_fraction: float) -> int:
     """filter_homologs.cpp:65-140."""
-    # the reference collects unfiltered fusions with list::push_front,
-    # i.e. reverse iteration order
-    remaining_fusions: List[Fusion] = [f for f in fusions.values()
-                                       if f.filter == FILTER_NONE][::-1]
+    # the reference collects unfiltered fusions with list::push_front while
+    # iterating its unordered_map (filter_homologs.cpp:69-72) — i.e. the
+    # REVERSE of the emulated hash-map iteration order, NOT of insertion
+    # order (exact-tie arbitration below depends on this walk order)
+    from ..output.stdmap_order import fusion_map_order
+    values = list(fusions.values())
+    order = fusion_map_order(list(fusions.keys()))
+    remaining_fusions: List[Fusion] = [
+        values[i] for i in order if values[i].filter == FILTER_NONE][::-1]
 
     for i, fusion in enumerate(remaining_fusions):
         if fusion.filter != FILTER_NONE:

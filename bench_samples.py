@@ -50,6 +50,17 @@ T2_N_DISCORDANT = 60_000           # 2 records each
 T2_N_VIRAL_FRAGMENTS = 120         # host<->virus chimeric fragments
 T2_ERROR_RATE = 0.004              # base-error rate on chimeric reads
 
+# tier 3 ("human-scale"): hg38 + GENCODE proportions — 3.1 Gb assembly,
+# 62,016 genes x 12 exons = 744,192 exons, same read chemistry as tier 2.
+# Spot-check tier (VERDICT r4 item 5): load times, peak RSS vs the
+# reference's <10 GB envelope (documentation/10-Current-limitations.md:16),
+# and byte-equal head-to-head, run once per bench.
+TIER3_DIR = pathlib.Path("/tmp/arriba_tpu_bench_human_scale_v1")
+T3_GENES_PER_CONTIG = 2_584        # 24 x 2584 = 62,016 genes
+T3_EXONS_PER_GENE = 12             # 744,192 exons
+T3_GENE_SPACING = 50_000           # 24 x ~129.3 Mb = ~3.10 Gb
+T3_SEED = 20260821
+
 _BASES = np.frombuffer(b"ACGT", np.uint8)
 
 
@@ -74,16 +85,39 @@ def _tier2_gene_start(gene_in_contig: int) -> int:
 
 def build_tier2(out_dir: pathlib.Path = TIER2_DIR, quiet: bool = False) -> pathlib.Path:
     """Build (or reuse) the genome-scale 150 bp sample. Returns out_dir."""
+    return _build_genome_tier(
+        out_dir, "v3", 20260820, T2_GENES_PER_CONTIG, T2_EXONS_PER_GENE,
+        T2_GENE_SPACING,
+        "~365 Mb genome + ~10 M-record SAM", quiet)
+
+
+def build_tier3(out_dir: pathlib.Path = TIER3_DIR, quiet: bool = False) -> pathlib.Path:
+    """Build (or reuse) the human-scale (hg38+GENCODE proportion) sample:
+    3.1 Gb assembly, 62,016 genes, 744,192 exons."""
+    return _build_genome_tier(
+        out_dir, "v1", T3_SEED, T3_GENES_PER_CONTIG, T3_EXONS_PER_GENE,
+        T3_GENE_SPACING,
+        "~3.1 Gb genome + ~10 M-record SAM (human scale)", quiet)
+
+
+def _build_genome_tier(out_dir: pathlib.Path, version: str, seed: int,
+                       genes_per_contig: int, exons_per_gene: int,
+                       gene_spacing: int, label: str,
+                       quiet: bool = False) -> pathlib.Path:
     marker = out_dir / ".complete"
-    if marker.exists() and marker.read_text().strip() == "v3":
+    if marker.exists() and marker.read_text().strip() == version:
         return out_dir
     if not quiet:
-        print("building genome-scale benchmark sample (one-time, cached; "
-              "~365 Mb genome + ~10 M-record SAM) ...", file=sys.stderr)
+        print(f"building benchmark sample (one-time, cached; {label}) ...",
+              file=sys.stderr)
     out_dir.mkdir(parents=True, exist_ok=True)
-    rng = np.random.default_rng(20260820)
+    rng = np.random.default_rng(seed)
+    contig_len = T2_CONTIG_MARGIN * 2 + genes_per_contig * gene_spacing
 
-    genome = {name: _BASES[rng.integers(0, 4, T2_CONTIG_LEN)]
+    def _gene_start(gene_in_contig: int) -> int:
+        return T2_CONTIG_MARGIN + gene_in_contig * gene_spacing
+
+    genome = {name: _BASES[rng.integers(0, 4, contig_len)]
               for name in T2_HOST_CONTIGS}
     genome[T2_VIRAL_CONTIG] = _BASES[rng.integers(0, 4, T2_VIRAL_LEN)]
     _write_fasta(out_dir / "genome.fa", genome)
@@ -92,13 +126,13 @@ def build_tier2(out_dir: pathlib.Path = TIER2_DIR, quiet: bool = False) -> pathl
     gtf = []
     gene_row = 0
     for contig in T2_HOST_CONTIGS:
-        for g in range(T2_GENES_PER_CONTIG):
-            start = _tier2_gene_start(g)
+        for g in range(genes_per_contig):
+            start = _gene_start(g)
             strand = "+" if gene_row % 2 == 0 else "-"
             gid = f"G{gene_row}"
             attrs = (f'gene_id "{gid}"; gene_name "GENE{gene_row}"; '
                      f'transcript_id "T{gene_row}";')
-            for e in range(T2_EXONS_PER_GENE):
+            for e in range(exons_per_gene):
                 es = start + e * T2_EXON_PITCH
                 ee = es + T2_EXON_LEN - 1
                 gtf.append(f"{contig}\tbench\texon\t{es + 1}\t{ee + 1}"
@@ -125,7 +159,7 @@ def build_tier2(out_dir: pathlib.Path = TIER2_DIR, quiet: bool = False) -> pathl
     sam = open(out_dir / "aligned.sam", "w", buffering=1 << 22)
     sam.write("@HD\tVN:1.6\tSO:unsorted\n")
     for name in T2_HOST_CONTIGS:
-        sam.write(f"@SQ\tSN:{name}\tLN:{T2_CONTIG_LEN}\n")
+        sam.write(f"@SQ\tSN:{name}\tLN:{contig_len}\n")
     sam.write(f"@SQ\tSN:{T2_VIRAL_CONTIG}\tLN:{T2_VIRAL_LEN}\n")
 
     # ---- proper pairs (background coverage), chunked + vectorized ----
@@ -137,7 +171,7 @@ def build_tier2(out_dir: pathlib.Path = TIER2_DIR, quiet: bool = False) -> pathl
     while written < T2_N_PROPER_PAIRS:
         m = min(chunk, T2_N_PROPER_PAIRS - written)
         cidx = rng.integers(0, n_contigs, m)
-        pos = rng.integers(1000, T2_CONTIG_LEN - 1000 - gap - L, m)
+        pos = rng.integers(1000, contig_len - 1000 - gap - L, m)
         offs = np.arange(L)
         parts = []
         for ci in range(n_contigs):
@@ -168,12 +202,12 @@ def build_tier2(out_dir: pathlib.Path = TIER2_DIR, quiet: bool = False) -> pathl
     junctions = []
     for _ in range(T2_N_JUNCTIONS):
         c1, c2 = rng.integers(0, n_contigs, 2)
-        g1, g2 = int(rng.integers(0, T2_GENES_PER_CONTIG)), int(
-            rng.integers(0, T2_GENES_PER_CONTIG))
+        g1, g2 = int(rng.integers(0, genes_per_contig)), int(
+            rng.integers(0, genes_per_contig))
         if c1 == c2 and g1 == g2:
-            g2 = (g1 + 7) % T2_GENES_PER_CONTIG
-        bp1 = _tier2_gene_start(g1) + 4 * T2_EXON_PITCH + T2_EXON_LEN  # end of exon 5
-        bp2 = _tier2_gene_start(g2) + 5 * T2_EXON_PITCH                # start of exon 6
+            g2 = (g1 + 7) % genes_per_contig
+        bp1 = _gene_start(g1) + 4 * T2_EXON_PITCH + T2_EXON_LEN  # end of exon 5
+        bp2 = _gene_start(g2) + 5 * T2_EXON_PITCH                # start of exon 6
         junctions.append((T2_HOST_CONTIGS[c1], bp1, T2_HOST_CONTIGS[c2], bp2))
 
     # anchors and mate offsets vary per read so fragments are NOT PCR
@@ -225,8 +259,8 @@ def build_tier2(out_dir: pathlib.Path = TIER2_DIR, quiet: bool = False) -> pathl
             parts = []
 
     # ---- host<->virus chimeric fragments (viral-filter coverage) ----
-    vg = int(rng.integers(0, T2_GENES_PER_CONTIG))
-    host_bp = _tier2_gene_start(vg) + 2 * T2_EXON_PITCH + T2_EXON_LEN
+    vg = int(rng.integers(0, genes_per_contig))
+    host_bp = _gene_start(vg) + 2 * T2_EXON_PITCH + T2_EXON_LEN
     for v in range(T2_N_VIRAL_FRAGMENTS):
         vpos = 50_000 + (v % 50) * 13
         p1 = host_bp - 280 - (v % 40)
@@ -239,7 +273,7 @@ def build_tier2(out_dir: pathlib.Path = TIER2_DIR, quiet: bool = False) -> pathl
             f"\t0\t{s2}\t*\tHI:i:1\n")
     sam.write("".join(parts))
     sam.close()
-    marker.write_text("v3\n")
+    marker.write_text(version + "\n")
     return out_dir
 
 

@@ -2641,11 +2641,15 @@ PyObject *ev_homologs(PyObject *, PyObject *args) {
     Store &s = event_store::store();
     const int64_t homologs_id = fid(event_store::F_HOMOLOGS);
 
-    // the reference collects unfiltered fusions with list::push_front,
-    // i.e. reverse iteration order
+    // the reference collects unfiltered fusions with list::push_front
+    // while iterating its unordered_map (filter_homologs.cpp:69-72) — i.e.
+    // the REVERSE of the emulated hash-map iteration order, NOT of store
+    // order (caught by the constructed homolog-tie parity family: exact
+    // support ties arbitrate by this walk order alone)
     std::vector<EventFusion *> remaining_fusions;
-    for (EventFusion &f : s.fusions)
-        if (f.filter == 0) remaining_fusions.push_back(&f);
+    for (int64_t fusion_index : reference_map_order())
+        if (s.fusions[fusion_index].filter == 0)
+            remaining_fusions.push_back(&s.fusions[fusion_index]);
     std::reverse(remaining_fusions.begin(), remaining_fusions.end());
 
     // is_homolog is a pure function of a gene pair; precompute every pair

@@ -945,3 +945,163 @@ def ig_tr_dux4_sample(tmp_path, seed=151) -> List[str]:
     for i, (contig, pos) in enumerate(positions):
         b.add_proper_pair(f"bg{i}", contig, pos)
     return b.write()
+
+
+# ---------------------------------------------------------------------------
+# adversarial iteration-order families (VERDICT r4 item 7): inputs
+# CONSTRUCTED to make the reference's hash-map / std::map walk order
+# observable, instead of waiting for a lucky fuzz seed. Each family is
+# seeded so extended_fuzz.py can bank arbitrary bands.
+
+def breakpoint_sharing_sample(tmp_path, seed: int = 1) -> List[str]:
+    """Gene pairs SHARING breakpoints at ~10x the natural fuzz density —
+    the class that hid the round-4 e-value partner-dedup bug
+    (filter_relative_support.cpp:21-29 walks fusions in unordered_map
+    order; when (A,B) and (A',B) share a breakpoint because A and A'
+    overlap, which partner enters a gene's dedup set is order-dependent).
+    Built from OVERLAPPING gene pairs at every donor locus, so every event
+    produces two fusions with byte-identical breakpoints."""
+    import numpy as _np
+    rng = _np.random.default_rng(seed)
+    b = SampleBuilder(tmp_path, {"1": 400000, "2": 400000}, seed)
+    donors = []
+    for g in range(10):
+        start = 5000 + g * 30000
+        # two genes covering the same interval (same strand): any
+        # breakpoint inside annotates to both
+        b.add_gene("1", start, start + 5999, "+", f"GA{g}", f"OVA{g}",
+                   f"TA{g}")
+        b.add_gene("1", start + 200, start + 6199, "+", f"GB{g}", f"OVB{g}",
+                   f"TB{g}")
+        donors.append(start)
+    acceptors = []
+    for g in range(10):
+        start = 5000 + g * 30000
+        b.add_gene("2", start, start + 5999,
+                   "+" if rng.integers(0, 2) else "-", f"GC{g}", f"ACC{g}",
+                   f"TC{g}")
+        acceptors.append(start)
+    fid = 0
+    for event in range(14):
+        d = int(rng.integers(0, len(donors)))
+        a = int(rng.integers(0, len(acceptors)))
+        bp1 = donors[d] + 1000 + int(rng.integers(0, 4000))
+        bp2 = acceptors[a] + 500 + int(rng.integers(0, 4000))
+        support = int(rng.integers(2, 8))
+        for k in range(support):
+            b.add_split_fragment(f"f{fid}", "1", bp1 - 120 - 3 * (k % 29),
+                                 bp1 - 30, 30, 40, "2", bp2)
+            fid += 1
+        if rng.integers(0, 2):
+            b.add_discordant_fragment(f"d{fid}", "1", bp1 - 90, "2",
+                                      bp2 + 30)
+            fid += 1
+    for i in range(60):
+        contig = "1" if i % 2 else "2"
+        b.add_proper_pair(f"n{i}", contig,
+                          int(rng.integers(2000, 390000)))
+    return b.write()
+
+
+def homolog_tie_sample(tmp_path, seed: int = 1) -> List[str]:
+    """filter_homologs arbitration ties (filter_homologs.cpp:90-130): when
+    two fusions share the 5' gene and their 3' partners are homologous
+    (>=30% shared k-mers), the filter keeps the better-supported fusion —
+    EQUAL support makes the survivor depend on the reference's map walk.
+    The 3' partners are literal sequence COPIES planted in the genome, and
+    every competing fusion gets exactly equal split-read counts."""
+    import numpy as _np
+    rng = _np.random.default_rng(seed)
+    b = SampleBuilder(tmp_path, {"1": 200000, "2": 200000}, seed)
+    b.add_gene("1", 5000, 10999, "+", "GP", "PIVOT", "TP")
+    # homolog pair: identical 6 kb sequence at two loci of contig 2
+    src = b.genome["2"][30000:36000].copy()
+    b.genome["2"][60000:66000] = src
+    b.add_gene("2", 30000, 35999, "+", "GH1", "HOMA", "TH1")
+    b.add_gene("2", 60000, 65999, "+", "GH2", "HOMB", "TH2")
+    # a second, independent tie triple
+    src2 = b.genome["2"][100000:105000].copy()
+    b.genome["2"][130000:135000] = src2
+    b.add_gene("2", 100000, 104999, "-", "GH3", "HOMC", "TH3")
+    b.add_gene("2", 130000, 134999, "-", "GH4", "HOMD", "TH4")
+    b.add_gene("1", 50000, 55999, "+", "GQ", "PIVOT2", "TQ")
+
+    fid = 0
+    support = int(rng.integers(3, 7))
+    for bp1, partners in ((8000, (31500, 61500)), (52000, (101500, 131500))):
+        for bp2 in partners:
+            for k in range(support):  # EXACTLY equal support per partner
+                b.add_split_fragment(f"f{fid}", "1",
+                                     bp1 - 120 - 3 * (k % 23), bp1 - 30,
+                                     30, 40, "2", bp2)
+                fid += 1
+    for i in range(40):
+        b.add_proper_pair(f"n{i}", "1" if i % 2 else "2",
+                          int(rng.integers(2000, 190000)))
+    return b.write()
+
+
+def merge_adjacent_chain_sample(tmp_path, seed: int = 1) -> List[str]:
+    """merge_adjacent_fusions shift chains (merge_adjacent_fusions.cpp:
+    19-108): breakpoints at 2-3 bp steps form chains where which fusion
+    absorbs which depends on the walk order over the fusion map (each merge
+    moves support, changing later comparisons). Several chains of 4-6
+    breakpoints spaced inside the 5 bp merge distance."""
+    import numpy as _np
+    rng = _np.random.default_rng(seed)
+    b = SampleBuilder(tmp_path, {"1": 300000, "2": 300000}, seed)
+    for g in range(6):
+        start = 5000 + g * 40000
+        b.add_gene("1", start, start + 7999, "+", f"G1_{g}", f"DON{g}",
+                   f"T1_{g}")
+        b.add_gene("2", start, start + 7999, "+", f"G2_{g}", f"ACC{g}",
+                   f"T2_{g}")
+    fid = 0
+    for chain in range(6):
+        base1 = 5000 + chain * 40000 + 2000 + int(rng.integers(0, 3000))
+        base2 = 5000 + chain * 40000 + 2000 + int(rng.integers(0, 3000))
+        n_links = int(rng.integers(4, 7))
+        step = int(rng.integers(2, 4))
+        for link in range(n_links):
+            bp1 = base1 + link * step      # 2-3 bp apart: inside the merge
+            bp2 = base2 + link * step      # distance, chaining transitively
+            support = 2 + int(rng.integers(0, 2))
+            for k in range(support):
+                b.add_split_fragment(f"f{fid}", "1",
+                                     bp1 - 125 - 3 * (k % 19), bp1 - 30,
+                                     30, 40, "2", bp2)
+                fid += 1
+    for i in range(50):
+        b.add_proper_pair(f"n{i}", "1" if i % 2 else "2",
+                          int(rng.integers(2000, 290000)))
+    return b.write()
+
+
+def select_best_tie_sample(tmp_path, seed: int = 1) -> List[str]:
+    """select_best exact ties (select_best.cpp:43-58): one gene pair with
+    several well-separated breakpoint pairs carrying EXACTLY equal support
+    and anchors — the kept breakpoint is decided by the reference's
+    fusion-map iteration order alone."""
+    import numpy as _np
+    rng = _np.random.default_rng(seed)
+    b = SampleBuilder(tmp_path, {"1": 200000, "2": 200000}, seed)
+    for g, (c, name) in enumerate(
+            (("1", "DON"), ("2", "ACC"), ("1", "DON2"), ("2", "ACC2"))):
+        b.add_gene(c, 5000 + (g // 2) * 60000, 5000 + (g // 2) * 60000 + 19999,
+                   "+", f"G{g}", name, f"T{g}")
+    fid = 0
+    for pair_base in (5000, 65000):
+        n_bps = int(rng.integers(2, 5))
+        support = int(rng.integers(2, 5))
+        for bp_i in range(n_bps):
+            bp1 = pair_base + 2000 + bp_i * 4000
+            bp2 = pair_base + 3000 + bp_i * 4000
+            for k in range(support):   # identical support at each breakpoint
+                b.add_split_fragment(f"f{fid}", "1",
+                                     bp1 - 120 - 3 * (k % 17), bp1 - 30,
+                                     30, 40, "2", bp2)
+                fid += 1
+    for i in range(40):
+        b.add_proper_pair(f"n{i}", "1" if i % 2 else "2",
+                          int(rng.integers(2000, 190000)))
+    return b.write()

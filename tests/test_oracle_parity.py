@@ -223,3 +223,43 @@ def test_large_fuzz_partner_order_parity(tmp_path, seed):
     from .scenario import large_fuzz_sample
     assert_parity(tmp_path, large_fuzz_sample(tmp_path, seed),
                   our_extra_args=("-@", "4"))
+
+
+# ---- adversarial iteration-order families (VERDICT r4 item 7): inputs
+# constructed to expose hash/map-walk-order dependencies instead of waiting
+# for a lucky fuzz seed ----
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+def test_breakpoint_sharing_parity(tmp_path, seed):
+    """Overlapping gene pairs make every event two fusions with IDENTICAL
+    breakpoints — the class that hid the round-4 e-value partner-dedup bug
+    (filter_relative_support.cpp:21-29) — at ~10x fuzz density."""
+    from .scenario import breakpoint_sharing_sample
+    assert_parity(tmp_path, breakpoint_sharing_sample(tmp_path, seed))
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_homolog_tie_parity(tmp_path, seed):
+    """Literal genome copies as 3' partners with EXACTLY equal support:
+    filter_homologs' keep-the-better-supported arbitration
+    (filter_homologs.cpp:90-130) ties and resolves by map walk order."""
+    from .scenario import homolog_tie_sample
+    assert_parity(tmp_path, homolog_tie_sample(tmp_path, seed))
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_merge_adjacent_chain_parity(tmp_path, seed):
+    """Breakpoint chains at 2-3 bp steps inside the 5 bp merge distance:
+    which fusion absorbs which in merge_adjacent_fusions
+    (merge_adjacent_fusions.cpp:19-108) depends on walk order."""
+    from .scenario import merge_adjacent_chain_sample
+    assert_parity(tmp_path, merge_adjacent_chain_sample(tmp_path, seed))
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_select_best_tie_parity(tmp_path, seed):
+    """One gene pair, several breakpoints with exactly equal support and
+    anchors: select_best's survivor (select_best.cpp:43-58) is decided by
+    iteration order alone."""
+    from .scenario import select_best_tie_sample
+    assert_parity(tmp_path, select_best_tie_sample(tmp_path, seed))
