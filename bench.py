@@ -462,6 +462,48 @@ def main() -> None:
     except Exception as error:  # noqa: BLE001
         print(f"sharded-sample rows skipped: {error}", file=sys.stderr)
 
+    # ---- tier-3 human-scale spot check (3.1 Gb / 62k genes / 744k exons) --
+    try:
+        from bench_samples import TIER3_DIR, build_tier3
+        build_tier3()
+        t3_args = ["-x", str(TIER3_DIR / "aligned.sam"),
+                   "-g", str(TIER3_DIR / "genes.gtf"),
+                   "-a", str(TIER3_DIR / "genome.fa"),
+                   "-b", str(TIER3_DIR / "blacklist.tsv"), "-s", "no"]
+        _warm_page_cache(TIER3_DIR / "aligned.sam", TIER3_DIR / "genome.fa",
+                         TIER3_DIR / "genes.gtf")
+        t3_elapsed, _, _, t3_rss = _run_pipeline(t3_args, TIER3_DIR, threads)
+        row = {"metric": "tier3_human_scale",
+               "assembly_gb": 3.1, "genes": 62016, "exons": 744192,
+               "ours_s": round(t3_elapsed, 2), "peak_rss_gb": t3_rss,
+               "rss_under_10gb_envelope": (t3_rss or 99) < 10.0}
+        stages = _stage_breakdown(t3_args, TIER3_DIR, threads)
+        for name, key in (("Loading annotation", "gtf_load_s"),
+                          ("Loading assembly", "assembly_load_s"),
+                          ("Reading chimeric alignments", "ingest_s")):
+            val = next((sec for sec, st in stages if st.startswith(name)),
+                       None)
+            if val is not None:
+                row[key] = round(val, 2)
+        if oracle is not None:
+            try:
+                ref3 = _oracle_run(oracle, t3_args, TIER3_DIR, repeats=1)
+                row["reference_s"] = round(ref3, 2)
+                row["value"] = round(ref3 / t3_elapsed, 2)
+                row["unit"] = "x (reference wall / ours, same sample)"
+                row["fusions_byte_equal"] = (
+                    (TIER3_DIR / "fusions.tsv").read_bytes()
+                    == (TIER3_DIR / "fusions.reference.tsv").read_bytes())
+                row["discarded_byte_equal"] = (
+                    (TIER3_DIR / "fusions.discarded.tsv").read_bytes()
+                    == (TIER3_DIR / "fusions.reference.discarded.tsv")
+                    .read_bytes())
+            except Exception as error:  # noqa: BLE001
+                row["reference_error"] = str(error)[:200]
+        secondary(row)
+    except Exception as error:  # noqa: BLE001
+        print(f"tier-3 row skipped: {error}", file=sys.stderr)
+
     # ---- tier-1 continuity row ----
     try:
         t1_args = ["-x", str(SAMPLE_DIR / "aligned.sam"),

@@ -14,7 +14,10 @@ import tempfile
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import tests.conftest  # noqa: F401  (platform setup)
-from tests.scenario import fuzz_aux_sample, fuzz_sample, fuzz_sample2
+from tests.scenario import (breakpoint_sharing_sample, fuzz_aux_sample,
+                            fuzz_sample, fuzz_sample2, homolog_tie_sample,
+                            merge_adjacent_chain_sample,
+                            select_best_tie_sample)
 from tests.test_oracle_parity import assert_parity
 
 
@@ -28,7 +31,11 @@ def main() -> int:
     failures = []
     runs = 0
     for family, builder in (("fuzz", fuzz_sample), ("fuzz2", fuzz_sample2),
-                            ("aux", fuzz_aux_sample)):
+                            ("aux", fuzz_aux_sample),
+                            ("bp_sharing", breakpoint_sharing_sample),
+                            ("homolog_tie", homolog_tie_sample),
+                            ("merge_chain", merge_adjacent_chain_sample),
+                            ("select_tie", select_best_tie_sample)):
         for seed in range(first, last):
             tmp = pathlib.Path(tempfile.mkdtemp(prefix="arriba_fuzz_"))
             runs += 1
