@@ -2496,7 +2496,29 @@ PyObject *ev_make_kmer_index(PyObject *, PyObject *args) {
                                     (int64_t)engine_contig.length - 1);
         realign_engine::append_window_kmers(engine_contig.data, gene_start,
                                             gene_end, out);
+        /* per-gene presence bitset for align_recursive's seed pre-screen:
+         * built from the raw contig bytes over the padded window (+K so
+         * every kmer STARTING inside the window is covered) — a superset
+         * of any bucket hit a query inside this range could see. The map
+         * slot was pre-inserted serially; workers fill disjoint genes. */
+        auto found_bits = realign_engine::engine().gene_kmer_bits.find(gene);
+        if (found_bits != realign_engine::engine().gene_kmer_bits.end()) {
+            found_bits->second.start = gene_start;
+            found_bits->second.end = std::min(
+                gene_end + 2 * realign_engine::REALIGN_KMER_LENGTH,
+                (int64_t)engine_contig.length);
+            realign_engine::fill_kmer_bits(engine_contig.data, gene_start,
+                                           found_bits->second.end,
+                                           found_bits->second.bits);
+        }
     };
+    /* pre-insert every gene's bitset slot so the parallel fill below never
+     * mutates the map structure concurrently */
+    realign_engine::engine().gene_kmer_bits.clear();
+    for (int64_t gene : genes_to_filter)
+        if (realign_engine::engine().contigs.count(
+                (int)eng.gene_contig[gene]))
+            realign_engine::engine().gene_kmer_bits[gene];
 
     // gene-level LPT across threads (finer than per-contig: a 2-contig
     // genome still uses every core). finalize_kmer_index sorts + uniques
@@ -2843,10 +2865,19 @@ bool align_both_strands_native(const uint8_t *read_seq, Py_ssize_t seq_len,
             continue;
 
         const std::vector<int64_t> &splice_sites = downstream_splice_sites(gene);
+        const uint64_t *kmer_bits = nullptr;
+        {
+            auto bits = realign_engine::engine().gene_kmer_bits.find(gene);
+            if (bits != realign_engine::engine().gene_kmer_bits.end()
+                && bits->second.start <= gene_start
+                && gene_end + realign_engine::REALIGN_KMER_LENGTH
+                   <= bits->second.end)
+                kmer_bits = bits->second.bits.data();
+        }
         if (realign_engine::align_recursive(0, read_seq, seq_len, 0,
                                             engine_contig, gene_start,
                                             gene_start, gene_end, splice_sites,
-                                            min_score, 1))
+                                            min_score, 1, kmer_bits))
             return true;
         rc_scratch.resize(seq_len);
         for (Py_ssize_t i = 0; i < seq_len; ++i)
@@ -2854,7 +2885,7 @@ bool align_both_strands_native(const uint8_t *read_seq, Py_ssize_t seq_len,
         if (realign_engine::align_recursive(0, rc_scratch.data(), seq_len, 0,
                                             engine_contig, gene_start,
                                             gene_start, gene_end, splice_sites,
-                                            min_score, 1))
+                                            min_score, 1, kmer_bits))
             return true;
     }
     return false;

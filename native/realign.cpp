@@ -62,6 +62,26 @@ void append_window_kmers(const uint8_t *data, int64_t start, int64_t end,
     }
 }
 
+void fill_kmer_bits(const uint8_t *data, int64_t start, int64_t end,
+                    std::vector<uint64_t> &bits) {
+    if (bits.size() != KMER_BUCKETS / 64)
+        bits.assign(KMER_BUCKETS / 64, 0);
+    int64_t pos = start;
+    if (pos + KMER_LENGTH >= end)
+        return;
+    constexpr uint32_t mask = (1u << (2 * KMER_LENGTH)) - 1;
+    uint32_t value = 0;
+    for (int j = 0; j < KMER_LENGTH; ++j)
+        value = (value << 2) | kmer_code(data[pos + j]);
+    for (;;) {
+        bits[value >> 6] |= (uint64_t)1 << (value & 63);
+        ++pos;
+        if (pos + KMER_LENGTH >= end)
+            break;
+        value = ((value << 2) | kmer_code(data[pos + KMER_LENGTH - 1])) & mask;
+    }
+}
+
 void set_contig_raw(int cid, const uint8_t *data, Py_ssize_t length) {
     Contig &contig = engine().contigs[cid];
     Py_XDECREF(contig.owner);
@@ -229,6 +249,7 @@ void reset_engine() {
     }
     engine().contigs.clear();
     engine().splice_sites.clear();
+    engine().gene_kmer_bits.clear();
 }
 
 // filter_homologs.cpp:13-63 core 8+8-mer identity scan
@@ -289,7 +310,7 @@ bool align_recursive(int score, const uint8_t *read, Py_ssize_t read_length,
                      Py_ssize_t read_pos, const Contig &contig,
                      int64_t gene_pos, int64_t gene_start, int64_t gene_end,
                      const std::vector<int64_t> &splice_sites, int min_score,
-                     int max_deletions) {
+                     int max_deletions, const uint64_t *kmer_bits) {
     int skipped_bases = 0;
 
     /* rolling 2-bit window: one base decode per outer iteration instead of
@@ -311,6 +332,15 @@ bool align_recursive(int score, const uint8_t *read, Py_ssize_t read_length,
                 rolling_valid = true;
             }
             uint32_t key = rolling;
+            if (kmer_bits != nullptr
+                && !((kmer_bits[key >> 6] >> (key & 63)) & 1)) {
+                /* the gene's padded window provably contains no copy of
+                 * this 8-mer: the bucket search cannot hit */
+                read_pos += 1;
+                score -= 1;
+                skipped_bases += 1;
+                continue;
+            }
             const kpos_t *positions_begin =
                 contig.kmer_positions.data() + contig.kmer_offsets[key];
             const kpos_t *positions_end =
@@ -366,7 +396,7 @@ bool align_recursive(int score, const uint8_t *read, Py_ssize_t read_length,
                                                 extended_read_pos, contig,
                                                 extended_gene_pos, gene_start,
                                                 gene_end, splice_sites, min_score,
-                                                max_deletions))
+                                                max_deletions, kmer_bits))
                                 return true;
                         }
                     }
@@ -384,7 +414,7 @@ bool align_recursive(int score, const uint8_t *read, Py_ssize_t read_length,
                                                 extended_read_pos, contig,
                                                 extended_gene_pos, gene_start,
                                                 gene_end, splice_sites, min_score,
-                                                max_deletions - 1))
+                                                max_deletions - 1, kmer_bits))
                                 return true;
                         }
                         extended_score -= 1;
@@ -673,9 +703,16 @@ PyObject *realign_align(PyObject *, PyObject *args) {
     auto splice = engine().splice_sites.find(gene);
     const std::vector<int64_t> &splice_sites =
         (splice == engine().splice_sites.end()) ? empty : splice->second;
+    auto bits = engine().gene_kmer_bits.find(gene);
+    const uint64_t *kmer_bits =
+        (bits != engine().gene_kmer_bits.end()
+         && bits->second.start <= gene_start
+         && gene_end + realign_engine::REALIGN_KMER_LENGTH <= bits->second.end)
+            ? bits->second.bits.data() : nullptr;
     bool result = realign_engine::align_recursive(
         0, (const uint8_t *)read, read_length, 0, found->second, gene_start,
-        gene_start, gene_end, splice_sites, min_score, max_deletions);
+        gene_start, gene_end, splice_sites, min_score, max_deletions,
+        kmer_bits);
     if (result)
         Py_RETURN_TRUE;
     Py_RETURN_FALSE;

@@ -53,11 +53,29 @@ void finalize_kmer_index_spans(
 struct Engine {
     std::unordered_map<int, Contig> contigs;
     std::unordered_map<long, std::vector<int64_t>> splice_sites; /* per gene */
+    /* per-gene 8-mer presence bitset over the gene's PADDED window on its
+     * contig (65536 bits = 8 KB): one L1/L2 bit probe rejects ~90% of the
+     * outer-loop seed lookups in align_recursive before the hash-bucket
+     * binary search. Built from the raw contig bytes over [start, end), so
+     * it is a SUPERSET of every position the bucket could return for any
+     * query range INSIDE [start, end) (overlapping neighbour windows
+     * included) — absent bit => no hit, guaranteed. Callers must verify
+     * their query range is covered and pass nullptr otherwise. */
+    struct GeneBits {
+        int64_t start = 0, end = 0;
+        std::vector<uint64_t> bits;
+    };
+    std::unordered_map<long, GeneBits> gene_kmer_bits;
 };
 
 Engine &engine();
 
 uint32_t kmer_at(const uint8_t *sequence, Py_ssize_t position);
+
+/* set presence bits for every 8-mer of data[start..end] into bits
+ * (KMER_BUCKETS / 64 u64 words) */
+void fill_kmer_bits(const uint8_t *data, int64_t start, int64_t end,
+                    std::vector<uint64_t> &bits);
 
 /* append (kmer, pos) for every pos in [start, end) with pos + K < end and
  * data[pos] != 'N', using a rolling 2-bit window (one base decode per
@@ -70,7 +88,8 @@ bool align_recursive(int score, const uint8_t *read, Py_ssize_t read_length,
                      Py_ssize_t read_pos, const Contig &contig,
                      int64_t gene_pos, int64_t gene_start, int64_t gene_end,
                      const std::vector<int64_t> &splice_sites, int min_score,
-                     int max_deletions);
+                     int max_deletions,
+                     const uint64_t *kmer_bits = nullptr);
 
 // filter_homologs.cpp:13-63 core (the caller prepares small_seq, possibly
 // reverse-complemented)
