@@ -54,116 +54,6 @@ def _native_fasta_module():
     return _native if hasattr(_native, "fasta_bodies") else None
 
 
-class PendingAssembly:
-    """Handle for an assembly whose record discovery (and contig
-    registration) ran synchronously but whose body decode (uppercase +
-    newline strip, the expensive part) runs on a background thread.
-    `lengths` maps cid -> a len()-able placeholder, which is all the GTF
-    loader reads, so annotation parsing overlaps the decode; result()
-    joins and returns the real {cid: np.uint8 array} dict."""
-
-    class _Len:
-        __slots__ = ("n",)
-
-        def __init__(self, n):
-            self.n = n
-
-        def __len__(self):
-            return self.n
-
-    def __init__(self):
-        self.lengths: Dict[int, "PendingAssembly._Len"] = {}
-        self._thread = None
-        self._result: Assembly = {}
-        self._error = None
-
-    def result(self) -> Assembly:
-        if self._thread is not None:
-            self._thread.join()
-            self._thread = None
-        if self._error is not None:
-            raise self._error
-        return self._result
-
-
-def load_assembly_async(path: str, contigs: ContigRegistry,
-                        interesting_contigs: str) -> PendingAssembly:
-    """Like load_assembly, but returns after record discovery + contig
-    registration with the decode running on a background thread (the
-    native filler releases the GIL). Decoded lengths are computed up front
-    from the raw spans minus their newline bytes — exactly what the
-    stripped body lengths will be."""
-    import threading
-
-    pending_handle = PendingAssembly()
-    data = _read_bytes(path)
-
-    starts_with_record = data[:1] == b">"
-    pos = 0 if starts_with_record else data.find(b"\n>") + 1
-    if pos == 0 and not starts_with_record:
-        return pending_handle
-    pending: list = []
-    while pos != -1 and pos < len(data):
-        header_end = data.find(b"\n", pos)
-        if header_end == -1:
-            break
-        next_record = data.find(b"\n>", header_end)
-        body_end = len(data) if next_record == -1 else next_record + 1
-        header = data[pos + 1:header_end].strip()
-        fields = header.split()
-        if fields:
-            name = fields[0].decode("ascii", "replace")
-            cid = contigs.add(name)
-            if is_interesting_contig(name, interesting_contigs):
-                pending.append((cid, header_end + 1, body_end))
-                span = bytes(data[header_end + 1:body_end]) \
-                    if not isinstance(data, bytes) else data
-                # stripped length = span length minus newline bytes
-                if isinstance(data, bytes):
-                    stripped = (body_end - (header_end + 1)
-                                - data.count(b"\n", header_end + 1, body_end)
-                                - data.count(b"\r", header_end + 1,
-                                             body_end))
-                else:
-                    stripped = (len(span) - span.count(b"\n")
-                                - span.count(b"\r"))
-                prev = pending_handle.lengths.get(cid)
-                total = (len(prev) if prev is not None else 0) + stripped
-                pending_handle.lengths[cid] = PendingAssembly._Len(total)
-        pos = -1 if next_record == -1 else next_record + 1
-
-    def decode():
-        try:
-            assembly: Dict[int, np.ndarray] = {}
-            native = _native_fasta_module()
-            if native is not None and pending:
-                import os
-                pairs = np.asarray([(s, e) for _c, s, e in pending],
-                                   np.int64)
-                bodies = native.fasta_bodies(
-                    data, pairs.tobytes(), min(os.cpu_count() or 1, 8))
-                for (cid, _s, _e), seq in zip(pending, bodies):
-                    arr = np.frombuffer(seq, dtype=np.uint8)
-                    if cid in assembly:
-                        arr = np.concatenate([assembly[cid], arr])
-                    assembly[cid] = arr
-            else:
-                for cid, body_start, body_end in pending:
-                    seq = data[body_start:body_end].translate(_UPPER,
-                                                              b"\r\n")
-                    arr = np.frombuffer(seq, dtype=np.uint8)
-                    if cid in assembly:
-                        arr = np.concatenate([assembly[cid], arr])
-                    assembly[cid] = arr
-            pending_handle._result = assembly
-        except BaseException as error:  # noqa: BLE001
-            pending_handle._error = error
-
-    pending_handle._thread = threading.Thread(target=decode, daemon=True)
-    pending_handle._thread.start()
-    return pending_handle
-
-
 def load_assembly(path: str, contigs: ContigRegistry, interesting_contigs: str) -> Assembly:
     data = _read_bytes(path)
     assembly: Dict[int, np.ndarray] = {}

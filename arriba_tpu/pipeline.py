@@ -110,19 +110,14 @@ def run(options: Options) -> PipelineState:
     if not enabled["uninteresting_contigs"]:
         options.interesting_contigs = "*"
     log(f"Loading assembly from '{options.assembly_file}' ")
-    # record discovery + contig registration run synchronously (contig id
-    # order is parity-relevant); the body decode overlaps the GTF parse,
-    # which reads only contig LENGTHS
-    from .io.fasta import load_assembly_async
-    pending_assembly = load_assembly_async(
-        options.assembly_file, state.contigs, options.interesting_contigs)
+    state.assembly = load_assembly(options.assembly_file, state.contigs,
+                                   options.interesting_contigs)
 
     # load GTF (arriba.cpp:100-107)
     log(f"Loading annotation from '{options.gene_annotation_file}' ")
     state.annotation = read_annotation_gtf(options.gene_annotation_file,
                                            options.gtf_features, state.contigs,
-                                           pending_assembly.lengths)
-    state.assembly = pending_assembly.result()
+                                           state.assembly)
     annotation = state.annotation
     genes = annotation.genes
     exons = annotation.exons
