@@ -10,19 +10,48 @@
 #include <stdlib.h>
 #include <string.h>
 #include <sys/time.h>
+#include <sys/uio.h>
+#include <sys/syscall.h>
+#include <unistd.h>
 #include <ucontext.h>
 
 static uint64_t *g_buf = 0;
 static volatile size_t g_n = 0;
 static size_t g_cap = 0;
 
+/* with -fno-omit-frame-pointer builds, also record the return address of
+ * the current frame (RBP chain, one level) so leaf libc time attributes to
+ * its caller; packed as pairs when caller capture is on */
+static int g_pairs = 0;
+
 static void handler(int sig, siginfo_t *si, void *uc_) {
     (void)sig; (void)si;
     ucontext_t *uc = (ucontext_t *)uc_;
-    size_t i = __sync_fetch_and_add(&g_n, 1);
-    if (i < g_cap)
+    if (!g_pairs) {
+        size_t i = __sync_fetch_and_add(&g_n, 1);
+        if (i < g_cap)
+            g_buf[i] = (uint64_t)uc->uc_mcontext.gregs[REG_RIP];
+        return;
+    }
+    size_t i = __sync_fetch_and_add(&g_n, 2);
+    if (i + 1 < g_cap) {
         g_buf[i] = (uint64_t)uc->uc_mcontext.gregs[REG_RIP];
+        uint64_t rbp = (uint64_t)uc->uc_mcontext.gregs[REG_RBP];
+        uint64_t ret = 0;
+        if (rbp > 0x1000 && rbp < (uint64_t)1 << 47) {
+            /* fault-safe self-read: process_vm_readv returns EFAULT
+             * instead of delivering SIGSEGV inside the handler */
+            struct iovec local = {&ret, 8};
+            struct iovec remote = {(void *)(rbp + 8), 8};
+            if (syscall(SYS_process_vm_readv, getpid(), &local, 1, &remote,
+                        1, 0) != 8)
+                ret = 0;
+        }
+        g_buf[i + 1] = ret;
+    }
 }
+
+int sampler_start_pairs(int hz, size_t max_samples);
 
 int sampler_start(int hz, size_t max_samples) {
     free(g_buf);
@@ -40,6 +69,11 @@ int sampler_start(int hz, size_t max_samples) {
     it.it_interval.tv_usec = 1000000 / hz;
     it.it_value = it.it_interval;
     return setitimer(ITIMER_PROF, &it, 0);
+}
+
+int sampler_start_pairs(int hz, size_t max_samples) {
+    g_pairs = 1;
+    return sampler_start(hz, max_samples);
 }
 
 size_t sampler_stop(uint64_t *out, size_t max) {

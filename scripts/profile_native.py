@@ -40,6 +40,8 @@ def run(sample, threads, hz):
                 "-@", str(threads)]
     from arriba_tpu.cli import main
     cap = 2_000_000
+    # PROFILE_PAIRS=1 caller attribution exists in pc_sampler.c but can
+    # stall the scan under frequent signals; default to leaf-only sampling
     lib.sampler_start(hz, cap)
     status = main()
     buf = (ctypes.c_uint64 * cap)()
@@ -66,8 +68,45 @@ def main():
     threads = int(sys.argv[2]) if len(sys.argv) > 2 else os.cpu_count()
     hz = int(sys.argv[3]) if len(sys.argv) > 3 else 397
     pcs = run(sample, threads, hz)
+    pairs_mode = os.environ.get("PROFILE_PAIRS") == "1"
     mm = maps()
     los = [m[0] for m in mm]
+
+    if pairs_mode:
+        # attribute each libc leaf sample to its CALLER in our .so
+        native_path = next((m[3] for m in mm
+                            if "_native.cpython" in m[3]), None)
+        callers = collections.Counter()
+        for i in range(0, len(pcs) - 1, 2):
+            leaf, ret = pcs[i], pcs[i + 1]
+            j = bisect.bisect_right(los, leaf) - 1
+            if j < 0 or leaf >= mm[j][1] or "libc" not in mm[j][3]:
+                continue
+            k = bisect.bisect_right(los, ret) - 1
+            if k < 0 or ret >= mm[k][1] or mm[k][3] != native_path:
+                callers["<non-native caller>"] += 1
+                continue
+            callers[ret - mm[k][0] + mm[k][2]] += 1
+        resolved = collections.Counter()
+        addrs = [c for c in callers if isinstance(c, int)]
+        for i in range(0, len(addrs), 4000):
+            batch = [f"0x{a:x}" for a in addrs[i:i + 4000]]
+            out = subprocess.run(["addr2line", "-f", "-C", "-e",
+                                  native_path] + batch,
+                                 capture_output=True, text=True)
+            lines = out.stdout.splitlines()
+            for j, a in enumerate(addrs[i:i + 4000]):
+                fn = lines[2 * j] if 2 * j < len(lines) else "??"
+                resolved[fn] += callers[a]
+        resolved["<non-native caller>"] = callers.get("<non-native caller>",
+                                                      0)
+        total_libc = sum(resolved.values()) or 1
+        print(f"\nlibc leaf samples attributed to native callers"
+              f" ({total_libc}):")
+        for fn, count in resolved.most_common(25):
+            print(f"  {100 * count / total_libc:5.1f}%  {count:6d}  "
+                  f"{str(fn)[:100]}")
+        return
     by_so = collections.Counter()
     offsets = collections.defaultdict(list)
     for pc in pcs:
