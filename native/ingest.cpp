@@ -2173,6 +2173,10 @@ public:
             return false;
         madvise(map, (size_t)st.st_size, MADV_SEQUENTIAL);
         madvise(map, (size_t)st.st_size, MADV_WILLNEED);
+#ifdef MADV_HUGEPAGE
+        /* THP halves the TLB pressure of the 2 GB+ sweep/parse passes */
+        madvise(map, (size_t)st.st_size, MADV_HUGEPAGE);
+#endif
         data_ = (const char *)map;
         size_ = (size_t)st.st_size;
         return true;
