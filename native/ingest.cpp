@@ -2041,6 +2041,264 @@ bool parse_sam_line(const std::string &line, Record &record,
     return parse_sam_view(line.c_str(), line.size(), record, keep_line);
 }
 
+/* ---- slim triage parse ---------------------------------------------------
+ *
+ * ~96 % of aligner output records are boring proper pairs that the scan
+ * consumes inline; they never need a full Record (heap-backed cigar/seq,
+ * ~200 B of stores). RecordLite carries exactly the fields the boring-pair
+ * test and the simple-cigar coverage walk read; only records that fail the
+ * lite consume get the full parse_sam_view. Every validation check (field
+ * count, CIGAR grammar, oplen bound) is replicated bit-for-bit so lite and
+ * full parse accept the same lines. */
+
+struct RecordLite {
+    int64_t pos = 0, end_pos = 0;
+    long long hi_value = 0;
+    int32_t tid = -2;
+    uint32_t qname_len = 0;
+    uint32_t rname_start = 0, rname_len = 0;
+    uint32_t m_oplen = 0;     /* cigar is exactly one query+ref op: its len
+                                 (0 when the cigar is not "simple") */
+    int32_t max_soft_clip = 0;
+    uint16_t flag = 0;
+    bool has_sa = false, hi_present = false;
+};
+
+bool parse_sam_lite(const char *data, size_t n, RecordLite &lite) {
+    lite.has_sa = false;
+    lite.hi_present = false;
+    lite.hi_value = 0;
+    lite.max_soft_clip = 0;
+    lite.m_oplen = 0;
+    lite.tid = -2;
+
+    uint32_t tabs[96];
+    int n_tabs = cpu_has_avx2() ? collect_tabs_avx2(data, n, tabs, 96) : -1;
+    size_t cigar_start = 0, cigar_end = 0;
+    if (n_tabs >= 0) {
+        if (n_tabs < 10)
+            return false;
+        auto field_at = [&](int f, size_t &start, size_t &end) {
+            start = f == 0 ? 0 : (size_t)tabs[f - 1] + 1;
+            end = f < n_tabs ? (size_t)tabs[f] : n;
+        };
+        size_t start, end;
+        lite.qname_len = tabs[0];
+        field_at(1, start, end);
+        lite.flag = (uint16_t)sam_parse_uint(data + start, data + end);
+        field_at(2, start, end);
+        lite.rname_start = (uint32_t)start;
+        lite.rname_len = (uint32_t)(end - start);
+        field_at(3, start, end);
+        lite.pos = sam_parse_int(data + start, data + end) - 1;
+        field_at(5, cigar_start, cigar_end);
+        for (int f = 11; f <= n_tabs; ++f) {
+            field_at(f, start, end);
+            if (end - start >= 5 && data[start] == 'S' &&
+                data[start + 1] == 'A' && data[start + 2] == ':')
+                lite.has_sa = true;
+            if (end - start >= 6 && data[start] == 'H' &&
+                data[start + 1] == 'I' && data[start + 2] == ':' &&
+                data[start + 3] == 'i' && data[start + 4] == ':') {
+                lite.hi_present = true;
+                lite.hi_value = sam_parse_int(data + start + 5, data + end);
+            }
+        }
+    } else {
+        /* scalar fallback (no AVX2): same field walk as parse_sam_view */
+        size_t field_start = 0;
+        int field_index = 0;
+        while (field_start <= n) {
+            const char *tab_pos = (const char *)memchr(
+                data + field_start, '\t', n - field_start);
+            bool has_tab = tab_pos != nullptr;
+            size_t field_end = has_tab ? (size_t)(tab_pos - data) : n;
+            switch (field_index) {
+                case 0: lite.qname_len = (uint32_t)field_end; break;
+                case 1:
+                    lite.flag = (uint16_t)sam_parse_uint(data + field_start,
+                                                         data + field_end);
+                    break;
+                case 2:
+                    lite.rname_start = (uint32_t)field_start;
+                    lite.rname_len = (uint32_t)(field_end - field_start);
+                    break;
+                case 3:
+                    lite.pos = sam_parse_int(data + field_start,
+                                             data + field_end) - 1;
+                    break;
+                case 5:
+                    cigar_start = field_start;
+                    cigar_end = field_end;
+                    break;
+                default:
+                    if (field_index >= 11
+                        && field_end - field_start >= 5
+                        && data[field_start] == 'S'
+                        && data[field_start + 1] == 'A'
+                        && data[field_start + 2] == ':')
+                        lite.has_sa = true;
+                    if (field_index >= 11
+                        && field_end - field_start >= 6
+                        && data[field_start] == 'H'
+                        && data[field_start + 1] == 'I'
+                        && data[field_start + 2] == ':'
+                        && data[field_start + 3] == 'i'
+                        && data[field_start + 4] == ':') {
+                        lite.hi_present = true;
+                        lite.hi_value = sam_parse_int(
+                            data + field_start + 5, data + field_end);
+                    }
+            }
+            field_index++;
+            if (!has_tab) break;
+            field_start = field_end + 1;
+        }
+        if (field_index < 11)
+            return false;
+    }
+
+    int64_t ref_consumed = 0;
+    uint32_t n_ops = 0, first_word = 0;
+    bool simple = true;
+    if (!(cigar_end - cigar_start == 1 && data[cigar_start] == '*')) {
+        uint32_t oplen = 0;
+        for (size_t ci = cigar_start; ci < cigar_end; ++ci) {
+            char c = data[ci];
+            if (c >= '0' && c <= '9') {
+                oplen = oplen * 10 + (uint32_t)(c - '0');
+                if (oplen > 0xFFFFFFFu)
+                    return false;
+            } else {
+                uint8_t coded = CIGAR_OP_LUT.code[(uint8_t)c];
+                if (coded == 0) return false;
+                uint32_t op = (uint32_t)(coded - 1);
+                if (n_ops == 0) first_word = (oplen << 4) | op;
+                else simple = false;
+                n_ops += 1;
+                if (op == CSOFT_CLIP &&
+                    (int32_t)oplen > lite.max_soft_clip)
+                    lite.max_soft_clip = (int32_t)oplen;
+                if ((CONSUMES_REF >> op) & 1) ref_consumed += oplen;
+                oplen = 0;
+            }
+        }
+    }
+    if (simple && n_ops == 1) {
+        uint32_t op = first_word & 0xf;
+        if (((CONSUMES_REF >> op) & (CONSUMES_QUERY >> op)) & 1)
+            lite.m_oplen = first_word >> 4;
+    }
+    lite.end_pos = lite.pos + ref_consumed;
+    return true;
+}
+
+/* the boring-pair test off lite fields — same predicate/argument order as
+ * pair_is_boring(record = later arrival r2, mate = r1) */
+bool pair_is_boring_lite(const Scanner &sc, const RecordLite &r2,
+                         const RecordLite &r1) {
+    if (r2.has_sa || r1.has_sa)
+        return false;
+    if (r2.max_soft_clip >= MIN_CLIPPED_FORWARD ||
+        r1.max_soft_clip >= MIN_CLIPPED_FORWARD)
+        return false;
+    if (r2.tid != r1.tid)
+        return false;
+    int64_t lo = std::min(r2.pos, r1.pos);
+    int64_t hi = std::max(r2.end_pos, r1.end_pos);
+    return !spans_gene_boundary(sc, r2.tid, lo, hi);
+}
+
+/* add_fragment's simple proper-pair fast path off scalars (mate1 = r2, the
+ * later arrival, exactly like the full path's argument order) */
+void add_fragment_simple_pair(Scanner &scanner, int tid, uint16_t flag1,
+                              int64_t pos1, int64_t end1, int64_t pos2,
+                              int64_t end2) {
+    if (tid < 0 || tid >= (int)scanner.planes.size())
+        return;
+    CoveragePlane &plane = scanner.planes[tid];
+    if (plane.windows == 0)
+        return;
+
+    if (!(flag1 & FREVERSE) || !(flag1 & FPAIRED)) {
+        int64_t w = pos1 / COVERAGE_RESOLUTION;
+        if (w >= 0 && w < plane.windows)
+            cov_flag(scanner, 1, tid, plane, w);
+    } else {
+        int64_t w = pos2 / COVERAGE_RESOLUTION;
+        if (w >= 0 && w < plane.windows)
+            cov_flag(scanner, 1, tid, plane, w);
+    }
+
+    const int64_t near_end = std::min(end1, end2);
+    const int64_t far_end = std::max(end1, end2);
+    const int64_t far_start = end1 < end2 ? pos2 : pos1;
+    const int64_t half = COVERAGE_RESOLUTION / 2;
+    int64_t window = std::min(pos1, pos2) / COVERAGE_RESOLUTION;
+    int64_t w = std::max(window, (int64_t)0);
+    int64_t top = std::min(near_end >= half
+                               ? (near_end - half) / COVERAGE_RESOLUTION
+                               : (int64_t)-1,
+                           (int64_t)plane.windows - 1);
+    cov_inc_range(scanner, tid, plane, w, top);
+    w = std::max(near_end / COVERAGE_RESOLUTION + 1,
+                 std::max(far_start / COVERAGE_RESOLUTION, (int64_t)0));
+    top = std::min(far_end >= half
+                       ? (far_end - half) / COVERAGE_RESOLUTION
+                       : (int64_t)-1,
+                   (int64_t)plane.windows - 1);
+    cov_inc_range(scanner, tid, plane, w, top);
+    if ((flag1 & FREVERSE) || !(flag1 & FPAIRED)) {
+        int64_t we = (end1 - 1) / COVERAGE_RESOLUTION;
+        if (we >= 0 && we < plane.windows)
+            cov_flag(scanner, 2, tid, plane, we);
+    } else {
+        int64_t we = (end2 - 1) / COVERAGE_RESOLUTION;
+        if (we >= 0 && we < plane.windows)
+            cov_flag(scanner, 2, tid, plane, we);
+    }
+}
+
+/* the whole lite consume: validity + boring test + counters + coverage.
+ * Restricted to simple-cigar non-viral pairs; anything else reports false
+ * and the caller full-parses + runs the exact consume. */
+bool consume_adjacent_boring_pair_lite(Scanner &sc, Extractor &ex,
+                                       const RecordLite &r1,
+                                       const RecordLite &r2,
+                                       std::string_view qname1,
+                                       std::string_view qname2) {
+    const uint16_t bad = FUNMAP | FMUNMAP | FSECONDARY | FSUPPLEMENTARY;
+    const uint16_t need = FPAIRED | FPROPER_PAIR;
+    if ((r1.flag & bad) || (r2.flag & bad))
+        return false;
+    if (r1.tid < 0 || r2.tid < 0)
+        return false;
+    if ((r1.flag & need) != need || (r2.flag & need) != need)
+        return false;
+    if (r1.m_oplen == 0 || r2.m_oplen == 0)
+        return false;  /* non-simple cigar: exact path decides */
+    if (r2.tid < (int32_t)sc.viral.size() && sc.viral[r2.tid])
+        return false;  /* viral pristine counting needs sequences */
+    if (qname1 != qname2)
+        return false;
+    long long hit1 = r1.hi_present ? r1.hi_value : 1;
+    long long hit2 = r2.hi_present ? r2.hi_value : 1;
+    if (hit1 != hit2)
+        return false;
+    if (!pair_is_boring_lite(sc, r2, r1))
+        return false;
+    sc.n_records += 2;
+    for (const RecordLite *r : {&r1, &r2})
+        if (r->tid >= 0 && r->tid < (int32_t)sc.interesting.size() &&
+            sc.interesting[r->tid])
+            ex.mapped_reads += 1;
+    if (!sc.external_duplicate_marking || !(r2.flag & FDUP))
+        add_fragment_simple_pair(sc, r2.tid, r2.flag, r2.pos,
+                                 r2.pos + r2.m_oplen, r1.pos,
+                                 r1.pos + r1.m_oplen);
+    return true;
+}
+
 /* ---- gzip line reader --------------------------------------------------- */
 
 /* zlib signalled a real error (corrupt/truncated stream) rather than a
@@ -3668,6 +3926,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     int64_t file_base = 0;  /* chunk's input byte offset */
                     std::vector<std::pair<uint32_t, uint32_t>> spans;
                     std::vector<Record> decoded;
+                    std::vector<RecordLite> lites;
                     std::vector<uint8_t> ok;
                     std::vector<uint16_t> shard;
                     std::vector<std::vector<uint32_t>> by_shard;
@@ -3829,6 +4088,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                     batch.has_data = batch.count > 0;
                     if (batch.decoded.size() < batch.count) {
                         batch.decoded.resize(batch.count);
+                        batch.lites.resize(batch.count);
                         batch.ok.resize(batch.count);
                         batch.shard.resize(batch.count);
                     }
@@ -3934,6 +4194,7 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                         if (batch.decoded.size()
                                             < batch.count) {
                                             batch.decoded.resize(batch.count);
+                                            batch.lites.resize(batch.count);
                                             batch.ok.resize(batch.count);
                                             batch.shard.resize(batch.count);
                                         }
@@ -3995,22 +4256,19 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                 size_t len = batch.spans[i].second;
                                 uint64_t pt0 = g_handle_timing
                                                    ? handle_tsc() : 0;
-                                batch.ok[i] = parse_sam_view(
-                                    line, len, batch.decoded[i],
-                                    !extractor.enabled,
-                                    /*lazy_seq=*/extractor.enabled) ? 1 : 0;
+                                /* slim triage parse: full Records are
+                                 * materialized below only for records the
+                                 * lite boring-pair consume leaves over */
+                                batch.ok[i] = parse_sam_lite(
+                                    line, len, batch.lites[i]) ? 1 : 0;
                                 if (g_handle_timing)
                                     g_t_parse_only += handle_tsc() - pt0;
                                 if (batch.ok[i]) {
-                                    Record &rec = batch.decoded[i];
-                                    rec.tid = rname_tid(
+                                    RecordLite &lite = batch.lites[i];
+                                    lite.tid = rname_tid(
                                         std::string_view(
-                                            line + rec.rname_start,
-                                            rec.rname_len));
-                                    batch.shard[i] = (uint16_t)(
-                                        shard_hash(std::string_view(
-                                            line, rec.qname_len))
-                                        % n_shards);
+                                            line + lite.rname_start,
+                                            lite.rname_len));
                                 }
                                 }
                                 /* consume adjacent boring proper pairs in
@@ -4019,8 +4277,8 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                  * never enter the shard partition */
                                 for (size_t i = lo; i + 1 < hi; ++i) {
                                     if (i + 17 < hi && batch.ok[i + 16] == 1) {
-                                        const Record &pf =
-                                            batch.decoded[i + 16];
+                                        const RecordLite &pf =
+                                            batch.lites[i + 16];
                                         prefetch_fragment_planes(
                                             shard_sc[s], pf.tid, pf.pos,
                                             pf.end_pos);
@@ -4030,18 +4288,24 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                         continue;
                                     uint64_t ct0 = g_handle_timing
                                                        ? handle_tsc() : 0;
+                                    /* pairs the lite consume declines
+                                     * (viral / non-simple cigars / not
+                                     * boring) take the exact handle path
+                                     * below — byte-identical by the same
+                                     * invariant that covers chunk-boundary
+                                     * pairs */
                                     bool consumed_pair =
-                                        consume_adjacent_boring_pair(
+                                        consume_adjacent_boring_pair_lite(
                                             shard_sc[s], shard_ex[s],
-                                            batch.decoded[i],
-                                            batch.decoded[i + 1],
+                                            batch.lites[i],
+                                            batch.lites[i + 1],
                                             std::string_view(
                                                 base + batch.spans[i].first,
-                                                batch.decoded[i].qname_len),
+                                                batch.lites[i].qname_len),
                                             std::string_view(
                                                 base +
                                                     batch.spans[i + 1].first,
-                                                batch.decoded[i + 1]
+                                                batch.lites[i + 1]
                                                     .qname_len));
                                     if (g_handle_timing) {
                                         g_t_consume += handle_tsc() - ct0;
@@ -4052,6 +4316,35 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
                                         batch.ok[i + 1] = 2;
                                         ++i;
                                     }
+                                }
+                                /* full-parse the survivors (their shard
+                                 * key needs the qname either way) */
+                                for (size_t i = lo; i < hi; ++i) {
+                                    if (batch.ok[i] != 1)
+                                        continue;
+                                    const char *line =
+                                        base + batch.spans[i].first;
+                                    size_t len = batch.spans[i].second;
+                                    uint64_t ft0 = g_handle_timing
+                                                       ? handle_tsc() : 0;
+                                    if (!parse_sam_view(
+                                            line, len, batch.decoded[i],
+                                            !extractor.enabled,
+                                            /*lazy_seq=*/extractor
+                                                .enabled)) {
+                                        batch.ok[i] = 0;
+                                        continue;
+                                    }
+                                    batch.decoded[i].tid =
+                                        batch.lites[i].tid;
+                                    batch.shard[i] = (uint16_t)(
+                                        shard_hash(std::string_view(
+                                            line,
+                                            batch.decoded[i].qname_len))
+                                        % n_shards);
+                                    if (g_handle_timing)
+                                        g_t_parse_only +=
+                                            handle_tsc() - ft0;
                                 }
                                 /* partition as soon as the LAST tile is
                                  * parsed — whoever parses it does the
