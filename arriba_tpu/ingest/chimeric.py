@@ -846,6 +846,8 @@ def _scan_sam_sharded(path, name_to_tid, boundaries, interesting_per_tid,
             if pid == 0:
                 status = 1
                 try:
+                    if _os.environ.get("ARRIBA_TPU_SHARD_FAIL") == "1":
+                        raise RuntimeError("injected worker failure (test)")
                     my_planes = worker_planes[k]
                     tw0 = _time.perf_counter()
                     (mapped, viral_counts, n_records,
@@ -1140,10 +1142,28 @@ def read_chimeric_alignments(path: str, assembly: Assembly,
                 pass
             if (n_shard_procs > 1 and retain and not stream_native
                     and _path_is_plain_sam(path)):
-                result = _scan_sam_sharded(
-                    path, name_to_tid, boundaries, bytes(interesting_per_tid),
-                    bytes(viral_per_tid), planes, external_duplicate_marking,
-                    threads, extract_tables, n_shard_procs)
+                try:
+                    result = _scan_sam_sharded(
+                        path, name_to_tid, boundaries,
+                        bytes(interesting_per_tid), bytes(viral_per_tid),
+                        planes, external_duplicate_marking, threads,
+                        extract_tables, n_shard_procs)
+                except Exception as error:  # noqa: BLE001
+                    # a worker crash must not abort the run: the unsharded
+                    # scan is byte-identical by construction. Coverage
+                    # planes may hold partial worker sums — rebuild them.
+                    print(f"WARNING: sharded ingest failed ({error}); "
+                          f"falling back to the single-process scan "
+                          f"(output is unaffected)", file=sys.stderr)
+                    for plane in planes:
+                        if plane is not None:
+                            for arr in plane:
+                                arr[:] = 0
+                    result = _native.scan_sam(
+                        path, name_to_tid, boundaries,
+                        bytes(interesting_per_tid), bytes(viral_per_tid),
+                        planes, external_duplicate_marking, threads,
+                        extract_tables, 1 if stream_native else 0)
             else:
                 result = _native.scan_sam(
                     path, name_to_tid, boundaries, bytes(interesting_per_tid),

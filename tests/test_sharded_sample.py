@@ -79,3 +79,24 @@ def test_sharded_multithreaded_workers(tmp_path):
     assert sharded[0] == host[0]
     assert sharded[1] == host[1]
     assert sharded[2] == host[2]
+
+
+def test_sharded_worker_failure_falls_back(tmp_path):
+    """A crashing shard worker must not abort the run: the pipeline falls
+    back to the single-process scan with byte-identical output (and resets
+    any partial plane sums)."""
+    args = multi_event_sample(tmp_path)
+    host = _run(args, tmp_path)
+    env = dict(os.environ, PYTHONPATH=REPO, ARRIBA_TPU_SHARDS="2",
+               ARRIBA_TPU_SHARD_STRIPE_KB="4", ARRIBA_TPU_SHARD_FAIL="1")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    out = tmp_path / "fusions.fail.tsv"
+    disc = tmp_path / "fusions.fail.discarded.tsv"
+    result = subprocess.run(
+        [sys.executable, "-m", "arriba_tpu"] + args
+        + ["-o", str(out), "-O", str(disc)],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert result.returncode == 0, result.stdout + result.stderr
+    assert "sharded ingest failed" in result.stderr
+    assert out.read_bytes() == host[0]
+    assert disc.read_bytes() == host[1]
