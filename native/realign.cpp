@@ -345,6 +345,13 @@ bool align_recursive(int score, const uint8_t *read, Py_ssize_t read_length,
                 contig.kmer_positions.data() + contig.kmer_offsets[key];
             const kpos_t *positions_end =
                 contig.kmer_positions.data() + contig.kmer_offsets[key + 1];
+            /* the bucket is cold (48 MB of positions, random kmer): issue
+             * all its cache lines at once so the binary search's probe
+             * chain overlaps instead of serializing ~8 DRAM latencies */
+            if (positions_end - positions_begin <= 1024)
+                for (const kpos_t *p = positions_begin; p < positions_end;
+                     p += 16)
+                    __builtin_prefetch(p);
             for (const kpos_t *it = std::lower_bound(
                      positions_begin, positions_end,
                      (kpos_t)std::min(gene_pos, (int64_t)INT32_MAX));
