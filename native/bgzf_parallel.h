@@ -9,6 +9,8 @@
 #define ARRIBA_TPU_BGZF_PARALLEL_H
 
 #include <zlib.h>
+
+#include "inflate.h"
 #if defined(__has_include)
 #  if __has_include(<libdeflate.h>)
 #    include <libdeflate.h>
@@ -136,6 +138,30 @@ class Reader {
         block.decompressed.resize(block.isize);
         if (block.isize == 0)
             return;
+        {
+            /* fast clean-room DEFLATE first (native/inflate.h): the CRC
+             * check below validates every byte and any failure retries
+             * through zlib, so this can only improve throughput */
+            size_t n = block.compressed.size();
+            block.compressed.resize(n + 8, 0);  /* bit-reader slack */
+            static thread_local std::vector<uint8_t> scratch;
+            if (scratch.size() < (size_t)block.isize + 32)
+                scratch.resize((size_t)block.isize + 32);
+            bool ok = fast_inflate::decompress(
+                block.compressed.data(), n, n + 8, scratch.data(),
+                block.isize);
+            block.compressed.resize(n);
+            if (ok) {
+                uint32_t crc = (uint32_t)crc32(0L, scratch.data(),
+                                               block.isize);
+                if (crc == block.crc) {
+                    memcpy(block.decompressed.data(), scratch.data(),
+                           block.isize);
+                    block.ok = true;
+                    return;
+                }
+            }
+        }
 #ifdef ARRIBA_TPU_HAVE_LIBDEFLATE
         /* libdeflate is ~2-3x faster than zlib on 64 KB BGZF members; the
          * block CRC validates every output, and any failure (including a
