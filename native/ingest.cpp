@@ -33,6 +33,7 @@
 #include <atomic>
 #include <cstdint>
 #include <memory>
+#include <random>
 #include <thread>
 #if defined(__SSE2__)
 #include <immintrin.h>
@@ -4938,6 +4939,51 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
 /* Brute-force ITD window scan: the inner loop of is_tandem_duplication
  * (read_chimeric_alignments.cpp:215-336). Returns (contig_pos, aln_start,
  * aln_end) of the first accepted window position, or None. */
+/* bgzf_inflate_selftest(n_trials, seed): differential test of the fast
+ * DEFLATE decoder (native/inflate.h) against zlib-compressed random data
+ * at every level/strategy; returns the number of failures (0 = pass). */
+static PyObject *bgzf_inflate_selftest(PyObject *, PyObject *args) {
+    long long n_trials = 200, seed = 1234;
+    if (!PyArg_ParseTuple(args, "|LL", &n_trials, &seed))
+        return nullptr;
+    std::mt19937 rng((uint32_t)seed);
+    long long fails = 0;
+    std::vector<uint8_t> data, comp, out;
+    for (long long trial = 0; trial < n_trials; ++trial) {
+        size_t n = 1 + rng() % 65536;
+        data.resize(n);
+        int mode = (int)(trial % 5);
+        for (size_t i = 0; i < n; ++i) {
+            if (mode == 0) data[i] = (uint8_t)rng();
+            else if (mode == 1) data[i] = (uint8_t)"ACGT"[rng() & 3];
+            else if (mode == 2) data[i] = (uint8_t)(i & 7);
+            else if (mode == 3)
+                data[i] = i > 100 ? data[i - (1 + rng() % 90)]
+                                  : (uint8_t)rng();
+            else data[i] = 'A';
+        }
+        uLongf cap = compressBound((uLong)n);
+        comp.assign(cap, 0);
+        z_stream ds{};
+        deflateInit2(&ds, 1 + (int)(trial % 9), Z_DEFLATED, -15, 8,
+                     trial % 3 == 0 ? Z_FILTERED : Z_DEFAULT_STRATEGY);
+        ds.next_in = data.data();
+        ds.avail_in = (uInt)n;
+        ds.next_out = comp.data();
+        ds.avail_out = cap;
+        deflate(&ds, Z_FINISH);
+        size_t comp_n = cap - ds.avail_out;
+        deflateEnd(&ds);
+        comp.resize(comp_n + 8, 0);
+        out.assign(n + 32, 0);
+        bool ok = fast_inflate::decompress(comp.data(), comp_n, comp_n + 8,
+                                           out.data(), n);
+        if (!ok || memcmp(out.data(), data.data(), n) != 0)
+            fails += 1;
+    }
+    return PyLong_FromLongLong(fails);
+}
+
 static PyObject *tandem_scan(PyObject *, PyObject *args) {
     const char *clipped;
     Py_ssize_t clipped_len;
@@ -5200,6 +5246,8 @@ static PyMethodDef methods[] = {
      "Bind per-contig coverage arrays so coverage_add can update them."},
     {"coverage_add", coverage_add, METH_VARARGS,
      "Run the dual-CIGAR coverage walk for one fragment natively."},
+    {"bgzf_inflate_selftest", bgzf_inflate_selftest, METH_VARARGS,
+     "differential-test the fast DEFLATE decoder against zlib"},
     {"tandem_scan", tandem_scan, METH_VARARGS,
      "ITD brute-force window scan; returns (contig_pos, aln_start, aln_end) or None."},
     {"scan_sam", scan_sam, METH_VARARGS,

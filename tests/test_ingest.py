@@ -191,3 +191,15 @@ def test_intact_bam_scans(bam_scenario, threads):
     bam_path, assembly, contigs, ann, gene_index = bam_scenario
     n, mapped = _scan(bam_path, assembly, contigs, ann, gene_index, threads)
     assert mapped == 82  # 40 proper pairs + the discordant pair
+
+
+def test_fast_inflate_differential():
+    """The clean-room DEFLATE decoder (native/inflate.h) must byte-match
+    zlib on random/DNA/run/copy/constant data across all levels and
+    strategies (the native selftest compresses with zlib and diffs)."""
+    import pytest
+
+    from arriba_tpu.ingest.chimeric import _native
+    if _native is None or not hasattr(_native, "bgzf_inflate_selftest"):
+        pytest.skip("native module not built")
+    assert _native.bgzf_inflate_selftest(400, 20260820) == 0
