@@ -167,6 +167,37 @@ def test_device_offload_equivalence(sample, tmp_path):
     assert outputs["host"] == outputs["device"]
 
 
+
+def test_hybrid_device_low_entropy_decides(sample, tmp_path):
+    """ARRIBA_TPU_DEVICE=1 keeps the native cascade and routes stage-13 low
+    entropy through the accelerator export path; with a working jax backend
+    the device call must SUCCEED (no fallback warning) and output must stay
+    byte-identical to the host run."""
+    import os
+    import subprocess
+    import sys
+
+    options, sample_dir = sample
+    args = ["-x", options.rna_bam_file, "-g", options.gene_annotation_file,
+            "-a", options.assembly_file, "-b", options.blacklist_file,
+            "-i", "1,2", "-s", "no"]
+    host_out = str(tmp_path / "fusions_host.tsv")
+    env = dict(os.environ, JAX_PLATFORMS=os.environ.get(
+        "ARRIBA_TPU_TEST_PLATFORM", "cpu"))
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    result = subprocess.run(
+        [sys.executable, "-m", "arriba_tpu"] + args + ["-o", host_out],
+        env=env, capture_output=True, text=True, timeout=420)
+    assert result.returncode == 0, result.stderr[-2000:]
+    dev_out = str(tmp_path / "fusions_dev.tsv")
+    result = subprocess.run(
+        [sys.executable, "-m", "arriba_tpu"] + args + ["-o", dev_out],
+        env=dict(env, ARRIBA_TPU_DEVICE="1"), capture_output=True,
+        text=True, timeout=420)
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "device offload failed" not in result.stderr, result.stderr
+    assert open(dev_out, "rb").read() == open(host_out, "rb").read()
+
 def test_device_blacklist_triage_scenario(tmp_path):
     """ARRIBA_TPU_DEVICE=1 routes the blacklist filter through the device
     range triage (ops/blacklist.query_intervals); a blacklist mixing
