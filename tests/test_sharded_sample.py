@@ -100,3 +100,24 @@ def test_sharded_worker_failure_falls_back(tmp_path):
     assert "sharded ingest failed" in result.stderr
     assert out.read_bytes() == host[0]
     assert disc.read_bytes() == host[1]
+
+
+def test_sharded_ingest_composes_with_sharded_stats(tmp_path):
+    """Both distribution tiers at once: byte-range ingest workers
+    (ARRIBA_TPU_SHARDS) + the multi-process mid-cascade statistics
+    reduction (ARRIBA_TPU_SHARDED_STATS=2procs) — byte-identical output."""
+    args = multi_event_sample(tmp_path)
+    host = _run(args, tmp_path)
+    env = dict(os.environ, PYTHONPATH=REPO, ARRIBA_TPU_SHARDS="2",
+               ARRIBA_TPU_SHARD_STRIPE_KB="4",
+               ARRIBA_TPU_SHARDED_STATS="2procs")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    out = tmp_path / "fusions.both.tsv"
+    disc = tmp_path / "fusions.both.discarded.tsv"
+    result = subprocess.run(
+        [sys.executable, "-m", "arriba_tpu"] + args
+        + ["-o", str(out), "-O", str(disc)],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert result.returncode == 0, result.stdout + result.stderr
+    assert out.read_bytes() == host[0]
+    assert disc.read_bytes() == host[1]
