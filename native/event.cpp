@@ -3117,6 +3117,22 @@ PyObject *ev_mismappers(PyObject *, PyObject *args) {
 
 namespace {
 
+/* append a decimal integer without std::to_string's temporary */
+static inline void out_int(std::string &out, long long value) {
+    char digits[24];
+    int i = 24;
+    bool negative = value < 0;
+    unsigned long long magnitude =
+        negative ? 0ULL - (unsigned long long)value
+                 : (unsigned long long)value;
+    do {
+        digits[--i] = (char)('0' + magnitude % 10);
+        magnitude /= 10;
+    } while (magnitude != 0);
+    if (negative) digits[--i] = '-';
+    out.append(digits + i, 24 - i);
+}
+
 // output_fusions.cpp:637-709 (writer.py get_fusion_site)
 std::string native_fusion_site(int64_t gene, bool spliced, bool exonic,
                                int64_t contig, int64_t breakpoint) {
@@ -3479,34 +3495,55 @@ PyObject *ev_write_discarded(PyObject *, PyObject *args) {
         out += native_fusion_strand(strand_3, gene_3,
                                     f.predicted_strands_ambiguous);
         out += "\t";
-        out += contig_names[contig_5] + ":" + std::to_string(breakpoint_5 + 1);
+        out += contig_names[contig_5];
+        out += ':';
+        out_int(out, breakpoint_5 + 1);
         out += "\t";
-        out += contig_names[contig_3] + ":" + std::to_string(breakpoint_3 + 1);
-        out += "\t" + site_5 + "\t" + site_3 + "\t";
+        out += contig_names[contig_3];
+        out += ':';
+        out_int(out, breakpoint_3 + 1);
+        out += '\t';
+        out += site_5;
+        out += '\t';
+        out += site_3;
+        out += '\t';
         out += native_fusion_type(f, max_itd_length);
-        out += "\t" + std::to_string(split_reads_5);
-        out += "\t" + std::to_string(split_reads_3);
-        out += "\t" + std::to_string(f.discordant_mates);
+        out += '\t';
+        out_int(out, split_reads_5);
+        out += '\t';
+        out_int(out, split_reads_3);
+        out += '\t';
+        out_int(out, f.discordant_mates);
         out += "\t";
-        out += coverage_5 >= 0 ? std::to_string(coverage_5) : ".";
+        if (coverage_5 >= 0) out_int(out, coverage_5); else out += '.';
         out += "\t";
-        out += coverage_3 >= 0 ? std::to_string(coverage_3) : ".";
+        if (coverage_3 >= 0) out_int(out, coverage_3); else out += '.';
         out += "\t";
         out += confidence;
         out += "\t.\t.\t.";  // reading_frame, tags, protein domains
 
-        if (closest_5 >= 0)
-            out += "\t" + contig_names[contig_5] + ":"
-                   + std::to_string(closest_5 + 1) + "("
-                   + std::to_string(std::llabs(breakpoint_5 - closest_5)) + ")";
-        else
+        if (closest_5 >= 0) {
+            out += '\t';
+            out += contig_names[contig_5];
+            out += ':';
+            out_int(out, closest_5 + 1);
+            out += '(';
+            out_int(out, std::llabs(breakpoint_5 - closest_5));
+            out += ')';
+        } else {
             out += "\t.";
-        if (closest_3 >= 0)
-            out += "\t" + contig_names[contig_3] + ":"
-                   + std::to_string(closest_3 + 1) + "("
-                   + std::to_string(std::llabs(breakpoint_3 - closest_3)) + ")";
-        else
+        }
+        if (closest_3 >= 0) {
+            out += '\t';
+            out += contig_names[contig_3];
+            out += ':';
+            out_int(out, closest_3 + 1);
+            out += '(';
+            out_int(out, std::llabs(breakpoint_3 - closest_3));
+            out += ')';
+        } else {
             out += "\t.";
+        }
 
         // count reads discarded per filter (name-sorted like Python's
         // sorted(dict))
@@ -3546,8 +3583,11 @@ PyObject *ev_write_discarded(PyObject *, PyObject *args) {
             for (size_t i = 0; i < filter_counts.size(); ++i) {
                 if (i) out += ",";
                 out += filter_counts[i].first;
-                if (filter_counts[i].second != 0)
-                    out += "(" + std::to_string(filter_counts[i].second) + ")";
+                if (filter_counts[i].second != 0) {
+                    out += '(';
+                    out_int(out, filter_counts[i].second);
+                    out += ')';
+                }
             }
         }
         out += "\t.\t.\t.";  // transcript sequence, peptide, read ids
