@@ -250,6 +250,7 @@ PyObject *find_fusions_native(PyObject *, PyObject *args) {
 
     std::vector<FusionData> fusions;
     std::unordered_map<std::array<int64_t, 8>, size_t, KeyHash<8>> by_key;
+    by_key.reserve(c.fragments.size());  /* avoid rehash storms */
     std::unordered_map<std::array<int64_t, 4>, std::vector<std::array<int64_t, 3>>,
                        KeyHash<4>>
         discordant_by_gene_pair;  // (g1,g2,d1,d2) -> [(bp1,bp2,frag_index)]
