@@ -134,12 +134,58 @@ def low_entropy_batch_chunked(codes, lengths, a1s, a1e, a2s, a2e,
             w = tuple(_np.concatenate([arr[lo:hi],
                                        _np.zeros(pad, arr.dtype)])
                       for arr in (a1s, a1e, a2s, a2e))
-        flags = _np.asarray(low_entropy_batch(
-            jnp.asarray(c), jnp.asarray(ln), jnp.asarray(w[0]),
+        # 2-bit-pack the code matrix for transfer (4 bases/byte): through a
+        # remote tunnel the host->device copy is the dominant per-dispatch
+        # cost; the device unpacks with two vector ops. Codes > 3 (PAD/N)
+        # clamp to 3 — exactly what the kmer recurrence does anyway.
+        L = c.shape[1]
+        L4 = (L + 3) // 4 * 4
+        cp = _np.empty((c.shape[0], L4), _np.uint8)
+        _np.minimum(c, 3, out=cp[:, :L])
+        cp[:, L:] = 3
+        packed = (cp[:, 0::4] | (cp[:, 1::4] << 2) | (cp[:, 2::4] << 4)
+                  | (cp[:, 3::4] << 6))
+        flags = _np.asarray(_low_entropy_batch_packed(
+            jnp.asarray(packed), L, jnp.asarray(ln), jnp.asarray(w[0]),
             jnp.asarray(w[1]), jnp.asarray(w[2]), jnp.asarray(w[3]),
             kmer_content))
         out[lo:hi] = flags[:hi - lo]
     return out
+
+
+def _low_entropy_batch_packed(packed, L: int, length, a1s, a1e, a2s, a2e,
+                              kmer_content: float):
+    """low_entropy_batch over a 2-bit-packed code matrix: unpack on device
+    (shifts + interleave), then run the identical recurrence."""
+    import numpy as _np
+
+    def _threshold(segment_length):
+        seg = _np.asarray(segment_length)
+        q = (seg.astype(_np.float32) * _np.float32(kmer_content)) \
+            / _np.float32(KMER_LENGTH)
+        base = _np.floor(q)
+        t = (base + (q - base >= _np.float32(0.5))).astype(_np.int32)
+        return _np.where(_np.asarray(seg) < 0, _np.int32(1) << 30, t)
+
+    th_all = _threshold(length)
+    th_a1 = _threshold(_np.asarray(a1e) - _np.asarray(a1s))
+    th_a2 = _threshold(_np.asarray(a2e) - _np.asarray(a2s))
+    return _low_entropy_core_packed(
+        packed, L, jnp.asarray(_np.asarray(length)),
+        jnp.asarray(_np.asarray(a1s)), jnp.asarray(_np.asarray(a1e)),
+        jnp.asarray(_np.asarray(a2s)), jnp.asarray(_np.asarray(a2e)),
+        jnp.asarray(th_all), jnp.asarray(th_a1), jnp.asarray(th_a2))
+
+
+@functools.partial(jax.jit, static_argnames=("L",))
+def _low_entropy_core_packed(packed, L, length, a1s, a1e, a2s, a2e,
+                             th_all, th_a1, th_a2):
+    quarters = jnp.stack([(packed >> 0) & 3, (packed >> 2) & 3,
+                          (packed >> 4) & 3, (packed >> 6) & 3],
+                         axis=2)                       # [N, L4/4, 4]
+    bases = quarters.reshape(packed.shape[0], -1)[:, :L].astype(jnp.uint8)
+    return _low_entropy_core(bases, length, a1s, a1e, a2s, a2e, th_all,
+                             th_a1, th_a2)
 
 
 def _low_entropy_thresholds_traced(length, a1s, a1e, a2s, a2e,
