@@ -378,7 +378,7 @@ inline void prefetch_fragment_planes(ScannerT &scanner, int tid,
     if (tid < (int)scanner.boundary_map.size() &&
         !scanner.boundary_map[tid].empty()) {
         const std::vector<uint8_t> &bmap = scanner.boundary_map[tid];
-        int64_t b = (pos - 3) >> 11;
+        int64_t b = ((pos - 3) >> 11) >> 3;
         if (b >= 0 && b < (int64_t)bmap.size())
             __builtin_prefetch(&bmap[b]);
     }
@@ -704,10 +704,11 @@ bool spans_gene_boundary(const Scanner &scanner, int tid, int64_t lo, int64_t hi
     int64_t from = (lo - 3) >> 11;
     if (from < 0) from = 0;
     int64_t to = (hi + 2) >> 11;
-    if (to >= (int64_t)bmap.size()) to = (int64_t)bmap.size() - 1;
+    int64_t max_granule = (int64_t)bmap.size() * 8 - 1;
+    if (to > max_granule) to = max_granule;
     bool nearby = false;
     for (int64_t b = from; b <= to; ++b)
-        if (bmap[b]) { nearby = true; break; }
+        if (bmap[b >> 3] & (1u << (b & 7))) { nearby = true; break; }
     if (!nearby)
         return false;
     /* forward if the (slack-padded) interval contains a boundary, meaning the
@@ -3132,10 +3133,14 @@ static PyObject *scan_sam(PyObject *, PyObject *args) {
         if (bounds.empty() || bounds.back() < 0)
             continue;
         std::vector<uint8_t> &bmap = scanner.boundary_map[tid];
-        bmap.assign((size_t)(bounds.back() >> 11) + 1, 0);
+        /* BIT map over 2 kb granules (8 granules/byte): 8x smaller than
+         * the old byte map, so the whole-genome prefilter stays L2-ish */
+        bmap.assign((size_t)((bounds.back() >> 11) >> 3) + 1, 0);
         for (int64_t value : bounds)
-            if (value >= 0)
-                bmap[(size_t)(value >> 11)] = 1;
+            if (value >= 0) {
+                size_t granule = (size_t)(value >> 11);
+                bmap[granule >> 3] |= (uint8_t)(1u << (granule & 7));
+            }
     }
     {
         char *data; Py_ssize_t size;
